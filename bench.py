@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect). A warmup
+run of a trivial job first absorbs JVM/codegen startup so timings
+reflect steady-state execution, matching how the DuckDB baseline is
+measured (in-process, warm).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "monthly_last_by",
+    "regional_revenue",
+    "customer_order_counts",
+    "filter_range_project",
+    "dedup_first_event",
+    "latest_event_per_user",
+    "mom_avg_value",
+    "top_movers",
+    "ptbr_roundtrip",
+    "json_props_extract",
+    "docs_exact_dedup",
+    "docs_text_stats",
+    "docs_token_totals",
+    "docs_lang_id",
+    "docs_minhash_sig",
+    "docs_simhash",
+    "docs_near_dups",
+    "embedding_cosine_topk",
+    "embedding_ivf_topk",
+]
+
+
+def main() -> None:
+    from etl_macropulse_br_spark.plans.queries import QUERIES
+    from etl_macropulse_br_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # warmup: JVM, parquet footer caches, codegen
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink: executes the FULL plan (a count() would let
+        # Catalyst prune the projected computations away).
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

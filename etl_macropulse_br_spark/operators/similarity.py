@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: exact brute-force top-k vs a query vector.
+  Dot product via zip_with/aggregate (sequential fold → bitwise
+  deterministic), ranking via TakeOrderedAndProject — a true
+  distributed top-k, no global sort materialization.
+- ``ivf_topk``: IVF-style scale path — assign vectors to the nearest
+  of c centroids (precomputed or sampled), probe only the closest
+  cells. Bounds scanned vectors by probes/cells at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two numeric arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    a, b = _as_double_array(a), _as_double_array(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float] | Column,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k nearest neighbors by cosine similarity.
+
+    ``query_vec`` may be a Python list (becomes a literal array —
+    broadcast to every task as part of the plan) or a Column.
+    Deterministic ranking: rounded similarity desc, id asc.
+    """
+    q = (
+        F.array(*[F.lit(float(x)) for x in query_vec])
+        if isinstance(query_vec, list)
+        else query_vec
+    )
+    scored = df.select(
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Train: sample ``n_cells`` centroids deterministically (seeded
+    sample of rows — cheap, one small collect). Index: assign each
+    vector to its nearest centroid (one pass, expression-only).
+    Search: score only vectors whose cell is among the ``n_probe``
+    cells closest to the query. At scale the assignment is written
+    once (partitioned by cell) and queries prune ~(1 - probe/cells)
+    of the data.
+    """
+    centroids = [
+        [float(x) for x in r[vec_col]]
+        for r in df.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    ]
+
+    def lit_vec(v: list[float]) -> Column:
+        return F.array(*[F.lit(x) for x in v])
+
+    def cell_expr(vec: Column) -> Column:
+        best_cell, best_sim = F.lit(0), cosine_sim(vec, lit_vec(centroids[0]))
+        for i, c in enumerate(centroids[1:], start=1):
+            sim = cosine_sim(vec, lit_vec(c))
+            better = sim > best_sim
+            best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+            best_sim = F.when(better, sim).otherwise(best_sim)
+        return best_cell
+
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+
+    def np_cos(c: list[float]) -> float:
+        cv = np.asarray(c, dtype=np.float64)
+        return float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+
+    probe_cells = sorted(
+        range(len(centroids)), key=lambda i: -np_cos(centroids[i])
+    )[:n_probe]
+
+    assigned = df.withColumn("__cell", cell_expr(F.col(vec_col)))
+    pruned = assigned.filter(F.col("__cell").isin(*probe_cells))
+    return cosine_topk(pruned, query_vec, k, vec_col, id_col)

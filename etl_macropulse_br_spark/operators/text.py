@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): token
+counting, quality scoring, language-ID heuristic, and document
+fingerprinting over the ``documents`` table. Everything is built
+from Catalyst expressions (split / higher-order array functions /
+regexp) — no Python UDFs, so the operators stay inside whole-stage
+codegen and scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_macropulse_br_spark.functions.hashing import md5_long
+
+# Tiny fixed marker lists for the language-ID heuristic. Word-level
+# markers (not char n-grams) keep the scoring expressible in both
+# engines; the classifier is deterministic: highest marker count
+# wins, ties broken by language code order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "pt": ("o", "a", "de", "que", "e"),
+}
+
+_WS = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the reference-free baseline tokenizer)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored token estimate: count word pieces + digits +
+    punctuation runs via regexp. A cheap, deterministic proxy for
+    subword token counts (≈ GPT-2 pre-tokenizer word splitting)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (length / punctuation / stopword
+    ratios) used for corpus filtering."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    stop_list = [w for ws in LANG_MARKERS.values() for w in ws]
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*stop_list)))
+    # Ratios are int/int divisions — deterministic doubles, left
+    # unrounded so they hash identically against the SQL oracle.
+    return df.select(
+        "*",
+        F.length(t).alias("char_count"),
+        n_tok.alias("word_count"),
+        (F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))).alias(
+            "uniq_word_ratio"
+        ),
+        (
+            F.length(F.regexp_replace(t, r"[^.!?,;:]", ""))
+            / F.greatest(F.length(t), F.lit(1))
+        ).alias("punct_ratio"),
+        (n_stop / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic marker-word language ID.
+
+    Scores each language by marker-token count; argmax with
+    lexicographic tiebreak. On real corpora, swap the marker lists
+    for char-n-gram profiles (same plan shape — still pure
+    expressions)."""
+    toks = tokens(F.col(text_col))
+    scored = df
+    for lang, markers in LANG_MARKERS.items():
+        scored = scored.withColumn(
+            f"__score_{lang}",
+            F.size(F.filter(toks, lambda x: x.isin(*markers))),
+        )
+    # argmax via greatest + chained when (deterministic tiebreak:
+    # first language in sorted order wins ties)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"__score_{lang}") for lang in langs])
+    pred: Column = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"__score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.withColumn("pred_lang", pred).drop(
+        *[f"__score_{lang}" for lang in langs]
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: 60-bit portable hash of
+    whitespace-normalized lowercase text — the exact-dedup key
+    (rolling/winnowed fingerprints are the MinHash path in
+    operators/dedup.py)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+    return df.withColumn("fingerprint", md5_long(normalized))

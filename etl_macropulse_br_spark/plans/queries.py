@@ -1,0 +1,866 @@
+"""Declared query registry — the correctness surface.
+
+Every operator family from SURVEY.md §2 (plus the training-data
+extension operators) is represented by ≥1 named query over the
+driver's testdata tables. Each entry pairs:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame``
+- an equivalent ANSI-SQL oracle string for DuckDB (or ``None`` for
+  genuinely non-SQL-expressible ops → the driver's weaker rows-only
+  check).
+
+Column names/aliases match exactly on both sides.
+
+**Cross-engine float determinism.** Double summation order differs
+between engines, and Spark's ``round`` rounds the shortest decimal
+representation while DuckDB rounds the exact binary value — so
+rounding computed doubles is NOT a reliable equalizer. Instead,
+every monetary/2-decimal column is aggregated in scaled-integer
+domain (``CAST(round(x * 100, 0) AS BIGINT)`` — exact, order-free)
+and converted back with the same division expression on both sides,
+producing bit-identical doubles with no output rounding at all.
+Ratios of integers are emitted unrounded for the same reason.
+The embedding dot product uses the same sequential left-fold on
+both sides (Spark ``aggregate`` / DuckDB ``list_reduce``).
+
+SURVEY §2 coverage map (operator id → query):
+  A1→monthly_last_by, A2/A3→monthly_last_by, A4→latest_event_per_user,
+  A5/P7→latest_month_activity, A6→latest_event_global,
+  A7→dedup_first_event, W1/W2→mom_avg_value, W3→latest_event_per_user,
+  O1/O3→recent_events_top10, O2→top_movers, U1→union_event_slices,
+  J1→regional_revenue + customer_order_counts,
+  P1-P6→filter_range_project + status_filter + q1_pricing_summary,
+  F1/F2/D1/D2→ptbr_roundtrip, S11→(every query runs via spark.sql
+  views too), JSON ingest→json_props_extract.
+Extension ops: docs_exact_dedup, docs_text_stats, docs_token_totals,
+  docs_lang_id, docs_fingerprint, docs_minhash_sig, docs_simhash,
+  docs_near_dups (rows-only), embedding_cosine_topk,
+  embedding_ivf_topk (rows-only), embedding_near_dups (rows-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_macropulse_br_spark.functions.exprs import (
+    last_by,
+    parse_date_ddmmyyyy,
+    parse_ptbr_number,
+)
+from etl_macropulse_br_spark.functions.hashing import md5_long, md5_long_sql
+from etl_macropulse_br_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    minhash_signature,
+    simhash,
+    word_shingles,
+)
+from etl_macropulse_br_spark.operators.similarity import cosine_topk, cosine_sim, ivf_topk
+from etl_macropulse_br_spark.operators.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as long nanos
+    (``nanosAsLong``) and floor-convert to a microsecond timestamp —
+    the exact conversion DuckDB applies, so cross-engine ordering and
+    values agree. All downstream ordering uses the converted column.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _scaled(col: Column | str, scale: int = 100) -> Column:
+    """Exact integer representation of a finite-decimal double
+    (cents for 2-decimal money). Order-independent to sum."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale, 0).cast("bigint")
+
+
+# --------------------------------------------------------------------
+# Parity queries (reference operator inventory on TPC-H-ish tables)
+# --------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate scan with pushed filter
+    (SURVEY P1/P4/P5 + A2; the flagship query)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # Exact 4-decimal discounted price in 1/10000 units: qty and all
+    # prices are finite decimals, so sums are integer-exact and the
+    # back-converted doubles are bit-identical to the oracle's.
+    disc_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            (F.sum(_scaled("l_extendedprice")) / F.lit(100.0)).alias(
+                "sum_base_price"
+            ),
+            (F.sum(disc_scaled) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (F.sum(_scaled("l_extendedprice")) / F.lit(100.0) / n).alias(
+                "avg_price"
+            ),
+            (F.sum(_scaled("l_discount")) / F.lit(100.0) / n).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+         AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+         / 10000.0 AS sum_disc_price,
+       sum(l_quantity) / count(*) AS avg_qty,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / count(*)
+         AS avg_price,
+       sum(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100.0 / count(*)
+         AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def monthly_last_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference gold aggregate (A1: mean + order-dependent last →
+    max_by with deterministic tiebreak; D4 month truncation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("month", F.trunc("ts", "MM"))
+        .groupBy("event_type", "month")
+        .agg(
+            (F.sum(_scaled("value")) / F.lit(100.0) / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+            last_by("value", "ts", "event_id").alias("last_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+MONTHLY_LAST_BY_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
+         value, ts, event_id
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type, month ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM base
+)
+SELECT event_type, month,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 / count(*)
+         AS avg_value,
+       max(CASE WHEN rn = 1 THEN value END) AS last_value,
+       count(*) AS n_events
+FROM ranked
+GROUP BY event_type, month
+"""
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dims (J1 at TPC-H shape): revenue per
+    region/nation through supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            (
+                F.sum(
+                    _scaled(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        10000,
+                    )
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+REGIONAL_REVENUE_SQL = """
+SELECT r_name, n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+         / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving unmatched rows (J1 left semantics):
+    orders per customer including zero-order customers."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_custkey, count(o_orderkey) AS order_count
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def filter_range_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicates + derived projection (P1/P4/P5, M1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") > 30)
+            & (F.col("l_quantity") <= 40)
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                _scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+                / F.lit(10000.0)
+            ).alias("revenue"),
+        )
+    )
+
+
+FILTER_RANGE_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+         / 10000.0 AS revenue
+FROM lineitem
+WHERE l_quantity > 30 AND l_quantity <= 40
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_shipdate IS NOT NULL
+"""
+
+
+def status_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive equality/membership filters (P3/P6, F3-F5)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.lower(F.col("o_orderstatus").cast("string")).isin("f", "o")
+        )
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_scaled("o_totalprice")) / F.lit(100.0)).alias("total_price"),
+        )
+    )
+
+
+STATUS_FILTER_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+WHERE lower(CAST(o_orderstatus AS VARCHAR)) IN ('f', 'o')
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup-keep-first (A7, SURVEY §4.2 trap #2)."""
+    from etl_macropulse_br_spark.operators.silver import dedup_keep_first
+
+    ev = _t(spark, sf_dir, "events")
+    return dedup_keep_first(
+        ev, keys=["user_id", "event_type"], order=["ts", "event_id"]
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+DEDUP_FIRST_EVENT_SQL = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-row-per-group (A4/W3): latest event per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def latest_month_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-to-aggregate predicate (P7/A5): activity in the
+    globally-latest month, via broadcast join on the max aggregate."""
+    ev = _t(spark, sf_dir, "events").withColumn("month", F.trunc("ts", "MM"))
+    latest = ev.agg(F.max("month").alias("month"))
+    return (
+        ev.join(F.broadcast(latest), "month")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_scaled("value")) / F.lit(100.0) / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+LATEST_MONTH_ACTIVITY_SQL = """
+WITH m AS (SELECT *, CAST(date_trunc('month', ts) AS DATE) AS month FROM events)
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 / count(*) AS avg_value
+FROM m
+WHERE month = (SELECT max(month) FROM m)
+GROUP BY event_type
+"""
+
+
+def latest_event_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global latest row (A6): top-1 with deterministic tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+LATEST_EVENT_GLOBAL_SQL = """
+SELECT event_id, ts, event_type, value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+"""
+
+
+def mom_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-difference analytic (W1/W2 shape, period=day because the
+    events table spans one month): period-over-period change of the
+    daily mean per event type."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(
+            (F.sum(_scaled("value")) / F.lit(100.0) / F.count(F.lit(1))).alias(
+                "avg_raw"
+            )
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("avg_raw").alias("avg_value"),
+        (F.col("avg_raw") - F.lag("avg_raw", 1).over(w)).alias("mom_change"),
+    )
+
+
+MOM_AVG_VALUE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 / count(*) AS avg_raw
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       avg_raw AS avg_value,
+       avg_raw - lag(avg_raw, 1) OVER (
+         PARTITION BY event_type ORDER BY day
+       ) AS mom_change
+FROM daily
+"""
+
+
+def top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k descending (O2): biggest MoM increases in the latest
+    month — TakeOrderedAndProject, true distributed top-k."""
+    mom = mom_avg_value(spark, sf_dir)
+    latest = mom.agg(F.max("day").alias("day"))
+    return (
+        mom.join(F.broadcast(latest), "day")
+        .filter(F.col("mom_change").isNotNull())
+        .orderBy(F.col("mom_change").desc(), "event_type")
+        .limit(3)
+        .select("event_type", "day", "avg_value", "mom_change")
+    )
+
+
+TOP_MOVERS_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 / count(*) AS avg_raw
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type, day,
+         avg_raw AS avg_value,
+         avg_raw - lag(avg_raw, 1) OVER (
+           PARTITION BY event_type ORDER BY day
+         ) AS mom_change
+  FROM daily
+)
+SELECT event_type, day, avg_value, mom_change
+FROM mom
+WHERE mom_change IS NOT NULL AND day = (SELECT max(day) FROM mom)
+ORDER BY mom_change DESC, event_type
+LIMIT 3
+"""
+
+
+def union_event_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all of homogeneous frames (U1)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    return clicks.unionByName(views).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+
+
+UNION_EVENT_SLICES_SQL = """
+SELECT event_id, event_type, user_id, value FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, event_type, user_id, value FROM events WHERE event_type = 'view'
+"""
+
+
+def recent_events_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY … LIMIT surface (O1/O3, scripts/query_duckdb.py:12-25
+    shape) with deterministic tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(10)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+RECENT_EVENTS_TOP10_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+"""
+
+
+def ptbr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt-BR numeric + dd/MM/yyyy date parsing (F1/F2/D1/D2) —
+    construct locale-formatted strings from integer columns, parse
+    back with the engine's expression library."""
+    li = _t(spark, sf_dir, "lineitem")
+    ptbr_str = F.concat(
+        F.lit("1."),
+        F.lpad((F.col("l_orderkey") % 1000).cast("string"), 3, "0"),
+        F.lit(","),
+        F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+    )
+    date_str = F.date_format("l_shipdate", "dd/MM/yyyy")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        parse_ptbr_number(ptbr_str).alias("parsed_value"),
+        parse_date_ddmmyyyy(date_str).alias("reparsed_date"),
+    )
+
+
+PTBR_ROUNDTRIP_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(replace(replace(
+         concat('1.', lpad(CAST(l_orderkey % 1000 AS VARCHAR), 3, '0'),
+                ',', lpad(CAST(l_linenumber AS VARCHAR), 2, '0')),
+         '.', ''), ',', '.') AS DOUBLE) AS parsed_value,
+       CAST(strptime(strftime(l_shipdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE)
+         AS reparsed_date
+FROM lineitem
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction over events.props (SURVEY §2.10 note:
+    from_json/get_json_object at the ingest boundary)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+JSON_PROPS_EXTRACT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
+
+# --------------------------------------------------------------------
+# Extension operators: dedup / text analysis / similarity
+# --------------------------------------------------------------------
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+DOCS_EXACT_DEDUP_SQL = f"""
+SELECT {md5_long_sql(_NORM_SQL)} AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        "char_count",
+        "word_count",
+        "uniq_word_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+_STOPLIST_SQL = ", ".join(
+    f"'{w}'" for ws in LANG_MARKERS.values() for w in ws
+)
+
+DOCS_TEXT_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS char_count,
+       len(toks) AS word_count,
+       len(list_distinct(toks)) / greatest(len(toks), 1) AS uniq_word_ratio,
+       length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+         / greatest(length(text), 1) AS punct_ratio,
+       len(list_filter(toks, x -> x IN ({_STOPLIST_SQL})))
+         / greatest(len(toks), 1) AS stopword_ratio
+FROM t
+"""
+
+
+def docs_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            token_count("text").alias("n_tok"),
+            bpe_ish_token_count("text").alias("n_bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            (F.sum("n_tok") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
+
+
+DOCS_TOKEN_TOTALS_SQL = f"""
+WITH t AS (
+  SELECT source,
+         len({_TOKS_SQL}) AS n_tok,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+           AS n_bpe
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(n_tok) AS BIGINT) / count(*) AS avg_tokens
+FROM t GROUP BY source
+"""
+
+
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "pred_lang")
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in LANG_MARKERS[lang])})))"
+        f" AS score_{lang}"
+        for lang in langs
+    )
+    best = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    case_arms = "\n            ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+       {score_cols}
+      FROM t),
+m AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und'
+            {case_arms}
+            ELSE 'und' END AS pred_lang
+FROM m
+"""
+
+
+DOCS_LANG_ID_SQL = _lang_id_sql()
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+DOCS_FINGERPRINT_SQL = f"""
+SELECT doc_id, {md5_long_sql(_NORM_SQL)} AS fingerprint
+FROM documents
+"""
+
+_SHINGLES_SQL = f"""list_distinct(list_transform(
+  generate_series(1, greatest(len(ntoks) - 2, 1)),
+  i -> array_to_string(ntoks[i:i+2], ' ')))"""
+
+
+def docs_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(word_shingles("text", 3), k=4)
+    return docs.select(
+        "doc_id",
+        *[sig.getItem(i).alias(f"m{i}") for i in range(4)],
+    )
+
+
+def _minhash_sig_sql() -> str:
+    cols = ",\n       ".join(
+        "list_min(list_transform(sh, s -> "
+        + md5_long_sql("concat('" + str(i) + ":', s)")
+        + f")) AS m{i}"
+        for i in range(4)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ntoks
+  FROM documents
+), sh_t AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+)
+SELECT doc_id,
+       {cols}
+FROM sh_t
+"""
+
+
+DOCS_MINHASH_SIG_SQL = _minhash_sig_sql()
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=16).select("doc_id", "simhash")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << b}) <> 0))"
+        f" >= len(hs) THEN {2**b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(string_split_regex({_NORM_SQL}, '\\s+')),
+           x -> {md5_long_sql('x')}
+         ) AS hs
+  FROM documents
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t
+"""
+
+
+DOCS_SIMHASH_SQL = _simhash_sql()
+
+
+def docs_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, Jaccard-verified (rows-only check:
+    banded-LSH self-join is not reasonably SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.5)
+
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact ANN baseline: top-10 cosine neighbors of
+    vec_id=0, deterministic tiebreak on id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+
+
+# The oracle mirrors the engine's sequential left-fold dot product
+# (Spark `aggregate` == DuckDB `list_reduce`, same op order) so the
+# doubles are bit-identical — no rounding needed.
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+)
+
+EMBEDDING_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id,
+       {_DOT_SQL.format(a="v", b="qv")}
+       / (sqrt({_DOT_SQL.format(a="v", b="v")})
+          * sqrt({_DOT_SQL.format(a="qv", b="qv")})) AS cosine
+FROM e, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (rows-only: centroid sampling
+    uses xxhash64, not available in the oracle engine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    return ivf_topk(emb, qv, k=10, n_cells=8, n_probe=3)
+
+
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH buckets + cosine verify
+    (rows-only)."""
+    from etl_macropulse_br_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.9, n_bands=6)
+
+
+# --------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "monthly_last_by": monthly_last_by,
+    "regional_revenue": regional_revenue,
+    "customer_order_counts": customer_order_counts,
+    "filter_range_project": filter_range_project,
+    "status_filter": status_filter,
+    "dedup_first_event": dedup_first_event,
+    "latest_event_per_user": latest_event_per_user,
+    "latest_month_activity": latest_month_activity,
+    "latest_event_global": latest_event_global,
+    "mom_avg_value": mom_avg_value,
+    "top_movers": top_movers,
+    "union_event_slices": union_event_slices,
+    "recent_events_top10": recent_events_top10,
+    "ptbr_roundtrip": ptbr_roundtrip,
+    "json_props_extract": json_props_extract,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_text_stats": docs_text_stats,
+    "docs_token_totals": docs_token_totals,
+    "docs_lang_id": docs_lang_id,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_minhash_sig": docs_minhash_sig,
+    "docs_simhash": docs_simhash,
+    "docs_near_dups": docs_near_dups,
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_ivf_topk": embedding_ivf_topk,
+    "embedding_near_dups": embedding_near_dups_q,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "monthly_last_by": MONTHLY_LAST_BY_SQL,
+    "regional_revenue": REGIONAL_REVENUE_SQL,
+    "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
+    "filter_range_project": FILTER_RANGE_PROJECT_SQL,
+    "status_filter": STATUS_FILTER_SQL,
+    "dedup_first_event": DEDUP_FIRST_EVENT_SQL,
+    "latest_event_per_user": LATEST_EVENT_PER_USER_SQL,
+    "latest_month_activity": LATEST_MONTH_ACTIVITY_SQL,
+    "latest_event_global": LATEST_EVENT_GLOBAL_SQL,
+    "mom_avg_value": MOM_AVG_VALUE_SQL,
+    "top_movers": TOP_MOVERS_SQL,
+    "union_event_slices": UNION_EVENT_SLICES_SQL,
+    "recent_events_top10": RECENT_EVENTS_TOP10_SQL,
+    "ptbr_roundtrip": PTBR_ROUNDTRIP_SQL,
+    "json_props_extract": JSON_PROPS_EXTRACT_SQL,
+    "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
+    "docs_text_stats": DOCS_TEXT_STATS_SQL,
+    "docs_token_totals": DOCS_TOKEN_TOTALS_SQL,
+    "docs_lang_id": DOCS_LANG_ID_SQL,
+    "docs_fingerprint": DOCS_FINGERPRINT_SQL,
+    "docs_minhash_sig": DOCS_MINHASH_SIG_SQL,
+    "docs_simhash": DOCS_SIMHASH_SQL,
+    "embedding_cosine_topk": EMBEDDING_COSINE_TOPK_SQL,
+    # rows-only (non-SQL-expressible): docs_near_dups,
+    # embedding_ivf_topk, embedding_near_dups
+}

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference (``/root/reference/src/main.py:23-86``) is a
+single-process eager pandas script; the Spark build replaces that
+with one lazy DAG executed by Catalyst/Tungsten. The session config
+here encodes the cluster-minded defaults:
+
+- AQE on (runtime partition coalescing, skew-join handling) so the
+  same code survives a 100x scale-up without re-tuning.
+- ``spark.sql.ansi.enabled=false`` for parity with the reference's
+  ``errors="coerce"`` casts (SURVEY §4.2 item 3): a failed cast
+  yields NULL, not an exception.
+- Arrow enabled for any pandas-UDF extension operators.
+- UTC session timezone so date_trunc/timestamp semantics are stable
+  across driver environments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "etl_macropulse_br_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    In local mode the driver is the only JVM, so ``driver.memory``
+    is the lone memory knob; on a real cluster the same code runs
+    unchanged with executors sized by the submitter.
+    """
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

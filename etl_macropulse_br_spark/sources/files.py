@@ -1,0 +1,93 @@
+"""File sources: CSV with separator fallback, parquet, config.
+
+Spark-first rewrites of ``extract.py:71-88`` (ANP CSV), ``main.py:32``
+(series control table), ``main.py:18-20`` (JSON run config).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv_sep_fallback(
+    spark: SparkSession, path: str, seps: tuple[str, ...] = (";", ",")
+) -> DataFrame:
+    """CSV read with separator sniffing (``extract.py:84-88``).
+
+    The reference tries ``;`` then falls back to ``,``. We sniff the
+    header line on the driver (one tiny read) and pick the separator
+    that yields the most columns — cheaper and more robust than
+    re-reading the whole file per candidate, and the executor-side
+    scan happens exactly once.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"ANP input not found at {path}; download the fuel-price CSV "
+            "and point run_config.anp_bronze_file at it (extract.py:77-81)"
+        )
+    with open(path, encoding="utf-8", errors="replace") as f:
+        header = f.readline()
+    best = max(seps, key=lambda s: len(next(csv.reader(io.StringIO(header), delimiter=s))))
+    return (
+        spark.read.option("header", True)
+        .option("sep", best)
+        .option("encoding", "UTF-8")
+        .csv(path)
+    )
+
+
+def read_series_config(path: str) -> list[dict]:
+    """Series control table (``inputs/bcb_series.csv``, ``main.py:32``).
+
+    Driver-side: it drives the extract loop, so a plain DictReader —
+    no reason to spin executors for a 3-column config file.
+    """
+    with open(path, encoding="utf-8") as f:
+        return list(csv.DictReader(f))
+
+
+def read_run_config(path: str) -> dict:
+    """Run parameters (``main.py:18-20``, ``inputs/run_config.json``)."""
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def is_enabled_flag(value: object) -> bool:
+    """Driver-side twin of the case-insensitive truthy filter
+    (``main.py:33``)."""
+    return str(value).strip().lower() in {"true", "1", "yes"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided testdata table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view so the SQL surface
+    (``scripts/query_duckdb.py`` parity, SURVEY §3.2) works unchanged."""
+    out = {}
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+from etl_macropulse_br_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    yield s

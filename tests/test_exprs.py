@@ -1,0 +1,142 @@
+"""Unit tests for the core expression library (SURVEY §5.2:
+adversarial pt-BR numerics, day-first dates, header normalizer)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_macropulse_br_spark.functions.exprs import (
+    dayfirst_date,
+    flag_is_enabled,
+    last_by,
+    month_trunc,
+    parse_date_ddmmyyyy,
+    parse_price_mixed,
+    parse_ptbr_number,
+    ptbr_format_number,
+)
+from etl_macropulse_br_spark.functions.headers import (
+    normalize_header,
+    resolve_columns,
+)
+
+
+def _eval(spark, expr, values):
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    return [r[0] for r in df.select(expr).collect()]
+
+
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        ("1.234,56", 1234.56),
+        ("13,15", 13.15),
+        ("55131", 55131.0),
+        ("", None),
+        ("abc", None),
+        ("1.234.567,89", 1234567.89),
+    ],
+)
+def test_parse_ptbr_number(spark, raw, expected):
+    [out] = _eval(spark, parse_ptbr_number("x"), [raw])
+    assert out == pytest.approx(expected) if expected is not None else out is None
+
+
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        ("6,59", 6.59),          # comma branch (transform.py:92-96)
+        ("1.234,56", 1234.56),   # comma branch with thousands
+        ("6.59", 6.59),          # direct-parse branch
+        ("6", 6.0),
+        ("x", None),
+    ],
+)
+def test_parse_price_mixed(spark, raw, expected):
+    [out] = _eval(spark, parse_price_mixed("x"), [raw])
+    if expected is None:
+        assert out is None
+    else:
+        assert out == pytest.approx(expected)
+
+
+def test_parse_date_ddmmyyyy_coerces(spark):
+    outs = _eval(
+        spark,
+        parse_date_ddmmyyyy("x"),
+        ["09/01/2026", "", "2026-01-09", "31/02/2026"],
+    )
+    assert outs[0] == datetime.date(2026, 1, 9)
+    assert outs[1] is None
+    assert outs[2] is None  # ISO does not match dd/MM/yyyy
+    assert outs[3] is None  # invalid calendar date coerces to null
+
+
+def test_dayfirst_cascade(spark):
+    outs = _eval(
+        spark, dayfirst_date("x"), ["09/01/2026", "2026-01-09", "bogus"]
+    )
+    assert outs[0] == datetime.date(2026, 1, 9)
+    assert outs[1] == datetime.date(2026, 1, 9)
+    assert outs[2] is None
+
+
+def test_month_trunc(spark):
+    [out] = _eval(spark, month_trunc("x"), [datetime.date(2026, 1, 9)])
+    assert out == datetime.date(2026, 1, 1)
+
+
+def test_flag_is_enabled(spark):
+    outs = _eval(
+        spark,
+        flag_is_enabled("x"),
+        ["true", "TRUE", "1", "yes", "false", "0", "no", " True "],
+    )
+    assert outs == [True, True, True, True, False, False, False, True]
+
+
+def test_last_by_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.date(2026, 1, 1), 10.0),
+         (1, datetime.date(2026, 1, 9), 99.0),
+         (1, datetime.date(2026, 1, 5), 50.0)],
+        ["k", "d", "v"],
+    )
+    [row] = df.groupBy("k").agg(last_by("v", "d").alias("last")).collect()
+    assert row["last"] == 99.0
+
+
+def test_ptbr_format_roundtrip(spark):
+    df = spark.createDataFrame([(1234.56,), (0.1,), (7.0,)], ["x"])
+    out = df.select(
+        parse_ptbr_number(ptbr_format_number("x")).alias("y")
+    ).collect()
+    assert [r["y"] for r in out] == [1234.56, 0.1, 7.0]
+
+
+def test_normalize_header():
+    assert normalize_header("Preço Médio Revenda") == "preco medio revenda"
+    assert normalize_header("  Estado - Sigla ") == "estado sigla"
+    assert normalize_header("DATA__DA__COLETA") == "data da coleta"
+
+
+def test_resolve_columns_exact_and_fallback():
+    cols = ["Estado - Sigla", "Produto", "Data da Coleta", "Valor de Venda", "Município"]
+    m = resolve_columns(cols)
+    assert m == {
+        "uf_sigla": "Estado - Sigla",
+        "product": "Produto",
+        "date_ref": "Data da Coleta",
+        "price": "Valor de Venda",
+    }
+    # fallback chain: alternate price header (transform.py:57-63)
+    cols2 = ["Estado - Sigla", "Produto", "Data da Coleta", "Preço Médio Revenda"]
+    assert resolve_columns(cols2)["price"] == "Preço Médio Revenda"
+
+
+def test_resolve_columns_missing_role_raises():
+    with pytest.raises(ValueError, match="price"):
+        resolve_columns(["Estado - Sigla", "Produto", "Data da Coleta"])

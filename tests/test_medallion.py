@@ -1,0 +1,156 @@
+"""Silver → gold → summary path on adversarial fixtures
+(FIXTURES.md §1-§3, SURVEY §5.2 golden-file + determinism tests)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_macropulse_br_spark.functions.exprs import (
+    parse_date_ddmmyyyy,
+    parse_ptbr_number,
+)
+from etl_macropulse_br_spark.operators.gold import (
+    build_gold_anp_monthly,
+    build_gold_bcb_monthly,
+    mom_change,
+)
+from etl_macropulse_br_spark.operators.silver import (
+    dedup_keep_first,
+    enrich_with_uf_dim,
+    to_silver_anp,
+    to_silver_bcb,
+)
+from etl_macropulse_br_spark.operators.summary import build_summary_text
+
+
+@pytest.fixture()
+def bcb_raw(spark):
+    """BCB payload after typing (extract.py:36-46 shape), with a null
+    date (coerced malformed input) and a duplicate (series_id, date)."""
+    rows = [
+        (11, "selic_sgs_11", "02/01/2026", "13,15"),
+        (11, "selic_sgs_11", "09/01/2026", "13,25"),
+        (11, "selic_sgs_11", "09/01/2026", "99,99"),  # dup key
+        (11, "selic_sgs_11", "15/12/2025", "12,75"),
+        (11, "selic_sgs_11", "01/12/2025", "12,50"),
+        (11, "selic_sgs_11", "10/11/2025", "12,25"),
+        (11, "selic_sgs_11", "bogus", "1,00"),        # -> null date, dropped
+    ]
+    df = spark.createDataFrame(rows, ["series_id", "series_name", "data", "valor"])
+    return df.select(
+        F.col("series_id").cast("long"),
+        "series_name",
+        parse_date_ddmmyyyy("data").alias("date"),
+        parse_ptbr_number("valor").alias("value"),
+    )
+
+
+@pytest.fixture()
+def anp_raw(spark):
+    """ANP CSV shape with pt-BR headers, mixed price formats, junk
+    rows, and duplicate keys (FIXTURES.md §2)."""
+    rows = [
+        (" sp ", "GASOLINA", "09/01/2026", "6,59"),
+        ("SP", "GASOLINA", "15/12/2025", "6,39"),
+        ("am", "DIESEL S10", "09/01/2026", "6.10"),
+        ("AM", "DIESEL S10", "15/12/2025", "6"),
+        ("AM", "DIESEL S10", "15/12/2025", "9,99"),   # dup key
+        ("RJ", "ETANOL", "09/01/2026", "4,19"),
+        ("RJ", "ETANOL", "15/12/2025", "4,39"),
+        ("XX", "GASOLINA", "09/01/2026", "7,00"),     # UF not in dim
+        ("SP", "GASOLINA", "bad-date", "6,00"),       # dropped
+        ("SP", "GASOLINA", "09/01/2026", "abc"),      # dropped (null price)
+        ("SP", "ETANOL", "09/01/2026", "-1,0"),       # dropped (price <= 0)
+    ]
+    return spark.createDataFrame(
+        rows, ["Estado - Sigla", "Produto", "Data da Coleta", "Valor de Venda"]
+    )
+
+
+@pytest.fixture()
+def dim_uf(spark):
+    rows = [
+        (35, "SP", "São Paulo", "Sudeste"),
+        (13, "AM", "Amazonas", "Norte"),
+        (33, "RJ", "Rio de Janeiro", "Sudeste"),
+    ]
+    return spark.createDataFrame(rows, ["uf_id", "uf_sigla", "uf_nome", "regiao_nome"])
+
+
+def test_to_silver_bcb(bcb_raw):
+    out = to_silver_bcb(bcb_raw).orderBy("date").collect()
+    assert len(out) == 5  # 7 rows - 1 null date - 1 dup
+    assert [r["value"] for r in out] == [12.25, 12.5, 12.75, 13.15, 13.25]
+    # dup (09/01) kept the first-by-(date,value) row: 13.25 < 99.99
+    assert out[-1]["value"] == 13.25
+
+
+def test_to_silver_anp(anp_raw):
+    out = to_silver_anp(anp_raw)
+    rows = {(r["uf_sigla"], r["product"], str(r["date_ref"])): r["price"] for r in out.collect()}
+    assert rows[("SP", "GASOLINA", "2026-01-09")] == 6.59   # comma branch + trim/upper
+    assert rows[("AM", "DIESEL S10", "2026-01-09")] == 6.10  # dot branch
+    assert rows[("AM", "DIESEL S10", "2025-12-15")] == 6.0   # dup kept min price
+    assert ("SP", "ETANOL", "2026-01-09") not in rows        # price <= 0 dropped
+    assert len(rows) == 7
+
+
+def test_enrich_left_join_keeps_unmatched(anp_raw, dim_uf):
+    out = enrich_with_uf_dim(to_silver_anp(anp_raw), dim_uf)
+    xx = [r for r in out.collect() if r["uf_sigla"] == "XX"]
+    assert len(xx) == 1 and xx[0]["regiao_nome"] is None
+
+
+def test_gold_bcb_monthly_last_is_max_date(bcb_raw):
+    gold = build_gold_bcb_monthly(to_silver_bcb(bcb_raw))
+    rows = {str(r["month"]): r for r in gold.collect()}
+    jan = rows["2026-01-01"]
+    assert jan["last_value"] == 13.25  # value at max date, not input order
+    assert jan["avg_value"] == pytest.approx((13.15 + 13.25) / 2)
+    dec = rows["2025-12-01"]
+    assert dec["last_value"] == 12.75
+    assert dec["avg_value"] == pytest.approx((12.75 + 12.5) / 2)
+
+
+def test_gold_determinism_under_shuffle(spark, bcb_raw):
+    """Same input in scrambled partition/row order → identical gold
+    (SURVEY §5.2 determinism test for traps #1/#2)."""
+    silver = to_silver_bcb(bcb_raw)
+    base = sorted(map(tuple, build_gold_bcb_monthly(silver).collect()))
+    scrambled = bcb_raw.repartition(7).sortWithinPartitions(F.rand(seed=1))
+    again = sorted(map(tuple, build_gold_bcb_monthly(to_silver_bcb(scrambled)).collect()))
+    assert base == again
+
+
+def test_mom_change_and_summary_text(bcb_raw, anp_raw, dim_uf):
+    anp = enrich_with_uf_dim(to_silver_anp(anp_raw), dim_uf)
+    monthly = build_gold_anp_monthly(anp)
+    mom = mom_change(monthly, ["uf_sigla", "product"], "avg_price")
+    rows = {
+        (r["uf_sigla"], r["product"], str(r["month"])): r["mom_change"]
+        for r in mom.collect()
+    }
+    assert rows[("SP", "GASOLINA", "2026-01-01")] == pytest.approx(6.59 - 6.39)
+    assert rows[("SP", "GASOLINA", "2025-12-01")] is None
+
+    text = build_summary_text(to_silver_bcb(bcb_raw), anp)
+    assert "Último valor de selic_sgs_11: 13.25 em 2026-01-09" in text
+    assert "Variação vs mês anterior: +0.50" in text  # 13.25 - 12.75
+    assert "ANP - Destaques de 2026-01-01:" in text
+    # top movers: GASOLINA/SP +0.20, DIESEL S10/AM +0.10, ETANOL/RJ -0.20
+    lines = text.strip().splitlines()
+    assert lines[-3].startswith("- GASOLINA em SP: 6.59 (+0.20 MoM)")
+    assert "DIESEL S10 em AM" in lines[-2]
+    assert "ETANOL em RJ" in lines[-1]
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 2.0), (1, "a", 1.0), (2, "c", 3.0)], ["k", "o", "v"]
+    )
+    out = dedup_keep_first(df, keys=["k"], order=["o"]).orderBy("k").collect()
+    assert [(r["k"], r["o"]) for r in out] == [(1, "a"), (2, "c")]
