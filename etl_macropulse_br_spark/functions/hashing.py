@@ -40,3 +40,41 @@ def xxhash64_seeded(col: Column | str, seed: int) -> Column:
     """Fast JVM-side 64-bit hash with a seed column prefix."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(F.lit(seed), c)
+
+
+def _lcg_constants(k: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs for the 2-universal hash family
+    h_i(x) = a_i * x + b_i over 32-bit bases. a_i odd, < 2^31 so the
+    product of a 32-bit base never overflows signed 64-bit. Plain LCG
+    so Spark code, SQL oracle, and tests all derive identical tables."""
+    state = seed
+    out = []
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = ((state >> 16) % (1 << 31)) | 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % (1 << 31)
+        out.append((a, b))
+    return out
+
+
+_MASK32 = (1 << 32) - 1
+
+
+def base32(col: Column | str) -> Column:
+    """One portable md5 per input, folded to 32 bits — the shared
+    base for the k-hash family (one md5 instead of k)."""
+    return md5_long(col).bitwiseAND(F.lit(_MASK32))
+
+
+def universal_hashes(base: Column, k: int) -> list[Column]:
+    """k independent integer hashes of a 32-bit base column."""
+    return [base * F.lit(a) + F.lit(b) for a, b in _lcg_constants(k)]
+
+
+def base32_sql(expr: str) -> str:
+    return f"({md5_long_sql(expr)} & {_MASK32})"
+
+
+def universal_hashes_sql(base_expr: str, k: int) -> list[str]:
+    return [f"({base_expr} * {a} + {b})" for a, b in _lcg_constants(k)]

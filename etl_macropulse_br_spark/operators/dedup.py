@@ -67,17 +67,66 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """k-element MinHash signature: for each seed, the min portable
-    hash over the shingle set."""
-    def hash_with_seed(seed: int):
-        # NB: single-arg lambda — a two-arg lambda would be invoked
-        # by Spark as (element, index).
-        return lambda s: md5_long(s, seed=seed)
+    """k-element MinHash signature.
+
+    One md5 per shingle folded to 32 bits, then k integer hashes via
+    a 2-universal family (a_i * base + b_i) — k× cheaper than k
+    seeded md5s, same guarantees (Broder 1997; Carter-Wegman
+    universal hashing), still bit-identical in the SQL oracle.
+    """
+    from etl_macropulse_br_spark.functions.hashing import (
+        _lcg_constants,
+        base32,
+    )
+
+    bases = F.transform(shingles, lambda s: base32(s))
+
+    def hashed(a: int, b: int):
+        # single-arg lambda — a two-arg lambda would be invoked by
+        # Spark as (element, index)
+        return lambda h: h * F.lit(a) + F.lit(b)
 
     return F.array(
         *[
-            F.array_min(F.transform(shingles, hash_with_seed(i)))
-            for i in range(k)
+            F.array_min(F.transform(bases, hashed(a, b)))
+            for a, b in _lcg_constants(k)
+        ]
+    )
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 16,
+) -> DataFrame:
+    """Per-document MinHash signature as columns (id, m0..m{k-1}).
+
+    Plan shape chosen for scale AND to guarantee one md5 per shingle:
+    explode shingles → project the 32-bit base hash (computed exactly
+    once per shingle row) → hash-aggregate k integer mins. Keeping
+    the k hashes as aggregate expressions over a materialized column
+    sidesteps Catalyst's project-collapsing, which would otherwise
+    inline (and recompute) the md5 k times inside k array
+    expressions. Partial aggregation collapses each partition to one
+    row per doc before the shuffle, so the exchange carries
+    ~docs × (k+1) integers regardless of shingle count.
+    """
+    from etl_macropulse_br_spark.functions.hashing import (
+        _lcg_constants,
+        base32,
+    )
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n_shingle)).alias("s"),
+    )
+    hashed = exploded.select("id", base32("s").alias("h"))
+    return hashed.groupBy("id").agg(
+        *[
+            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+            for i, (a, b) in enumerate(_lcg_constants(k))
         ]
     )
 
@@ -92,17 +141,14 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
-    Signature split into ``bands`` rows of ``k/bands`` hashes; docs
+    Signature split into ``bands`` groups of ``k/bands`` hashes; docs
     colliding on any band-hash become a candidate pair. Plan shape:
-    project (id, band, band_hash) → explode bands (b× row growth,
-    not n²) → shuffle on (band, band_hash) → within-bucket self-join.
-    Dedup of pairs across bands is a groupBy on (id_a, id_b).
-    """
+    signature table → explode per-band hashes (b× row growth, never
+    n²) → shuffle on (band, band_hash) → within-bucket self-join →
+    distinct pairs. Band hashes use xxhash64 (JVM, no oracle needed
+    at this internal step)."""
     rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(text_col, n_shingle), k).alias("sig"),
-    )
+    sig = minhash_signature_table(df, text_col, id_col, n_shingle, k)
     banded = sig.select(
         "id",
         F.explode(
@@ -110,10 +156,8 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        md5_long(
-                            F.array_join(
-                                F.slice(F.col("sig"), b * rows + 1, rows), ","
-                            )
+                        F.xxhash64(
+                            *[F.col(f"m{b * rows + j}") for j in range(rows)]
                         ).alias("band_hash"),
                     )
                     for b in range(bands)

@@ -94,13 +94,11 @@ def ivf_topk(
         return F.array(*[F.lit(x) for x in v])
 
     def cell_expr(vec: Column) -> Column:
-        best_cell, best_sim = F.lit(0), cosine_sim(vec, lit_vec(centroids[0]))
-        for i, c in enumerate(centroids[1:], start=1):
-            sim = cosine_sim(vec, lit_vec(c))
-            better = sim > best_sim
-            best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-            best_sim = F.when(better, sim).otherwise(best_sim)
-        return best_cell
+        # Array argmax, NOT a chained when(): a when-chain would
+        # duplicate the running best expression at every step
+        # (exponential expression-tree growth with n_cells).
+        scores = F.array(*[cosine_sim(vec, lit_vec(c)) for c in centroids])
+        return F.array_position(scores, F.array_max(scores)).cast("int") - 1
 
     import numpy as np
 

@@ -549,6 +549,175 @@ FROM events
 
 
 # --------------------------------------------------------------------
+# SQL-surface operators beyond the reference (SURVEY §2.3/§2.4/§2.5
+# "not present — build them anyway": semi/anti joins, cube, ranked
+# windows, pivot, sessionization)
+# --------------------------------------------------------------------
+
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) join counts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    without = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        with_orders.select(F.lit("with_orders").alias("kind"), "n_customers")
+        .unionByName(
+            without.select(F.lit("no_orders").alias("kind"), "n_customers")
+        )
+    )
+
+
+SEMI_ANTI_CUSTOMERS_SQL = """
+SELECT 'with_orders' AS kind, count(*) AS n_customers
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'no_orders' AS kind, count(*) AS n_customers
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (grouping sets surface): totals per flag,
+    status, both, and grand total."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+CUBE_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def rank_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + framed running aggregate (W-surface beyond the
+    reference: rank, dense_rank, rows-between running sum). Running
+    spend is accumulated in exact cents so the window's internal
+    summation strategy (sequential vs segment-tree) cannot produce
+    engine-divergent doubles."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        (F.sum(_scaled("o_totalprice")).over(wsum) / F.lit(100.0)).alias(
+            "running_spend"
+        ),
+    )
+
+
+RANK_ORDERS_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS price_rank,
+       dense_rank() OVER w AS price_dense_rank,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) / 100.0 AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (orders count by priority × status) — Spark ``pivot``
+    vs. conditional aggregation in the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("n_f"),
+        F.col("O").alias("n_o"),
+        F.col("P").alias("n_p"),
+    )
+
+
+PIVOT_STATUS_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    boundary sum per user, then per-session aggregates. The batch
+    twin of a stateful streaming session operator."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SESSIONIZE_EVENTS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+# --------------------------------------------------------------------
 # Extension operators: dedup / text analysis / similarity
 # --------------------------------------------------------------------
 
@@ -683,20 +852,23 @@ _SHINGLES_SQL = f"""list_distinct(list_transform(
 
 
 def docs_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(word_shingles("text", 3), k=4)
-    return docs.select(
-        "doc_id",
-        *[sig.getItem(i).alias(f"m{i}") for i in range(4)],
+    from etl_macropulse_br_spark.operators.dedup import (
+        minhash_signature_table,
     )
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signature_table(docs, k=4).withColumnRenamed("id", "doc_id")
 
 
 def _minhash_sig_sql() -> str:
+    from etl_macropulse_br_spark.functions.hashing import (
+        _lcg_constants,
+        base32_sql,
+    )
+
     cols = ",\n       ".join(
-        "list_min(list_transform(sh, s -> "
-        + md5_long_sql("concat('" + str(i) + ":', s)")
-        + f")) AS m{i}"
-        for i in range(4)
+        f"list_min(list_transform(bases, h -> (h * {a} + {b}))) AS m{i}"
+        for i, (a, b) in enumerate(_lcg_constants(4))
     )
     return f"""
 WITH t AS (
@@ -704,10 +876,13 @@ WITH t AS (
   FROM documents
 ), sh_t AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+), b_t AS (
+  SELECT doc_id, list_transform(sh, s -> {base32_sql('s')}) AS bases
+  FROM sh_t
 )
 SELECT doc_id,
        {cols}
-FROM sh_t
+FROM b_t
 """
 
 
@@ -823,6 +998,11 @@ QUERIES: dict[str, QueryFn] = {
     "recent_events_top10": recent_events_top10,
     "ptbr_roundtrip": ptbr_roundtrip,
     "json_props_extract": json_props_extract,
+    "semi_anti_customers": semi_anti_customers,
+    "cube_lineitem": cube_lineitem,
+    "rank_orders_window": rank_orders_window,
+    "pivot_status_priority": pivot_status_priority,
+    "sessionize_events": sessionize_events,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_text_stats": docs_text_stats,
     "docs_token_totals": docs_token_totals,
@@ -853,6 +1033,11 @@ ORACLES: dict[str, str] = {
     "recent_events_top10": RECENT_EVENTS_TOP10_SQL,
     "ptbr_roundtrip": PTBR_ROUNDTRIP_SQL,
     "json_props_extract": JSON_PROPS_EXTRACT_SQL,
+    "semi_anti_customers": SEMI_ANTI_CUSTOMERS_SQL,
+    "cube_lineitem": CUBE_LINEITEM_SQL,
+    "rank_orders_window": RANK_ORDERS_WINDOW_SQL,
+    "pivot_status_priority": PIVOT_STATUS_PRIORITY_SQL,
+    "sessionize_events": SESSIONIZE_EVENTS_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_text_stats": DOCS_TEXT_STATS_SQL,
     "docs_token_totals": DOCS_TOKEN_TOTALS_SQL,

@@ -1,0 +1,147 @@
+"""Tests for the training-data extension operators: dedup,
+similarity, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_macropulse_br_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etl_macropulse_br_spark.operators.similarity import cosine_topk, ivf_topk
+from etl_macropulse_br_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "THE  QUICK brown fox jumps over the lazy dog"),  # exact dup of 1 (normalized)
+        (4, "completely different text about spark engines"),
+        (5, "el la de que y la de el la de"),                 # spanish markers
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    out = exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+    assert by_keep[1] == 2      # docs 1 and 3 collapse (case/whitespace norm)
+    assert by_keep[2] == 1
+    assert len(out) == 4
+
+
+def test_minhash_near_dups_finds_overlap(docs):
+    pairs = minhash_near_dups(docs, threshold=0.5, k=16, bands=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 3) in found      # identical after normalization (jaccard 1.0)
+    # near-dup 1~2 differs in last token only; 3-shingle jaccard ≈ 6/8
+    assert (1, 2) in found or (2, 3) in found
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_lsh_candidates_subset_of_pairs(docs):
+    cands = minhash_lsh_candidates(docs, k=16, bands=8)
+    verified = ngram_jaccard_pairs(docs, cands)
+    rows = verified.collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+def test_simhash_similarity_property(docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
+    assert out[1] == out[3]     # identical normalized text → identical sketch
+    ham_near = bin(out[1] ^ out[2]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far   # near-dup closer than unrelated doc
+
+
+def test_quality_and_tokens(docs, spark):
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[1]["word_count"] == 9
+    assert q[1]["uniq_word_ratio"] == pytest.approx(8 / 9)
+    assert q[5]["stopword_ratio"] > q[4]["stopword_ratio"]
+    [tc] = (
+        spark.createDataFrame([("a  b   c",)], ["text"])
+        .select(token_count("text").alias("n"))
+        .collect()
+    )
+    assert tc["n"] == 3
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "es"
+
+
+def test_fingerprint_normalization(docs):
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert out[1] == out[3]
+    assert out[1] != out[2]
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(vectors):
+    out = cosine_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 4]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_ivf_topk_contains_nearest(vectors):
+    out = ivf_topk(
+        vectors, [1.0, 0.0, 0.0, 0.0], k=2, n_cells=3, n_probe=3
+    ).collect()
+    # probing all cells → exact result
+    assert [r["vec_id"] for r in out] == [0, 1]
+
+
+def test_multimodal_feature_extraction(spark):
+    from etl_macropulse_br_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_plan,
+        sample_frames,
+    )
+
+    rows = [
+        (1, "image", b"\x01\x02\x03\x04", "image/png", 1024, 768, None),
+        (2, "image", b"", "image/png", 100, 100, None),
+        (3, "video", b"\xff" * 100, "video/mp4", 640, 480, 5500),
+        (4, "audio", None, "audio/wav", None, None, 3000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["decode_ok"] and feats[1]["feature"][0] == 4.0
+    assert feats[2]["decode_ok"] and feats[2]["feature"] == [0.0] * 8
+    assert not feats[4]["decode_ok"]  # None bytes → stub raises → flagged
+
+    resized = resize_plan(media, max_px=512).collect()
+    assert [r["media_id"] for r in resized] == [1]
+    assert resized[0]["width"] == 512 and len(resized[0]["content"]) == 2
+
+    frames = sample_frames(media, every_ms=1000, max_frames=8).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000, 4000, 5000]

@@ -1,0 +1,168 @@
+"""End-to-end pipeline test (SURVEY §3.1 lifecycle) with injected
+HTTP fixtures and a temp workspace — fully offline."""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+
+import pytest
+
+from etl_macropulse_br_spark.plans.pipeline import run_pipeline
+
+
+BCB_PAYLOAD = [
+    {"data": "02/01/2026", "valor": "13,15"},
+    {"data": "09/01/2026", "valor": "13,25"},
+    {"data": "15/12/2025", "valor": "12,75"},
+    {"data": "01/12/2025", "valor": "12,50"},
+    {"data": "bogus", "valor": "1,00"},
+]
+
+IBGE_PAYLOAD = [
+    {"id": 35, "sigla": "SP", "nome": "São Paulo",
+     "regiao": {"id": 3, "sigla": "SE", "nome": "Sudeste"}},
+    {"id": 13, "sigla": "AM", "nome": "Amazonas",
+     "regiao": {"id": 1, "sigla": "N", "nome": "Norte"}},
+]
+
+ANP_CSV = """Estado - Sigla;Produto;Data da Coleta;Valor de Venda;Município
+ sp ;GASOLINA;09/01/2026;6,59;SAO PAULO
+SP;GASOLINA;15/12/2025;6,39;SAO PAULO
+AM;DIESEL S10;09/01/2026;6.10;MANAUS
+AM;DIESEL S10;15/12/2025;6;MANAUS
+"""
+
+
+def fake_fetch(url: str) -> list[dict]:
+    if "bcb.gov.br" in url:
+        return BCB_PAYLOAD
+    if "ibge.gov.br" in url:
+        return IBGE_PAYLOAD
+    raise AssertionError(f"unexpected URL {url}")
+
+
+@pytest.fixture()
+def workspace(tmp_path):
+    inputs = tmp_path / "inputs"
+    inputs.mkdir()
+    (inputs / "run_config.json").write_text(
+        json.dumps(
+            {
+                "start_date": "2025-12-01",
+                "end_date": "2026-01-10",
+                "anp_bronze_file": str(inputs / "anp.csv"),
+                "duckdb_path": str(tmp_path / "out.duckdb"),
+            }
+        )
+    )
+    (inputs / "anp.csv").write_text(ANP_CSV, encoding="utf-8")
+    with open(inputs / "bcb_series.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["series_id", "series_name", "enabled"])
+        w.writerow([11, "selic_sgs_11", "true"])
+        w.writerow([433, "ipca_sgs_433", "false"])  # disabled: never fetched
+    return tmp_path
+
+
+def test_run_pipeline_end_to_end(spark, workspace):
+    result = run_pipeline(
+        spark,
+        run_config_path=str(workspace / "inputs" / "run_config.json"),
+        series_config_path=str(workspace / "inputs" / "bcb_series.csv"),
+        data_dir=str(workspace / "data"),
+        fetch=fake_fetch,
+        write_outputs=True,
+    )
+
+    silver = {r["date"].isoformat(): r["value"]
+              for r in result.tables["silver_bcb_sgs"].collect()}
+    assert silver == {"2026-01-02": 13.15, "2026-01-09": 13.25,
+                      "2025-12-15": 12.75, "2025-12-01": 12.5}
+
+    gold_bcb = {str(r["month"]): r for r in
+                result.tables["gold_bcb_monthly"].collect()}
+    assert gold_bcb["2026-01-01"]["last_value"] == 13.25
+    assert gold_bcb["2025-12-01"]["avg_value"] == pytest.approx(12.625)
+
+    anp = result.tables["silver_anp_prices"].collect()
+    assert {r["regiao_nome"] for r in anp} == {"Sudeste", "Norte"}
+
+    # partitioned gold written hive-style
+    part_dirs = os.listdir(workspace / "data" / "gold" / "gold_bcb_monthly")
+    assert any(d.startswith("series_id=11") for d in part_dirs)
+
+    # summary golden shape (summary.py:26,44,78-81 format)
+    assert "Último valor de selic_sgs_11: 13.25 em 2026-01-09" in result.summary_text
+    assert "Variação vs mês anterior: +0.50" in result.summary_text
+    assert "ANP - Destaques de 2026-01-01:" in result.summary_text
+    assert "- GASOLINA em SP: 6.59 (+0.20 MoM)" in result.summary_text
+
+    # summary.md written to gold zone
+    assert (workspace / "data" / "gold" / "summary.md").read_text() == result.summary_text
+
+    # catalog registration: the SQL surface works over produced tables
+    n = spark.sql("SELECT count(*) AS n FROM silver_bcb_sgs").first()["n"]
+    assert n == 4
+
+
+def test_incremental_load(spark, tmp_path):
+    import datetime
+
+    from etl_macropulse_br_spark.plans.incremental import incremental_load
+
+    sink = str(tmp_path / "gold_inc")
+    df1 = spark.createDataFrame(
+        [(11, datetime.date(2026, 1, 2), 13.15),
+         (11, datetime.date(2026, 1, 9), 13.25)],
+        ["series_id", "date", "value"],
+    )
+    assert incremental_load(spark, df1, sink, "date", ["series_id"]) == 2
+
+    # re-run with overlap: only the new date loads (idempotent)
+    df2 = spark.createDataFrame(
+        [(11, datetime.date(2026, 1, 9), 13.25),
+         (11, datetime.date(2026, 1, 16), 13.40)],
+        ["series_id", "date", "value"],
+    )
+    assert incremental_load(spark, df2, sink, "date", ["series_id"]) == 1
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+
+
+def test_streaming_gold_matches_batch(spark, tmp_path):
+    """Stream-batch consistency: replaying silver files through the
+    streaming monthly aggregation converges to the batch gold."""
+    import datetime
+
+    from etl_macropulse_br_spark.operators.gold import build_gold_bcb_monthly
+    from etl_macropulse_br_spark.sources.rest import BCB_SILVER_SCHEMA
+    from etl_macropulse_br_spark.streaming.monthly import start_gold_stream
+
+    rows = [
+        (11, "selic_sgs_11", datetime.date(2026, 1, 2), 13.15),
+        (11, "selic_sgs_11", datetime.date(2026, 1, 9), 13.25),
+        (11, "selic_sgs_11", datetime.date(2025, 12, 15), 12.75),
+        (11, "selic_sgs_11", datetime.date(2025, 12, 1), 12.5),
+    ]
+    silver = spark.createDataFrame(rows, BCB_SILVER_SCHEMA)
+    src = str(tmp_path / "silver_stream")
+    silver.write.parquet(src)
+
+    q = start_gold_stream(
+        spark,
+        src,
+        str(tmp_path / "gold_stream"),
+        str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "gold_stream"))
+    batch = build_gold_bcb_monthly(silver)
+    g = {str(r["month"])[:10]: (r["avg_value"], r["last_value"])
+         for r in got.collect()}
+    b = {str(r["month"])[:10]: (r["avg_value"], r["last_value"])
+         for r in batch.collect()}
+    assert g == b

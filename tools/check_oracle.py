@@ -29,7 +29,8 @@ def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
             return v.isoformat()[:19].replace("T", " ")
         return v
 
-    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+    normed = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 def main() -> int:
