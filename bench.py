@@ -30,6 +30,11 @@ BENCH_QUERIES = [
     "top_movers",
     "ptbr_roundtrip",
     "json_props_extract",
+    "semi_anti_customers",
+    "cube_lineitem",
+    "rank_orders_window",
+    "pivot_status_priority",
+    "sessionize_events",
     "docs_exact_dedup",
     "docs_text_stats",
     "docs_token_totals",

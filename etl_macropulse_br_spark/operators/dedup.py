@@ -66,6 +66,53 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+# Odd multipliers < 2^20 so (32-bit token hash × multiplier) sums of
+# 3 stay under 2^54: Spark would wrap silently on 64-bit overflow but
+# DuckDB raises, so the oracle-portable combiner must never overflow.
+_SHINGLE_COEFS = (786433, 919393, 649657)
+
+
+def token_shingle_hashes(text_col: str, n: int = 3) -> Column:
+    """Distinct word-n-gram shingle hashes WITHOUT building shingle
+    strings: one md5 per token (32-bit base), then each shingle hash
+    is an affine combination of its n token hashes. ~n× fewer md5s
+    than hashing shingle strings and no string allocation — the scale
+    path for MinHash over long documents.
+
+    Out-of-range positions (docs shorter than n tokens) contribute 0.
+    """
+    from etl_macropulse_br_spark.functions.hashing import base32
+
+    toks = F.split(_norm_text(text_col), _WS)
+    th = F.transform(toks, lambda t: base32(t))
+    n_sh = F.greatest(F.size(th) - F.lit(n - 1), F.lit(1))
+
+    def combine(i: Column) -> Column:
+        total = F.lit(0).cast("bigint")
+        for j, coef in enumerate(_SHINGLE_COEFS[:n]):
+            total = total + F.coalesce(
+                F.element_at(th, i + F.lit(j)), F.lit(0)
+            ) * F.lit(coef)
+        return total
+
+    return F.array_distinct(F.transform(F.sequence(F.lit(1), n_sh), combine))
+
+
+def token_shingle_hashes_sql(n: int = 3) -> str:
+    """DuckDB twin of :func:`token_shingle_hashes`, as an expression
+    over a pre-computed token-hash array column named ``th``
+    (bit-identical to the Spark side)."""
+    terms = " + ".join(
+        f"coalesce(th[i + {j}], 0) * {coef}"
+        for j, coef in enumerate(_SHINGLE_COEFS[:n])
+    )
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(th) - {n - 1}, 1)), "
+        f"i -> {terms}))"
+    )
+
+
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
     """k-element MinHash signature.
 
@@ -94,6 +141,54 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Row-per-shingle hashes: (id, sh_h).
+
+    Plan: posexplode tokens → one md5-base32 per TOKEN row (array
+    expressions would let Catalyst re-inline the hash per reference;
+    a row-level projection provably computes it once) → ``lead``
+    window combines the n adjacent token hashes into a shingle hash
+    with the same affine formula as :func:`token_shingle_hashes`.
+    One shuffle on id (the window partition); the downstream
+    signature aggregate reuses that partitioning, so no second
+    exchange. Short docs (< n tokens) keep their pos-0 partial
+    shingle, matching the array/SQL semantics.
+    """
+    from pyspark.sql import Window
+
+    from etl_macropulse_br_spark.functions.hashing import base32
+    from etl_macropulse_br_spark.operators.util import spread
+
+    toks = F.split(_norm_text(text_col), _WS)
+    tok_rows = spread(df).select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    hashed = tok_rows.select("id", "pos", base32("tok").alias("h"))
+    w = Window.partitionBy("id").orderBy("pos")
+    wcnt = Window.partitionBy("id")
+    sh_h = F.col("h") * F.lit(_SHINGLE_COEFS[0])
+    for j, coef in enumerate(_SHINGLE_COEFS[1:n_shingle], start=1):
+        sh_h = sh_h + F.coalesce(F.lead("h", j).over(w), F.lit(0)) * F.lit(coef)
+    return (
+        hashed.select(
+            "id",
+            "pos",
+            sh_h.alias("sh_h"),
+            F.count(F.lit(1)).over(wcnt).alias("n_tok"),
+        )
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("n_tok") - n_shingle, F.lit(0))
+        )
+        .select("id", "sh_h")
+    )
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",
@@ -103,26 +198,22 @@ def minhash_signature_table(
 ) -> DataFrame:
     """Per-document MinHash signature as columns (id, m0..m{k-1}).
 
-    Plan shape chosen for scale AND to guarantee one md5 per shingle:
-    explode shingles → project the 32-bit base hash (computed exactly
-    once per shingle row) → hash-aggregate k integer mins. Keeping
-    the k hashes as aggregate expressions over a materialized column
-    sidesteps Catalyst's project-collapsing, which would otherwise
-    inline (and recompute) the md5 k times inside k array
-    expressions. Partial aggregation collapses each partition to one
-    row per doc before the shuffle, so the exchange carries
-    ~docs × (k+1) integers regardless of shingle count.
+    Shingle-hash rows → hash-aggregate k integer mins (2-universal
+    family over the 32-bit folded shingle hash). Partial aggregation
+    collapses each partition to one row per doc before any exchange,
+    so the shuffle carries ~docs × (k+1) integers regardless of
+    shingle count. Distinctness of shingles is irrelevant to a min
+    aggregate, so no dedup step is needed.
     """
     from etl_macropulse_br_spark.functions.hashing import (
+        _MASK32,
         _lcg_constants,
-        base32,
     )
 
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n_shingle)).alias("s"),
+    rows = shingle_hash_rows(df, text_col, id_col, n_shingle)
+    hashed = rows.select(
+        "id", F.col("sh_h").bitwiseAND(F.lit(_MASK32)).alias("h")
     )
-    hashed = exploded.select("id", base32("s").alias("h"))
     return hashed.groupBy("id").agg(
         *[
             F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
@@ -145,8 +236,8 @@ def minhash_lsh_candidates(
     colliding on any band-hash become a candidate pair. Plan shape:
     signature table → explode per-band hashes (b× row growth, never
     n²) → shuffle on (band, band_hash) → within-bucket self-join →
-    distinct pairs. Band hashes use xxhash64 (JVM, no oracle needed
-    at this internal step)."""
+    distinct pairs. Band hashes use the portable md5 family so the
+    whole pipeline replays bit-identically in the SQL oracle."""
     rows = k // bands
     sig = minhash_signature_table(df, text_col, id_col, n_shingle, k)
     banded = sig.select(
@@ -156,8 +247,11 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{b * rows + j}") for j in range(rows)]
+                        md5_long(
+                            F.concat_ws(
+                                ",",
+                                *[F.col(f"m{b * rows + j}") for j in range(rows)],
+                            )
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -193,9 +287,12 @@ def ngram_jaccard_pairs(
     Joins shingle sets onto the (id_a, id_b) pair table (broadcast
     when small) and computes |A∩B| / |A∪B| with array intersect.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, n_shingle).alias("sh"),
+    # Shingle sets as combined token-hashes (ints): no string shingle
+    # allocation, and int-array intersect/union in the verify step.
+    sh = (
+        shingle_hash_rows(df, text_col, id_col, n_shingle)
+        .groupBy("id")
+        .agg(F.collect_set("sh_h").alias("sh"))
     )
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -203,10 +300,9 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            (
                 F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                / F.size(F.array_union("sh_a", "sh_b"))
             ).alias("jaccard"),
         )
     )
@@ -236,6 +332,9 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     itself is a groupable/bucketable column. ``bits`` defaults to 16
     to keep the expression tree small; 64 works identically.
     """
+    from etl_macropulse_br_spark.operators.util import spread
+
+    df = spread(df)
     toks = F.array_distinct(F.split(_norm_text(text_col), _WS))
     hashes = F.transform(toks, lambda t: md5_long(t))
     bit_exprs = []
@@ -292,7 +391,9 @@ def embedding_near_dups(
     bucket = plane_bit(0)
     for p in range(1, n_bands):
         bucket = bucket + plane_bit(p)
-    keyed = df.select(
+    from etl_macropulse_br_spark.operators.util import spread
+
+    keyed = spread(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket")
     )
     left, right = keyed.alias("l"), keyed.alias("r")
@@ -302,6 +403,6 @@ def embedding_near_dups(
     ).select(
         F.col("l.id").alias("id_a"),
         F.col("r.id").alias("id_b"),
-        F.round(cosine_sim(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
+        cosine_sim(F.col("l.v"), F.col("r.v")).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)

@@ -55,7 +55,9 @@ def cosine_topk(
         if isinstance(query_vec, list)
         else query_vec
     )
-    scored = df.select(
+    from etl_macropulse_br_spark.operators.util import spread
+
+    scored = spread(df).select(
         F.col(id_col),
         cosine_sim(F.col(vec_col), q).alias("cosine"),
     )
@@ -112,6 +114,8 @@ def ivf_topk(
         range(len(centroids)), key=lambda i: -np_cos(centroids[i])
     )[:n_probe]
 
-    assigned = df.withColumn("__cell", cell_expr(F.col(vec_col)))
+    from etl_macropulse_br_spark.operators.util import spread
+
+    assigned = spread(df).withColumn("__cell", cell_expr(F.col(vec_col)))
     pruned = assigned.filter(F.col("__cell").isin(*probe_cells))
     return cosine_topk(pruned, query_vec, k, vec_col, id_col)

@@ -55,6 +55,9 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features (length / punctuation / stopword
     ratios) used for corpus filtering."""
+    from etl_macropulse_br_spark.operators.util import spread
+
+    df = spread(df)
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks)
@@ -84,8 +87,10 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     lexicographic tiebreak. On real corpora, swap the marker lists
     for char-n-gram profiles (same plan shape — still pure
     expressions)."""
+    from etl_macropulse_br_spark.operators.util import spread
+
     toks = tokens(F.col(text_col))
-    scored = df
+    scored = spread(df)
     for lang, markers in LANG_MARKERS.items():
         scored = scored.withColumn(
             f"__score_{lang}",

@@ -32,10 +32,12 @@ SURVEY §2 coverage map (operator id → query):
   P1-P6→filter_range_project + status_filter + q1_pricing_summary,
   F1/F2/D1/D2→ptbr_roundtrip, S11→(every query runs via spark.sql
   views too), JSON ingest→json_props_extract.
+SQL-surface beyond the reference: semi_anti_customers, cube_lineitem,
+  rank_orders_window, pivot_status_priority, sessionize_events.
 Extension ops: docs_exact_dedup, docs_text_stats, docs_token_totals,
   docs_lang_id, docs_fingerprint, docs_minhash_sig, docs_simhash,
-  docs_near_dups (rows-only), embedding_cosine_topk,
-  embedding_ivf_topk (rows-only), embedding_near_dups (rows-only).
+  docs_near_dups, embedding_cosine_topk, embedding_near_dups,
+  embedding_ivf_topk (rows-only: centroid sampling uses xxhash64).
 """
 
 from __future__ import annotations
@@ -862,8 +864,12 @@ def docs_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sig_sql() -> str:
     from etl_macropulse_br_spark.functions.hashing import (
+        _MASK32,
         _lcg_constants,
         base32_sql,
+    )
+    from etl_macropulse_br_spark.operators.dedup import (
+        token_shingle_hashes_sql,
     )
 
     cols = ",\n       ".join(
@@ -874,10 +880,12 @@ def _minhash_sig_sql() -> str:
 WITH t AS (
   SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ntoks
   FROM documents
+), h_t AS (
+  SELECT doc_id, list_transform(ntoks, t -> {base32_sql('t')}) AS th FROM t
 ), sh_t AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+  SELECT doc_id, {token_shingle_hashes_sql(3)} AS sh FROM h_t
 ), b_t AS (
-  SELECT doc_id, list_transform(sh, s -> {base32_sql('s')}) AS bases
+  SELECT doc_id, list_transform(sh, x -> (x & {_MASK32})) AS bases
   FROM sh_t
 )
 SELECT doc_id,
@@ -917,10 +925,74 @@ DOCS_SIMHASH_SQL = _simhash_sql()
 
 
 def docs_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, Jaccard-verified (rows-only check:
-    banded-LSH self-join is not reasonably SQL-expressible)."""
+    """MinHash-LSH near-dup pairs, Jaccard-verified. Every hash in
+    the pipeline is portable, so the oracle replays the banded LSH
+    end-to-end."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_near_dups(docs, threshold=0.5)
+
+
+def _near_dups_sql(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    from etl_macropulse_br_spark.functions.hashing import (
+        _MASK32,
+        _lcg_constants,
+        base32_sql,
+        md5_long_sql,
+    )
+    from etl_macropulse_br_spark.operators.dedup import (
+        token_shingle_hashes_sql,
+    )
+
+    consts = _lcg_constants(k)
+    m_cols = ",\n         ".join(
+        f"list_min(list_transform(bases, h -> (h * {a} + {b}))) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    rows = k // bands
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + md5_long_sql(
+            "concat_ws(',', "
+            + ", ".join(f"m{b * rows + j}" for j in range(rows))
+            + ")"
+        )
+        + " AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ntoks
+  FROM documents
+), h_t AS (
+  SELECT doc_id, list_transform(ntoks, t -> {base32_sql('t')}) AS th FROM t
+), sh_t AS (
+  SELECT doc_id, {token_shingle_hashes_sql(3)} AS sh FROM h_t
+), b_t AS (
+  SELECT doc_id, sh, list_transform(sh, x -> (x & {_MASK32})) AS bases
+  FROM sh_t
+), sig AS (
+  SELECT doc_id, sh,
+         {m_cols}
+  FROM b_t
+), banded AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.sh, sb.sh))
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN sh_t sa ON sa.doc_id = c.id_a
+  JOIN sh_t sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+DOCS_NEAR_DUPS_SQL = _near_dups_sql()
 
 
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,12 +1041,54 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via sign-LSH buckets + cosine verify
-    (rows-only)."""
+    """Embedding near-dup pairs via sign-random-projection buckets +
+    exact cosine verify. Hyperplane signs derive from the portable
+    md5 family, so the oracle replays the bucketing exactly."""
     from etl_macropulse_br_spark.operators.dedup import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.9, n_bands=6)
+    # The synthetic embeddings are near-orthogonal (max pairwise
+    # cosine ≈ 0.5), so the "near-dup" threshold is set low enough to
+    # exercise the bucket-join + verify path on real pairs.
+    return embedding_near_dups(emb, threshold=0.3, n_bands=6)
+
+
+def _embedding_near_dups_sql(n_bands: int = 6, threshold: float = 0.3) -> str:
+    from etl_macropulse_br_spark.functions.hashing import md5_long_sql
+
+    def signed_sum(p: int) -> str:
+        sign = (
+            "CASE WHEN ("
+            + md5_long_sql(f"concat('{p}:', CAST(i - 1 AS VARCHAR))")
+            + ") % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        )
+        return (
+            "list_reduce(list_transform(generate_series(1, len(v)), "
+            f"i -> v[i] * ({sign})), (acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({signed_sum(p)}) >= 0 THEN {2**p} ELSE 0 END)"
+        for p in range(n_bands)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), k AS (
+  SELECT id, v, ({bucket}) AS bucket FROM e
+)
+SELECT l.id AS id_a, r.id AS id_b,
+       {_DOT_SQL.format(a="l.v", b="r.v")}
+       / (sqrt({_DOT_SQL.format(a="l.v", b="l.v")})
+          * sqrt({_DOT_SQL.format(a="r.v", b="r.v")})) AS cosine
+FROM k l JOIN k r ON l.bucket = r.bucket AND l.id < r.id
+WHERE {_DOT_SQL.format(a="l.v", b="r.v")}
+      / (sqrt({_DOT_SQL.format(a="l.v", b="l.v")})
+         * sqrt({_DOT_SQL.format(a="r.v", b="r.v")})) >= {threshold}
+"""
+
+
+EMBEDDING_NEAR_DUPS_SQL = _embedding_near_dups_sql()
 
 
 # --------------------------------------------------------------------
@@ -1045,7 +1159,9 @@ ORACLES: dict[str, str] = {
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "docs_minhash_sig": DOCS_MINHASH_SIG_SQL,
     "docs_simhash": DOCS_SIMHASH_SQL,
+    "docs_near_dups": DOCS_NEAR_DUPS_SQL,
     "embedding_cosine_topk": EMBEDDING_COSINE_TOPK_SQL,
-    # rows-only (non-SQL-expressible): docs_near_dups,
-    # embedding_ivf_topk, embedding_near_dups
+    "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
+    # rows-only (genuinely non-SQL-expressible): embedding_ivf_topk
+    # (centroid sampling uses Spark's xxhash64 ordering)
 }

@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Small-file parallelism: the bench inputs are single small
+        # parquet files; default 128m maxPartitionBytes puts an
+        # entire table in ONE task. 8m splits them across cores. On
+        # a real cluster with TB-scale inputs this still yields
+        # sane task counts (tasks scale with bytes, and AQE
+        # coalesces downstream).
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
     )
     if extra_conf:
         for k, v in extra_conf.items():
