@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "rank_orders_window",
     "pivot_status_priority",
     "sessionize_events",
+    "asof_click_view",
+    "distinct_parts",
+    "range_join_buckets",
     "docs_exact_dedup",
     "docs_text_stats",
     "docs_token_totals",
@@ -55,8 +58,9 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    # warmup: JVM, parquet footer caches, codegen
+    # warmup: JVM, codegen, parquet reader init (untimed)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -74,21 +74,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a testdata table.
+    """Load a testdata table (nanos-timestamp handling centralized in
+    sources/files.py)."""
+    from etl_macropulse_br_spark.sources.files import load_table
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as long nanos
-    (``nanosAsLong``) and floor-convert to a microsecond timestamp —
-    the exact conversion DuckDB applies, so cross-engine ordering and
-    values agree. All downstream ordering uses the converted column.
-    """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 def _scaled(col: Column | str, scale: int = 100) -> Column:
@@ -719,6 +709,102 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (time-series primitive Spark lacks natively): each
+    click matched to the same user's most recent view at-or-before
+    it. Union-sentinel + window implementation (operators/asof.py);
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from etl_macropulse_br_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "ts", "value"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_ts").alias("view_ts"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+ASOF_CLICK_VIEW_SQL = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.ts,
+       v.event_id AS view_event_id,
+       v.ts AS view_ts,
+       v.value AS view_value
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (count-distinct surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+DISTINCT_PARTS_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_VALUE_BUCKETS = [
+    (0.0, 50.0, "low"),
+    (50.0, 150.0, "mid"),
+    (150.0, 1000.0, "high"),
+]
+
+
+def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) range join: events against a small bucket
+    dimension on value ∈ [lo, hi) — broadcast nested-loop on the
+    3-row dim, so the fact side streams once."""
+    ev = _t(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(_VALUE_BUCKETS, ["lo", "hi", "bucket"])
+    joined = ev.join(
+        F.broadcast(buckets),
+        on=[ev.value >= buckets.lo, ev.value < buckets.hi],
+        how="inner",
+    )
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(_scaled("value")) / F.lit(100.0)).alias("total_value"),
+    )
+
+
+RANGE_JOIN_BUCKETS_SQL = f"""
+WITH buckets(lo, hi, bucket) AS (
+  VALUES {", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in _VALUE_BUCKETS)}
+)
+SELECT bucket,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+FROM events JOIN buckets ON value >= lo AND value < hi
+GROUP BY bucket
+"""
+
+
 # --------------------------------------------------------------------
 # Extension operators: dedup / text analysis / similarity
 # --------------------------------------------------------------------
@@ -1117,6 +1203,9 @@ QUERIES: dict[str, QueryFn] = {
     "rank_orders_window": rank_orders_window,
     "pivot_status_priority": pivot_status_priority,
     "sessionize_events": sessionize_events,
+    "asof_click_view": asof_click_view,
+    "distinct_parts": distinct_parts,
+    "range_join_buckets": range_join_buckets,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_text_stats": docs_text_stats,
     "docs_token_totals": docs_token_totals,
@@ -1152,6 +1241,9 @@ ORACLES: dict[str, str] = {
     "rank_orders_window": RANK_ORDERS_WINDOW_SQL,
     "pivot_status_priority": PIVOT_STATUS_PRIORITY_SQL,
     "sessionize_events": SESSIONIZE_EVENTS_SQL,
+    "asof_click_view": ASOF_CLICK_VIEW_SQL,
+    "distinct_parts": DISTINCT_PARTS_SQL,
+    "range_join_buckets": RANGE_JOIN_BUCKETS_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_text_stats": DOCS_TEXT_STATS_SQL,
     "docs_token_totals": DOCS_TOKEN_TOTALS_SQL,

@@ -64,7 +64,24 @@ def is_enabled_flag(value: object) -> bool:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-provided testdata table."""
+    """Load one driver-provided testdata table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects; read it as long nanos (``nanosAsLong`` — settable at
+    runtime even on a vanilla session) and floor-convert to a
+    microsecond timestamp, the exact conversion DuckDB applies, so
+    cross-engine values and ordering agree.
+    """
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
