@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "docs_simhash",
     "docs_near_dups",
     "embedding_cosine_topk",
+    "embedding_cosine_topk_pandas",
     "embedding_ivf_topk",
 ]
 
@@ -58,9 +59,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    # warmup: JVM, codegen, parquet reader init (untimed)
+    # warmup: JVM, codegen, parquet reader init, Python UDF workers
+    # (untimed)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    import pandas as _pd
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(100).selectExpr("id").mapInPandas(
+        _noop, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -1,0 +1,79 @@
+"""Skew-handling joins: salting and bucketing.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew
+at runtime; explicit salting remains the tool when one join key
+dominates so heavily that even split partitions bottleneck, or when
+AQE is unavailable (streaming joins).
+
+``salted_join``: the skewed (large) side gets a deterministic salt
+in [0, n_salt); the small-ish side is replicated n_salt times with
+every salt value; the join key becomes (key, salt). Each hot key's
+rows spread across n_salt partitions instead of one. Deterministic
+(pmod of a hash — no rand()) so retries/replays produce identical
+partitioning.
+
+``write_bucketed`` / bucketed tables: pre-shuffling both sides into
+the same bucket layout at write time makes later equi-joins
+shuffle-free (Catalyst recognizes compatible bucketing) — the right
+trade when a large fact is joined on the same key by many downstream
+queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed side salted and the other side
+    replicated. Output columns = skewed's + other's (minus the
+    duplicate key), like ``skewed.join(other, on, how)``."""
+    salted = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salt)),
+    )
+    replicated = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = salted.join(replicated, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) catalog table so
+    subsequent equi-joins/aggregations on ``bucket_col`` are
+    exchange-free."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_join_is_shuffle_free(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> bool:
+    """Plan introspection helper (used by tests/audits): True when
+    the join of two bucketed tables on their bucket column plans no
+    Exchange above either scan."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    plan = (
+        left.join(right, on)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    return "Exchange hashpartitioning" not in plan

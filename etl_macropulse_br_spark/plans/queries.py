@@ -1117,6 +1117,21 @@ LIMIT 10
 """
 
 
+def embedding_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas-UDF variant of the brute-force top-k
+    (rows-only: NumPy's reduction order differs from the sequential
+    fold at the last bit, so no hash oracle; correctness vs the
+    expression path is asserted in tests)."""
+    from etl_macropulse_br_spark.operators.similarity import (
+        cosine_topk_pandas,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    return cosine_topk_pandas(emb, qv, k=10)
+
+
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (rows-only: centroid sampling
     uses xxhash64, not available in the oracle engine)."""
@@ -1215,6 +1230,7 @@ QUERIES: dict[str, QueryFn] = {
     "docs_simhash": docs_simhash,
     "docs_near_dups": docs_near_dups,
     "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_cosine_topk_pandas": embedding_cosine_topk_pandas,
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_near_dups": embedding_near_dups_q,
 }

@@ -1,0 +1,108 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState``.
+
+The batch twin is ``plans/queries.sessionize_events`` (lag + running
+sum windows). In streaming, session state must live across
+micro-batches — exactly the case Spark's arbitrary-stateful API
+exists for. Per user: keep (session_start, last_ts, n_events);
+an event more than ``gap`` seconds after ``last_ts`` closes the open
+session (emitting it) and opens a new one; ``GroupStateTimeout``
+closes idle sessions when their watermark-driven timeout fires.
+
+State size is O(active users), not O(events) — the operator scales
+with key cardinality, and shuffle is the single hash partition on
+user_id that any per-key stateful op needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_s: int = 1800,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_list: list[int] = []
+    for pdf in pdfs:
+        ts_list.extend(
+            int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+        )
+    ts_list.sort()
+
+    start_us, last_us, n = state.get if state.exists else (None, None, 0)
+    closed: list[tuple[int, int, int]] = []
+    gap_us = gap_s * 1_000_000
+    for t in ts_list:
+        if start_us is None:
+            start_us, last_us, n = t, t, 1
+        elif t - last_us > gap_us:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+        else:
+            last_us, n = t, n + 1
+    state.update((start_us, last_us, n))
+    state.setTimeoutDuration(gap_s * 1000)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """events(user_id, ts, ...) stream → closed-session stream."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            lambda key, pdfs, state: _sessionize_group(key, pdfs, state, gap_s),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -110,6 +110,17 @@ def test_cosine_topk_exact(vectors):
     assert out[0]["cosine"] == pytest.approx(1.0)
 
 
+def test_cosine_topk_pandas_matches_expr_path(vectors):
+    from etl_macropulse_br_spark.operators.similarity import cosine_topk_pandas
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    expr_path = cosine_topk(vectors, q, k=3).collect()
+    pandas_path = cosine_topk_pandas(vectors, q, k=3).collect()
+    assert [r["vec_id"] for r in pandas_path] == [r["vec_id"] for r in expr_path]
+    for a, b in zip(expr_path, pandas_path):
+        assert b["cosine"] == pytest.approx(a["cosine"], abs=1e-12)
+
+
 def test_ivf_topk_contains_nearest(vectors):
     out = ivf_topk(
         vectors, [1.0, 0.0, 0.0, 0.0], k=2, n_cells=3, n_probe=3
