@@ -805,12 +805,87 @@ GROUP BY bucket
 """
 
 
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ordered-set aggregate surface).
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    linear-interpolation definition, so values are bit-identical —
+    verified, no rounding applied."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+PRICE_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------
 # Extension operators: dedup / text analysis / similarity
 # --------------------------------------------------------------------
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency (explode/unnest + count + top-k with
+    deterministic tiebreak) — the canonical word-count shape."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+TOP_TOKENS_SQL = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+def nation_customer_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation: per nation, customer count plus the
+    5 alphabetically-first customer names joined into one string
+    (collect_list/array_sort vs list()/list_sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("c_name")), 1, 5), ","
+            ).alias("first_customers"),
+        )
+    )
+
+
+NATION_CUSTOMER_DIGEST_SQL = """
+SELECT n_name,
+       count(*) AS n_customers,
+       array_to_string(list_sort(list(c_name))[1:5], ',') AS first_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
 
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,6 +1296,9 @@ QUERIES: dict[str, QueryFn] = {
     "asof_click_view": asof_click_view,
     "distinct_parts": distinct_parts,
     "range_join_buckets": range_join_buckets,
+    "price_percentiles": price_percentiles,
+    "top_tokens": top_tokens,
+    "nation_customer_digest": nation_customer_digest,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_text_stats": docs_text_stats,
     "docs_token_totals": docs_token_totals,
@@ -1260,6 +1338,9 @@ ORACLES: dict[str, str] = {
     "asof_click_view": ASOF_CLICK_VIEW_SQL,
     "distinct_parts": DISTINCT_PARTS_SQL,
     "range_join_buckets": RANGE_JOIN_BUCKETS_SQL,
+    "price_percentiles": PRICE_PERCENTILES_SQL,
+    "top_tokens": TOP_TOKENS_SQL,
+    "nation_customer_digest": NATION_CUSTOMER_DIGEST_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_text_stats": DOCS_TEXT_STATS_SQL,
     "docs_token_totals": DOCS_TOKEN_TOTALS_SQL,

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the parsing expressions and
+determinism traps — SURVEY §5.2. All cases are batched into single
+Spark jobs to keep runtime sane."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_macropulse_br_spark.functions.exprs import (
+    parse_ptbr_number,
+    ptbr_format_number,
+)
+from etl_macropulse_br_spark.operators.gold import build_gold_bcb_monthly
+from etl_macropulse_br_spark.operators.silver import dedup_keep_first
+
+
+def test_ptbr_roundtrip_property(spark):
+    # generate many cases up-front, evaluate in ONE job
+    values = [
+        round(x, 2)
+        for x in (
+            0.0, 0.01, 0.1, 1.0, 999.99, 1000.0, 1234.56, 1_234_567.89,
+            -1.5, -1234.56, 55131.0, 0.07, 10.10, 99999999.99,
+        )
+    ]
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    out = df.select(
+        "x", parse_ptbr_number(ptbr_format_number("x")).alias("y")
+    ).collect()
+    for r in out:
+        assert r["y"] == r["x"], (r["x"], r["y"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # series_id
+            st.dates(
+                min_value=datetime.date(2024, 1, 1),
+                max_value=datetime.date(2024, 6, 30),
+            ),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_gold_invariant_under_row_order(rows):
+    """Gold aggregate is a pure function of the row SET — any input
+    permutation/partitioning yields identical output (trap #1/#2)."""
+    # hypothesis shrinks fast; reuse one session via the global
+    from etl_macropulse_br_spark.session import get_spark
+
+    spark = get_spark(app_name="props", master="local[4]", shuffle_partitions=4)
+    base = spark.createDataFrame(
+        [(sid, "s", d, v) for sid, d, v in rows],
+        ["series_id", "series_name", "date", "value"],
+    )
+    a = sorted(map(tuple, build_gold_bcb_monthly(base).collect()))
+    scrambled = base.repartition(5).sortWithinPartitions(F.rand(seed=7))
+    b = sorted(map(tuple, build_gold_bcb_monthly(scrambled).collect()))
+    assert a == b
+
+
+def test_dedup_keep_first_is_min_under_order(spark):
+    rows = [(k % 4, f"o{(k * 7) % 11}", float(k)) for k in range(40)]
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    out = dedup_keep_first(df, keys=["k"], order=["o", "v"])
+    got = {(r["k"], r["o"], r["v"]) for r in out.collect()}
+    want = set()
+    for k in {r[0] for r in rows}:
+        want.add(min(((r[1], r[2]) for r in rows if r[0] == k)))
+    assert {(k_o_v[0]) for k_o_v in got} == {r[0] for r in rows}
+    for k, o, v in got:
+        assert (o, v) == min((r[1], r[2]) for r in rows if r[0] == k)
