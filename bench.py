@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "price_percentiles",
     "top_tokens",
     "nation_customer_digest",
+    "zscore_events",
     "docs_exact_dedup",
     "docs_text_stats",
     "docs_token_totals",

@@ -837,6 +837,29 @@ _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
 
 
+def zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization (z-score) from exact integer
+    moments — window aggregates without ORDER (whole-group frame).
+    Bit-identical cross-engine: see operators/features.py."""
+    from etl_macropulse_br_spark.operators.features import zscore_expr
+
+    ev = _t(spark, sf_dir, "events")
+    return zscore_expr(ev, "value", ["event_type"]).select(
+        "event_id", "event_type", "value", "zscore"
+    )
+
+
+def _zscore_events_sql() -> str:
+    from etl_macropulse_br_spark.operators.features import zscore_expr_sql
+
+    return zscore_expr_sql(
+        "events", "value", ["event_type"], ["event_id", "event_type", "value"]
+    )
+
+
+ZSCORE_EVENTS_SQL = _zscore_events_sql()
+
+
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency (explode/unnest + count + top-k with
     deterministic tiebreak) — the canonical word-count shape."""
@@ -1299,6 +1322,7 @@ QUERIES: dict[str, QueryFn] = {
     "price_percentiles": price_percentiles,
     "top_tokens": top_tokens,
     "nation_customer_digest": nation_customer_digest,
+    "zscore_events": zscore_events,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_text_stats": docs_text_stats,
     "docs_token_totals": docs_token_totals,
@@ -1341,6 +1365,7 @@ ORACLES: dict[str, str] = {
     "price_percentiles": PRICE_PERCENTILES_SQL,
     "top_tokens": TOP_TOKENS_SQL,
     "nation_customer_digest": NATION_CUSTOMER_DIGEST_SQL,
+    "zscore_events": ZSCORE_EVENTS_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_text_stats": DOCS_TEXT_STATS_SQL,
     "docs_token_totals": DOCS_TOKEN_TOTALS_SQL,
