@@ -837,6 +837,84 @@ _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
 
 
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7 'not present — build anyway'):
+    users who both clicked and purchased (INTERSECT) and users who
+    clicked but never purchased (EXCEPT)."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # intersect/subtract are the DISTINCT set ops (SQL INTERSECT /
+    # EXCEPT); exceptAll would be bag semantics and leak users whose
+    # click count exceeds their purchase count.
+    both = clickers.intersect(buyers).select(
+        F.lit("click_and_purchase").alias("cohort"), "user_id"
+    )
+    only_click = clickers.subtract(buyers).select(
+        F.lit("click_no_purchase").alias("cohort"), "user_id"
+    )
+    return both.unionByName(only_click)
+
+
+USER_SET_OPS_SQL = """
+SELECT 'click_and_purchase' AS cohort, user_id
+FROM (SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'click_no_purchase' AS cohort, user_id
+FROM (SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
+def value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking (analytic surface): quartile of each event's
+    value within its type, deterministic tiebreak on event_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+VALUE_QUARTILES_SQL = """
+SELECT event_id, event_type, value,
+       ntile(4) OVER (
+         PARTITION BY event_type ORDER BY value ASC, event_id ASC
+       ) AS quartile
+FROM events
+"""
+
+
+def props_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON parsing (from_json with explicit schema — the
+    ingest-boundary pattern for S1/S2-style sources), with a
+    post-parse filter that prunes on the extracted field."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.select("event_id", F.col("p.k").alias("k"))
+        .filter(F.col("k") % 10 == 0)
+    )
+
+
+PROPS_STRUCT_PARSE_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0
+"""
+
+
 def zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature normalization (z-score) from exact integer
     moments — window aggregates without ORDER (whole-group frame).
@@ -1323,6 +1401,9 @@ QUERIES: dict[str, QueryFn] = {
     "top_tokens": top_tokens,
     "nation_customer_digest": nation_customer_digest,
     "zscore_events": zscore_events,
+    "user_set_ops": user_set_ops,
+    "value_quartiles": value_quartiles,
+    "props_struct_parse": props_struct_parse,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_text_stats": docs_text_stats,
     "docs_token_totals": docs_token_totals,
@@ -1366,6 +1447,9 @@ ORACLES: dict[str, str] = {
     "top_tokens": TOP_TOKENS_SQL,
     "nation_customer_digest": NATION_CUSTOMER_DIGEST_SQL,
     "zscore_events": ZSCORE_EVENTS_SQL,
+    "user_set_ops": USER_SET_OPS_SQL,
+    "value_quartiles": VALUE_QUARTILES_SQL,
+    "props_struct_parse": PROPS_STRUCT_PARSE_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_text_stats": DOCS_TEXT_STATS_SQL,
     "docs_token_totals": DOCS_TOKEN_TOTALS_SQL,
