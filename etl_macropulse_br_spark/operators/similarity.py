@@ -111,6 +111,75 @@ def cosine_topk_pandas(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
 
 
+def ivf_topk_deterministic(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k, fully deterministic and oracle-able.
+
+    Every stochastic choice is replaced by a portable deterministic
+    twin so a SQL engine can replay the exact search:
+    - centroids: the ``n_cells`` vectors ranked first by
+      ``md5_long(id)`` (portable hash order — an unbiased,
+      engine-independent sample);
+    - cell assignment: argmax of fold-computed cosines, ties to the
+      lowest cell index;
+    - probe set: top ``n_probe`` cells by centroid-to-query cosine,
+      computed with the same fold expressions (NOT numpy — BLAS
+      reduction order differs from the SQL fold).
+    The query vector is the embedding of ``query_id``.
+    """
+    from etl_macropulse_br_spark.functions.hashing import md5_long
+
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cent_rows = (
+        e.orderBy(md5_long(F.col("id").cast("string")), F.col("id"))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in cent_rows]
+    qv = [
+        float(x)
+        for x in e.filter(F.col("id") == query_id).select("v").first()["v"]
+    ]
+
+    def lit_vec(vals: list[float]) -> Column:
+        return F.array(*[F.lit(x) for x in vals])
+
+    # probe cells via the same fold expressions on a tiny frame
+    cent_df = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["cell", "cv"]
+    )
+    probe_cells = [
+        r["cell"]
+        for r in cent_df.select(
+            "cell", cosine_sim(F.col("cv"), lit_vec(qv)).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+
+    scores = F.array(*[cosine_sim(F.col("v"), lit_vec(c)) for c in centroids])
+    assigned = e.withColumn(
+        "cell", (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    )
+    pruned = assigned.filter(F.col("cell").isin(*probe_cells))
+    return (
+        pruned.select(
+            F.col("id").alias("vec_id"),
+            cosine_sim(F.col("v"), lit_vec(qv)).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -1309,12 +1309,73 @@ def embedding_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (rows-only: centroid sampling
-    uses xxhash64, not available in the oracle engine)."""
+    """IVF-bucketed approximate top-k — fully deterministic variant
+    (portable md5-ordered centroid sample, fold-identical cosines),
+    so the entire train→assign→probe→search pipeline replays in the
+    SQL oracle."""
+    from etl_macropulse_br_spark.operators.similarity import (
+        ivf_topk_deterministic,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    qv = [float(x) for x in qrow["embedding"]]
-    return ivf_topk(emb, qv, k=10, n_cells=8, n_probe=3)
+    return ivf_topk_deterministic(
+        emb, query_id=0, k=10, n_cells=8, n_probe=3
+    )
+
+
+def _ivf_topk_sql(k: int = 10, n_cells: int = 8, n_probe: int = 3) -> str:
+    from etl_macropulse_br_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(id AS VARCHAR)")
+    cos_vc = (
+        _DOT_SQL.format(a="e.v", b="c.cv")
+        + f" / (sqrt({_DOT_SQL.format(a='e.v', b='e.v')})"
+        + f" * sqrt({_DOT_SQL.format(a='c.cv', b='c.cv')}))"
+    )
+    cos_cq = (
+        _DOT_SQL.format(a="c.cv", b="q.qv")
+        + f" / (sqrt({_DOT_SQL.format(a='c.cv', b='c.cv')})"
+        + f" * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')}))"
+    )
+    cos_vq = (
+        _DOT_SQL.format(a="e.v", b="q.qv")
+        + f" / (sqrt({_DOT_SQL.format(a='e.v', b='e.v')})"
+        + f" * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')}))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE id = 0
+), cent AS (
+  SELECT id AS cid, v AS cv, rn - 1 AS cell
+  FROM (SELECT id, v, row_number() OVER (ORDER BY {h}, id) AS rn FROM e)
+  WHERE rn <= {n_cells}
+), assign AS (
+  SELECT e.id, e.v, c.cell,
+         row_number() OVER (
+           PARTITION BY e.id ORDER BY {cos_vc} DESC, c.cell ASC
+         ) AS rnk
+  FROM e CROSS JOIN cent c
+), cells AS (
+  SELECT id, cell FROM assign WHERE rnk = 1
+), probe AS (
+  SELECT cell FROM (
+    SELECT c.cell, row_number() OVER (ORDER BY {cos_cq} DESC, c.cell ASC) AS pr
+    FROM cent c CROSS JOIN q
+  ) WHERE pr <= {n_probe}
+)
+SELECT e.id AS vec_id, {cos_vq} AS cosine
+FROM e
+JOIN cells ON cells.id = e.id
+JOIN probe ON cells.cell = probe.cell
+CROSS JOIN q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+EMBEDDING_IVF_TOPK_SQL = _ivf_topk_sql()
 
 
 def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1459,7 +1520,9 @@ ORACLES: dict[str, str] = {
     "docs_simhash": DOCS_SIMHASH_SQL,
     "docs_near_dups": DOCS_NEAR_DUPS_SQL,
     "embedding_cosine_topk": EMBEDDING_COSINE_TOPK_SQL,
+    "embedding_ivf_topk": EMBEDDING_IVF_TOPK_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
-    # rows-only (genuinely non-SQL-expressible): embedding_ivf_topk
-    # (centroid sampling uses Spark's xxhash64 ordering)
+    # rows-only: embedding_cosine_topk_pandas (NumPy reduction order
+    # differs from the SQL fold; asserted against its exact twin in
+    # tests instead)
 }
