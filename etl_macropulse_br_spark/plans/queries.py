@@ -31,13 +31,25 @@ SURVEY §2 coverage map (operator id → query):
   J1→regional_revenue + customer_order_counts,
   P1-P6→filter_range_project + status_filter + q1_pricing_summary,
   F1/F2/D1/D2→ptbr_roundtrip, S11→(every query runs via spark.sql
-  views too), JSON ingest→json_props_extract.
-SQL-surface beyond the reference: semi_anti_customers, cube_lineitem,
-  rank_orders_window, pivot_status_priority, sessionize_events.
-Extension ops: docs_exact_dedup, docs_text_stats, docs_token_totals,
-  docs_lang_id, docs_fingerprint, docs_minhash_sig, docs_simhash,
-  docs_near_dups, embedding_cosine_topk, embedding_near_dups,
-  embedding_ivf_topk (rows-only: centroid sampling uses xxhash64).
+  views too; scripts/query_sql.py), JSON ingest→json_props_extract +
+  props_struct_parse. (S1-S10 sources/sinks and the summary
+  analytics live in sources/, sinks/, operators/summary.py and are
+  exercised by the pipeline/golden tests — they have no testdata
+  tables to query against.)
+TPC-H classics: q1_pricing_summary, q3_shipping_priority,
+  q6_forecast_revenue.
+SQL-surface beyond the reference (§2.3/2.4/2.5/2.7 'not present —
+  build anyway'): semi_anti_customers, cube_lineitem,
+  rank_orders_window, pivot_status_priority, sessionize_events,
+  asof_click_view, distinct_parts, range_join_buckets,
+  price_percentiles, user_set_ops, value_quartiles,
+  nation_customer_digest, top_tokens, zscore_events.
+Training-data extension ops: docs_exact_dedup, docs_text_stats,
+  docs_token_totals, docs_lang_id, docs_fingerprint,
+  docs_minhash_sig, docs_simhash, docs_near_dups,
+  embedding_cosine_topk, embedding_ivf_topk, embedding_near_dups
+  (all oracle-gated), embedding_cosine_topk_pandas (rows-only:
+  NumPy reduction order; exact-twin-tested).
 """
 
 from __future__ import annotations
@@ -138,6 +150,79 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with selective filters on both
+    sides, per-order revenue, top-10. Exercises join ordering +
+    TakeOrderedAndProject over an aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.lit("1995-06-30"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+         / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-06-30 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-aggregate — the query
+    where predicate pushdown and vectorized scanning dominate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(_scaled(F.col("l_extendedprice") * F.col("l_discount"), 10000))
+                / F.lit(10000.0)
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_FORECAST_REVENUE_SQL = """
+SELECT sum(CAST(round(l_extendedprice * l_discount * 10000, 0) AS BIGINT))
+         / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.05
+  AND l_quantity < 24
 """
 
 
@@ -1435,6 +1520,8 @@ EMBEDDING_NEAR_DUPS_SQL = _embedding_near_dups_sql()
 
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "monthly_last_by": monthly_last_by,
     "regional_revenue": regional_revenue,
     "customer_order_counts": customer_order_counts,
@@ -1481,6 +1568,8 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,
+    "q6_forecast_revenue": Q6_FORECAST_REVENUE_SQL,
     "monthly_last_by": MONTHLY_LAST_BY_SQL,
     "regional_revenue": REGIONAL_REVENUE_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
