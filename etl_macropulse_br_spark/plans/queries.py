@@ -163,12 +163,19 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue_scaled = _scaled(
         F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
     )
-    return (
+    # Build side = customer⋈orders (small after filters); lineitem is
+    # ALWAYS the probe side — without the explicit broadcast Catalyst
+    # may broadcast the filtered fact instead (it fits the threshold
+    # at bench scale but never would at 100 TB).
+    cust_orders = (
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .join(orders, cust.c_custkey == orders.o_custkey)
         .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .filter(F.col("l_shipdate") > F.lit("1995-06-30"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1995-06-30"))
+        .join(F.broadcast(cust_orders), li.l_orderkey == cust_orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())

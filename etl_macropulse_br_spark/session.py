@@ -49,7 +49,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Generous enough for every dimension table, small enough
+        # that a filtered FACT never auto-broadcasts (observed: at
+        # 64m Catalyst broadcast a 600k-row lineitem build side).
+        .config("spark.sql.autoBroadcastJoinThreshold", "16m")
         # Small-file parallelism: the bench inputs are single small
         # parquet files; default 128m maxPartitionBytes puts an
         # entire table in ONE task. 8m splits them across cores. On
