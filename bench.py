@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "top_tokens",
     "nation_customer_digest",
     "zscore_events",
+    "docs_train_val_split",
     "docs_exact_dedup",
     "docs_text_stats",
     "docs_token_totals",

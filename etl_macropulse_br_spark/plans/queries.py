@@ -1081,6 +1081,31 @@ GROUP BY n_name
 """
 
 
+def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val split via portable hashing
+    — the reproducible alternative to RNG sampling for corpus
+    pipelines (same doc always lands in the same split, on any
+    engine, any partitioning, any rerun)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+DOCS_TRAIN_VAL_SPLIT_SQL = f"""
+SELECT source,
+       CASE WHEN ({md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100) < 80
+            THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs)
@@ -1559,6 +1584,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_set_ops": user_set_ops,
     "value_quartiles": value_quartiles,
     "props_struct_parse": props_struct_parse,
+    "docs_train_val_split": docs_train_val_split,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_text_stats": docs_text_stats,
     "docs_token_totals": docs_token_totals,
@@ -1607,6 +1633,7 @@ ORACLES: dict[str, str] = {
     "user_set_ops": USER_SET_OPS_SQL,
     "value_quartiles": VALUE_QUARTILES_SQL,
     "props_struct_parse": PROPS_STRUCT_PARSE_SQL,
+    "docs_train_val_split": DOCS_TRAIN_VAL_SPLIT_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_text_stats": DOCS_TEXT_STATS_SQL,
     "docs_token_totals": DOCS_TOKEN_TOTALS_SQL,
