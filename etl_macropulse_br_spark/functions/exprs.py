@@ -78,6 +78,23 @@ def month_trunc(col: Column | str) -> Column:
     return F.trunc(_as_col(col), "MM")
 
 
+def stable_mean(col: Column | str) -> Column:
+    """Partition-order-invariant mean of a double column.
+
+    Float addition is non-associative, so a plain ``avg`` over
+    doubles changes in the last bits with partitioning — the gold
+    aggregate would not be a pure function of its input row SET.
+    Aggregating in exact decimal makes the sum fold-order-free
+    (decimal addition is exact + associative), with one deterministic
+    cast back at the end. 12 fractional digits captures every value
+    the pipelines carry (prices/rates with ≤6 significant decimals);
+    the truncation of a double's low bits is itself deterministic, so
+    any partitioning of the same rows yields bit-identical output.
+    Still a single-pass partial-aggregating hash aggregate.
+    """
+    return F.avg(_as_col(col).cast("decimal(30,12)")).cast("double")
+
+
 def flag_is_enabled(col: Column | str) -> Column:
     """Case-insensitive truthy-flag predicate (``main.py:33``):
     enabled iff lower(str(v)) in {"true","1","yes"}."""

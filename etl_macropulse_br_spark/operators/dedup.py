@@ -324,32 +324,52 @@ def minhash_near_dups(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """Charikar SimHash over word tokens.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Charikar SimHash over word tokens → (id, simhash) table.
 
     Per bit: majority vote of token-hash bits → one integer sketch.
     Near-dups are sketches within small Hamming distance; the sketch
-    itself is a groupable/bucketable column. ``bits`` defaults to 16
-    to keep the expression tree small; 64 works identically.
+    itself is a groupable/bucketable column.
+
+    Plan shape (same row-level trick as :func:`shingle_hash_rows`):
+    explode distinct tokens → ONE md5 per token row → per-bit
+    popcounts as a single hash aggregate. The earlier array-
+    expression form referenced the hash array twice per bit, which
+    Catalyst re-inlines — the md5 ``transform`` was recomputed up to
+    2×``bits`` times per document. Here the hash is provably computed
+    once; the aggregate's partial (map-side) combine means the
+    shuffle carries ~docs × (bits+1) integers.
+
+    ``explode_outer`` keeps null-text documents (sketch 0, matching
+    the SQL oracle's CASE-on-NULL fold).
     """
     from etl_macropulse_br_spark.operators.util import spread
 
-    df = spread(df)
     toks = F.array_distinct(F.split(_norm_text(text_col), _WS))
-    hashes = F.transform(toks, lambda t: md5_long(t))
-    bit_exprs = []
+    tok_rows = spread(df).select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")
+    )
+    hashed = tok_rows.select("id", md5_long("tok").alias("h"))
+    counted = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(bits)
+        ],
+    )
+    sketch = F.lit(0).cast("bigint")
     for b in range(bits):
-        mask = 1 << b
-        ones = F.size(
-            F.filter(hashes, (lambda m: lambda h: h.bitwiseAND(F.lit(m)) != 0)(mask))
-        )
-        bit_exprs.append(
-            F.when(ones * 2 >= F.size(hashes), F.lit(2**b)).otherwise(F.lit(0))
-        )
-    sketch = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        sketch = sketch + e
-    return df.withColumn("simhash", sketch.cast("bigint"))
+        sketch = sketch + F.when(
+            F.col(f"c{b}") * 2 >= F.col("n"), F.lit(2**b)
+        ).otherwise(F.lit(0))
+    return counted.select(
+        F.col("id").alias(id_col), sketch.cast("bigint").alias("simhash")
+    )
 
 
 def embedding_near_dups(

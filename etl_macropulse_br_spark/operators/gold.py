@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_macropulse_br_spark.functions.exprs import last_by, month_trunc
+from etl_macropulse_br_spark.functions.exprs import (
+    last_by,
+    month_trunc,
+    stable_mean,
+)
 
 
 def build_gold_bcb_monthly(bcb_silver: DataFrame) -> DataFrame:
@@ -26,8 +30,10 @@ def build_gold_bcb_monthly(bcb_silver: DataFrame) -> DataFrame:
         bcb_silver.withColumn("month", month_trunc("date"))
         .groupBy("series_id", "series_name", "month")
         .agg(
-            F.avg("value").alias("avg_value"),
-            last_by("value", "date").alias("last_value"),
+            stable_mean("value").alias("avg_value"),
+            # value as final tiebreak: rows tied on date collapse to a
+            # single deterministic winner regardless of partitioning.
+            last_by("value", "date", "value").alias("last_value"),
         )
     )
 
@@ -37,7 +43,7 @@ def build_gold_anp_monthly(anp_enriched: DataFrame) -> DataFrame:
     return (
         anp_enriched.withColumn("month", month_trunc("date_ref"))
         .groupBy("uf_sigla", "product", "month")
-        .agg(F.avg("price").alias("avg_price"))
+        .agg(stable_mean("price").alias("avg_price"))
     )
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_macropulse_br_spark.functions.exprs import month_trunc
+from etl_macropulse_br_spark.functions.exprs import month_trunc, stable_mean
 
 DEFAULT_TARGET_SERIES = "selic_sgs_11"  # summary.py:12
 
@@ -68,13 +68,21 @@ def top_movers(
     )
 
 
+def _as_date(d):
+    """datetime → date; date passes through (matches the reference's
+    ``.date()`` display, ``summary.py:26,78``)."""
+    return d.date() if hasattr(d, "hour") else d
+
+
 def build_summary_text(
     bcb_silver: DataFrame,
     anp_silver: DataFrame,
     target_series: str = DEFAULT_TARGET_SERIES,
 ) -> str:
-    """Reproduce the reference's markdown summary (``summary.py:6-94``,
-    golden example at ``data/gold/summary.md:1-6``).
+    """Reproduce the reference's markdown summary BYTE-FOR-BYTE
+    (``summary.py:6-94``, golden artifact ``data/gold/summary.md:1-6``)
+    — every format string and fallback line matches the reference,
+    including the final strip + "Resumo indisponível" guard.
 
     Distributed plan → collect of <10 rows → driver-side f-strings.
     """
@@ -82,35 +90,62 @@ def build_summary_text(
 
     lines: list[str] = []
 
-    latest = latest_observation(bcb_silver, target_series).collect()
+    # ---- BCB/SGS: latest value + MoM (summary.py:10-47) ----
+    latest = (
+        latest_observation(bcb_silver, target_series).collect()
+        if bcb_silver is not None
+        else []
+    )
     if latest:
         row = latest[0]
         lines.append(
-            f"- Último valor de {target_series}: {row['value']:.2f} "
-            f"em {row['date']}"
+            f"BCB/SGS (série {int(row['series_id'])}) - {row['series_name']}: "
+            f"último valor em {_as_date(row['date'])} = {row['value']:.2f}."
         )
         monthly = last_per_month(bcb_silver, target_series)
         delta_rows = mom_delta_last_two(monthly).collect()
         if delta_rows and delta_rows[0]["mom_change"] is not None:
             lines.append(
-                f"- Variação vs mês anterior: {delta_rows[0]['mom_change']:+.2f}"
+                f"Variação vs mês anterior: "
+                f"{delta_rows[0]['mom_change']:+.2f} (variação absoluta)."
             )
+    elif bcb_silver is not None and bcb_silver.take(1):
+        lines.append(
+            f"BCB/SGS - série '{target_series}' não encontrada no período."
+        )
     else:
-        lines.append(f"- Série {target_series} sem dados.")
+        lines.append("BCB/SGS - sem dados para o período.")
 
-    anp_monthly = (
-        anp_silver.withColumn("month", month_trunc("date_ref"))
-        .groupBy("uf_sigla", "product", "month")
-        .agg(F.avg("price").alias("avg_price"))
-    )
-    anp_mom = mom_change(anp_monthly, ["uf_sigla", "product"], "avg_price")
-    movers = top_movers(anp_mom, k=3).collect()
-    if movers:
-        latest_month = movers[0]["month"]
-        lines.append(f"ANP - Destaques de {latest_month}:")
-        for r in movers:
+    # ---- ANP: top MoM increases by UF/product (summary.py:51-88) ----
+    if anp_silver is not None and anp_silver.take(1):
+        valid = anp_silver.filter(F.col("date_ref").isNotNull())
+        anp_monthly = (
+            valid.withColumn("month", month_trunc("date_ref"))
+            .groupBy("uf_sigla", "product", "month")
+            .agg(stable_mean("price").alias("avg_price"))
+        )
+        anp_mom = mom_change(anp_monthly, ["uf_sigla", "product"], "avg_price")
+        movers = top_movers(anp_mom, k=3).collect()
+        if movers:
+            latest_month = movers[0]["month"]
+            lines.append(f"ANP - Destaques de {_as_date(latest_month)}:")
+            for r in movers:
+                lines.append(
+                    f"- {r['uf_sigla']} / {r['product']}: variação média "
+                    f"{r['mom_change']:+.2f} (vs mês anterior)."
+                )
+        elif valid.take(1):
             lines.append(
-                f"- {r['product']} em {r['uf_sigla']}: "
-                f"{r['avg_price']:.2f} ({r['mom_change']:+.2f} MoM)"
+                "ANP - Sem variação mensal suficiente para destacar no período."
             )
-    return "\n".join(lines) + "\n"
+        else:
+            lines.append("ANP - Sem dados válidos para o período.")
+    else:
+        lines.append("ANP - sem dados para o período.")
+
+    text = "\n".join(lines).strip()
+    return (
+        text
+        if text
+        else "Resumo indisponível: não houve dados suficientes após o ETL."
+    )

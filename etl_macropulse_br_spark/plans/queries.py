@@ -47,9 +47,9 @@ SQL-surface beyond the reference (§2.3/2.4/2.5/2.7 'not present —
 Training-data extension ops: docs_exact_dedup, docs_text_stats,
   docs_token_totals, docs_lang_id, docs_fingerprint,
   docs_minhash_sig, docs_simhash, docs_near_dups,
-  embedding_cosine_topk, embedding_ivf_topk, embedding_near_dups
-  (all oracle-gated), embedding_cosine_topk_pandas (rows-only:
-  NumPy reduction order; exact-twin-tested).
+  embedding_cosine_topk, embedding_cosine_topk_pandas (float-free
+  rank projection), embedding_ivf_topk, embedding_near_dups
+  (all oracle-gated).
 """
 
 from __future__ import annotations
@@ -787,10 +787,10 @@ WITH g AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), s AS (
-  SELECT *, sum(new_session) OVER (
+  SELECT *, CAST(sum(new_session) OVER (
     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS session_seq
+  ) AS BIGINT) AS session_seq
   FROM g
 )
 SELECT user_id, session_seq,
@@ -898,26 +898,109 @@ GROUP BY bucket
 
 
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (ordered-set aggregate surface).
-    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
-    linear-interpolation definition, so values are bit-identical —
-    verified, no rounding applied."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    """Exact interpolated percentiles, scale-safe formulation.
+
+    Spark's ``percentile`` aggregate buffers every group value in
+    executor memory — an OOM at the 100 TB target. This is the
+    classic two-pass alternative with no unbounded buffer anywhere:
+
+    1. pre-aggregate to (group, value, count) — map-side combine
+       shrinks the shuffle to distinct values;
+    2. cumulative count over the sorted distinct values (sort-based
+       window: spillable, never holds a group in memory);
+    3. pick the two bracketing values for each target rank with
+       conditional ``min`` aggregates and linearly interpolate.
+
+    Interpolation follows the standard definition shared by Spark
+    ``percentile``/DuckDB ``quantile_cont``: rank h = (n-1)p + 1 over
+    the sorted multiset, result = v_lo + (h-⌊h⌋)(v_hi - v_lo). The
+    oracle spells out the identical fold so doubles stay
+    bit-identical cross-engine — no rounding applied.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    counted = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    ranked = counted.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def pos(p: float) -> Column:
+        return (F.col("n") - F.lit(1)).cast("double") * F.lit(p) + F.lit(1.0)
+
+    with_pos = ranked.withColumn("h50", pos(0.5)).withColumn("h90", pos(0.9))
+
+    def bracket(h: str, side: Column) -> Column:
+        return F.min(
+            F.when(F.col("cum") >= side, F.col("l_extendedprice"))
+        )
+
+    agg = with_pos.groupBy("l_returnflag").agg(
+        bracket("h50", F.floor("h50")).alias("lo50"),
+        bracket("h50", F.ceil("h50")).alias("hi50"),
+        bracket("h90", F.floor("h90")).alias("lo90"),
+        bracket("h90", F.ceil("h90")).alias("hi90"),
+        F.max("h50").alias("h50"),
+        F.max("h90").alias("h90"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
 
+    def interp(lo: str, hi: str, h: str) -> Column:
+        frac = F.col(h) - F.floor(h).cast("double")
+        return F.col(lo) + frac * (F.col(hi) - F.col(lo))
+
+    return agg.select(
+        "l_returnflag",
+        interp("lo50", "hi50", "h50").alias("p50_price"),
+        interp("lo90", "hi90", "h90").alias("p90_price"),
+        "min_price",
+        "max_price",
+    )
+
 
 PRICE_PERCENTILES_SQL = """
+WITH counted AS (
+  SELECT l_returnflag, l_extendedprice, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM counted
+), pos AS (
+  SELECT *,
+         CAST(n - 1 AS DOUBLE) * 0.5 + 1.0 AS h50,
+         CAST(n - 1 AS DOUBLE) * 0.9 + 1.0 AS h90
+  FROM ranked
+), agg AS (
+  SELECT l_returnflag,
+         min(CASE WHEN cum >= floor(h50) THEN l_extendedprice END) AS lo50,
+         min(CASE WHEN cum >= ceil(h50)  THEN l_extendedprice END) AS hi50,
+         min(CASE WHEN cum >= floor(h90) THEN l_extendedprice END) AS lo90,
+         min(CASE WHEN cum >= ceil(h90)  THEN l_extendedprice END) AS hi90,
+         max(h50) AS h50, max(h90) AS h90,
+         min(l_extendedprice) AS min_price,
+         max(l_extendedprice) AS max_price
+  FROM pos GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.5) AS p50_price,
-       quantile_cont(l_extendedprice, 0.9) AS p90_price,
-       min(l_extendedprice) AS min_price,
-       max(l_extendedprice) AS max_price
-FROM lineitem GROUP BY l_returnflag
+       lo50 + (h50 - floor(h50)) * (hi50 - lo50) AS p50_price,
+       lo90 + (h90 - floor(h90)) * (hi90 - lo90) AS p90_price,
+       min_price, max_price
+FROM agg
 """
 
 
@@ -1411,10 +1494,17 @@ LIMIT 10
 
 
 def embedding_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-vectorized pandas-UDF variant of the brute-force top-k
-    (rows-only: NumPy's reduction order differs from the sequential
-    fold at the last bit, so no hash oracle; correctness vs the
-    expression path is asserted in tests)."""
+    """Arrow-vectorized pandas-UDF variant of the brute-force top-k.
+
+    NumPy's matmul reduction order differs from the sequential fold
+    at the last float bit, so the *scores* can't be hash-compared
+    cross-engine — but the *ranking* can: neighbor similarities in
+    this data are well separated, so the (rank, vec_id) projection
+    is float-free and exactly oracle-able. The float scores are
+    asserted against the expression twin in tests instead.
+    """
+    from pyspark.sql import Window
+
     from etl_macropulse_br_spark.operators.similarity import (
         cosine_topk_pandas,
     )
@@ -1422,7 +1512,32 @@ def embedding_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in qrow["embedding"]]
-    return cosine_topk_pandas(emb, qv, k=10)
+    topk = cosine_topk_pandas(emb, qv, k=10)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return topk.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "vec_id",
+    )
+
+
+EMBEDDING_COSINE_TOPK_PANDAS_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT vec_id,
+         {_DOT_SQL.format(a="v", b="qv")}
+         / (sqrt({_DOT_SQL.format(a="v", b="v")})
+            * sqrt({_DOT_SQL.format(a="qv", b="qv")})) AS cosine
+  FROM e, q
+)
+SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
 
 
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1643,9 +1758,7 @@ ORACLES: dict[str, str] = {
     "docs_simhash": DOCS_SIMHASH_SQL,
     "docs_near_dups": DOCS_NEAR_DUPS_SQL,
     "embedding_cosine_topk": EMBEDDING_COSINE_TOPK_SQL,
+    "embedding_cosine_topk_pandas": EMBEDDING_COSINE_TOPK_PANDAS_SQL,
     "embedding_ivf_topk": EMBEDDING_IVF_TOPK_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
-    # rows-only: embedding_cosine_topk_pandas (NumPy reduction order
-    # differs from the SQL fold; asserted against its exact twin in
-    # tests instead)
 }

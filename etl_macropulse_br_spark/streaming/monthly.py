@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_macropulse_br_spark.functions.exprs import last_by
+from etl_macropulse_br_spark.functions.exprs import last_by, stable_mean
 from etl_macropulse_br_spark.sources.rest import BCB_SILVER_SCHEMA
 
 
@@ -64,8 +64,11 @@ def streaming_gold_bcb_monthly(
         deduped.withColumn("month", F.date_trunc("month", "date_ts"))
         .groupBy("series_id", "series_name", F.col("month"))
         .agg(
-            F.avg("value").alias("avg_value"),
-            last_by("value", "date").alias("last_value"),
+            stable_mean("value").alias("avg_value"),
+            # dropDuplicatesWithinWatermark only collapses ties inside
+            # the watermark; value tiebreak keeps the aggregate
+            # deterministic for (series_id, date) dupes that survive.
+            last_by("value", "date", "value").alias("last_value"),
         )
     )
 

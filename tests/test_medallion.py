@@ -138,14 +138,17 @@ def test_mom_change_and_summary_text(bcb_raw, anp_raw, dim_uf):
     assert rows[("SP", "GASOLINA", "2025-12-01")] is None
 
     text = build_summary_text(to_silver_bcb(bcb_raw), anp)
-    assert "Último valor de selic_sgs_11: 13.25 em 2026-01-09" in text
-    assert "Variação vs mês anterior: +0.50" in text  # 13.25 - 12.75
+    assert (
+        "BCB/SGS (série 11) - selic_sgs_11: último valor em 2026-01-09 = 13.25."
+        in text
+    )
+    assert "Variação vs mês anterior: +0.50 (variação absoluta)." in text
     assert "ANP - Destaques de 2026-01-01:" in text
     # top movers: GASOLINA/SP +0.20, DIESEL S10/AM +0.10, ETANOL/RJ -0.20
     lines = text.strip().splitlines()
-    assert lines[-3].startswith("- GASOLINA em SP: 6.59 (+0.20 MoM)")
-    assert "DIESEL S10 em AM" in lines[-2]
-    assert "ETANOL em RJ" in lines[-1]
+    assert lines[-3] == "- SP / GASOLINA: variação média +0.20 (vs mês anterior)."
+    assert "AM / DIESEL S10" in lines[-2]
+    assert "RJ / ETANOL" in lines[-1]
 
 
 def test_dedup_keep_first_deterministic(spark):

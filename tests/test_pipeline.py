@@ -94,10 +94,16 @@ def test_run_pipeline_end_to_end(spark, workspace):
     assert any(d.startswith("series_id=11") for d in part_dirs)
 
     # summary golden shape (summary.py:26,44,78-81 format)
-    assert "Último valor de selic_sgs_11: 13.25 em 2026-01-09" in result.summary_text
-    assert "Variação vs mês anterior: +0.50" in result.summary_text
+    assert (
+        "BCB/SGS (série 11) - selic_sgs_11: último valor em 2026-01-09 = 13.25."
+        in result.summary_text
+    )
+    assert "Variação vs mês anterior: +0.50 (variação absoluta)." in result.summary_text
     assert "ANP - Destaques de 2026-01-01:" in result.summary_text
-    assert "- GASOLINA em SP: 6.59 (+0.20 MoM)" in result.summary_text
+    assert (
+        "- SP / GASOLINA: variação média +0.20 (vs mês anterior)."
+        in result.summary_text
+    )
 
     # summary.md written to gold zone
     assert (workspace / "data" / "gold" / "summary.md").read_text() == result.summary_text
@@ -166,3 +172,37 @@ def test_streaming_gold_matches_batch(spark, tmp_path):
     b = {str(r["month"])[:10]: (r["avg_value"], r["last_value"])
          for r in batch.collect()}
     assert g == b
+
+
+def test_cli_main_wires_configs(monkeypatch, capsys, workspace):
+    """`python -m etl_macropulse_br_spark` parity with the reference's
+    `python src/main.py` entry (main.py:23-95): flags reach
+    run_pipeline and the summary is printed."""
+    import etl_macropulse_br_spark.plans.pipeline as pl
+    from etl_macropulse_br_spark.__main__ import main
+
+    seen = {}
+
+    def fake_run(spark, run_config_path, series_config_path, data_dir,
+                 write_outputs=True, **kw):
+        seen.update(
+            run_config_path=run_config_path,
+            series_config_path=series_config_path,
+            data_dir=data_dir,
+            write_outputs=write_outputs,
+        )
+        return pl.PipelineResult(tables={}, summary_text="RESUMO-TESTE")
+
+    monkeypatch.setattr(pl, "run_pipeline", fake_run)
+    rc = main([
+        "--run-config", str(workspace / "inputs" / "run_config.json"),
+        "--series-config", str(workspace / "inputs" / "bcb_series.csv"),
+        "--data-dir", str(workspace / "data"),
+        "--no-write",
+    ])
+    assert rc == 0
+    assert seen["write_outputs"] is False
+    assert seen["run_config_path"].endswith("run_config.json")
+    out = capsys.readouterr().out
+    assert "ETL concluído com sucesso." in out
+    assert "RESUMO-TESTE" in out

@@ -2,35 +2,76 @@
 
 Runs every declared query through Spark AND its oracle SQL through
 DuckDB on the same parquet tables, then compares row count, column
-names, and order-insensitive values (floats rounded to 9dp before
-compare — the queries themselves already round their computed
-columns, so this only absorbs representation noise).
+names, and order-insensitive TYPED values.
+
+Both sides are fetched through Arrow so engine type divergence is
+visible instead of laundered by Python coercion: DuckDB HUGEINT
+arrives as ``Decimal`` (not int), timestamps keep microsecond
+precision, and every value is tagged with a type discriminator
+before comparison.  Round 1 lesson: a ``sum(...) OVER`` the oracle
+left as HUGEINT passed the old int-round-tripping normalizer but
+failed the driver's typed hash — this gate must be at least as
+strict as the driver's.
+
+Floats are still rounded to 9dp before compare — the queries
+themselves round their computed float columns, so this only absorbs
+representation noise, never masks a type difference.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import sys
 
 sys.path.insert(0, ".")
 
 
+def _norm_val(v):
+    """Type-tagged normal form.  Distinct engine types that stringify
+    alike (Decimal('5') vs 5, naive vs aware timestamps) must NOT
+    collide, so each value carries a discriminator."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, datetime.datetime):
+        # Full microsecond precision; tz-aware vs naive is an engine
+        # session artifact, so compare in naive-UTC normal form.
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return ("ts", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("arr", tuple(_norm_val(x) for x in v))
+    if isinstance(v, bytes):
+        return ("bin", v)
+    return ("s", str(v))
+
+
 def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-
-    def norm_val(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return round(v, 9)
-        if hasattr(v, "isoformat"):
-            return v.isoformat()[:19].replace("T", " ")
-        return v
-
-    normed = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    normed = [tuple(_norm_val(r[i]) for i in order) for r in rows]
     return sorted(normed, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+def _arrow_rows(tbl) -> tuple[list[str], list[tuple]]:
+    cols = tbl.column_names
+    pyd = tbl.to_pydict()
+    n = tbl.num_rows
+    return cols, [tuple(pyd[c][i] for c in cols) for i in range(n)]
 
 
 def main() -> int:
@@ -55,14 +96,11 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        s_cols = sdf.columns
-        s_rows = [tuple(r) for r in sdf.collect()]
+        s_cols, s_rows = _arrow_rows(sdf.toArrow())
         if name not in ORACLES:
             print(f"{name:28s} rows-only: {len(s_rows)} rows")
             continue
-        res = con.execute(ORACLES[name])
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
+        d_cols, d_rows = _arrow_rows(con.execute(ORACLES[name]).fetch_arrow_table())
         status = []
         if sorted(s_cols) != sorted(d_cols):
             status.append(f"SCHEMA spark={sorted(s_cols)} duck={sorted(d_cols)}")
