@@ -1,12 +1,18 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "duckdb_total": ..., "ratio": ...}.
 
-Each query is timed end-to-end (plan + execute + collect). A warmup
-run of a trivial job first absorbs JVM/codegen startup so timings
-reflect steady-state execution, matching how the DuckDB baseline is
-measured (in-process, warm).
+Methodology (both engines measured the same way, in this process):
+- Spark: per query, min of 2 end-to-end runs (plan + execute into a
+  noop sink), after an untimed warmup that absorbs JVM/codegen/Arrow
+  startup.
+- DuckDB baseline: the SAME workload via each query's oracle SQL on
+  the same parquet files, warm in-process connection, min of 2 runs
+  with fetchall. Published next to the Spark number every round so
+  the ratio is reproducible — no cold-start numbers on either side.
+
+Skip the baseline (e.g. in smoke runs) with SPARK_GRAFT_NO_DUCKDB=1.
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ BENCH_QUERIES = [
     "pivot_status_priority",
     "sessionize_events",
     "asof_click_view",
+    "asof_forward_click_view",
     "distinct_parts",
     "range_join_buckets",
     "price_percentiles",
@@ -98,17 +105,49 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if not os.environ.get("SPARK_GRAFT_NO_DUCKDB"):
+        duck = duckdb_baseline(sf_dir)
+        out["duckdb_total"] = duck["total"]
+        out["duckdb_queries"] = duck["queries"]
+        out["ratio"] = round(total / duck["total"], 2) if duck["total"] else None
+
+    print(json.dumps(out))
+
+
+def duckdb_baseline(sf_dir: str) -> dict:
+    """Warm min-of-2 DuckDB timings of the same workload (each
+    query's oracle SQL over the same parquet)."""
+    import duckdb
+
+    from etl_macropulse_br_spark.plans.queries import ORACLES
+    from etl_macropulse_br_spark.sources.files import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        sql = ORACLES.get(name)
+        if sql is None:
+            continue
+        con.execute(sql).fetchall()  # warm (compile + page cache)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# duckdb {name}: {timings[name]:.3f}s", file=sys.stderr)
+    return {"total": round(sum(timings.values()), 3), "queries": timings}
 
 
 if __name__ == "__main__":

@@ -1,5 +1,4 @@
-"""As-of join — "latest right-side row at or before each left
-timestamp, per key".
+"""As-of join — "temporally closest right-side row, per key".
 
 Spark has no native as-of join (pandas has ``merge_asof``;
 time-series stores treat it as a primitive). The distributed
@@ -13,16 +12,32 @@ shuffle and no range join:
    build row at-or-before it;
 4. filter back to probe rows.
 
+``forward`` is the mirror image (descending ts ordering → closest
+at-or-after); ``nearest`` evaluates both frames over the same
+shuffled partition and picks the closer match per row (ties →
+backward, matching ``merge_asof``).
+
 At 100 TB this beats the naive range-join formulation (which
 explodes to O(probe × build) within key groups before picking the
 max) — the window pass is linear in rows after one hash partition
-by key. Skewed keys fall out of AQE skew handling like any window.
+by key, and all directions share that single exchange. Skewed keys
+fall out of AQE skew handling like any window.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_RTS = "__rts"  # right-ts field carried inside the match struct
+
+
+def _ts_num(c: Column, dtype: str) -> Column:
+    """Order-preserving numeric view of a ts column for distance
+    comparison (timestamps/dates → epoch seconds)."""
+    if dtype == "date" or dtype.startswith("timestamp"):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
 
 
 def asof_join(
@@ -34,14 +49,18 @@ def asof_join(
     right_payload: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every left row + the temporally closest
-    preceding (``backward``) right row's payload columns.
+    """Left as-of join: every left row + the temporally closest right
+    row's payload columns (as ``asof_<col>``).
 
-    Ties (right_ts == left_ts) match, like ``merge_asof``'s
-    default ``allow_exact_matches=True``.
+    ``direction``: ``backward`` (closest at-or-before, the
+    ``merge_asof`` default), ``forward`` (closest at-or-after), or
+    ``nearest`` (whichever is closer; ties prefer backward). Exact
+    ts matches always match (``allow_exact_matches=True``).
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip the sort order")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
+
+    ts_dtype = dict(right.dtypes)[right_ts]
 
     probe = left.select(
         F.col(on).alias("__k"),
@@ -53,7 +72,10 @@ def asof_join(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_probe"),
-        F.struct(*[F.col(c) for c in right_payload]).alias("__right"),
+        F.struct(
+            *[F.col(c) for c in right_payload],
+            F.col(right_ts).alias(_RTS),
+        ).alias("__right"),
     )
     probe = probe.withColumn(
         "__right", F.lit(None).cast(build.schema["__right"].dataType)
@@ -62,20 +84,46 @@ def asof_join(
         "__left", F.lit(None).cast(probe.schema["__left"].dataType)
     )
 
-    unioned = probe.select("__k", "__ts", "__is_probe", "__left", "__right").unionByName(
-        build.select("__k", "__ts", "__is_probe", "__left", "__right")
+    cols = ["__k", "__ts", "__is_probe", "__left", "__right"]
+    unioned = probe.select(*cols).unionByName(build.select(*cols))
+
+    # build rows sort BEFORE probe rows at equal ts (in either
+    # direction) so exact matches are visible to the probe's frame
+    def matched(ascending: bool) -> Column:
+        order = F.col("__ts").asc() if ascending else F.col("__ts").desc()
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(order, F.col("__is_probe").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return F.last("__right", ignorenulls=True).over(w)
+
+    if direction == "backward":
+        withm = unioned.withColumn("__match", matched(True))
+    elif direction == "forward":
+        withm = unioned.withColumn("__match", matched(False))
+    else:  # nearest: both frames over the SAME exchange, pick closer
+        # project the window results first so each window expression
+        # appears exactly once (no re-inlining into the when-chain)
+        both = unioned.select(
+            *cols, matched(True).alias("__mb"), matched(False).alias("__mf")
+        )
+        t = _ts_num(F.col("__ts"), ts_dtype)
+        dist_b = F.abs(t - _ts_num(F.col("__mb").getField(_RTS), ts_dtype))
+        dist_f = F.abs(_ts_num(F.col("__mf").getField(_RTS), ts_dtype) - t)
+        withm = both.withColumn(
+            "__match",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(dist_b <= dist_f, F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        )
+
+    matched_probe = withm.filter(F.col("__is_probe") == 1)
+    return matched_probe.select(
+        "__left.*",
+        *[
+            F.col("__match").getField(c).alias(f"asof_{c}")
+            for c in right_payload
+        ],
     )
-    # build rows sort BEFORE probe rows at equal ts so exact matches
-    # are visible to the probe row's frame
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__is_probe").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = unioned.withColumn(
-        "__match", F.last("__right", ignorenulls=True).over(w)
-    ).filter(F.col("__is_probe") == 1)
-    out = matched.select("__left.*", *[
-        F.col("__match").getField(c).alias(f"asof_{c}") for c in right_payload
-    ])
-    return out

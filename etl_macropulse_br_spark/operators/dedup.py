@@ -372,57 +372,110 @@ def simhash(
     )
 
 
+def srp_signs(plane: int, dim: int) -> list[float]:
+    """±1 hyperplane for one SRP plane, derived from the portable md5
+    family (same bits as ``md5_long(dim_index, seed=plane)``), so
+    Spark code, SQL oracle, and tests share identical planes."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:15], 16)
+        out.append(1.0 if h % 2 == 0 else -1.0)
+    return out
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_bands: int = 8,
+    n_bands: int = 3,
+    n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs: sign-random-projection LSH buckets
-    (deterministic hyperplanes from md5 of dimension index) then
-    exact cosine verify within buckets.
+    """Embedding near-dup pairs: banded sign-random-projection LSH,
+    exact cosine verify on the (deduplicated) candidate set.
 
-    At 100 TB the bucket join bounds pair counts; brute force is the
-    ``similarity.cosine_topk`` path instead.
+    Banded OR-construction: ``n_bands`` independent bands of
+    ``n_planes`` hyperplanes each; a pair is a candidate if it
+    collides in ANY band. More planes per band shrink bucket sizes
+    exponentially (E[bucket] = n / 2^n_planes per band), so the
+    within-bucket self-join stays sub-quadratic at corpus scale;
+    recall lost to the sharper buckets is recovered by OR-ing bands —
+    the standard LSH trade (MMDS ch. 3, same construction as the
+    MinHash path above).
+
+    The hyperplanes are data-independent, so they're precomputed on
+    the driver and embedded as literal arrays — broadcast model
+    parameters, not per-row hash folds (the earlier single-band form
+    recomputed one md5 per dimension per plane per ROW). Plane
+    ``band * n_planes + p`` uses the portable md5 family, so the SQL
+    oracle replays the exact bucketing.
     """
     from etl_macropulse_br_spark.operators.similarity import cosine_sim
-
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # Sign bits of dot products with ±1 hyperplanes derived from
-    # md5(dim_index * plane): deterministic, engine-portable.
-    def plane_bit(p: int) -> Column:
-        def sign_for_dim(plane: int):
-            return lambda i: F.when(
-                md5_long(i.cast("string"), seed=plane) % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-
-        signed = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(F.sequence(F.lit(0), F.size(v) - 1), sign_for_dim(p)),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(signed >= 0, F.lit(2**p)).otherwise(F.lit(0))
-
-    bucket = plane_bit(0)
-    for p in range(1, n_bands):
-        bucket = bucket + plane_bit(p)
     from etl_macropulse_br_spark.operators.util import spread
 
-    keyed = spread(df).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+
+    def band_bucket(b: int) -> Column:
+        bucket = None
+        for p in range(n_planes):
+            signs = srp_signs(b * n_planes + p, dim)
+            s_lit = F.array(*[F.lit(s) for s in signs])
+            signed = F.aggregate(
+                F.zip_with(F.col(vec_col), s_lit, lambda a, s: a * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(signed >= 0, F.lit(2**p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        return bucket
+
+    banded = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            band_bucket(b).alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("id", "bb.band", "bb.bucket")
     )
-    left, right = keyed.alias("l"), keyed.alias("r")
-    pairs = left.join(
-        right,
-        on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")],
-    ).select(
-        F.col("l.id").alias("id_a"),
-        F.col("r.id").alias("id_b"),
-        cosine_sim(F.col("l.v"), F.col("r.v")).alias("cosine"),
+    left, right = banded.alias("l"), banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()  # a pair colliding in several bands verifies once
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        cands.join(
+            e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+        )
+        .join(
+            e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            cosine_sim(F.col("v_a"), F.col("v_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -48,6 +48,58 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+try:  # feature flag: real image codec when the library exists
+    import PIL.Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:  # container without media libs → stub path
+    HAS_PIL = False
+
+
+def _decode_pil(content: bytes | None, kind: str) -> list[float]:
+    """Real image decoder (PIL), same 8-dim feature contract as the
+    stub: deterministic per input bytes, so tests can assert exact
+    values in either mode."""
+    if content is None:
+        raise NotImplementedError("missing media bytes; real decoder required")
+    if kind != "image":
+        raise NotImplementedError(f"PIL path only decodes images, got {kind!r}")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content))
+    img.load()
+    w, h = img.size
+    a = np.asarray(img.convert("L"), dtype=np.float64)
+    return [
+        float(w),
+        float(h),
+        float(a.mean()),
+        float(a.std()),
+        float(a.min()),
+        float(a.max()),
+        float(len(content)),
+        1.0,
+    ]
+
+
+def decode_media(
+    content: bytes | None, kind: str, use_real: bool | None = None
+) -> list[float]:
+    """Decode one media payload to a feature vector.
+
+    ``use_real=None`` auto-selects: PIL when importable (images),
+    the deterministic stub otherwise — so the same pipeline code
+    runs end-to-end in both environments.
+    """
+    use_real = HAS_PIL if use_real is None else use_real
+    if use_real and kind == "image":
+        return _decode_pil(content, kind)
+    return _decode_stub(content, kind)
+
+
 def _decode_stub(content: bytes | None, kind: str) -> list[float]:
     """Deterministic fake decoder.
 
@@ -73,8 +125,16 @@ def _decode_stub(content: bytes | None, kind: str) -> list[float]:
     ]
 
 
-def extract_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    batch_size: int = 256,
+    use_real_decoder: bool | None = None,
+) -> DataFrame:
     """Decode + featurize media via mapInPandas (Arrow batches).
+
+    ``use_real_decoder``: None auto-detects PIL on the EXECUTORS
+    (resolved inside the UDF so heterogenous clusters behave);
+    True forces the real codec, False forces the stub.
 
     Column pruning matters: only (media_id, kind, content) reach the
     UDF; metadata columns are re-joined afterward if needed.
@@ -85,9 +145,9 @@ def extract_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
             feats, oks = [], []
             for content, kind in zip(pdf["content"], pdf["kind"]):
                 try:
-                    feats.append(_decode_stub(content, kind))
+                    feats.append(decode_media(content, kind, use_real_decoder))
                     oks.append(True)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, OSError):
                     feats.append(None)
                     oks.append(False)
             yield pd.DataFrame(

@@ -134,35 +134,61 @@ def ivf_topk_deterministic(
       reduction order differs from the SQL fold).
     The query vector is the embedding of ``query_id``.
     """
+    import math
+
     from etl_macropulse_br_spark.functions.hashing import md5_long
 
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cent_rows = (
+
+    # ONE driver collect for both tiny lookups (centroid sample +
+    # query vector): a union of two limit-pruned branches instead of
+    # two sequential jobs. Order is re-derived driver-side from the
+    # collected sort key, so no reliance on union row order.
+    sort_key = md5_long(F.col("id").cast("string")).alias("sk")
+    cent_q = (
         e.orderBy(md5_long(F.col("id").cast("string")), F.col("id"))
         .limit(n_cells)
-        .collect()
+        .select("id", "v", sort_key, F.lit(False).alias("is_query"))
+    )
+    query_q = (
+        e.filter(F.col("id") == query_id)
+        .limit(1)
+        .select("id", "v", sort_key, F.lit(True).alias("is_query"))
+    )
+    rows = cent_q.unionByName(query_q).collect()
+    cent_rows = sorted(
+        (r for r in rows if not r["is_query"]),
+        key=lambda r: (r["sk"], r["id"]),
     )
     centroids = [[float(x) for x in r["v"]] for r in cent_rows]
     qv = [
         float(x)
-        for x in e.filter(F.col("id") == query_id).select("v").first()["v"]
+        for x in next(r for r in rows if r["is_query"])["v"]
     ]
 
     def lit_vec(vals: list[float]) -> Column:
         return F.array(*[F.lit(x) for x in vals])
 
-    # probe cells via the same fold expressions on a tiny frame
-    cent_df = df.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], ["cell", "cv"]
-    )
+    # Probe ranking runs driver-side over n_cells Python lists — no
+    # Spark job. Python doubles are IEEE 754 with per-op rounding, so
+    # this sequential fold is bit-identical to the engines' fold
+    # expressions (same op order), keeping the probe set oracle-exact.
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    qn = math.sqrt(fold_dot(qv, qv))
+
+    def fold_cos(c: list[float]) -> float:
+        return fold_dot(c, qv) / (math.sqrt(fold_dot(c, c)) * qn)
+
     probe_cells = [
-        r["cell"]
-        for r in cent_df.select(
-            "cell", cosine_sim(F.col("cv"), lit_vec(qv)).alias("sim")
-        )
-        .orderBy(F.col("sim").desc(), F.col("cell").asc())
-        .limit(n_probe)
-        .collect()
+        i
+        for i, _ in sorted(
+            enumerate(centroids), key=lambda ic: (-fold_cos(ic[1]), ic[0])
+        )[:n_probe]
     ]
 
     scores = F.array(*[cosine_sim(F.col("v"), lit_vec(c)) for c in centroids])

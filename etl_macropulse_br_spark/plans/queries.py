@@ -843,6 +843,48 @@ FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
 """
 
 
+def asof_forward_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click matched to the same user's
+    NEXT view at-or-after it (``merge_asof(direction="forward")``);
+    oracle is DuckDB's ASOF LEFT JOIN with the inequality flipped."""
+    from etl_macropulse_br_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "ts", "value"],
+        direction="forward",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_ts").alias("view_ts"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+ASOF_FORWARD_CLICK_VIEW_SQL = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.ts,
+       v.event_id AS view_event_id,
+       v.ts AS view_ts,
+       v.value AS view_value
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts <= v.ts
+"""
+
+
 def distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation (count-distinct surface)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1619,42 +1661,57 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # The synthetic embeddings are near-orthogonal (max pairwise
     # cosine ≈ 0.5), so the "near-dup" threshold is set low enough to
-    # exercise the bucket-join + verify path on real pairs.
-    return embedding_near_dups(emb, threshold=0.3, n_bands=6)
+    # exercise the bucket-join + verify path on real pairs. dim=64 is
+    # the testdata embedding width (skips the one-row peek).
+    return embedding_near_dups(
+        emb, threshold=0.3, n_bands=3, n_planes=8, dim=64
+    )
 
 
-def _embedding_near_dups_sql(n_bands: int = 6, threshold: float = 0.3) -> str:
-    from etl_macropulse_br_spark.functions.hashing import md5_long_sql
+def _embedding_near_dups_sql(
+    n_bands: int = 3,
+    n_planes: int = 8,
+    threshold: float = 0.3,
+    dim: int = 64,
+) -> str:
+    from etl_macropulse_br_spark.operators.dedup import srp_signs
 
-    def signed_sum(p: int) -> str:
-        sign = (
-            "CASE WHEN ("
-            + md5_long_sql(f"concat('{p}:', CAST(i - 1 AS VARCHAR))")
-            + ") % 2 = 0 THEN 1.0 ELSE -1.0 END"
-        )
-        return (
-            "list_reduce(list_transform(generate_series(1, len(v)), "
-            f"i -> v[i] * ({sign})), (acc, x) -> acc + x)"
-        )
+    def band_bucket(b: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            signs = srp_signs(b * n_planes + p, dim)
+            s_lit = "[" + ", ".join(str(s) for s in signs) + "]"
+            signed = (
+                "list_reduce(list_transform(generate_series(1, len(v)), "
+                f"i -> v[i] * ({s_lit})[i]), (acc, x) -> acc + x)"
+            )
+            bits.append(f"(CASE WHEN ({signed}) >= 0 THEN {2**p} ELSE 0 END)")
+        return " + ".join(bits)
 
-    bucket = " + ".join(
-        f"(CASE WHEN ({signed_sum(p)}) >= 0 THEN {2**p} ELSE 0 END)"
-        for p in range(n_bands)
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, ({band_bucket(b)}) AS bucket FROM e"
+        for b in range(n_bands)
+    )
+    cos = (
+        _DOT_SQL.format(a="a.v", b="b.v")
+        + f" / (sqrt({_DOT_SQL.format(a='a.v', b='a.v')})"
+        + f" * sqrt({_DOT_SQL.format(a='b.v', b='b.v')}))"
     )
     return f"""
 WITH e AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), k AS (
-  SELECT id, v, ({bucket}) AS bucket FROM e
+), banded AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 )
-SELECT l.id AS id_a, r.id AS id_b,
-       {_DOT_SQL.format(a="l.v", b="r.v")}
-       / (sqrt({_DOT_SQL.format(a="l.v", b="l.v")})
-          * sqrt({_DOT_SQL.format(a="r.v", b="r.v")})) AS cosine
-FROM k l JOIN k r ON l.bucket = r.bucket AND l.id < r.id
-WHERE {_DOT_SQL.format(a="l.v", b="r.v")}
-      / (sqrt({_DOT_SQL.format(a="l.v", b="l.v")})
-         * sqrt({_DOT_SQL.format(a="r.v", b="r.v")})) >= {threshold}
+SELECT c.id_a, c.id_b, {cos} AS cosine
+FROM cand c
+JOIN e a ON a.id = c.id_a
+JOIN e b ON b.id = c.id_b
+WHERE {cos} >= {threshold}
 """
 
 
@@ -1690,6 +1747,7 @@ QUERIES: dict[str, QueryFn] = {
     "pivot_status_priority": pivot_status_priority,
     "sessionize_events": sessionize_events,
     "asof_click_view": asof_click_view,
+    "asof_forward_click_view": asof_forward_click_view,
     "distinct_parts": distinct_parts,
     "range_join_buckets": range_join_buckets,
     "price_percentiles": price_percentiles,
@@ -1739,6 +1797,7 @@ ORACLES: dict[str, str] = {
     "pivot_status_priority": PIVOT_STATUS_PRIORITY_SQL,
     "sessionize_events": SESSIONIZE_EVENTS_SQL,
     "asof_click_view": ASOF_CLICK_VIEW_SQL,
+    "asof_forward_click_view": ASOF_FORWARD_CLICK_VIEW_SQL,
     "distinct_parts": DISTINCT_PARTS_SQL,
     "range_join_buckets": RANGE_JOIN_BUCKETS_SQL,
     "price_percentiles": PRICE_PERCENTILES_SQL,

@@ -63,8 +63,17 @@ def is_enabled_flag(value: object) -> bool:
     return str(value).strip().lower() in {"true", "1", "yes"}
 
 
+# DataFrame plans are immutable, so re-using the scan node across
+# queries in one session is free and skips the repeated parquet
+# footer/schema read each `spark.read.parquet` pays on the driver
+# (~tens of ms per call — a real tax when a bench runs 36 queries).
+# Keyed by Spark application id so a new session never sees stale
+# plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-provided testdata table.
+    """Load one driver-provided testdata table (memoized per session).
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
     rejects; read it as long nanos (``nanosAsLong`` — settable at
@@ -74,6 +83,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -81,8 +95,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
 
 
 TESTDATA_TABLES = (

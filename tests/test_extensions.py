@@ -156,3 +156,94 @@ def test_multimodal_feature_extraction(spark):
 
     frames = sample_frames(media, every_ms=1000, max_frames=8).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000, 4000, 5000]
+
+
+def test_srp_banded_buckets_shrink():
+    """The banded OR-construction must bound bucket sizes: more
+    planes per band → exponentially smaller buckets than the earlier
+    single-band form, which is what keeps the within-bucket self-join
+    sub-quadratic at corpus scale. Pure-python over the real testdata
+    embeddings (the planes are data-independent literals)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_macropulse_br_spark.operators.dedup import srp_signs
+
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    dim = vecs.shape[1]
+
+    def buckets(plane_ids):
+        signs = np.asarray([srp_signs(p, dim) for p in plane_ids])  # (P, dim)
+        bits = (vecs @ signs.T) >= 0  # (n, P)
+        return bits @ (1 << np.arange(len(plane_ids)))
+
+    # old single-band construction: 6 planes, one band
+    single = Counter(buckets(range(6)))
+    # banded: 3 bands x 8 planes (the shipped defaults)
+    banded_max = max(
+        Counter(buckets(range(b * 8, b * 8 + 8))).most_common(1)[0][1]
+        for b in range(3)
+    )
+    assert banded_max < single.most_common(1)[0][1]
+
+
+def test_embedding_near_dups_pairs_verified(spark):
+    from etl_macropulse_br_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = embedding_near_dups(
+        emb, threshold=0.3, n_bands=3, n_planes=8, dim=64
+    ).collect()
+    assert rows, "construction should surface candidate pairs"
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(r["cosine"] >= 0.3 for r in rows)
+    # dedup across bands: no pair reported twice
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_multimodal_decoder_both_modes(spark):
+    """extract_features runs end-to-end with the decoder flag in
+    both positions: stub mode always; real (PIL) mode when the
+    library is importable in this environment."""
+    import pytest as _pytest
+
+    from etl_macropulse_br_spark.operators.multimodal import (
+        HAS_PIL,
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rows = [(1, "image", b"\x89PNGfakebytes", "image/png", 4, 4, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    # stub mode: deterministic byte-stat features
+    out = extract_features(media, use_real_decoder=False).collect()
+    assert out[0]["decode_ok"] and out[0]["feature"][0] == 13.0
+
+    if not HAS_PIL:
+        _pytest.skip("PIL not installed: real-decoder mode untestable here")
+
+    # real mode: decode an actual PNG generated in-process
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (3, 2), color=128).save(buf, format="PNG")
+    real = spark.createDataFrame(
+        [(2, "image", buf.getvalue(), "image/png", 3, 2, None)], MEDIA_SCHEMA
+    )
+    got = extract_features(real, use_real_decoder=True).collect()[0]
+    assert got["decode_ok"]
+    assert got["feature"][:2] == [3.0, 2.0]  # width, height from pixels
+    assert got["feature"][2] == 128.0        # mean gray
+
+    # real mode on garbage bytes → decode_ok False, row preserved
+    bad = extract_features(media, use_real_decoder=True).collect()[0]
+    assert bad["decode_ok"] is False and bad["feature"] is None
