@@ -71,7 +71,11 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    # The bench inputs are a few MB of parquet: run under the
+    # small-input profile (static partitioning, AQE off). The cluster
+    # profile's AQE barriers cost more than these stages run; at real
+    # scale the default profile applies. See session.get_spark.
+    spark = get_spark(app_name="bench", profile="small-input")
 
     # warmup: JVM, codegen, parquet reader init, Python UDF workers
     # (untimed)
@@ -105,15 +109,35 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Fixed per-job cost of this Spark deployment (scheduler + Py4J +
+    # task launch for a 1-row plan). With ~37 queries at 1-3 jobs
+    # each, null_job_sec * jobs is the hard floor under any total
+    # here — it amortizes to nothing at real data scale but bounds
+    # how close a local sub-second-query bench can get to an
+    # in-process engine. Published so the ratio reads honestly.
+    null_best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).write.mode("overwrite").format("noop").save()
+        null_best = min(null_best, time.perf_counter() - t0)
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "null_job_sec": round(null_best, 3),
     }
 
     if not os.environ.get("SPARK_GRAFT_NO_DUCKDB"):
+        # Stop the JVM first: a resident local[32] Spark session
+        # (heap + 32 idle-but-scheduled threads) measurably slows an
+        # in-process DuckDB run on the same box (observed up to 20x
+        # on sort-heavy queries) — each engine gets the machine to
+        # itself, like-for-like.
+        spark.stop()
         duck = duckdb_baseline(sf_dir)
         out["duckdb_total"] = duck["total"]
         out["duckdb_queries"] = duck["queries"]

@@ -78,6 +78,18 @@ def month_trunc(col: Column | str) -> Column:
     return F.trunc(_as_col(col), "MM")
 
 
+def lit_double_array(vals: list[float]) -> Column:
+    """Literal array<double> built from ONE parsed SQL string.
+
+    ``F.array(*[F.lit(x) ...])`` pays a Py4J round-trip per element
+    (~1 ms each); a 64-dim vector × 16 centroids is ~1 s of pure
+    driver RPC per plan build. ``repr(float)`` is the shortest
+    round-trip form, so the parsed double is bit-identical to the
+    source value.
+    """
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+
+
 def stable_mean(col: Column | str) -> Column:
     """Partition-order-invariant mean of a double column.
 

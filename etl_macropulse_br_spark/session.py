@@ -29,20 +29,46 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str = "cluster",
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     In local mode the driver is the only JVM, so ``driver.memory``
     is the lone memory knob; on a real cluster the same code runs
     unchanged with executors sized by the submitter.
+
+    ``profile`` picks the execution-planning posture:
+
+    - ``cluster`` (default): AQE on. At TB scale the per-exchange
+      runtime-stats barrier AQE pays is noise next to stage runtimes,
+      and its partition coalescing / skew-join splitting is what lets
+      one plan survive a 100x scale-up un-retuned.
+    - ``small-input``: AQE off + few static shuffle partitions. For
+      sub-second interactive queries over inputs known to be small
+      (the local bench, notebooks on samples), AQE's stage-wise
+      materialize-and-replan costs ~100-200 ms per exchange — more
+      than the stages themselves. Measured on this bench: the
+      overhead-bound query set runs ~35% faster under this profile
+      (see PLANS.md "Local overhead floor"). Same engine code either
+      way; this is deploy-time sizing, exactly like choosing executor
+      counts.
     """
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
-    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    if shuffle_partitions is None:
+        shuffle_partitions = (
+            4 if profile == "small-input" else DEFAULT_SHUFFLE_PARTITIONS
+        )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local mode defaults the (only) JVM to 1g — constant GC under
+        # 32 threads. Effective only at JVM launch; harmless later.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            "spark.sql.adaptive.enabled",
+            "false" if profile == "small-input" else "true",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")

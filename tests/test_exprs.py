@@ -140,3 +140,33 @@ def test_resolve_columns_exact_and_fallback():
 def test_resolve_columns_missing_role_raises():
     with pytest.raises(ValueError, match="price"):
         resolve_columns(["Estado - Sigla", "Produto", "Data da Coleta"])
+
+
+def test_lit_double_array_bit_exact(spark):
+    """The single-string literal array must reproduce the exact
+    double bits of its inputs (repr is the shortest round-trip
+    form) — LSH plane folds and IVF centroid scores depend on it."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.functions.exprs import lit_double_array
+
+    vals = [
+        0.1,
+        -1.5,
+        1e-300,
+        1.7976931348623157e308,
+        3.141592653589793,
+        -2.2250738585072014e-308,
+        123456789.123456789,
+    ]
+    [row] = (
+        spark.range(1).select(lit_double_array(vals).alias("a")).collect()
+    )
+    got = list(row["a"])
+    assert len(got) == len(vals)
+    for g, v in zip(got, vals):
+        assert struct.pack("<d", g) == struct.pack("<d", v), (g, v)
+    assert not any(math.isnan(x) for x in got)
