@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "docs_text_stats",
     "docs_token_totals",
     "docs_lang_id",
+    "docs_winnow_fp",
     "docs_minhash_sig",
     "docs_simhash",
     "docs_near_dups",

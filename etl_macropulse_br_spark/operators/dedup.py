@@ -147,6 +147,7 @@ def shingle_hash_rows(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_shingle: int = 3,
+    with_pos: bool = False,
 ) -> DataFrame:
     """Row-per-shingle hashes: (id, sh_h).
 
@@ -175,18 +176,16 @@ def shingle_hash_rows(
     sh_h = F.col("h") * F.lit(_SHINGLE_COEFS[0])
     for j, coef in enumerate(_SHINGLE_COEFS[1:n_shingle], start=1):
         sh_h = sh_h + F.coalesce(F.lead("h", j).over(w), F.lit(0)) * F.lit(coef)
-    return (
-        hashed.select(
-            "id",
-            "pos",
-            sh_h.alias("sh_h"),
-            F.count(F.lit(1)).over(wcnt).alias("n_tok"),
-        )
-        .filter(
-            F.col("pos")
-            <= F.greatest(F.col("n_tok") - n_shingle, F.lit(0))
-        )
-        .select("id", "sh_h")
+    out = hashed.select(
+        "id",
+        "pos",
+        sh_h.alias("sh_h"),
+        F.count(F.lit(1)).over(wcnt).alias("n_tok"),
+    ).filter(
+        F.col("pos") <= F.greatest(F.col("n_tok") - n_shingle, F.lit(0))
+    )
+    return out.select("id", "pos", "sh_h") if with_pos else out.select(
+        "id", "sh_h"
     )
 
 
@@ -480,3 +479,57 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing-style document fingerprints (Schleimer et al. 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting"): a
+    sparse, deterministic sample of the shingle-hash sequence that
+    two documents sharing a long-enough substring are guaranteed to
+    sample identically.
+
+    Selection rule (engine-portable variant): shingle at position p
+    is a fingerprint iff its hash is the minimum of the w-window
+    STARTING at p (full windows only; a document with fewer than w
+    shingles contributes its global minimum). This keeps the
+    classic guarantee's shape — every w consecutive shingles share
+    at least one selected position with any equal run elsewhere —
+    while staying expressible as one window ``min`` in both Spark
+    and the SQL oracle (the original's rightmost-argmin rule needs
+    per-window argmin state). Expected density ~2/(w+1).
+
+    Plan: shingle-hash rows (one md5 per token, affine combine — see
+    :func:`shingle_hash_rows`) → one hash partition by doc serves
+    the forward-min window, the global-min window and the count →
+    filter + distinct. One exchange total; no per-doc buffering
+    beyond the window sort, which is spillable.
+    """
+    from pyspark.sql import Window
+
+    rows = shingle_hash_rows(df, text_col, id_col, n_shingle, with_pos=True)
+    w_fwd = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    w_all = Window.partitionBy("id")
+    flagged = rows.select(
+        "id",
+        "pos",
+        "sh_h",
+        F.min("sh_h").over(w_fwd).alias("win_min"),
+        F.min("sh_h").over(w_all).alias("glob_min"),
+        F.count(F.lit(1)).over(w_all).alias("n_sh"),
+    )
+    selected = flagged.filter(
+        (
+            (F.col("pos") <= F.col("n_sh") - w)
+            & (F.col("sh_h") == F.col("win_min"))
+        )
+        | ((F.col("n_sh") < w) & (F.col("sh_h") == F.col("glob_min")))
+    )
+    return selected.select("id", F.col("sh_h").alias("fp")).distinct()

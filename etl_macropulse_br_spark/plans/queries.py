@@ -1499,6 +1499,63 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 DOCS_NEAR_DUPS_SQL = _near_dups_sql()
 
 
+def docs_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints: (doc_id, fp) rows — the sparse
+    deterministic shingle-hash sample two documents sharing a long
+    run select identically (operators/dedup.py:winnow_fingerprints).
+    """
+    from etl_macropulse_br_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, n_shingle=3, w=4).select(
+        F.col("id").alias("doc_id"), "fp"
+    )
+
+
+def _winnow_fp_sql(n: int = 3, w: int = 4) -> str:
+    from etl_macropulse_br_spark.functions.hashing import base32_sql
+    from etl_macropulse_br_spark.operators.dedup import _SHINGLE_COEFS
+
+    terms = " + ".join(
+        f"coalesce(th[i + {j}], 0) * {coef}"
+        for j, coef in enumerate(_SHINGLE_COEFS[:n])
+    )
+    # ORDERED shingle-hash list (no list_distinct — winnowing needs
+    # document order); selection is the same full-forward-window min
+    # rule as the Spark side, 1-based here vs 0-based there.
+    sel = (
+        f"CASE WHEN (p <= len(sh) - {w} + 1 "
+        f"AND sh[p] = list_min(sh[p:least(p + {w} - 1, len(sh))])) "
+        f"OR (len(sh) < {w} AND sh[p] = list_min(sh)) "
+        f"THEN sh[p] ELSE NULL END"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ntoks
+  FROM documents
+), h_t AS (
+  SELECT doc_id, list_transform(ntoks, t -> {base32_sql('t')}) AS th FROM t
+), sh_t AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(th) - {n - 1}, 1)),
+                        i -> {terms}) AS sh
+  FROM h_t
+), sel AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(generate_series(1, len(sh)), p -> {sel}),
+           x -> x IS NOT NULL)) AS fps
+  FROM sh_t
+)
+SELECT doc_id, unnest(fps) AS fp FROM sel
+"""
+
+
+DOCS_WINNOW_FP_SQL = _winnow_fp_sql()
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact ANN baseline: top-10 cosine neighbors of
     vec_id=0, deterministic tiebreak on id."""
@@ -1763,6 +1820,7 @@ QUERIES: dict[str, QueryFn] = {
     "docs_token_totals": docs_token_totals,
     "docs_lang_id": docs_lang_id,
     "docs_fingerprint": docs_fingerprint,
+    "docs_winnow_fp": docs_winnow_fp,
     "docs_minhash_sig": docs_minhash_sig,
     "docs_simhash": docs_simhash,
     "docs_near_dups": docs_near_dups,
@@ -1813,6 +1871,7 @@ ORACLES: dict[str, str] = {
     "docs_token_totals": DOCS_TOKEN_TOTALS_SQL,
     "docs_lang_id": DOCS_LANG_ID_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
+    "docs_winnow_fp": DOCS_WINNOW_FP_SQL,
     "docs_minhash_sig": DOCS_MINHASH_SIG_SQL,
     "docs_simhash": DOCS_SIMHASH_SQL,
     "docs_near_dups": DOCS_NEAR_DUPS_SQL,

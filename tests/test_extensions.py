@@ -247,3 +247,49 @@ def test_multimodal_decoder_both_modes(spark):
     # real mode on garbage bytes → decode_ok False, row preserved
     bad = extract_features(media, use_real_decoder=True).collect()[0]
     assert bad["decode_ok"] is False and bad["feature"] is None
+
+
+def test_winnow_fingerprints_shared_run_and_density(spark):
+    """Two documents sharing a long token run must share at least one
+    fingerprint drawn FROM that run; selection must be sparse (less
+    than the full shingle set) and deterministic."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one two three {shared} xx yy zz"),
+            (2, f"{shared} completely different tail here now"),
+            (3, "tiny doc"),  # fewer shingles than the window
+        ],
+        ["doc_id", "text"],
+    )
+    from etl_macropulse_br_spark.operators.dedup import (
+        shingle_hash_rows,
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(docs, id_col="doc_id", n_shingle=3, w=4)
+    by_doc = {
+        i: {r["fp"] for r in rows}
+        for i, rows in (
+            (i, fps.filter(F.col("id") == i).collect()) for i in (1, 2, 3)
+        )
+    }
+    assert by_doc[1] & by_doc[2], "shared run must yield shared fingerprints"
+    # the tiny doc still gets its global-min fingerprint
+    assert len(by_doc[3]) == 1
+
+    n_shingles = (
+        shingle_hash_rows(docs, id_col="doc_id", n_shingle=3)
+        .filter(F.col("id") == 1)
+        .count()
+    )
+    assert 0 < len(by_doc[1]) < n_shingles  # sparse, non-empty
+
+    # deterministic under re-computation
+    again = {
+        r["fp"]
+        for r in winnow_fingerprints(docs, id_col="doc_id", n_shingle=3, w=4)
+        .filter(F.col("id") == 1)
+        .collect()
+    }
+    assert again == by_doc[1]
