@@ -28,6 +28,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_forecast_revenue",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q14_promo_effect",
     "monthly_last_by",
     "regional_revenue",
     "customer_order_counts",

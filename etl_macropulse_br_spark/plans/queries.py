@@ -233,6 +233,161 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star with a correlated customer/
+    supplier nation condition. Dim chain (region→nation, supplier)
+    broadcasts; lineitem stays the probe side of every join; the
+    customer⋈orders pairing is left to the planner — broadcastable
+    at bench scale, sort-merge under AQE at 100 TB (both sides are
+    fact-sized there)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+
+    asia_nations = nat.join(
+        F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+        nat.n_regionkey == reg.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    cust_n = cust.join(
+        F.broadcast(asia_nations), cust.c_nationkey == asia_nations.n_nationkey
+    ).select("c_custkey", "c_nationkey", "n_name")
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    cust_orders = ord_f.join(
+        cust_n, ord_f.o_custkey == cust_n.c_custkey
+    ).select("o_orderkey", "c_nationkey", "n_name")
+
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    joined = li.join(
+        F.broadcast(cust_orders), li.l_orderkey == cust_orders.o_orderkey
+    ).join(
+        F.broadcast(supp),
+        (F.col("l_suppkey") == supp.s_suppkey)
+        & (F.col("c_nationkey") == supp.s_nationkey),
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+Q5_LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+         / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over one
+    quarter, top-20. Probe = lineitem (returnflag filter pushed to
+    the scan); customer⋈orders⋈nation build side broadcast after its
+    selective date filter."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation")
+
+    ord_q = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    build = (
+        ord_q.join(cust, ord_q.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("o_orderkey", "c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(build), li.l_orderkey == build.o_orderkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+         / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast
+    part join — promo revenue share in one month. Both sums are
+    scaled-integer (exact, fold-order-free) and the final percentage
+    divides the two bigints identically in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    joined = month.join(F.broadcast(part), month.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", revenue_scaled).otherwise(
+                    F.lit(0)
+                )
+            )
+            / F.sum(revenue_scaled)
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_PROMO_EFFECT_SQL = """
+SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+                   ELSE 0 END)
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+         AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
 def monthly_last_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference gold aggregate (A1: mean + order-dependent last →
     max_by with deterministic tiebreak; D4 month truncation)."""
@@ -1783,6 +1938,9 @@ QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_effect": q14_promo_effect,
     "monthly_last_by": monthly_last_by,
     "regional_revenue": regional_revenue,
     "customer_order_counts": customer_order_counts,
@@ -1834,6 +1992,9 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,
     "q6_forecast_revenue": Q6_FORECAST_REVENUE_SQL,
+    "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,
+    "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
+    "q14_promo_effect": Q14_PROMO_EFFECT_SQL,
     "monthly_last_by": MONTHLY_LAST_BY_SQL,
     "regional_revenue": REGIONAL_REVENUE_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
