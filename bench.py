@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "docs_token_totals",
     "docs_lang_id",
     "docs_winnow_fp",
+    "docs_lang_id_ngram",
     "docs_minhash_sig",
     "docs_simhash",
     "docs_near_dups",

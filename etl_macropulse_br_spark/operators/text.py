@@ -110,6 +110,63 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Char-trigram profiles (Cavnar–Trenkle style, hand-picked top
+# boundary-aware trigrams per language). Space-padded text makes
+# word-boundary grams (" th", "de ") countable with plain substring
+# counting — no regex, no tokenization.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", " an", "nd ", " of", "of ", "ed ", " to"),
+    "es": (" de", "de ", " la", "la ", "que", " qu", "os ", " el", "el ", " y "),
+    "de": ("der", "er ", "ie ", "sch", "die", "und", " un", "ch ", "ein", "en "),
+    "fr": (" le", "le ", "les", "ent", " et", "et ", "on ", " la", " pa", "ais"),
+    "pt": (" de", "de ", "ão ", "que", " co", "os ", " a ", " o ", "da ", " da"),
+}
+
+
+def _count_occurrences(padded: Column, gram: str) -> Column:
+    """Occurrences of ``gram`` in ``padded`` × len(gram):
+    length(t) - length(replace(t, gram, '')). Pure string ops —
+    codegen, no regex."""
+    return F.length(padded) - F.length(F.replace(padded, F.lit(gram)))
+
+
+def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Char-trigram language ID (Cavnar–Trenkle 1994 style): each
+    language scored by total matched profile-trigram characters in
+    the space-padded, lowercased text; argmax with lexicographic
+    tiebreak, ``und`` when nothing matches.
+
+    All-expression (substring counting via length/replace — codegen,
+    CSE-friendly), so it runs at scan speed at 100 TB and replays
+    bit-identically in the SQL oracle. Swap LANG_TRIGRAMS for
+    corpus-derived profiles in production; the plan shape is
+    unchanged.
+    """
+    from etl_macropulse_br_spark.operators.util import spread
+
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " "),
+        F.lit(" "),
+    )
+    scored = spread(df).withColumn("__padded", padded)
+    for lang, grams in LANG_TRIGRAMS.items():
+        score: Column = F.lit(0)
+        for g in grams:
+            score = score + _count_occurrences(F.col("__padded"), g)
+        scored = scored.withColumn(f"__ng_{lang}", score)
+    langs = sorted(LANG_TRIGRAMS)
+    best = F.greatest(*[F.col(f"__ng_{lang}") for lang in langs])
+    pred: Column = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"__ng_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.withColumn("pred_lang_ngram", pred).drop(
+        "__padded", *[f"__ng_{lang}" for lang in langs]
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 60-bit portable hash of
     whitespace-normalized lowercase text — the exact-dedup key

@@ -1497,6 +1497,53 @@ FROM m
 DOCS_LANG_ID_SQL = _lang_id_sql()
 
 
+def docs_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (Cavnar–Trenkle style; see
+    operators/text.py:language_id_ngram)."""
+    from etl_macropulse_br_spark.operators.text import language_id_ngram
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id_ngram(docs).select("doc_id", "lang", "pred_lang_ngram")
+
+
+def _lang_id_ngram_sql() -> str:
+    from etl_macropulse_br_spark.operators.text import LANG_TRIGRAMS
+
+    langs = sorted(LANG_TRIGRAMS)
+    score_cols = ",\n       ".join(
+        "("
+        + " + ".join(
+            f"(length(p) - length(replace(p, '{g}', '')))"
+            for g in LANG_TRIGRAMS[lang]
+        )
+        + f") AS ng_{lang}"
+        for lang in langs
+    )
+    best = f"greatest({', '.join('ng_' + lang for lang in langs)})"
+    case_arms = "\n            ".join(
+        f"WHEN ng_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         concat(' ', regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+           AS p
+  FROM documents
+), s AS (SELECT doc_id, lang,
+       {score_cols}
+      FROM t),
+m AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und'
+            {case_arms}
+            ELSE 'und' END AS pred_lang_ngram
+FROM m
+"""
+
+
+DOCS_LANG_ID_NGRAM_SQL = _lang_id_ngram_sql()
+
+
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return fingerprint(docs).select("doc_id", "fingerprint")
@@ -1979,6 +2026,7 @@ QUERIES: dict[str, QueryFn] = {
     "docs_lang_id": docs_lang_id,
     "docs_fingerprint": docs_fingerprint,
     "docs_winnow_fp": docs_winnow_fp,
+    "docs_lang_id_ngram": docs_lang_id_ngram,
     "docs_minhash_sig": docs_minhash_sig,
     "docs_simhash": docs_simhash,
     "docs_near_dups": docs_near_dups,
@@ -2033,6 +2081,7 @@ ORACLES: dict[str, str] = {
     "docs_lang_id": DOCS_LANG_ID_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "docs_winnow_fp": DOCS_WINNOW_FP_SQL,
+    "docs_lang_id_ngram": DOCS_LANG_ID_NGRAM_SQL,
     "docs_minhash_sig": DOCS_MINHASH_SIG_SQL,
     "docs_simhash": DOCS_SIMHASH_SQL,
     "docs_near_dups": DOCS_NEAR_DUPS_SQL,

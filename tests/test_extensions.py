@@ -293,3 +293,24 @@ def test_winnow_fingerprints_shared_run_and_density(spark):
         .collect()
     }
     assert again == by_doc[1]
+
+
+def test_language_id_ngram_classifies_real_sentences(spark):
+    from etl_macropulse_br_spark.operators.text import language_id_ngram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumped over the lazy dog and the cat"),
+            (2, "el perro que corre en la calle de la ciudad es rapido"),
+            (3, "der Hund und die Katze sind schnell und klein"),
+            (4, "le chat et les chiens sont dans la maison avec les enfants"),
+            (5, "a situação de são paulo que da informação dos dados"),
+            (6, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["pred_lang_ngram"]
+        for r in language_id_ngram(docs).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "pt", 6: "und"}
