@@ -37,7 +37,8 @@ SURVEY §2 coverage map (operator id → query):
   exercised by the pipeline/golden tests — they have no testdata
   tables to query against.)
 TPC-H classics: q1_pricing_summary, q3_shipping_priority,
-  q6_forecast_revenue.
+  q6_forecast_revenue, q5_local_supplier_volume, q10_returned_items,
+  q14_promo_effect.
 SQL-surface beyond the reference (§2.3/2.4/2.5/2.7 'not present —
   build anyway'): semi_anti_customers, cube_lineitem,
   rank_orders_window, pivot_status_priority, sessionize_events,
@@ -45,11 +46,13 @@ SQL-surface beyond the reference (§2.3/2.4/2.5/2.7 'not present —
   price_percentiles, user_set_ops, value_quartiles,
   nation_customer_digest, top_tokens, zscore_events.
 Training-data extension ops: docs_exact_dedup, docs_text_stats,
-  docs_token_totals, docs_lang_id, docs_fingerprint,
-  docs_minhash_sig, docs_simhash, docs_near_dups,
-  embedding_cosine_topk, embedding_cosine_topk_pandas (float-free
-  rank projection), embedding_ivf_topk, embedding_near_dups
-  (all oracle-gated).
+  docs_token_totals, docs_lang_id, docs_lang_id_ngram,
+  docs_fingerprint, docs_winnow_fp, docs_minhash_sig, docs_simhash,
+  docs_near_dups, embedding_cosine_topk, embedding_cosine_topk_pandas
+  (float-free rank projection), embedding_ivf_topk,
+  embedding_near_dups, docs_train_val_split (all oracle-gated).
+As-of family: asof_click_view (backward), asof_forward_click_view;
+  nearest is pandas-differential-tested (tests/test_asof.py).
 """
 
 from __future__ import annotations

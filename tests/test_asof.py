@@ -107,3 +107,68 @@ def test_asof_nearest_prefers_backward_on_tie(spark):
     )
     got = {r["trade_id"]: r["asof_price"] for r in out.collect()}
     assert got == {1: 100.0, 2: 100.0, 3: 102.0, 4: 100.0, 5: 102.0}
+
+
+def test_asof_all_directions_match_pandas_merge_asof(spark):
+    """Seeded-random differential test: every direction must agree
+    with pandas.merge_asof (the semantics the operator documents),
+    including exact-match ties and missing keys."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l),
+            "lts": pd.to_datetime(
+                rng.integers(0, 10_000, n_l), unit="s", origin="2026-01-01"
+            ),
+            "lid": np.arange(n_l),
+        }
+    ).sort_values("lts", kind="stable", ignore_index=True)
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, n_r),  # some keys never match
+            "rts": pd.to_datetime(
+                rng.integers(0, 10_000, n_r), unit="s", origin="2026-01-01"
+            ),
+            "payload": rng.normal(size=n_r).round(6),
+        }
+    ).sort_values("rts", kind="stable", ignore_index=True)
+    # merge_asof requires unique (k, rts) on the right for a clean
+    # expectation; drop dups deterministically
+    right_pd = right_pd.drop_duplicates(["k", "rts"], keep="first")
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+
+    for direction in ("backward", "forward", "nearest"):
+        expected = pd.merge_asof(
+            left_pd,
+            right_pd.rename(columns={"rts": "lts"}),
+            on="lts",
+            by="k",
+            direction=direction,
+        )
+        got = asof_join(
+            left,
+            right,
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_payload=["payload"],
+            direction=direction,
+        ).toPandas()
+        exp_map = dict(zip(expected["lid"], expected["payload"]))
+        got_map = dict(zip(got["lid"], got["asof_payload"]))
+        assert set(got_map) == set(exp_map)
+        mismatches = {
+            lid: (exp_map[lid], got_map[lid])
+            for lid in exp_map
+            if not (
+                (pd.isna(exp_map[lid]) and pd.isna(got_map[lid]))
+                or exp_map[lid] == got_map[lid]
+            )
+        }
+        assert not mismatches, (direction, dict(list(mismatches.items())[:5]))
