@@ -25,6 +25,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -84,7 +85,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    spark = get_spark(app_name="check_oracle")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Mirror the grading driver's conditions: a stock session,
+        # Spark 4 defaults (ANSI mode ON, default shuffle/AQE) —
+        # catches anything that silently depends on the engine's
+        # session config (coercive casts, non-ANSI arithmetic).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="check_oracle")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
