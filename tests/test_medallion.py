@@ -157,3 +157,30 @@ def test_dedup_keep_first_deterministic(spark):
     )
     out = dedup_keep_first(df, keys=["k"], order=["o"]).orderBy("k").collect()
     assert [(r["k"], r["o"]) for r in out] == [(1, "a"), (2, "c")]
+
+
+def test_partitioned_gold_read_prunes_partitions(spark, tmp_path):
+    """The partitioned gold sink must give readers partition pruning:
+    a filter on the partition column appears as PartitionFilters in
+    the scan and the non-matching partition's files are never read."""
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.sinks.writers import (
+        write_parquet_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(11, "2026-01-01", 1.0), (11, "2026-02-01", 2.0),
+         (433, "2026-01-01", 3.0)],
+        ["series_id", "month", "value"],
+    )
+    base = str(tmp_path / "gold_part")
+    write_parquet_partitioned(df, base, ["series_id"])
+
+    read = spark.read.parquet(base).filter(F.col("series_id") == 11)
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "series_id" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    # only the series_id=11 partition's rows come back
+    assert sorted(r["value"] for r in read.collect()) == [1.0, 2.0]
