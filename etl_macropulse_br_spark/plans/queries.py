@@ -1120,20 +1120,22 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    counted = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # Multiset positions directly via row_number over the sorted raw
+    # rows — one exchange + one spillable sort, no unbounded buffer.
+    # (A distinct-value pre-aggregation before the window is the
+    # variant for heavy-duplicate columns; on near-unique prices it
+    # shrinks nothing and measured +50% — both forms are scale-safe,
+    # the sort is the same size either way.) ``cum`` = # values ≤
+    # this row's value because equal prices sort adjacently, making
+    # the conditional-min bracket pick below identical to the
+    # oracle's cumulative-count formulation.
+    w_pos = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     w_all = Window.partitionBy("l_returnflag")
-    ranked = counted.select(
+    ranked = li.select(
         "l_returnflag",
         "l_extendedprice",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
+        F.row_number().over(w_pos).alias("cum"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
     )
 
     def pos(p: float) -> Column:
