@@ -32,63 +32,30 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def dot_const_unrolled(vec_sql: str, const_vec: list[float]) -> Column:
-    """Dot product of an array column with a CONSTANT vector, as one
-    unrolled whole-stage-codegen arithmetic chain.
+def cosine_sim_const_sql(vec_sql: str, vals: list[float]) -> str:
+    """SQL text of ``cosine_sim(vec_col, literal_vector)`` with the
+    EXACT same expression structure as the Column-API form (same
+    casts, same sequential fold, same op order) — so plans built
+    from this text produce bit-identical doubles.
 
-    ``aggregate``/``zip_with`` higher-order functions are interpreted
-    per element (boxed lambda eval, no codegen) — scoring n rows
-    against c centroids costs n*c*dim lambda dispatches. The unrolled
-    ``(((0.0 + v[0]*c0) + v[1]*c1) + ...)`` chain compiles into the
-    stage's generated Java. The leading 0.0 and strict left-to-right
-    association reproduce the HOF/SQL fold bit-for-bit, so
-    oracle-exactness is preserved.
-
-    ``vec_sql`` is the SQL text of the array expression (e.g. a
-    column name); elements are cast to double like
-    ``_as_double_array`` does.
+    Why text: every Column operation is a Py4J round-trip (~1 ms);
+    one n_cells-centroid scores array built via the Column API costs
+    ~0.8 s of driver RPC per plan build, vs one `F.expr` parse for
+    the whole string.
     """
-    terms = "".join(
-        f" + CAST({vec_sql}[{i}] AS DOUBLE) * {x!r}D"
-        for i, x in enumerate(const_vec)
+    arr = "array(" + ",".join(f"{x!r}D" for x in vals) + ")"
+    a = f"transform({vec_sql}, x -> CAST(x AS DOUBLE))"
+    b = f"transform({arr}, x -> CAST(x AS DOUBLE))"
+
+    def dot_sql(p: str, q: str) -> str:
+        return (
+            f"aggregate(zip_with({p}, {q}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+
+    return (
+        f"{dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
     )
-    return F.expr(f"(0.0D{terms})")
-
-
-def self_dot_unrolled(vec_sql: str, dim: int) -> Column:
-    """``v·v`` of an array column with known dimension, unrolled to a
-    codegen arithmetic chain (same fold order as :func:`dot`)."""
-    terms = "".join(
-        f" + CAST({vec_sql}[{i}] AS DOUBLE) * CAST({vec_sql}[{i}] AS DOUBLE)"
-        for i in range(dim)
-    )
-    return F.expr(f"(0.0D{terms})")
-
-
-def cosine_sim_const(
-    vec_sql: str, const_vec: list[float], vnorm_sql: str | None = None
-) -> Column:
-    """Cosine of an array column vs a constant vector, fully
-    codegen-unrolled. The constant's norm is folded driver-side with
-    the same sequential IEEE order the engines use, so the resulting
-    literal is bit-identical to an in-engine ``sqrt(fold(c,c))``.
-
-    ``vnorm_sql``: SQL text of a precomputed ``sqrt(v·v)`` column to
-    reuse across many constants (pass e.g. ``"nv"``); defaults to
-    inlining the self-dot chain.
-    """
-    import math
-
-    acc = 0.0
-    for x in const_vec:
-        acc = acc + x * x
-    c_norm = math.sqrt(acc)
-    vn = (
-        F.expr(vnorm_sql)
-        if vnorm_sql is not None
-        else F.sqrt(self_dot_unrolled(vec_sql, len(const_vec)))
-    )
-    return dot_const_unrolled(vec_sql, const_vec) / (vn * F.lit(c_norm))
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
@@ -218,10 +185,6 @@ def ivf_topk_deterministic(
         for x in e.filter(F.col("id") == query_id).first()["v"]
     ]
 
-    from etl_macropulse_br_spark.functions.exprs import (
-        lit_double_array as lit_vec,
-    )
-
     # Probe ranking runs driver-side over n_cells Python lists — no
     # Spark job. Python doubles are IEEE 754 with per-op rounding, so
     # this sequential fold is bit-identical to the engines' fold
@@ -244,15 +207,6 @@ def ivf_topk_deterministic(
         )[:n_probe]
     ]
 
-    # Scoring is fully codegen-unrolled (see cosine_sim_const): the
-    # HOF-fold formulation dispatched n_rows * n_cells * dim boxed
-    # lambda evals per pass; the unrolled chains compile into the
-    # stage's generated Java, and codegen CSE computes the shared
-    # v·v self-dot once per row. argmax is ONE aggregate fold over
-    # the scores array (a second reference via
-    # array_position(max(scores)) would re-inline every cosine);
-    # first strict max → ties to the lowest cell, matching the
-    # oracle's `ORDER BY cos DESC, cell ASC` ranking.
     # Cell argmax: scores array + array_position(array_max). The
     # double reference to `scores` does re-evaluate the HOF folds
     # (they're interpreted CodegenFallback, no CSE), but measured
@@ -262,8 +216,14 @@ def ivf_topk_deterministic(
     # subtree per CASE arm — tree size grows O(n_cells^2), stalling
     # the optimizer outright. array_position's first-match semantics
     # give ties to the lowest cell, matching the oracle's
-    # `ORDER BY cos DESC, cell ASC` ranking.
-    scores = F.array(*[cosine_sim(F.col("v"), lit_vec(c)) for c in centroids])
+    # `ORDER BY cos DESC, cell ASC` ranking. The whole array is ONE
+    # parsed SQL string (structurally identical expressions) — the
+    # Column-API build cost ~0.8 s of Py4J round-trips per plan.
+    scores = F.expr(
+        "array("
+        + ",".join(cosine_sim_const_sql("v", c) for c in centroids)
+        + ")"
+    )
     assigned = e.withColumn(
         "cell", (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     )
@@ -271,7 +231,7 @@ def ivf_topk_deterministic(
     return (
         pruned.select(
             F.col("id").alias("vec_id"),
-            cosine_sim_const("v", qv).alias("cosine"),
+            F.expr(cosine_sim_const_sql("v", qv)).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
