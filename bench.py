@@ -4,11 +4,11 @@ one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "duckdb_total": ..., "ratio": ...}.
 
 Methodology (both engines measured the same way, in this process):
-- Spark: per query, min of 2 end-to-end runs (plan + execute into a
+- Spark: per query, min of 3 end-to-end runs (plan + execute into a
   noop sink), after an untimed warmup that absorbs JVM/codegen/Arrow
   startup.
 - DuckDB baseline: the SAME workload via each query's oracle SQL on
-  the same parquet files, warm in-process connection, min of 2 runs
+  the same parquet files, warm in-process connection, min of 3 runs
   with fetchall. Published next to the Spark number every round so
   the ratio is reproducible — no cold-start numbers on either side.
 
@@ -96,14 +96,14 @@ def main() -> None:
         _noop, "id long"
     ).count()
 
-    # two timed runs per query, report the min — absorbs one-off
+    # three timed runs per query, report the min — absorbs one-off
     # JIT/page-cache noise so the number reflects steady-state plan
     # execution (what a resident service would see).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: executes the FULL plan (a count() would let
@@ -152,7 +152,7 @@ def main() -> None:
 
 
 def duckdb_baseline(sf_dir: str) -> dict:
-    """Warm min-of-2 DuckDB timings of the same workload (each
+    """Warm min-of-3 DuckDB timings of the same workload (each
     query's oracle SQL over the same parquet)."""
     import duckdb
 
@@ -170,7 +170,7 @@ def duckdb_baseline(sf_dir: str) -> dict:
             continue
         con.execute(sql).fetchall()  # warm (compile + page cache)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             best = min(best, time.perf_counter() - t0)
