@@ -174,3 +174,90 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     operators/dedup.py)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
     return df.withColumn("fingerprint", md5_long(normalized))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking for a bag of query terms (Robertson/
+    Sparck Jones probabilistic retrieval), log-free variant.
+
+    The classic idf uses ``log((N - df + 0.5) / (df + 0.5))``; libm
+    ``log`` is not bit-portable across engines, so this uses the
+    monotone rational core ``(N - df + 0.5) / (df + 0.5)`` directly —
+    same ranking family (strictly increasing transform of the same
+    quantity), every operation a bit-deterministic IEEE +,*,/ so the
+    scores hash-match the SQL oracle exactly.
+
+    Plan shape (scales): tokens explode once; per-doc term counts and
+    doc lengths are two hash aggregates over the SAME (id) shuffle
+    key; rows are filtered to the query terms BEFORE the scoring
+    join, so the join input is |docs containing a query term|, not
+    the corpus; per-term doc frequencies and the global (N, avgdl)
+    scalars are broadcast. Output: (doc_id, score) top-k,
+    id-tiebroken.
+    """
+    from etl_macropulse_br_spark.operators.util import spread
+
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " "), _WS
+    )
+    tok_rows = spread(df).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    )
+    # per-doc term frequencies and doc length share one shuffle key
+    tf = tok_rows.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok_rows.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+
+    # global scalars as a broadcast 1-row frame — keeps the whole
+    # computation one lazy DAG (no driver collect)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    qt = [t.lower() for t in query_terms]
+    tf_q = tf.filter(F.col("tok").isin(*qt))
+    df_t = tf_q.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+
+    scored = (
+        tf_q.join(F.broadcast(df_t), "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (
+        F.col("df_t") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+
+    # A plain sum(score) per doc would be order-dependent float
+    # addition (partial aggregation adds in partition order). Each
+    # (doc, term) contributes exactly ONE value, so conditional
+    # per-term sums are exact, and the final fold adds them in fixed
+    # query-term order — bit-deterministic under any partitioning,
+    # which is what lets the SQL oracle hash-match.
+    per_term = scored.select("id", "tok", term_score.alias("s")).groupBy(
+        "id"
+    ).agg(
+        *[
+            F.sum(F.when(F.col("tok") == t, F.col("s"))).alias(f"s_{i}")
+            for i, t in enumerate(qt)
+        ]
+    )
+    score: Column = F.lit(0.0)
+    for i in range(len(qt)):
+        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    return (
+        per_term.select(F.col("id").alias(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

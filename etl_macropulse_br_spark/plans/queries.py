@@ -48,7 +48,8 @@ SQL-surface beyond the reference (§2.3/2.4/2.5/2.7 'not present —
 Training-data extension ops: docs_exact_dedup, docs_text_stats,
   docs_token_totals, docs_lang_id, docs_lang_id_ngram,
   docs_fingerprint, docs_winnow_fp, docs_minhash_sig, docs_simhash,
-  docs_near_dups, embedding_cosine_topk, embedding_cosine_topk_pandas
+  docs_near_dups, docs_bm25_topk (log-free rational idf),
+  embedding_cosine_topk, embedding_cosine_topk_pandas
   (float-free rank projection), embedding_ivf_topk,
   embedding_near_dups, docs_train_val_split (all oracle-gated).
 As-of family: asof_click_view (backward), asof_forward_click_view;
@@ -1548,6 +1549,72 @@ FROM m
 
 DOCS_LANG_ID_NGRAM_SQL = _lang_id_ngram_sql()
 
+_BM25_TERMS = ["spark", "table", "merge"]
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval top-10 (log-free rational idf — see
+    operators/text.py:bm25_topk)."""
+    from etl_macropulse_br_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # float literals via repr of the SAME python doubles the Spark
+    # side uses (k1 + 1.0 is folded in python on both sides), cast to
+    # DOUBLE so DuckDB doesn't do DECIMAL arithmetic
+    c = lambda v: f"CAST({v!r} AS DOUBLE)"  # noqa: E731
+    idf = f"((n_docs - df_t + {c(0.5)}) / (df_t + {c(0.5)}))"
+    denom = (
+        f"(tf + {c(k1)} * ({c(1.0)} - {c(b)} + {c(b)} * (dl / avgdl)))"
+    )
+    s = f"{idf} * (tf * {c(k1 + 1.0)}) / {denom}"
+    folds = " + ".join(
+        f"coalesce(s_{i}, {c(0.0)})" for i in range(len(_BM25_TERMS))
+    )
+    per_term_cols = ",\n         ".join(
+        f"sum(CASE WHEN tok = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+WITH tok_rows AS (
+  SELECT doc_id AS id, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT id, tok, count(*) AS tf FROM tok_rows GROUP BY id, tok
+), dl AS (
+  SELECT id, count(*) AS dl FROM tok_rows GROUP BY id
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS BIGINT) / count(*) AS avgdl
+  FROM dl
+), tf_q AS (
+  SELECT * FROM tf WHERE tok IN ({terms})
+), df_t AS (
+  SELECT tok, count(*) AS df_t FROM tf_q GROUP BY tok
+), s_rows AS (
+  SELECT tf_q.id, tf_q.tok, {s} AS s
+  FROM tf_q
+  JOIN df_t USING (tok)
+  JOIN dl USING (id)
+  CROSS JOIN stats
+), per_term AS (
+  SELECT id,
+         {per_term_cols}
+  FROM s_rows GROUP BY id
+)
+SELECT id AS doc_id, ({c(0.0)} + {folds}) AS score
+FROM per_term
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+DOCS_BM25_TOPK_SQL = _bm25_sql()
+
 
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -2032,6 +2099,7 @@ QUERIES: dict[str, QueryFn] = {
     "docs_fingerprint": docs_fingerprint,
     "docs_winnow_fp": docs_winnow_fp,
     "docs_lang_id_ngram": docs_lang_id_ngram,
+    "docs_bm25_topk": docs_bm25_topk,
     "docs_minhash_sig": docs_minhash_sig,
     "docs_simhash": docs_simhash,
     "docs_near_dups": docs_near_dups,
@@ -2087,6 +2155,7 @@ ORACLES: dict[str, str] = {
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "docs_winnow_fp": DOCS_WINNOW_FP_SQL,
     "docs_lang_id_ngram": DOCS_LANG_ID_NGRAM_SQL,
+    "docs_bm25_topk": DOCS_BM25_TOPK_SQL,
     "docs_minhash_sig": DOCS_MINHASH_SIG_SQL,
     "docs_simhash": DOCS_SIMHASH_SQL,
     "docs_near_dups": DOCS_NEAR_DUPS_SQL,

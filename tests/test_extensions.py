@@ -314,3 +314,31 @@ def test_language_id_ngram_classifies_real_sentences(spark):
         for r in language_id_ngram(docs).collect()
     }
     assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "pt", 6: "und"}
+
+
+def test_bm25_topk_relevance_ordering(spark):
+    from etl_macropulse_br_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast"),
+            (2, "spark data pipeline"),
+            (3, "data data data table store"),
+            (4, "completely unrelated words here"),
+            (5, "data lake"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, ["spark", "data"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    # docs without any query term never appear
+    assert 4 not in ids
+    # doc 2 has BOTH terms (rare spark + data) -> ranks above
+    # data-only docs; spark-heavy doc 1 beats data-heavy doc 3
+    # because 'spark' is rarer (higher idf)
+    assert ids.index(1) < ids.index(3)
+    assert ids.index(2) < ids.index(3)
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert all(s > 0 for s in scores.values())
+    # tf saturation: tripled tf must not triple the score
+    assert scores[1] < 3 * scores[2]
