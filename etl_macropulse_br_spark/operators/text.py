@@ -261,3 +261,65 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals for corpus filtering (Rae et
+    al. 2021 §A1.1: repetitious documents are low-quality): per doc,
+
+    - ``top_word_ratio``: occurrences of the most frequent token /
+      total tokens (caught: keyword stuffing, boilerplate),
+    - ``dup_bigram_ratio``: fraction of bigram INSTANCES that are
+      repeats of an earlier bigram (caught: looping generations),
+    - ``uniq_token_ratio``: distinct / total tokens.
+
+    All ratios are int/int divisions — bit-deterministic doubles.
+    Plan: one token explode feeds (id, tok) and (id, bigram) hash
+    aggregates; per-doc rollups share the id shuffle key; no windows,
+    no HOFs over long arrays, scales linearly.
+    """
+    from etl_macropulse_br_spark.operators.util import spread
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+    toks = F.split(norm, _WS)
+    tok_rows = spread(df).select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    word_counts = tok_rows.groupBy("id", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    words = word_counts.groupBy("id").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_uniq"),
+    )
+
+    # bigrams as (tok, next tok) via a self-join-free lead over pos
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        tok_rows.select(
+            "id", "pos", "tok", F.lead("tok", 1).over(w).alias("nxt")
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select("id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    bg_counts = bigrams.groupBy("id", "bg").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bg = bg_counts.groupBy("id").agg(
+        F.sum("cnt").alias("n_bg"), F.count(F.lit(1)).alias("n_uniq_bg")
+    )
+
+    out = words.join(bg, "id", "left").select(
+        F.col("id").alias(id_col),
+        (F.col("top_cnt") / F.col("n_tok")).alias("top_word_ratio"),
+        F.coalesce(
+            (F.col("n_bg") - F.col("n_uniq_bg")) / F.col("n_bg"), F.lit(0.0)
+        ).alias("dup_bigram_ratio"),
+        (F.col("n_uniq") / F.col("n_tok")).alias("uniq_token_ratio"),
+    )
+    return out

@@ -49,6 +49,7 @@ Training-data extension ops: docs_exact_dedup, docs_text_stats,
   docs_token_totals, docs_lang_id, docs_lang_id_ngram,
   docs_fingerprint, docs_winnow_fp, docs_minhash_sig, docs_simhash,
   docs_near_dups, docs_bm25_topk (log-free rational idf),
+  docs_repetition (Gopher-style repetition filters),
   embedding_cosine_topk, embedding_cosine_topk_pandas
   (float-free rank projection), embedding_ivf_topk,
   embedding_near_dups, docs_train_val_split (all oracle-gated).
@@ -1616,6 +1617,48 @@ LIMIT {k}
 DOCS_BM25_TOPK_SQL = _bm25_sql()
 
 
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals (see
+    operators/text.py:repetition_stats)."""
+    from etl_macropulse_br_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+DOCS_REPETITION_SQL = f"""
+WITH tok_rows AS (
+  SELECT doc_id AS id,
+         u.tok, u.pos
+  FROM documents,
+       LATERAL (
+         SELECT unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS tok,
+                generate_subscripts(string_split_regex({_NORM_SQL}, '\\s+'), 1) AS pos
+       ) u
+), word_counts AS (
+  SELECT id, tok, count(*) AS cnt FROM tok_rows GROUP BY id, tok
+), words AS (
+  SELECT id, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS n_tok,
+         count(*) AS n_uniq
+  FROM word_counts GROUP BY id
+), bigrams AS (
+  SELECT a.id, concat(a.tok, ' ', b.tok) AS bg
+  FROM tok_rows a JOIN tok_rows b ON a.id = b.id AND b.pos = a.pos + 1
+), bg_counts AS (
+  SELECT id, bg, count(*) AS cnt FROM bigrams GROUP BY id, bg
+), bg AS (
+  SELECT id, CAST(sum(cnt) AS BIGINT) AS n_bg, count(*) AS n_uniq_bg
+  FROM bg_counts GROUP BY id
+)
+SELECT words.id AS doc_id,
+       top_cnt / n_tok AS top_word_ratio,
+       coalesce((n_bg - n_uniq_bg) / n_bg, CAST(0.0 AS DOUBLE))
+         AS dup_bigram_ratio,
+       n_uniq / n_tok AS uniq_token_ratio
+FROM words LEFT JOIN bg ON words.id = bg.id
+"""
+
+
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return fingerprint(docs).select("doc_id", "fingerprint")
@@ -2100,6 +2143,7 @@ QUERIES: dict[str, QueryFn] = {
     "docs_winnow_fp": docs_winnow_fp,
     "docs_lang_id_ngram": docs_lang_id_ngram,
     "docs_bm25_topk": docs_bm25_topk,
+    "docs_repetition": docs_repetition,
     "docs_minhash_sig": docs_minhash_sig,
     "docs_simhash": docs_simhash,
     "docs_near_dups": docs_near_dups,
@@ -2156,6 +2200,7 @@ ORACLES: dict[str, str] = {
     "docs_winnow_fp": DOCS_WINNOW_FP_SQL,
     "docs_lang_id_ngram": DOCS_LANG_ID_NGRAM_SQL,
     "docs_bm25_topk": DOCS_BM25_TOPK_SQL,
+    "docs_repetition": DOCS_REPETITION_SQL,
     "docs_minhash_sig": DOCS_MINHASH_SIG_SQL,
     "docs_simhash": DOCS_SIMHASH_SQL,
     "docs_near_dups": DOCS_NEAR_DUPS_SQL,

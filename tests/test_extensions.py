@@ -342,3 +342,24 @@ def test_bm25_topk_relevance_ordering(spark):
     assert all(s > 0 for s in scores.values())
     # tf saturation: tripled tf must not triple the score
     assert scores[1] < 3 * scores[2]
+
+
+def test_repetition_stats_flags_repetitious_docs(spark):
+    from etl_macropulse_br_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "a perfectly normal sentence with distinct words"),
+            (3, "one"),  # single token: no bigrams at all
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["top_word_ratio"] == 1.0
+    assert abs(got[1]["dup_bigram_ratio"] - 2 / 3) < 1e-12
+    assert got[1]["uniq_token_ratio"] == 0.25
+    assert got[2]["top_word_ratio"] < 0.2
+    assert got[2]["dup_bigram_ratio"] == 0.0
+    assert got[3]["dup_bigram_ratio"] == 0.0  # coalesced, not null
+    assert got[3]["uniq_token_ratio"] == 1.0
