@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "docs_lang_id_ngram",
     "docs_bm25_topk",
     "docs_repetition",
+    "docs_curated",
     "docs_minhash_sig",
     "docs_simhash",
     "docs_near_dups",

@@ -50,6 +50,7 @@ Training-data extension ops: docs_exact_dedup, docs_text_stats,
   docs_fingerprint, docs_winnow_fp, docs_minhash_sig, docs_simhash,
   docs_near_dups, docs_bm25_topk (log-free rational idf),
   docs_repetition (Gopher-style repetition filters),
+  docs_curated (quality->exact-dedup->near-dup->split composition),
   embedding_cosine_topk, embedding_cosine_topk_pandas
   (float-free rank projection), embedding_ivf_topk,
   embedding_near_dups, docs_train_val_split (all oracle-gated).
@@ -1873,6 +1874,72 @@ SELECT doc_id, unnest(fps) AS fp FROM sel
 DOCS_WINNOW_FP_SQL = _winnow_fp_sql()
 
 
+def docs_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually runs, as ONE lazy plan:
+
+    1. quality gate: Gopher-style repetition thresholds
+       (`repetition_stats`),
+    2. exact dedup: keep the min-id doc per normalized text hash,
+    3. near-dup removal: MinHash-LSH pairs at Jaccard ≥ 0.5, drop
+       the higher id of each pair,
+    4. deterministic hash split (train/val).
+
+    Output: (doc_id, split) of the surviving corpus. Every stage is
+    an existing oracle-gated operator; this query gates their
+    COMPOSITION (joins, anti-join, ordering of filters)."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        exact_dedup,
+        minhash_near_dups,
+    )
+    from etl_macropulse_br_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    quality_ok = repetition_stats(docs).filter(
+        (F.col("top_word_ratio") <= 0.14)
+        & (F.col("dup_bigram_ratio") <= 0.08)
+        & (F.col("uniq_token_ratio") >= 0.3)
+    ).select("doc_id")
+    winners = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    losers = (
+        minhash_near_dups(docs, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        docs.select("doc_id")
+        .join(quality_ok, "doc_id")
+        .join(winners, "doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", split.alias("split"))
+    )
+
+
+DOCS_CURATED_SQL = f"""
+WITH rep AS (
+  SELECT * FROM ({DOCS_REPETITION_SQL})
+), quality_ok AS (
+  SELECT doc_id FROM rep
+  WHERE top_word_ratio <= 0.14
+    AND dup_bigram_ratio <= 0.08
+    AND uniq_token_ratio >= 0.3
+), winners AS (
+  SELECT keep_id AS doc_id FROM ({DOCS_EXACT_DEDUP_SQL})
+), losers AS (
+  SELECT DISTINCT id_b AS doc_id FROM ({DOCS_NEAR_DUPS_SQL})
+)
+SELECT d.doc_id,
+       CASE WHEN ({md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 100) < 80
+            THEN 'train' ELSE 'val' END AS split
+FROM documents d
+JOIN quality_ok USING (doc_id)
+JOIN winners USING (doc_id)
+ANTI JOIN losers USING (doc_id)
+"""
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact ANN baseline: top-10 cosine neighbors of
     vec_id=0, deterministic tiebreak on id."""
@@ -2144,6 +2211,7 @@ QUERIES: dict[str, QueryFn] = {
     "docs_lang_id_ngram": docs_lang_id_ngram,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_repetition": docs_repetition,
+    "docs_curated": docs_curated,
     "docs_minhash_sig": docs_minhash_sig,
     "docs_simhash": docs_simhash,
     "docs_near_dups": docs_near_dups,
@@ -2201,6 +2269,7 @@ ORACLES: dict[str, str] = {
     "docs_lang_id_ngram": DOCS_LANG_ID_NGRAM_SQL,
     "docs_bm25_topk": DOCS_BM25_TOPK_SQL,
     "docs_repetition": DOCS_REPETITION_SQL,
+    "docs_curated": DOCS_CURATED_SQL,
     "docs_minhash_sig": DOCS_MINHASH_SIG_SQL,
     "docs_simhash": DOCS_SIMHASH_SQL,
     "docs_near_dups": DOCS_NEAR_DUPS_SQL,
