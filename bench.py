@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q14_promo_effect",
+    "q7_volume_shipping",
+    "q17_small_quantity_revenue",
     "monthly_last_by",
     "regional_revenue",
     "customer_order_counts",

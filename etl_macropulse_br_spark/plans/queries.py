@@ -38,7 +38,8 @@ SURVEY §2 coverage map (operator id → query):
   tables to query against.)
 TPC-H classics: q1_pricing_summary, q3_shipping_priority,
   q6_forecast_revenue, q5_local_supplier_volume, q10_returned_items,
-  q14_promo_effect.
+  q14_promo_effect, q7_volume_shipping (dual-role dim),
+  q17_small_quantity_revenue (decorrelated window rewrite).
 SQL-surface beyond the reference (§2.3/2.4/2.5/2.7 'not present —
   build anyway'): semi_anti_customers, cube_lineitem,
   rank_orders_window, pivot_status_priority, sessionize_events,
@@ -391,6 +392,126 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: dual-role dimension (nation joined twice under
+    different aliases for supplier vs customer side), directional
+    pair filter, year bucketing. Both nation copies broadcast; the
+    supplier side broadcasts onto the lineitem probe; orders⋈customer
+    pairing left to the planner."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp_n = supp.join(
+        F.broadcast(n1), supp.s_nationkey == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust_n = cust.join(
+        F.broadcast(n2), cust.c_nationkey == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    ord_c = orders.join(cust_n, orders.o_custkey == cust_n.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    pairs = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(F.broadcast(ord_c), li.l_orderkey == ord_c.o_orderkey)
+        .filter(pairs)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_VOLUME_SHIPPING_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+         / 10000.0 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average rewritten as a
+    window aggregate over one exchange (the decorrelated plan every
+    engine aims for) — revenue from orders below 20% of the part's
+    average quantity, for one brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    brand_parts = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li_b = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    # exact decimal mean (quantities are integral doubles) so the
+    # 0.2*avg threshold compares identically cross-engine
+    avg_qty = (
+        F.sum(_scaled("l_quantity")).over(w)
+        / F.lit(100.0)
+        / F.count(F.lit(1)).over(w)
+    )
+    below = li_b.withColumn("avg_qty", avg_qty).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
+    return below.agg(
+        (F.sum(_scaled("l_extendedprice")) / F.lit(100.0) / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q17_SMALL_QUANTITY_REVENUE_SQL = """
+WITH b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+), w AS (
+  SELECT l_quantity, l_extendedprice,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+              OVER (PARTITION BY l_partkey) AS BIGINT) / 100.0
+           / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM b
+)
+SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0
+         AS avg_yearly,
+       count(*) AS n_lines
+FROM w
+WHERE l_quantity < 0.2 * avg_qty
 """
 
 
@@ -2170,6 +2291,8 @@ QUERIES: dict[str, QueryFn] = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q10_returned_items": q10_returned_items,
     "q14_promo_effect": q14_promo_effect,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "monthly_last_by": monthly_last_by,
     "regional_revenue": regional_revenue,
     "customer_order_counts": customer_order_counts,
@@ -2228,6 +2351,8 @@ ORACLES: dict[str, str] = {
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "q14_promo_effect": Q14_PROMO_EFFECT_SQL,
+    "q7_volume_shipping": Q7_VOLUME_SHIPPING_SQL,
+    "q17_small_quantity_revenue": Q17_SMALL_QUANTITY_REVENUE_SQL,
     "monthly_last_by": MONTHLY_LAST_BY_SQL,
     "regional_revenue": REGIONAL_REVENUE_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
