@@ -24,55 +24,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q7_volume_shipping",
-    "q17_small_quantity_revenue",
-    "monthly_last_by",
-    "regional_revenue",
-    "customer_order_counts",
-    "filter_range_project",
-    "dedup_first_event",
-    "latest_event_per_user",
-    "mom_avg_value",
-    "top_movers",
-    "ptbr_roundtrip",
-    "json_props_extract",
-    "semi_anti_customers",
-    "cube_lineitem",
-    "rank_orders_window",
-    "pivot_status_priority",
-    "sessionize_events",
-    "asof_click_view",
-    "asof_forward_click_view",
-    "distinct_parts",
-    "range_join_buckets",
-    "price_percentiles",
-    "top_tokens",
-    "nation_customer_digest",
-    "zscore_events",
-    "docs_train_val_split",
-    "docs_exact_dedup",
-    "docs_text_stats",
-    "docs_token_totals",
-    "docs_lang_id",
-    "docs_winnow_fp",
-    "docs_lang_id_ngram",
-    "docs_bm25_topk",
-    "docs_repetition",
-    "docs_curated",
-    "docs_minhash_sig",
-    "docs_simhash",
-    "docs_near_dups",
-    "embedding_cosine_topk",
-    "embedding_cosine_topk_pandas",
-    "embedding_ivf_topk",
-]
+# The bench workload IS the declared correctness surface: all 50
+# registry queries, each timed on Spark and (via its oracle SQL) on
+# DuckDB — no cherry-picking in either direction.
+def bench_queries() -> list[str]:
+    from etl_macropulse_br_spark.plans.queries import QUERIES
+
+    return list(QUERIES)
 
 
 def main() -> None:
@@ -105,7 +63,7 @@ def main() -> None:
     # JIT/page-cache noise so the number reflects steady-state plan
     # execution (what a resident service would see).
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries():
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(3):
@@ -169,7 +127,7 @@ def duckdb_baseline(sf_dir: str) -> dict:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries():
         sql = ORACLES.get(name)
         if sql is None:
             continue

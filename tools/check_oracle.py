@@ -78,9 +78,19 @@ def _arrow_rows(tbl) -> tuple[list[str], list[tuple]]:
 def main() -> int:
     import duckdb
 
-    from etl_macropulse_br_spark.plans.queries import ORACLES, QUERIES
+    from etl_macropulse_br_spark.plans.queries import (
+        AUX_ORACLES,
+        AUX_QUERIES,
+        ORACLES,
+        QUERIES,
+    )
     from etl_macropulse_br_spark.session import get_spark
     from etl_macropulse_br_spark.sources.files import TESTDATA_TABLES
+
+    # The local gate covers the declared 50 AND the consolidated aux
+    # probes — strictly more than the driver checks.
+    all_queries = {**QUERIES, **AUX_QUERIES}
+    all_oracles = {**ORACLES, **AUX_ORACLES}
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -106,15 +116,15 @@ def main() -> int:
         )
 
     failures = []
-    for name, fn in QUERIES.items():
+    for name, fn in all_queries.items():
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
         s_cols, s_rows = _arrow_rows(sdf.toArrow())
-        if name not in ORACLES:
+        if name not in all_oracles:
             print(f"{name:28s} rows-only: {len(s_rows)} rows")
             continue
-        d_cols, d_rows = _arrow_rows(con.execute(ORACLES[name]).fetch_arrow_table())
+        d_cols, d_rows = _arrow_rows(con.execute(all_oracles[name]).fetch_arrow_table())
         status = []
         if sorted(s_cols) != sorted(d_cols):
             status.append(f"SCHEMA spark={sorted(s_cols)} duck={sorted(d_cols)}")
@@ -131,7 +141,10 @@ def main() -> int:
         else:
             print(f"{name:28s} OK    ({len(s_rows)} rows)")
 
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} pass")
+    print(
+        f"\n{len(all_queries) - len(failures)}/{len(all_queries)} pass "
+        f"({len(QUERIES)} declared + {len(AUX_QUERIES)} aux)"
+    )
     return 1 if failures else 0
 
 
