@@ -276,10 +276,28 @@ def repetition_stats(
     - ``uniq_token_ratio``: distinct / total tokens.
 
     All ratios are int/int divisions — bit-deterministic doubles.
-    Plan: one token explode feeds (id, tok) and (id, bigram) hash
-    aggregates; per-doc rollups share the id shuffle key; no windows,
-    no HOFs over long arrays, scales linearly.
+
+    Plan (shares the shingle path's row stream — see
+    ``operators/dedup.py:shingle_hash_rows``): ONE posexplode feeds
+    one md5-base32 per token; a ``lead`` window over (id, pos) forms
+    each bigram hash as the n=2 affine combine of adjacent token
+    hashes (same coefficients as the shingle path — no string
+    concat, no second tokenization). Both the word and the bigram
+    aggregates branch off the id-partitioned window stream, so the
+    explode+hash map work and the single exchange are shared
+    (ReuseExchange), and the (id, h) / (id, bg_h) groupings need no
+    further shuffle — hash(id) already clusters them. One exchange
+    of the token stream total (the r2 string pipeline paid two).
+
+    Token/bigram identity is the 32-bit folded hash, not the string:
+    a colliding token pair perturbs one count in a ratio heuristic —
+    irrelevant for filtering, and what the scale path would ship
+    anyway (no string shuffle). The oracle replays the same hashes.
     """
+    from pyspark.sql import Window
+
+    from etl_macropulse_br_spark.functions.hashing import base32
+    from etl_macropulse_br_spark.operators.dedup import _SHINGLE_COEFS
     from etl_macropulse_br_spark.operators.util import spread
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
@@ -287,7 +305,18 @@ def repetition_stats(
     tok_rows = spread(df).select(
         F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
     )
-    word_counts = tok_rows.groupBy("id", "tok").agg(
+    hashed = tok_rows.select("id", "pos", base32("tok").alias("h"))
+    w = Window.partitionBy("id").orderBy("pos")
+    # bg_h is NULL on each doc's last token (lead has no next row)
+    stream = hashed.select(
+        "id",
+        "h",
+        (
+            F.col("h") * F.lit(_SHINGLE_COEFS[0])
+            + F.lead("h", 1).over(w) * F.lit(_SHINGLE_COEFS[1])
+        ).alias("bg_h"),
+    )
+    word_counts = stream.groupBy("id", "h").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     words = word_counts.groupBy("id").agg(
@@ -295,20 +324,10 @@ def repetition_stats(
         F.sum("cnt").alias("n_tok"),
         F.count(F.lit(1)).alias("n_uniq"),
     )
-
-    # bigrams as (tok, next tok) via a self-join-free lead over pos
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy("pos")
-    bigrams = (
-        tok_rows.select(
-            "id", "pos", "tok", F.lead("tok", 1).over(w).alias("nxt")
-        )
-        .filter(F.col("nxt").isNotNull())
-        .select("id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
-    )
-    bg_counts = bigrams.groupBy("id", "bg").agg(
-        F.count(F.lit(1)).alias("cnt")
+    bg_counts = (
+        stream.filter(F.col("bg_h").isNotNull())
+        .groupBy("id", "bg_h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     bg = bg_counts.groupBy("id").agg(
         F.sum("cnt").alias("n_bg"), F.count(F.lit(1)).alias("n_uniq_bg")

@@ -1808,26 +1808,34 @@ def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
-DOCS_REPETITION_SQL = f"""
-WITH tok_rows AS (
+def _repetition_sql() -> str:
+    """DuckDB twin of the hashed repetition plan: same md5-base32
+    per token, same n=2 affine bigram combine as the Spark side."""
+    from etl_macropulse_br_spark.functions.hashing import base32_sql
+    from etl_macropulse_br_spark.operators.dedup import _SHINGLE_COEFS
+
+    c0, c1 = _SHINGLE_COEFS[0], _SHINGLE_COEFS[1]
+    return f"""
+WITH t AS (
   SELECT doc_id AS id,
-         u.tok, u.pos
-  FROM documents,
-       LATERAL (
-         SELECT unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS tok,
-                generate_subscripts(string_split_regex({_NORM_SQL}, '\\s+'), 1) AS pos
-       ) u
+         list_transform(string_split_regex({_NORM_SQL}, '\\s+'),
+                        tk -> {base32_sql('tk')}) AS th
+  FROM documents
+), tok_rows AS (
+  SELECT id, unnest(th) AS h FROM t
 ), word_counts AS (
-  SELECT id, tok, count(*) AS cnt FROM tok_rows GROUP BY id, tok
+  SELECT id, h, count(*) AS cnt FROM tok_rows GROUP BY id, h
 ), words AS (
   SELECT id, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS n_tok,
          count(*) AS n_uniq
   FROM word_counts GROUP BY id
-), bigrams AS (
-  SELECT a.id, concat(a.tok, ' ', b.tok) AS bg
-  FROM tok_rows a JOIN tok_rows b ON a.id = b.id AND b.pos = a.pos + 1
+), bg_rows AS (
+  SELECT id,
+         unnest(list_transform(generate_series(1, len(th) - 1),
+                               i -> th[i] * {c0} + th[i + 1] * {c1})) AS bg_h
+  FROM t
 ), bg_counts AS (
-  SELECT id, bg, count(*) AS cnt FROM bigrams GROUP BY id, bg
+  SELECT id, bg_h, count(*) AS cnt FROM bg_rows GROUP BY id, bg_h
 ), bg AS (
   SELECT id, CAST(sum(cnt) AS BIGINT) AS n_bg, count(*) AS n_uniq_bg
   FROM bg_counts GROUP BY id
@@ -1839,6 +1847,9 @@ SELECT words.id AS doc_id,
        n_uniq / n_tok AS uniq_token_ratio
 FROM words LEFT JOIN bg ON words.id = bg.id
 """
+
+
+DOCS_REPETITION_SQL = _repetition_sql()
 
 
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
