@@ -3,14 +3,32 @@
 one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "duckdb_total": ..., "ratio": ...}.
 
-Methodology (both engines measured the same way, in this process):
-- Spark: per query, min of 3 end-to-end runs (plan + execute into a
-  noop sink), after an untimed warmup that absorbs JVM/codegen/Arrow
-  startup.
+Methodology (symmetric: full execution, native-memory results,
+neither engine pays Python materialization in the timed region):
+- Spark: per query, ONE untimed warmup run (absorbs whole-stage
+  codegen JIT for that plan shape — the DuckDB side gets the same
+  per-query warm run) then min of 3 timed end-to-end runs — plan
+  build + full execution into a noop sink (rows flow through every
+  operator and are dropped; a count() would let Catalyst prune
+  work). Runs under the small-input session profile (deploy-time
+  sizing for known-tiny inputs; see session.get_spark).
 - DuckDB baseline: the SAME workload via each query's oracle SQL on
   the same parquet files, warm in-process connection, min of 3 runs
-  with fetchall. Published next to the Spark number every round so
-  the ratio is reproducible — no cold-start numbers on either side.
+  of ``con.execute(sql).arrow()`` — full execution plus native
+  (C++-side) Arrow materialization. A bare ``execute()`` is NOT
+  enough: DuckDB defers projection-only pipelines until fetch
+  (measured: a 600k-row regex-parse query "ran" in 3 ms), and the
+  r2 bench's ``fetchall()`` charged DuckDB a Python-tuple
+  conversion Spark never pays. Residual asymmetry, stated: DuckDB
+  retains an Arrow buffer of the result, Spark's noop sink drops
+  rows at the sink — a buffer-retention difference only; neither
+  side pays Python-object conversion.
+- Per-query Spark JOB counts are published (jobs_per_query, via job
+  groups) so the fixed per-job scheduling floor (null_job_sec) can
+  be audited against each query's overhead share.
+
+Published next to the Spark number every round so the ratio is
+reproducible — no cold-start numbers on either side.
 
 Skip the baseline (e.g. in smoke runs) with SPARK_GRAFT_NO_DUCKDB=1.
 """
@@ -62,9 +80,22 @@ def main() -> None:
     # three timed runs per query, report the min — absorbs one-off
     # JIT/page-cache noise so the number reflects steady-state plan
     # execution (what a resident service would see).
+    from etl_macropulse_br_spark.operators.dedup import (
+        unpersist_candidates,
+    )
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     timings: dict[str, float] = {}
+    jobs_per_query: dict[str, float] = {}
     for name in bench_queries():
         fn = QUERIES[name]
+        sc.setJobGroup(f"bench:{name}:warm", name)
+        # untimed per-query warmup, symmetric with the DuckDB side's
+        # warm run (absorbs first-run codegen JIT: measured up to 4s
+        # on the window-heavy plans, steady-state ~0.5s)
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        sc.setJobGroup(f"bench:{name}", name)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -74,7 +105,21 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # jobs per single run = group total / 3 runs (plan-build-time
+        # driver actions and persist population count too — they are
+        # part of what a run costs)
+        jobs_per_query[name] = round(
+            len(tracker.getJobIdsForGroup(f"bench:{name}")) / 3, 1
+        )
+        # release LSH candidate caches so repeated plan builds don't
+        # accumulate persisted partitions across the run
+        unpersist_candidates()
+        print(
+            f"# {name}: {timings[name]:.3f}s"
+            f" ({jobs_per_query[name]} jobs)",
+            file=sys.stderr,
+        )
+    sc.setJobGroup("bench:idle", "idle")
 
     total = round(sum(timings.values()), 3)
 
@@ -97,6 +142,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "null_job_sec": round(null_best, 3),
+        "jobs_per_query": jobs_per_query,
+        "total_jobs": round(sum(jobs_per_query.values()), 1),
+        "sinks": "spark: noop write (full execution, rows dropped); "
+        "duckdb: execute().arrow() (full execution, native Arrow "
+        "result); python-object conversion charged to neither",
     }
 
     if not os.environ.get("SPARK_GRAFT_NO_DUCKDB"):
@@ -116,7 +166,11 @@ def main() -> None:
 
 def duckdb_baseline(sf_dir: str) -> dict:
     """Warm min-of-3 DuckDB timings of the same workload (each
-    query's oracle SQL over the same parquet)."""
+    query's oracle SQL over the same parquet). ``.arrow()`` forces
+    full execution (bare ``execute()`` defers projection-only
+    pipelines) and materializes natively; Python-object conversion
+    is excluded — symmetric with Spark's noop sink (module
+    docstring)."""
     import duckdb
 
     from etl_macropulse_br_spark.plans.queries import ORACLES
@@ -135,7 +189,7 @@ def duckdb_baseline(sf_dir: str) -> dict:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            con.execute(sql).arrow()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"# duckdb {name}: {timings[name]:.3f}s", file=sys.stderr)

@@ -214,9 +214,12 @@ def minhash_signature_table(
     hashed = rows.select(
         "id", F.col("sh_h").bitwiseAND(F.lit(_MASK32)).alias("h")
     )
+    # one parsed expression per signature column (a Column-API
+    # min/mul/add chain costs ~4 Py4J round-trips per column at
+    # plan-build time; see functions/exprs.py:lit_double_array)
     return hashed.groupBy("id").agg(
         *[
-            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+            F.expr(f"min(h * {a} + {b}) AS m{i}")
             for i, (a, b) in enumerate(_lcg_constants(k))
         ]
     )
@@ -308,6 +311,21 @@ def ngram_jaccard_pairs(
     )
 
 
+# Candidate frames persisted by minhash_near_dups, so callers (and
+# the bench harness) can release them once the verified result has
+# materialized — repeated plan builds would otherwise accumulate
+# cached partitions until the ContextCleaner happens to run.
+_PERSISTED_CANDIDATES: list[DataFrame] = []
+
+
+def unpersist_candidates() -> None:
+    """Release every candidate cache persisted by
+    :func:`minhash_near_dups` so far (safe to call any time; lazy
+    plans that still reference a released frame simply recompute)."""
+    while _PERSISTED_CANDIDATES:
+        _PERSISTED_CANDIDATES.pop().unpersist()
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -336,6 +354,7 @@ def minhash_near_dups(
         from pyspark.storagelevel import StorageLevel
 
         cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_CANDIDATES.append(cands)
     verified = ngram_jaccard_pairs(df, cands, text_col, id_col, n_shingle)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -371,20 +390,26 @@ def simhash(
         F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")
     )
     hashed = tok_rows.select("id", md5_long("tok").alias("h"))
+    # single-parse expressions: the Column-API form paid ~4 Py4J
+    # round-trips per bit column plus ~5 per when-arm of the sketch
+    # fold (~150 driver RPCs per plan build)
     counted = hashed.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.expr("count(1) AS n"),
         *[
-            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            F.expr(f"sum(shiftright(h, {b}) & 1) AS c{b}")
             for b in range(bits)
         ],
     )
-    sketch = F.lit(0).cast("bigint")
-    for b in range(bits):
-        sketch = sketch + F.when(
-            F.col(f"c{b}") * 2 >= F.col("n"), F.lit(2**b)
-        ).otherwise(F.lit(0))
+    sketch_sql = (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN c{b} * 2 >= n THEN {2 ** b} ELSE 0 END)"
+            for b in range(bits)
+        )
+        + " AS BIGINT)"
+    )
     return counted.select(
-        F.col("id").alias(id_col), sketch.cast("bigint").alias("simhash")
+        F.col("id").alias(id_col), F.expr(sketch_sql).alias("simhash")
     )
 
 
@@ -428,12 +453,22 @@ def embedding_near_dups(
     recomputed one md5 per dimension per plane per ROW). Plane
     ``band * n_planes + p`` uses the portable md5 family, so the SQL
     oracle replays the exact bucketing.
+
+    ``dim=None`` infers the width with a one-row peek — a driver job
+    at PLAN-BUILD time, not lazy; pass ``dim`` explicitly to keep
+    plan construction action-free (as the registry query does).
     """
     from etl_macropulse_br_spark.operators.similarity import cosine_sim
     from etl_macropulse_br_spark.operators.util import spread
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "embedding_near_dups: cannot infer vector width from an "
+                "empty input (or null first vector); pass dim= explicitly"
+            )
+        dim = len(row[0])
 
     def band_bucket(b: int) -> Column:
         bucket = None

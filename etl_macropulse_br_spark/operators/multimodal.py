@@ -3,11 +3,19 @@ columns with typed metadata.
 
 The Spark-side machinery (schemas, partition-aware batch iteration,
 Arrow-vectorized UDF signatures, frame sampling plans) is real and
-tested; the codec step itself is stubbed behind
-``NotImplementedError`` / a deterministic fake because media
-libraries (PIL/ffmpeg/torchaudio) are not in this container. On a
-real cluster, replace ``_decode_stub`` with the library call — the
-plan shape, batch sizes, and schemas do not change.
+tested. Codecs are feature-flagged per modality:
+
+- image: real PIL decode when importable (``HAS_PIL``);
+- audio: real decode — soundfile/torchaudio when importable, else a
+  stdlib ``wave`` PCM parser for RIFF/WAV payloads (always
+  available, so the audio path is real and tested in ANY
+  environment);
+- video: real frame decode when ``av`` (PyAV) is importable
+  (``HAS_AV``); deterministic stub otherwise (no video codec ships
+  in the base container).
+
+The stub keeps the same 8-dim feature contract so the plan shape,
+batch sizes, and schemas are identical in every mode.
 
 Scale notes:
 - media bytes stay in executors end-to-end (``mapInPandas`` streams
@@ -55,6 +63,20 @@ try:  # feature flag: real image codec when the library exists
 except ImportError:  # container without media libs → stub path
     HAS_PIL = False
 
+try:  # preferred audio codec (any container that ships it)
+    import soundfile  # noqa: F401
+
+    HAS_SOUNDFILE = True
+except ImportError:
+    HAS_SOUNDFILE = False
+
+try:  # video codec probe (PyAV); stub when absent
+    import av  # noqa: F401
+
+    HAS_AV = True
+except ImportError:
+    HAS_AV = False
+
 
 def _decode_pil(content: bytes | None, kind: str) -> list[float]:
     """Real image decoder (PIL), same 8-dim feature contract as the
@@ -85,18 +107,131 @@ def _decode_pil(content: bytes | None, kind: str) -> list[float]:
     ]
 
 
+def _decode_wav(content: bytes) -> list[float]:
+    """Real PCM/WAV audio decoder on the stdlib ``wave`` module (no
+    external codec needed): parses the RIFF container, reads the
+    sample frames and emits the 8-dim feature contract as
+    [duration_ms, sample_rate, n_channels, rms, peak, n_samples,
+    n_bytes, 1.0]. Deterministic per input bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            rate = w.getframerate()
+            nframes = w.getnframes()
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError) as e:  # malformed RIFF → contract error
+        raise ValueError(f"undecodable WAV payload: {e}") from e
+    if sw == 2:
+        a = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif sw == 1:  # 8-bit WAV is unsigned, centered at 128
+        a = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sw == 4:
+        a = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    dur_ms = 1000.0 * nframes / rate if rate else 0.0
+    rms = float(np.sqrt((a * a).mean())) if a.size else 0.0
+    peak = float(np.abs(a).max()) if a.size else 0.0
+    return [
+        dur_ms,
+        float(rate),
+        float(nch),
+        rms,
+        peak,
+        float(a.size),
+        float(len(content)),
+        1.0,
+    ]
+
+
+def _decode_audio_soundfile(content: bytes) -> list[float]:
+    """Audio decode via soundfile (flac/ogg/wav...), same contract as
+    :func:`_decode_wav`. Only reachable when ``HAS_SOUNDFILE``."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    data, rate = sf.read(io.BytesIO(content), dtype="float64")
+    a = np.atleast_2d(data)
+    n_samples = data.size
+    nch = 1 if data.ndim == 1 else data.shape[1]
+    nframes = data.shape[0]
+    dur_ms = 1000.0 * nframes / rate if rate else 0.0
+    flat = a.ravel()
+    rms = float(np.sqrt((flat * flat).mean())) if flat.size else 0.0
+    peak = float(np.abs(flat).max()) if flat.size else 0.0
+    return [
+        dur_ms,
+        float(rate),
+        float(nch),
+        rms,
+        peak,
+        float(n_samples),
+        float(len(content)),
+        1.0,
+    ]
+
+
+def _decode_video_av(content: bytes) -> list[float]:
+    """Video decode via PyAV when importable: container duration,
+    stream count, first-frame dims, frame count of the first second.
+    Only reachable when ``HAS_AV``."""
+    import io
+
+    import av as _av
+
+    with _av.open(io.BytesIO(content)) as c:
+        stream = c.streams.video[0]
+        w = float(stream.codec_context.width or 0)
+        h = float(stream.codec_context.height or 0)
+        dur_ms = float((c.duration or 0) / 1000.0)
+        n = 0.0
+        for frame in c.decode(stream):
+            n += 1.0
+            if frame.time is not None and frame.time > 1.0:
+                break
+    return [dur_ms, w, h, n, float(len(c.streams)), 0.0, float(len(content)), 1.0]
+
+
 def decode_media(
     content: bytes | None, kind: str, use_real: bool | None = None
 ) -> list[float]:
     """Decode one media payload to a feature vector.
 
-    ``use_real=None`` auto-selects: PIL when importable (images),
-    the deterministic stub otherwise — so the same pipeline code
-    runs end-to-end in both environments.
+    ``use_real=None`` auto-selects per modality: PIL for images when
+    importable; soundfile → stdlib-``wave`` (RIFF payloads) for
+    audio; PyAV for video when importable; the deterministic stub
+    otherwise — so the same pipeline code runs end-to-end in every
+    environment. ``use_real=False`` forces the stub for all kinds.
     """
-    use_real = HAS_PIL if use_real is None else use_real
-    if use_real and kind == "image":
+    if use_real is False:
+        return _decode_stub(content, kind)
+    if kind == "image" and (HAS_PIL or use_real):
         return _decode_pil(content, kind)
+    if kind == "audio":
+        if content is None:
+            raise NotImplementedError(
+                "missing media bytes; real decoder required"
+            )
+        if HAS_SOUNDFILE:
+            return _decode_audio_soundfile(content)
+        if content[:4] == b"RIFF":
+            return _decode_wav(content)
+        if use_real:
+            raise NotImplementedError(
+                "non-WAV audio needs soundfile/torchaudio"
+            )
+    if kind == "video" and (HAS_AV or use_real):
+        if not HAS_AV:
+            raise NotImplementedError("video decode needs PyAV (av)")
+        return _decode_video_av(content)  # pragma: no cover (no av here)
     return _decode_stub(content, kind)
 
 

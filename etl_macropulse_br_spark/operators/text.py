@@ -123,13 +123,6 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _count_occurrences(padded: Column, gram: str) -> Column:
-    """Occurrences of ``gram`` in ``padded`` × len(gram):
-    length(t) - length(replace(t, gram, '')). Pure string ops —
-    codegen, no regex."""
-    return F.length(padded) - F.length(F.replace(padded, F.lit(gram)))
-
-
 def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Char-trigram language ID (Cavnar–Trenkle 1994 style): each
     language scored by total matched profile-trigram characters in
@@ -149,21 +142,32 @@ def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " "),
         F.lit(" "),
     )
+    # single-parse score expressions: the Column-API form paid ~3
+    # Py4J round-trips per (lang, gram) pair — ~150 driver RPCs per
+    # plan build for 5 langs × 10 grams. One F.expr per language
+    # parses the whole sum; codegen CSE still evaluates __padded
+    # once per row.
     scored = spread(df).withColumn("__padded", padded)
-    for lang, grams in LANG_TRIGRAMS.items():
-        score: Column = F.lit(0)
-        for g in grams:
-            score = score + _count_occurrences(F.col("__padded"), g)
-        scored = scored.withColumn(f"__ng_{lang}", score)
     langs = sorted(LANG_TRIGRAMS)
-    best = F.greatest(*[F.col(f"__ng_{lang}") for lang in langs])
-    pred: Column = F.lit("und")
-    for lang in reversed(langs):
-        pred = F.when(
-            (F.col(f"__ng_{lang}") == best) & (best > 0), F.lit(lang)
-        ).otherwise(pred)
-    return scored.withColumn("pred_lang_ngram", pred).drop(
-        "__padded", *[f"__ng_{lang}" for lang in langs]
+    for lang in langs:
+        score_sql = " + ".join(
+            f"(length(__padded) - length(replace(__padded, '{g}')))"
+            for g in LANG_TRIGRAMS[lang]
+        )
+        scored = scored.withColumn(f"__ng_{lang}", F.expr(score_sql))
+    best_sql = "greatest(" + ", ".join(f"__ng_{l}" for l in langs) + ")"
+    case_sql = (
+        "CASE "
+        + " ".join(
+            f"WHEN __ng_{l} = __best AND __best > 0 THEN '{l}'"
+            for l in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return (
+        scored.withColumn("__best", F.expr(best_sql))
+        .withColumn("pred_lang_ngram", F.expr(case_sql))
+        .drop("__padded", "__best", *[f"__ng_{lang}" for lang in langs])
     )
 
 
@@ -190,10 +194,18 @@ def bm25_topk(
 
     The classic idf uses ``log((N - df + 0.5) / (df + 0.5))``; libm
     ``log`` is not bit-portable across engines, so this uses the
-    monotone rational core ``(N - df + 0.5) / (df + 0.5)`` directly —
-    same ranking family (strictly increasing transform of the same
-    quantity), every operation a bit-deterministic IEEE +,*,/ so the
-    scores hash-match the SQL oracle exactly.
+    monotone rational core ``(N - df + 0.5) / (df + 0.5)`` directly.
+    NOTE the equivalence caveat: per TERM the rational idf is a
+    strictly increasing transform of the log idf, so single-term
+    rankings are identical — but BM25 sums per-term scores, and a
+    monotone per-term transform does NOT commute with the sum, so
+    multi-term rankings can diverge from log-idf BM25 (the rational
+    form overweights rare terms). This operator therefore defines
+    its OWN deterministic ranking function (rational-idf BM25);
+    swap in a fixed-point log approximation if log-faithful
+    multi-term ranking is required. Every operation is a
+    bit-deterministic IEEE +,*,/ so the scores hash-match the SQL
+    oracle exactly.
 
     Plan shape (scales): tokens explode once; per-doc term counts and
     doc lengths are two hash aggregates over the SAME (id) shuffle

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
@@ -10,12 +11,49 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     per-row work (hashing, shingling, vector math).
 
     Small inputs (one parquet file → one partition) would otherwise
-    pin an expensive operator to a single core. No-op when the input
-    already has ≥ default-parallelism partitions — so at real scale
-    this never adds a shuffle; on small inputs it adds one cheap
-    shuffle of the raw rows before the expensive projection.
+    pin an expensive operator to a single core. The probe is
+    ``df.inputFiles()`` — plan metadata, no RDD conversion (the
+    previous ``df.rdd.getNumPartitions()`` built a Python RDD wrapper
+    per call at plan-build time). At real scale the input has at
+    least as many files as cores, so this is a no-op and never adds
+    a shuffle; on small inputs it adds one cheap shuffle of the raw
+    rows before the expensive projection. (A single multi-GB file
+    still repartitions — redundant with maxPartitionBytes splitting,
+    but a one-file input of that size is already a layout bug, and
+    the extra exchange is harmless relative to the per-row work this
+    guards.)
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() >= target:
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)
+
+
+def small_input_profile(df: DataFrame) -> bool:
+    """True when the session runs the small-input profile
+    (session.get_spark(profile="small-input"): AQE off, static tiny
+    shuffle partitioning)."""
+    return (
+        df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+        == "false"
+    )
+
+
+def broadcast_small(df: DataFrame) -> DataFrame:
+    """Broadcast hint for a build side that is small at bench scale
+    but UNBOUNDED at the 100 TB target (orders/customer-derived join
+    intermediates — never true dimension tables, which can take a
+    plain ``F.broadcast``).
+
+    Under the cluster profile (AQE on) the hint is omitted: AQE's
+    runtime statistics choose broadcast vs shuffle join per run, so
+    a fact-sized side can never be pinned into a driver OOM by a
+    compile-time hint. Under the small-input profile (AQE off — the
+    local bench, notebook samples) the hint stands in for exactly
+    that runtime decision on inputs declared tiny; without it the
+    static planner's default size estimates force sort-merge joins
+    that cost more than the stages themselves.
+    """
+    if small_input_profile(df):
+        return F.broadcast(df)
+    return df

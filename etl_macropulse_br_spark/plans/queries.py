@@ -23,19 +23,25 @@ Ratios of integers are emitted unrounded for the same reason.
 The embedding dot product uses the same sequential left-fold on
 both sides (Spark ``aggregate`` / DuckDB ``list_reduce``).
 
-SURVEY §2 coverage map (operator id → query):
+SURVEY §2 coverage map (operator id → query; [aux] = consolidated
+into AUX_QUERIES in r3, still locally oracle-gated, covered in the
+declared 50 by the named superset query):
   A1→monthly_last_by, A2/A3→monthly_last_by, A4→latest_event_per_user,
-  A5/P7→latest_month_activity, A6→latest_event_global,
-  A7→dedup_first_event, W1/W2→mom_avg_value, W3→latest_event_per_user,
+  A5/P7→latest_month_activity, A6→recent_events_top10
+  (latest_event_global [aux]), A7→dedup_first_event,
+  W1/W2→mom_avg_value, W3→latest_event_per_user,
   O1/O3→recent_events_top10, O2→top_movers, U1→union_event_slices,
   J1→regional_revenue + customer_order_counts,
-  P1-P6→filter_range_project + status_filter + q1_pricing_summary,
-  F1/F2/D1/D2→ptbr_roundtrip, S11→(every query runs via spark.sql
-  views too; scripts/query_sql.py), JSON ingest→json_props_extract +
-  props_struct_parse. (S1-S10 sources/sinks and the summary
-  analytics live in sources/, sinks/, operators/summary.py and are
-  exercised by the pipeline/golden tests — they have no testdata
-  tables to query against.)
+  P1-P6→filter_range_project + q1_pricing_summary
+  (status_filter [aux]), F1/F2/D1/D2→ptbr_roundtrip,
+  S11→(every query runs via spark.sql views too;
+  scripts/query_sql.py), JSON ingest→props_struct_parse
+  (json_props_extract [aux]). Skew handling→skew_salted_rollup
+  (operators/skew.py salted_join, oracle-gated end-to-end, r3).
+  (S1-S10 sources/sinks and the summary analytics live in sources/,
+  sinks/, operators/summary.py and are exercised by the
+  pipeline/golden tests — they have no testdata tables to query
+  against.)
 TPC-H classics: q1_pricing_summary, q3_shipping_priority,
   q6_forecast_revenue, q5_local_supplier_volume, q10_returned_items,
   q14_promo_effect, q7_volume_shipping (dual-role dim),
@@ -47,11 +53,13 @@ SQL-surface beyond the reference (§2.3/2.4/2.5/2.7 'not present —
   price_percentiles, user_set_ops, value_quartiles,
   nation_customer_digest, top_tokens, zscore_events.
 Training-data extension ops: docs_exact_dedup, docs_text_stats,
-  docs_token_totals, docs_lang_id, docs_lang_id_ngram,
-  docs_fingerprint, docs_winnow_fp, docs_minhash_sig, docs_simhash,
-  docs_near_dups, docs_bm25_topk (log-free rational idf),
-  docs_repetition (Gopher-style repetition filters),
-  docs_curated (quality->exact-dedup->near-dup->split composition),
+  docs_token_totals, docs_lang_id_ngram (docs_lang_id [aux]),
+  docs_winnow_fp (docs_fingerprint [aux]), docs_simhash,
+  docs_near_dups (docs_minhash_sig [aux] — the near-dup oracle
+  replays the identical signature stage), docs_bm25_topk (log-free
+  rational idf), docs_repetition (Gopher-style repetition filters,
+  hashed token stream since r3), docs_curated
+  (quality->exact-dedup->near-dup->split composition),
   embedding_cosine_topk, embedding_cosine_topk_pandas
   (float-free rank projection), embedding_ivf_topk,
   embedding_near_dups, docs_train_val_split (all oracle-gated).
@@ -167,13 +175,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    from etl_macropulse_br_spark.operators.util import broadcast_small
+
     revenue_scaled = _scaled(
         F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
     )
-    # Build side = customer⋈orders (small after filters); lineitem is
-    # ALWAYS the probe side — without the explicit broadcast Catalyst
-    # may broadcast the filtered fact instead (it fits the threshold
-    # at bench scale but never would at 100 TB).
+    # Build side = customer⋈orders (small after filters, but
+    # orders-derived — unbounded at 100 TB). broadcast_small applies
+    # the hint only under the small-input profile; under the cluster
+    # profile AQE's runtime stats pick the strategy, so a fact-sized
+    # side is never pinned into a broadcast. lineitem stays the probe
+    # side either way.
     cust_orders = (
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .join(orders, cust.c_custkey == orders.o_custkey)
@@ -182,7 +194,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.filter(F.col("l_shipdate") > F.lit("1995-06-30"))
-        .join(F.broadcast(cust_orders), li.l_orderkey == cust_orders.o_orderkey)
+        .join(broadcast_small(cust_orders), li.l_orderkey == cust_orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -243,10 +255,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star with a correlated customer/
     supplier nation condition. Dim chain (region→nation, supplier)
-    broadcasts; lineitem stays the probe side of every join; the
-    customer⋈orders pairing is left to the planner — broadcastable
-    at bench scale, sort-merge under AQE at 100 TB (both sides are
-    fact-sized there)."""
+    broadcasts unconditionally; lineitem stays the probe side of
+    every join; the orders⋈customer intermediate goes through
+    ``broadcast_small`` — hinted only under the small-input profile,
+    left to AQE's runtime choice under the cluster profile (both
+    sides are fact-sized at 100 TB)."""
+    from etl_macropulse_br_spark.operators.util import broadcast_small
+
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -273,7 +288,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
     )
     joined = li.join(
-        F.broadcast(cust_orders), li.l_orderkey == cust_orders.o_orderkey
+        broadcast_small(cust_orders), li.l_orderkey == cust_orders.o_orderkey
     ).join(
         F.broadcast(supp),
         (F.col("l_suppkey") == supp.s_suppkey)
@@ -307,8 +322,13 @@ ORDER BY revenue DESC, n_name ASC
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer over one
     quarter, top-20. Probe = lineitem (returnflag filter pushed to
-    the scan); customer⋈orders⋈nation build side broadcast after its
-    selective date filter."""
+    the scan); the customer⋈orders⋈nation build side is
+    orders-derived, so it goes through ``broadcast_small`` (hint only
+    under the small-input profile; AQE decides under the cluster
+    profile — at 100 TB a quarter of orders⋈customer is not a
+    broadcastable side)."""
+    from etl_macropulse_br_spark.operators.util import broadcast_small
+
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -328,7 +348,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.filter(F.col("l_returnflag") == "R")
-        .join(F.broadcast(build), li.l_orderkey == build.o_orderkey)
+        .join(broadcast_small(build), li.l_orderkey == build.o_orderkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -398,19 +418,32 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: dual-role dimension (nation joined twice under
     different aliases for supplier vs customer side), directional
-    pair filter, year bucketing. Both nation copies broadcast; the
-    supplier side broadcasts onto the lineitem probe; orders⋈customer
-    pairing left to the planner."""
+    pair filter, year bucketing.
+
+    Scale plan: BOTH nation copies are pre-filtered to the two
+    nations of interest before anything joins — that pushes the pair
+    predicate's nation component down to the 25-row dim, shrinking
+    the supplier and customer join sides ~12× each. The nation
+    copies broadcast unconditionally (true dims); the
+    supplier-derived and orders⋈customer-derived sides go through
+    ``broadcast_small`` (hint only under the small-input profile —
+    under the cluster profile AQE sees the post-filter sizes and
+    chooses; at 100 TB a two-year orders⋈customer side must never be
+    compile-time-pinned to a broadcast). The residual directional
+    filter keeps only the 1→2 / 2→1 combinations."""
+    from etl_macropulse_br_spark.operators.util import broadcast_small
+
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
 
-    n1 = nat.select(
+    nat2 = nat.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = nat2.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = nat.select(
+    n2 = nat2.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     supp_n = supp.join(
@@ -419,9 +452,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_n = cust.join(
         F.broadcast(n2), cust.c_nationkey == F.col("n2_key")
     ).select("c_custkey", "cust_nation")
-    ord_c = orders.join(cust_n, orders.o_custkey == cust_n.c_custkey).select(
-        "o_orderkey", "cust_nation"
-    )
+    ord_c = orders.join(
+        broadcast_small(cust_n), orders.o_custkey == cust_n.c_custkey
+    ).select("o_orderkey", "cust_nation")
     pairs = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | (
@@ -435,8 +468,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1995-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
         )
-        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
-        .join(F.broadcast(ord_c), li.l_orderkey == ord_c.o_orderkey)
+        .join(broadcast_small(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(broadcast_small(ord_c), li.l_orderkey == ord_c.o_orderkey)
         .filter(pairs)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")

@@ -249,6 +249,47 @@ def test_multimodal_decoder_both_modes(spark):
     assert bad["decode_ok"] is False and bad["feature"] is None
 
 
+def test_multimodal_wav_decode_real(spark):
+    """The audio path is a REAL decoder in any environment: a WAV
+    synthesized with the stdlib wave writer round-trips through
+    extract_features with exact duration/rate/channel features.
+    Malformed RIFF bytes are flagged, not fatal."""
+    import io
+    import struct
+    import wave
+
+    from etl_macropulse_br_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        # 4000 frames (0.5 s) of a constant amplitude-1000 square-ish
+        # signal so rms/peak are exactly 1000
+        w.writeframes(struct.pack("<4000h", *([1000] * 4000)))
+    wav_bytes = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", wav_bytes, "audio/wav", None, None, 500),
+            (2, "audio", b"RIFFgarbagenotawav", "audio/wav", None, None, 1),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    dur, rate, nch, rms, peak, n, nbytes, flag = feats[1]["feature"]
+    assert feats[1]["decode_ok"]
+    assert (dur, rate, nch) == (500.0, 8000.0, 1.0)
+    assert (rms, peak, n) == (1000.0, 1000.0, 4000.0)
+    assert nbytes == float(len(wav_bytes)) and flag == 1.0
+    # malformed RIFF → ValueError inside the decoder → flagged row
+    assert feats[2]["decode_ok"] is False and feats[2]["feature"] is None
+
+
 def test_winnow_fingerprints_shared_run_and_density(spark):
     """Two documents sharing a long token run must share at least one
     fingerprint drawn FROM that run; selection must be sparse (less
