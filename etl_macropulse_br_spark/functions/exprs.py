@@ -24,9 +24,16 @@ def parse_ptbr_number(col: Column | str) -> Column:
     NULL-on-failure (non-ANSI cast == pandas ``errors="coerce"``).
     Reference: ``extract.py:39-45`` (BCB ``valor``) and
     ``transform.py:92-96`` (ANP price comma branch).
+
+    Both rewrites are literal, so this uses non-regex ``replace``
+    (codegen string scan; a Java-regex ``regexp_replace`` per row
+    measured ~2× slower on the 600k-row roundtrip query) — exactly
+    the DuckDB oracle's ``replace`` semantics.
     """
     c = _as_col(col).cast("string")
-    return F.regexp_replace(F.regexp_replace(c, r"\.", ""), ",", ".").cast("double")
+    return F.replace(
+        F.replace(c, F.lit("."), F.lit("")), F.lit(","), F.lit(".")
+    ).cast("double")
 
 
 def parse_price_mixed(col: Column | str) -> Column:

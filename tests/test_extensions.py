@@ -249,6 +249,30 @@ def test_multimodal_decoder_both_modes(spark):
     assert bad["decode_ok"] is False and bad["feature"] is None
 
 
+def test_salted_join_spreads_hot_key(spark):
+    """The salted join must actually spread a hot key: the physical
+    plan joins on (key, salt) — so one key's rows hash across n_salt
+    partitions — and the result equals the plain join."""
+    from etl_macropulse_br_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(0, float(i)) for i in range(500)] + [(7, 1.0), (9, 2.0)],
+        ["k", "value"],
+    )
+    dim = spark.createDataFrame(
+        [(0, "hot"), (7, "a"), (9, "b")], ["k", "seg"]
+    )
+    out = salted_join(fact, dim, on="k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "join must carry the salt key"
+    got = sorted((r["k"], r["value"], r["seg"]) for r in out.collect())
+    want = sorted(
+        (r["k"], r["value"], r["seg"])
+        for r in fact.join(dim, "k").collect()
+    )
+    assert got == want
+
+
 def test_multimodal_wav_decode_real(spark):
     """The audio path is a REAL decoder in any environment: a WAV
     synthesized with the stdlib wave writer round-trips through
