@@ -45,7 +45,10 @@ declared 50 by the named superset query):
 TPC-H classics: q1_pricing_summary, q3_shipping_priority,
   q6_forecast_revenue, q5_local_supplier_volume, q10_returned_items,
   q14_promo_effect, q7_volume_shipping (dual-role dim),
-  q17_small_quantity_revenue (decorrelated window rewrite).
+  q17_small_quantity_revenue (decorrelated window rewrite);
+  aux (r3, locally gated): q8_market_share,
+  q13_customer_distribution (left-join zero-keep + double agg),
+  q18_large_volume_customer (HAVING rollup re-join).
 SQL-surface beyond the reference (§2.3/2.4/2.5/2.7 'not present —
   build anyway'): semi_anti_customers, cube_lineitem,
   rank_orders_window, pivot_status_priority, sessionize_events,
@@ -496,6 +499,171 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — NATION_1 suppliers'
+    revenue share among AMERICA-region customers for one part type,
+    per year. Dims (region→nation chains, filtered part, supplier)
+    broadcast; the orders⋈customer side goes through
+    ``broadcast_small``; lineitem is the probe of every join. The
+    share divides two exact scaled-int sums (bigint/bigint → double
+    identically in both engines)."""
+    from etl_macropulse_br_spark.operators.util import broadcast_small
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+
+    amer_nations = nat.join(
+        F.broadcast(reg.filter(F.col("r_name") == "AMERICA")),
+        nat.n_regionkey == reg.r_regionkey,
+    ).select("n_nationkey")
+    amer_cust = cust.join(
+        F.broadcast(amer_nations), cust.c_nationkey == amer_nations.n_nationkey
+    ).select("c_custkey")
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    co = ord_f.join(
+        broadcast_small(amer_cust), ord_f.o_custkey == amer_cust.c_custkey
+    ).select("o_orderkey", "o_orderdate")
+
+    std_parts = part.filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    supp_n = supp.join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    joined = (
+        li.join(F.broadcast(std_parts), li.l_partkey == std_parts.p_partkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(broadcast_small(co), li.l_orderkey == co.o_orderkey)
+    )
+    nat_rev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", revenue_scaled).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((nat_rev / F.sum(revenue_scaled)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       sum(CASE WHEN n2.n_name = 'NATION_1'
+            THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+            ELSE 0 END)
+         / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+         AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA'
+  AND p_type = 'STANDARD'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT
+    join keeps zero-order customers, two chained aggregations (the
+    testdata has no o_comment, so the canonical comment exclusion is
+    omitted; the join/agg shape is the point)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — per-order quantity
+    rollup with a HAVING threshold, re-joined to orders + customer,
+    top-100. Quantities are integral doubles, summed as bigints
+    (exact, order-free)."""
+    from etl_macropulse_br_spark.operators.util import broadcast_small
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(broadcast_small(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q18_LARGE_VOLUME_CUSTOMER_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
 """
 
 
@@ -2468,6 +2636,12 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_lang_id": docs_lang_id,  # superseded by docs_lang_id_ngram
     "docs_fingerprint": docs_fingerprint,  # same hash as docs_exact_dedup key
     "docs_minhash_sig": docs_minhash_sig,  # replayed inside docs_near_dups sig stage
+    # r3 TPC-H widening beyond the 50-entry driver contract (shapes
+    # the declared q3/q5/q7/q10/q14/q17 family already exercises
+    # piecewise; locally gated end-to-end here)
+    "q8_market_share": q8_market_share,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q18_large_volume_customer": q18_large_volume_customer,
 }
 
 ORACLES: dict[str, str] = {
@@ -2532,4 +2706,7 @@ AUX_ORACLES: dict[str, str] = {
     "docs_lang_id": DOCS_LANG_ID_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "docs_minhash_sig": DOCS_MINHASH_SIG_SQL,
+    "q8_market_share": Q8_MARKET_SHARE_SQL,
+    "q13_customer_distribution": Q13_CUSTOMER_DISTRIBUTION_SQL,
+    "q18_large_volume_customer": Q18_LARGE_VOLUME_CUSTOMER_SQL,
 }
