@@ -1595,6 +1595,73 @@ FROM events
 """
 
 
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy subtotals (SURVEY §2.4 'grouping sets /
+    cube / rollup — not present, build anyway'; cube_lineitem covers
+    the full lattice, this covers the prefix hierarchy + grand
+    total). Scaled-int revenue, exact at every level."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(_scaled("l_extendedprice")) / F.lit(100.0)).alias(
+                "sum_price"
+            ),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+         AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded window frame (ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW) — the explicit-frame analytic the SURVEY §2.5 note lists as
+    absent from the reference. Moving average = exact scaled-int
+    window sum divided by the window count, so the doubles are
+    bit-identical cross-engine (a native avg(double) would fold in
+    frame order, which happens to be deterministic here, but the
+    int form is deterministic by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(_scaled("value")).over(w)
+            / F.lit(100.0)
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+MOVING_AVG_VALUE_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         / 100.0 / count(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-stress join: ~half of all events collapse onto ONE hot
     key, then a salted equi-join (operators/skew.py:salted_join)
@@ -2642,6 +2709,10 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "q8_market_share": q8_market_share,
     "q13_customer_distribution": q13_customer_distribution,
     "q18_large_volume_customer": q18_large_volume_customer,
+    # r3 SQL-surface widening: rollup hierarchy (cube_lineitem covers
+    # the full lattice) and an explicit bounded window frame
+    "rollup_lineitem": rollup_lineitem,
+    "moving_avg_value": moving_avg_value,
 }
 
 ORACLES: dict[str, str] = {
@@ -2709,4 +2780,6 @@ AUX_ORACLES: dict[str, str] = {
     "q8_market_share": Q8_MARKET_SHARE_SQL,
     "q13_customer_distribution": Q13_CUSTOMER_DISTRIBUTION_SQL,
     "q18_large_volume_customer": Q18_LARGE_VOLUME_CUSTOMER_SQL,
+    "rollup_lineitem": ROLLUP_LINEITEM_SQL,
+    "moving_avg_value": MOVING_AVG_VALUE_SQL,
 }

@@ -69,6 +69,36 @@ def test_gold_invariant_under_row_order(rows):
     assert a == b
 
 
+def test_repetition_stats_match_python_oracle(spark):
+    """The hashed-token repetition plan (r3: bigram = affine combine
+    of adjacent token md5s) must reproduce the straightforward
+    token-level definition — hash collisions aside, which a 32-bit
+    space makes negligible at this vocabulary size. Batched into one
+    job."""
+    from etl_macropulse_br_spark.operators.text import repetition_stats
+
+    docs = {
+        1: "a a a a b",                      # heavy top word
+        2: "x y x y x y",                    # repeated bigrams
+        3: "one two three four five",        # all unique
+        4: "solo",                           # single token, no bigram
+        5: "p q p q r s p",                  # mixed
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for doc_id, text in docs.items():
+        toks = text.split()
+        counts = {t: toks.count(t) for t in set(toks)}
+        bgs = [(a, b) for a, b in zip(toks, toks[1:])]
+        r = got[doc_id]
+        assert r["top_word_ratio"] == max(counts.values()) / len(toks)
+        assert r["uniq_token_ratio"] == len(counts) / len(toks)
+        expect_bg = (
+            (len(bgs) - len(set(bgs))) / len(bgs) if bgs else 0.0
+        )
+        assert r["dup_bigram_ratio"] == expect_bg
+
+
 def test_dedup_keep_first_is_min_under_order(spark):
     rows = [(k % 4, f"o{(k * 7) % 11}", float(k)) for k in range(40)]
     df = spark.createDataFrame(rows, ["k", "o", "v"])
