@@ -1595,6 +1595,29 @@ FROM events
 """
 
 
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch over event users — the
+    oracle-gateable approximate-distinct operator (HLL sketches can
+    never hash-match across engines; the portable-md5 KMV does,
+    bit-for-bit — see operators/sketches.py)."""
+    from etl_macropulse_br_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", k=64)
+
+
+def _events_kmv_sql() -> str:
+    from etl_macropulse_br_spark.operators.sketches import (
+        kmv_distinct_sql,
+    )
+
+    # md5 needs VARCHAR in DuckDB; Spark's md5_long casts internally
+    return kmv_distinct_sql("events", "CAST(user_id AS VARCHAR)", k=64)
+
+
+EVENTS_KMV_DISTINCT_SQL = _events_kmv_sql()
+
+
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy subtotals (SURVEY §2.4 'grouping sets /
     cube / rollup — not present, build anyway'; cube_lineitem covers
@@ -2713,6 +2736,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # the full lattice) and an explicit bounded window frame
     "rollup_lineitem": rollup_lineitem,
     "moving_avg_value": moving_avg_value,
+    # r3: portable bottom-k distinct sketch (the oracle-gateable
+    # alternative to HLL approx_count_distinct)
+    "events_kmv_distinct": events_kmv_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -2782,4 +2808,5 @@ AUX_ORACLES: dict[str, str] = {
     "q18_large_volume_customer": Q18_LARGE_VOLUME_CUSTOMER_SQL,
     "rollup_lineitem": ROLLUP_LINEITEM_SQL,
     "moving_avg_value": MOVING_AVG_VALUE_SQL,
+    "events_kmv_distinct": EVENTS_KMV_DISTINCT_SQL,
 }

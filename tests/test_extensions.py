@@ -249,6 +249,30 @@ def test_multimodal_decoder_both_modes(spark):
     assert bad["decode_ok"] is False and bad["feature"] is None
 
 
+def test_kmv_distinct_sketch(spark):
+    """KMV estimate: exact below k distinct values; within ~3/sqrt(k)
+    relative error above (64 mins → ~37% bound at 3 sigma; the fixed
+    seedless hash makes the draw deterministic, so the tolerance can
+    be asserted tightly for THIS input); plan uses a distributed
+    bottom-k (TakeOrdered), no global sort."""
+    from etl_macropulse_br_spark.operators.sketches import kmv_distinct
+
+    small = spark.createDataFrame(
+        [(i % 10,) for i in range(100)], ["v"]
+    )
+    r = kmv_distinct(small, "v", k=64).collect()[0]
+    assert r["n_kept"] == 10 and r["est_distinct"] == 10.0
+
+    big = spark.createDataFrame([(i,) for i in range(5000)], ["v"])
+    r = kmv_distinct(big, "v", k=64).collect()[0]
+    assert r["n_kept"] == 64
+    assert abs(r["est_distinct"] - 5000) / 5000 < 0.4
+    plan = (
+        kmv_distinct(big, "v", k=64)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_salted_join_spreads_hot_key(spark):
     """The salted join must actually spread a hot key: the physical
     plan joins on (key, salt) — so one key's rows hash across n_salt
