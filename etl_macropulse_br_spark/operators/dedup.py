@@ -413,6 +413,72 @@ def simhash(
     )
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: sketch → banded blocking → Hamming
+    verify. Completes the SimHash story (the sketch alone is a
+    column; THIS is the dedup operator).
+
+    Blocking uses the pigeonhole principle: split the ``bits``-bit
+    sketch into ``max_hamming + 1`` bands — two sketches within
+    ``max_hamming`` bit flips MUST agree exactly on at least one
+    band, so banding loses no true pairs (recall 1.0, standard
+    SimHash dedup construction per Manku et al. 2007, "Detecting
+    near-duplicates for web crawling"). Plan: explode per-band keys
+    (linear), self-join per (band, band_bits) bucket, verify
+    ``bit_count(xor) <= max_hamming`` on colliding pairs only —
+    never all-pairs. ``bit_count``/xor are bit-identical in the SQL
+    oracle.
+    """
+    n_bands = max_hamming + 1
+    band_width = bits // n_bands
+    sk = simhash(df, text_col, id_col, bits).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    banded = sk.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.band_bits")
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_bits") == F.col("r.band_bits"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide in several bands
+    )
+
+
 def srp_signs(plane: int, dim: int) -> list[float]:
     """±1 hyperplane for one SRP plane, derived from the portable md5
     family (same bits as ``md5_long(dim_index, seed=plane)``), so

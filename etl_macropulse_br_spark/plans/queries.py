@@ -2229,6 +2229,52 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t
 DOCS_SIMHASH_SQL = _simhash_sql()
 
 
+def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole banding (Hamming ≤ 3 ⇒
+    exact agreement on ≥1 of 4 bands) + bit_count(xor) verify on
+    colliding pairs only (operators/dedup.py:simhash_near_dups).
+    32-bit sketch — the 16-bit sketch `docs_simhash` declares is too
+    coarse for pairing (random docs collide within 3 bits); wider
+    sketches cost only more sum columns in the same single
+    aggregate."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_near_dups(docs, bits=32, max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _simhash_near_dups_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS id, simhash, {b} AS band,"
+        f" (simhash >> {b * width}) & {mask} AS band_bits FROM sk"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sk AS (
+{_simhash_sql(bits)}
+), banded AS (
+{band_selects}
+)
+SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+FROM banded l
+JOIN banded r
+  ON l.band = r.band AND l.band_bits = r.band_bits AND l.id < r.id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""
+
+
+DOCS_SIMHASH_NEAR_DUPS_SQL = _simhash_near_dups_sql(bits=32)
+
+
 def docs_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, Jaccard-verified. Every hash in
     the pipeline is portable, so the oracle replays the banded LSH
@@ -2739,6 +2785,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r3: portable bottom-k distinct sketch (the oracle-gateable
     # alternative to HLL approx_count_distinct)
     "events_kmv_distinct": events_kmv_distinct,
+    # r3: the simhash PAIRING operator (docs_simhash declares the
+    # sketch; this gates banding + Hamming verify end-to-end)
+    "docs_simhash_near_dups": docs_simhash_near_dups,
 }
 
 ORACLES: dict[str, str] = {
@@ -2809,4 +2858,5 @@ AUX_ORACLES: dict[str, str] = {
     "rollup_lineitem": ROLLUP_LINEITEM_SQL,
     "moving_avg_value": MOVING_AVG_VALUE_SQL,
     "events_kmv_distinct": EVENTS_KMV_DISTINCT_SQL,
+    "docs_simhash_near_dups": DOCS_SIMHASH_NEAR_DUPS_SQL,
 }
