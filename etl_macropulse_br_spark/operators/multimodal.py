@@ -11,8 +11,10 @@ tested. Codecs are feature-flagged per modality:
   available, so the audio path is real and tested in ANY
   environment);
 - video: real frame decode when ``av`` (PyAV) is importable
-  (``HAS_AV``); deterministic stub otherwise (no video codec ships
-  in the base container).
+  (``HAS_AV``); raw YUV4MPEG2 (y4m) streams parse on pure stdlib —
+  always available, so the video path is real for uncompressed
+  interchange payloads in ANY environment; deterministic stub for
+  compressed containers without PyAV.
 
 The stub keeps the same 8-dim feature contract so the plan shape,
 batch sizes, and schemas are identical in every mode.
@@ -179,6 +181,45 @@ def _decode_audio_soundfile(content: bytes) -> list[float]:
     ]
 
 
+def _decode_y4m(content: bytes) -> list[float]:
+    """Real raw-video decoder for YUV4MPEG2 (y4m) payloads on pure
+    stdlib: parse the text header (width/height/framerate), count
+    FRAME records, emit [duration_ms, width, height, n_frames, fps,
+    0, n_bytes, 1.0]. Deterministic per input bytes. y4m is the
+    standard uncompressed interchange format (mjpegtools/ffmpeg
+    `-f yuv4mpegpipe`), so the video path is real without a codec
+    library — compressed containers need PyAV (probed above)."""
+    header_end = content.find(b"\x0a")
+    if not content.startswith(b"YUV4MPEG2") or header_end < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = 0
+    fps_num, fps_den = 0, 1
+    for tok in content[:header_end].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps_num, fps_den = int(num), int(den)
+    if width <= 0 or height <= 0:
+        raise ValueError("y4m header missing W/H")
+    # count FRAME markers (each frame = b"FRAME...\n" + planes)
+    n_frames = content.count(b"FRAME", header_end)
+    fps = fps_num / fps_den if fps_den and fps_num else 0.0
+    dur_ms = 1000.0 * n_frames / fps if fps else 0.0
+    return [
+        dur_ms,
+        float(width),
+        float(height),
+        float(n_frames),
+        fps,
+        0.0,
+        float(len(content)),
+        1.0,
+    ]
+
+
 def _decode_video_av(content: bytes) -> list[float]:
     """Video decode via PyAV when importable: container duration,
     stream count, first-frame dims, frame count of the first second.
@@ -228,10 +269,20 @@ def decode_media(
             raise NotImplementedError(
                 "non-WAV audio needs soundfile/torchaudio"
             )
-    if kind == "video" and (HAS_AV or use_real):
-        if not HAS_AV:
-            raise NotImplementedError("video decode needs PyAV (av)")
-        return _decode_video_av(content)  # pragma: no cover (no av here)
+    if kind == "video":
+        if content is None:
+            raise NotImplementedError(
+                "missing media bytes; real decoder required"
+            )
+        if HAS_AV:
+            return _decode_video_av(content)  # pragma: no cover (no av here)
+        if content[:9] == b"YUV4MPEG2":
+            return _decode_y4m(content)
+        if use_real:
+            raise NotImplementedError(
+                "compressed video needs PyAV (av); raw y4m decodes "
+                "without it"
+            )
     return _decode_stub(content, kind)
 
 

@@ -338,6 +338,35 @@ def test_multimodal_wav_decode_real(spark):
     assert feats[2]["decode_ok"] is False and feats[2]["feature"] is None
 
 
+def test_multimodal_y4m_decode_real(spark):
+    """Raw YUV4MPEG2 video decodes on pure stdlib: header gives
+    dims/fps, FRAME markers give the count; malformed y4m is
+    flagged."""
+    from etl_macropulse_br_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    w, h, n = 4, 2, 5
+    frame = b"FRAME\x0a" + b"\x80" * (w * h * 3 // 2)  # 4:2:0 planes
+    y4m = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\x0a" + frame * n
+    media = spark.createDataFrame(
+        [
+            (1, "video", y4m, "video/x-yuv4mpeg", w, h, None),
+            (2, "video", b"YUV4MPEG2 F25:1\x0agarbage", "video/x-yuv4mpeg", None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    dur, fw, fh, frames, fps, _, nbytes, flag = feats[1]["feature"]
+    assert feats[1]["decode_ok"]
+    assert (fw, fh, frames, fps) == (4.0, 2.0, 5.0, 25.0)
+    assert dur == 1000.0 * n / 25.0 and flag == 1.0
+    assert nbytes == float(len(y4m))
+    # header without W/H → ValueError → flagged, not fatal
+    assert feats[2]["decode_ok"] is False and feats[2]["feature"] is None
+
+
 def test_winnow_fingerprints_shared_run_and_density(spark):
     """Two documents sharing a long token run must share at least one
     fingerprint drawn FROM that run; selection must be sparse (less
