@@ -1241,9 +1241,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    # Interval comparison instead of epoch casts: TIMESTAMP_NTZ (what
+    # Spark 4 infers for tz-less parquet) cannot cast to long, but
+    # interval arithmetic works for both NTZ and LTZ.
+    prev_ts = F.lag(F.col("ts"), 1).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > 1800), F.lit(1)
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 1800 SECOND")),
+        F.lit(1),
     ).otherwise(F.lit(0))
     sessions = ev.withColumn(
         "session_seq",
