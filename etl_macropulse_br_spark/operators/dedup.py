@@ -319,11 +319,23 @@ _PERSISTED_CANDIDATES: list[DataFrame] = []
 
 
 def unpersist_candidates() -> None:
-    """Release every candidate cache persisted by
-    :func:`minhash_near_dups` so far (safe to call any time; lazy
+    """Release every intermediate cache registered via
+    :func:`register_persisted` so far (safe to call any time; lazy
     plans that still reference a released frame simply recompute)."""
     while _PERSISTED_CANDIDATES:
         _PERSISTED_CANDIDATES.pop().unpersist()
+
+
+def register_persisted(df: DataFrame) -> DataFrame:
+    """Persist ``df`` MEMORY_AND_DISK and register it for release by
+    :func:`unpersist_candidates` — the shared pattern for operators
+    whose DAG consumes an expensive intermediate from multiple
+    branches (LSH candidate sets, BM25 term-frequency tables)."""
+    from pyspark.storagelevel import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_CANDIDATES.append(out)
+    return out
 
 
 def minhash_near_dups(
@@ -351,10 +363,7 @@ def minhash_near_dups(
     """
     cands = minhash_lsh_candidates(df, text_col, id_col, n_shingle, k, bands)
     if persist_candidates:
-        from pyspark.storagelevel import StorageLevel
-
-        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSISTED_CANDIDATES.append(cands)
+        cands = register_persisted(cands)
     verified = ngram_jaccard_pairs(df, cands, text_col, id_col, n_shingle)
     return verified.filter(F.col("jaccard") >= threshold)
 

@@ -207,26 +207,33 @@ def ivf_topk_deterministic(
         )[:n_probe]
     ]
 
-    # Cell argmax: scores array + array_position(array_max). The
-    # double reference to `scores` does re-evaluate the HOF folds
-    # (they're interpreted CodegenFallback, no CSE), but measured
-    # alternatives are strictly worse at any n_cells tried here: an
-    # aggregate-fold argmax boxes a struct per element (~2.5x
-    # slower), and a greatest + when-chain duplicates the `greatest`
-    # subtree per CASE arm — tree size grows O(n_cells^2), stalling
-    # the optimizer outright. array_position's first-match semantics
-    # give ties to the lowest cell, matching the oracle's
-    # `ORDER BY cos DESC, cell ASC` ranking. The whole array is ONE
-    # parsed SQL string (structurally identical expressions) — the
-    # Column-API build cost ~0.8 s of Py4J round-trips per plan.
+    # Cell argmax: scores array + array_position(array_max), with
+    # the scores array materialized by its OWN projection first. The
+    # HOF folds are interpreted CodegenFallback with no CSE, so
+    # inlining `scores` into the argmax would evaluate all n_cells
+    # folds twice per row; as a separate non-cheap alias,
+    # CollapseProject keeps the two Project nodes apart and the
+    # folds run once (measured ~25% off the query). Other argmax
+    # forms are worse: an aggregate-fold argmax boxes a struct per
+    # element (~2.5x slower), and a greatest + when-chain grows
+    # O(n_cells^2), stalling the optimizer. array_position's
+    # first-match semantics give ties to the lowest cell, matching
+    # the oracle's `ORDER BY cos DESC, cell ASC` ranking. The whole
+    # array is ONE parsed SQL string (structurally identical
+    # expressions) — the Column-API build cost ~0.8 s of Py4J
+    # round-trips per plan.
     scores = F.expr(
         "array("
         + ",".join(cosine_sim_const_sql("v", c) for c in centroids)
         + ")"
     )
-    assigned = e.withColumn(
-        "cell", (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    )
+    assigned = e.withColumn("__scores", scores).withColumn(
+        "cell",
+        (
+            F.array_position(F.col("__scores"), F.array_max(F.col("__scores")))
+            - 1
+        ).cast("int"),
+    ).drop("__scores")
     pruned = assigned.filter(F.col("cell").isin(*probe_cells))
     return (
         pruned.select(

@@ -223,9 +223,19 @@ def bm25_topk(
     tok_rows = spread(df).select(
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")
     )
-    # per-doc term frequencies and doc length share one shuffle key
-    tf = tok_rows.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok_rows.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # per-doc term frequencies; doc length re-aggregates FROM tf
+    # (sum of per-term counts) so the token explode happens exactly
+    # once in the lineage. tf is persisted via the shared registry:
+    # the df_t / stats / dl broadcasts below each launch their own
+    # job, and without materialization every one of them would
+    # re-run the explode+aggregate (measured: 4 full explodes per
+    # query run). Released by dedup.unpersist_candidates().
+    from etl_macropulse_br_spark.operators.dedup import register_persisted
+
+    tf = register_persisted(
+        tok_rows.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
 
     # global scalars as a broadcast 1-row frame — keeps the whole
     # computation one lazy DAG (no driver collect)

@@ -91,6 +91,7 @@ from etl_macropulse_br_spark.operators.dedup import (
     word_shingles,
 )
 from etl_macropulse_br_spark.operators.similarity import cosine_topk, cosine_sim, ivf_topk
+from etl_macropulse_br_spark.session import DEFAULT_SHUFFLE_PARTITIONS
 from etl_macropulse_br_spark.operators.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
@@ -1070,7 +1071,11 @@ def ptbr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pt-BR numeric + dd/MM/yyyy date parsing (F1/F2/D1/D2) —
     construct locale-formatted strings from integer columns, parse
     back with the engine's expression library."""
-    li = _t(spark, sf_dir, "lineitem")
+    from etl_macropulse_br_spark.operators.util import spread
+
+    # spread(): the locale parse is compute-heavy per-row work; a
+    # one-row-group input would pin all 600k parses to one core.
+    li = spread(_t(spark, sf_dir, "lineitem"))
     ptbr_str = F.concat(
         F.lit("1."),
         F.lpad((F.col("l_orderkey") % 1000).cast("string"), 3, "0"),
@@ -1403,7 +1408,14 @@ def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension on value ∈ [lo, hi) — broadcast nested-loop on the
     3-row dim, so the fact side streams once."""
     ev = _t(spark, sf_dir, "events")
-    buckets = spark.createDataFrame(_VALUE_BUCKETS, ["lo", "hi", "bucket"])
+    # VALUES literal, not createDataFrame: createDataFrame on local
+    # rows plans a Python-RDD scan (a Python worker round-trip per
+    # query run, measured ~0.3s); a VALUES LocalRelation is pure JVM
+    # and constant-folds into the broadcast.
+    vals = ", ".join(
+        f"({lo}, {hi}, '{name}')" for lo, hi, name in _VALUE_BUCKETS
+    )
+    buckets = spark.sql(f"SELECT * FROM VALUES {vals} AS t(lo, hi, bucket)")
     joined = ev.join(
         F.broadcast(buckets),
         on=[ev.value >= buckets.lo, ev.value < buckets.hi],
@@ -1450,22 +1462,56 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    # Multiset positions directly via row_number over the sorted raw
-    # rows — one exchange + one spillable sort, no unbounded buffer.
-    # (A distinct-value pre-aggregation before the window is the
-    # variant for heavy-duplicate columns; on near-unique prices it
-    # shrinks nothing and measured +50% — both forms are scale-safe,
-    # the sort is the same size either way.) ``cum`` = # values ≤
-    # this row's value because equal prices sort adjacently, making
-    # the conditional-min bracket pick below identical to the
-    # oracle's cumulative-count formulation.
-    w_pos = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    w_all = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.row_number().over(w_pos).alias("cum"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+    # Multiset positions via a DETERMINISTIC two-level rank. A plain
+    # ``row_number() over (partition by flag order by price)`` caps
+    # sort parallelism at the number of groups (3 here) — the whole
+    # 100 TB group funnels through one task's sort. Instead:
+    #
+    # 1. derive a fixed-width price bucket (monotone in price, so
+    #    bucket order == value order; equal values share a bucket);
+    # 2. hash-exchange on (flag, bucket) — parallelism is now
+    #    groups x buckets, and each task sorts only its bucket;
+    # 3. global position = exclusive cumulative bucket count (a
+    #    window over the tiny (flag, bucket) count table, broadcast
+    #    back) + intra-bucket row_number.
+    #
+    # Unlike repartitionByRange, the bucket function is a pure
+    # expression — no sampling, so the split is reproducible across
+    # jobs and engines. ``cum`` = # values <= this row's value
+    # exactly as before, so the conditional-min bracket pick below
+    # stays identical to the oracle's cumulative-count formulation.
+    bucketed = li.withColumn(
+        "__b", F.floor(F.col("l_extendedprice") / F.lit(2048.0))
+    ).repartition(
+        DEFAULT_SHUFFLE_PARTITIONS, F.col("l_returnflag"), F.col("__b")
+    )
+    w_in_bucket = Window.partitionBy("l_returnflag", "__b").orderBy(
+        "l_extendedprice"
+    )
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("l_returnflag", "__b")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "l_returnflag",
+            "__b",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+            F.sum("__cnt").over(Window.partitionBy("l_returnflag")).alias("n"),
+        )
+    )
+    ranked = (
+        bucketed.withColumn("__rn", F.row_number().over(w_in_bucket))
+        .join(F.broadcast(offsets), ["l_returnflag", "__b"])
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            (F.col("__off") + F.col("__rn")).alias("cum"),
+            "n",
+        )
     )
 
     def pos(p: float) -> Column:
