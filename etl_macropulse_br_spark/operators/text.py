@@ -52,6 +52,44 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(pieces)
 
 
+# PII patterns shared by the Spark operator and the SQL oracle.
+# Restricted to syntax RE2 (DuckDB) and java.util.regex agree on:
+# no backreferences, no lookaround. Order matters — emails first so
+# their digit runs can't be half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 ()./-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", counts: bool = True
+) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4s, phone-like digit
+    runs) from a text column — the compliance pass every
+    training-data pipeline runs before a corpus ships.
+
+    Pure ``regexp_replace``/``regexp_count`` expressions — codegen,
+    scan-speed, no UDF. Patterns are deliberately limited to
+    RE2-compatible syntax so the exact same regexes run in the SQL
+    oracle; application order is fixed (emails before phones so a
+    phone pattern never consumes half an address). Adds
+    ``<kind>_count`` columns (pre-redaction occurrence counts) when
+    ``counts`` — the corpus-audit numbers — and replaces
+    ``text_col`` with the scrubbed text.
+    """
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, pat, token in PII_PATTERNS:
+        if counts:
+            out = out.withColumn(
+                f"{kind}_count", F.regexp_count(scrubbed, F.lit(pat))
+            )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.withColumn(text_col, scrubbed)
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features (length / punctuation / stopword
     ratios) used for corpus filtering."""

@@ -3105,6 +3105,68 @@ ORDER BY cntrycode
 """
 
 
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (`operators/text.py:pii_scrub`) — the
+    compliance scrub a corpus runs before training. The synthetic
+    documents carry no PII, so the query plants deterministic
+    emails/phones/IPs derived from doc_id (the ptbr_roundtrip
+    pattern: construct → operate → verify), then audits counts and
+    redacted text. Pure regex expressions, codegen, no UDF."""
+    from etl_macropulse_br_spark.operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    idc = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), idc, F.lit("@example.com"),
+            F.lit(" or +55 (11) 9"), F.lpad(idc, 8, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    return pii_scrub(planted).select(
+        "doc_id", "email_count", "ipv4_count", "phone_count", "text"
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from etl_macropulse_br_spark.operators.text import PII_PATTERNS
+
+    pats = {kind: pat for kind, pat, _ in PII_PATTERNS}
+    toks = {kind: tok for kind, _, tok in PII_PATTERNS}
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +55 (11) 9'
+              || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{pats["email"]}')) AS email_count,
+         regexp_replace(text, '{pats["email"]}', '{toks["email"]}', 'g')
+           AS text
+  FROM planted
+), s2 AS (
+  SELECT doc_id, email_count,
+         len(regexp_extract_all(text, '{pats["ipv4"]}')) AS ipv4_count,
+         regexp_replace(text, '{pats["ipv4"]}', '{toks["ipv4"]}', 'g') AS text
+  FROM s1
+)
+SELECT doc_id, email_count, ipv4_count,
+       len(regexp_extract_all(text, '{pats["phone"]}')) AS phone_count,
+       regexp_replace(text, '{pats["phone"]}', '{toks["phone"]}', 'g') AS text
+FROM s2
+"""
+
+
+DOCS_PII_SCRUB_SQL = _pii_scrub_sql()
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -3205,6 +3267,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q22_sales_opportunity": q22_sales_opportunity,
+    # r3: PII redaction audit (training-data compliance pass)
+    "docs_pii_scrub": docs_pii_scrub,
     # r3 SQL-surface widening: rollup hierarchy (cube_lineitem covers
     # the full lattice) and an explicit bounded window frame
     "rollup_lineitem": rollup_lineitem,
@@ -3288,6 +3352,7 @@ AUX_ORACLES: dict[str, str] = {
     "q19_disjunctive_revenue": Q19_DISJUNCTIVE_REVENUE_SQL,
     "q21_waiting_supplier": Q21_WAITING_SUPPLIER_SQL,
     "q22_sales_opportunity": Q22_SALES_OPPORTUNITY_SQL,
+    "docs_pii_scrub": DOCS_PII_SCRUB_SQL,
     "rollup_lineitem": ROLLUP_LINEITEM_SQL,
     "moving_avg_value": MOVING_AVG_VALUE_SQL,
     "events_kmv_distinct": EVENTS_KMV_DISTINCT_SQL,

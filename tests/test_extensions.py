@@ -481,3 +481,34 @@ def test_repetition_stats_flags_repetitious_docs(spark):
     assert got[2]["dup_bigram_ratio"] == 0.0
     assert got[3]["dup_bigram_ratio"] == 0.0  # coalesced, not null
     assert got[3]["uniq_token_ratio"] == 1.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from etl_macropulse_br_spark.operators.text import pii_scrub
+
+    rows = [
+        (0, "mail a.b+tag@sub.example.co.uk now"),
+        (1, "server at 192.168.0.1 and 8.8.8.8"),
+        (2, "call +55 (11) 91234-5678 today"),
+        (3, "two mails x@y.io and z@w.dev plus 10.0.0.7"),
+        (4, "no pii here at all"),
+        (5, "version 1.2.3 is not an ip, 1234 not a phone"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+
+    assert out[0]["email_count"] == 1 and "<EMAIL>" in out[0]["text"]
+    assert "@" not in out[0]["text"]
+    assert out[1]["ipv4_count"] == 2 and out[1]["text"].count("<IP>") == 2
+    assert out[2]["phone_count"] == 1 and "<PHONE>" in out[2]["text"]
+    assert not any(ch.isdigit() for ch in out[2]["text"])
+    assert out[3]["email_count"] == 2 and out[3]["ipv4_count"] == 1
+    assert out[4]["text"] == "no pii here at all"
+    assert (
+        out[4]["email_count"]
+        == out[4]["ipv4_count"]
+        == out[4]["phone_count"]
+        == 0
+    )
+    # 1.2.3 lacks a fourth octet; a lone 4-digit run is too short
+    assert out[5]["ipv4_count"] == 0 and out[5]["phone_count"] == 0
