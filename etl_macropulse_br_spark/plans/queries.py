@@ -3173,6 +3173,110 @@ FROM s2
 DOCS_PII_SCRUB_SQL = _pii_scrub_sql()
 
 
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (language) downsampling — the
+    data-mixing step of a corpus pipeline (e.g. upweight rare
+    languages, downweight dominant ones). Keep iff
+    md5(doc_id) % 1000 < rate(lang)·1000: engine-portable,
+    reproducible, no RNG state, and rows are filtered at scan speed
+    (one projection + filter, no shuffle before the count-audit
+    aggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(200))
+        .when(F.col("lang") == "es", F.lit(500))
+        .otherwise(F.lit(800))
+    )
+    kept = docs.filter(
+        md5_long(F.col("doc_id").cast("string")) % 1000 < rate
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("doc_id")).alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang,
+       count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 1000 <
+      CASE WHEN lang = 'en' THEN 200
+           WHEN lang = 'es' THEN 500
+           ELSE 800 END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def docs_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing — assign documents to
+    fixed-size context-window shards (budget 4096 tokens) the way a
+    pretraining pipeline packs sequences. Fully distributed form:
+    docs are hash-sharded (md5 % 16), and within each shard a
+    running token total (window over deterministic doc_id order)
+    buckets docs into bins by starting offset. Parallelism = shards;
+    no global sequential pass — the standard scale trade
+    (shard-local packing) made explicit. Output audits per-bin
+    totals."""
+    from etl_macropulse_br_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = (md5_long(F.col("doc_id").cast("string")) % 16).alias("shard")
+    toked = docs.select(
+        "doc_id", shard, token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = toked.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(4096)
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+DOCS_TOKEN_PACKING_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), binned AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) / 4096.0) AS BIGINT) AS bin
+  FROM toked
+)
+SELECT shard, bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM binned
+GROUP BY shard, bin
+ORDER BY shard, bin
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -3275,6 +3379,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "q22_sales_opportunity": q22_sales_opportunity,
     # r3: PII redaction audit (training-data compliance pass)
     "docs_pii_scrub": docs_pii_scrub,
+    # r3: corpus mixing + packing (training-data pipeline surface)
+    "docs_stratified_sample": docs_stratified_sample,
+    "docs_token_packing": docs_token_packing,
     # r3 SQL-surface widening: rollup hierarchy (cube_lineitem covers
     # the full lattice) and an explicit bounded window frame
     "rollup_lineitem": rollup_lineitem,
@@ -3359,6 +3466,8 @@ AUX_ORACLES: dict[str, str] = {
     "q21_waiting_supplier": Q21_WAITING_SUPPLIER_SQL,
     "q22_sales_opportunity": Q22_SALES_OPPORTUNITY_SQL,
     "docs_pii_scrub": DOCS_PII_SCRUB_SQL,
+    "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
+    "docs_token_packing": DOCS_TOKEN_PACKING_SQL,
     "rollup_lineitem": ROLLUP_LINEITEM_SQL,
     "moving_avg_value": MOVING_AVG_VALUE_SQL,
     "events_kmv_distinct": EVENTS_KMV_DISTINCT_SQL,
