@@ -1800,7 +1800,11 @@ def props_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema'd JSON parsing (from_json with explicit schema — the
     ingest-boundary pattern for S1/S2-style sources), with a
     post-parse filter that prunes on the extracted field."""
-    ev = _t(spark, sf_dir, "events")
+    from etl_macropulse_br_spark.operators.util import spread
+
+    # spread(): JSON parsing is per-row compute; a one-row-group
+    # input would otherwise parse the whole table on one core.
+    ev = spread(_t(spark, sf_dir, "events"))
     parsed = ev.select(
         "event_id",
         F.from_json("props", "k BIGINT").alias("p"),
@@ -1844,7 +1848,9 @@ ZSCORE_EVENTS_SQL = _zscore_events_sql()
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency (explode/unnest + count + top-k with
     deterministic tiebreak) — the canonical word-count shape."""
-    docs = _t(spark, sf_dir, "documents")
+    from etl_macropulse_br_spark.operators.util import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return (
         docs.select(F.explode(toks).alias("token"))
