@@ -2709,20 +2709,37 @@ def _embedding_near_dups_sql(
 ) -> str:
     from etl_macropulse_br_spark.operators.dedup import srp_signs
 
+    n_pl = n_bands * n_planes
+    planes = [srp_signs(p, dim) for p in range(n_pl)]
+    # One signs-matrix row per vector index (dim rows x n_pl sign
+    # columns), joined to the unnested elements once: every element
+    # of every vector is touched exactly ONE time and all 24 plane
+    # projections fall out as grouped sums in a single vectorized
+    # hash aggregate. The earlier form inlined 24 per-row
+    # ``list_reduce`` folds, which DuckDB executes interpretively —
+    # ~25 s at sf0.1 (83% of the whole baseline) for work Spark's
+    # codegen did in ~1 s; the bucketing and output are unchanged
+    # (only the SIGN of each projection feeds the bucket, and the
+    # verify-stage cosine below still uses the sequential fold).
+    sign_rows = ",\n    ".join(
+        "("
+        + ", ".join([str(i + 1)] + [str(pl[i]) for pl in planes])
+        + ")"
+        for i in range(dim)
+    )
+    sign_cols = ", ".join(f"s{p}" for p in range(n_pl))
+    dot_cols = ",\n         ".join(
+        f"sum(x * s{p}) AS d{p}" for p in range(n_pl)
+    )
+
     def band_bucket(b: int) -> str:
-        bits = []
-        for p in range(n_planes):
-            signs = srp_signs(b * n_planes + p, dim)
-            s_lit = "[" + ", ".join(str(s) for s in signs) + "]"
-            signed = (
-                "list_reduce(list_transform(generate_series(1, len(v)), "
-                f"i -> v[i] * ({s_lit})[i]), (acc, x) -> acc + x)"
-            )
-            bits.append(f"(CASE WHEN ({signed}) >= 0 THEN {2**p} ELSE 0 END)")
-        return " + ".join(bits)
+        return " + ".join(
+            f"(CASE WHEN d{b * n_planes + p} >= 0 THEN {2**p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
 
     band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT id, {b} AS band, ({band_bucket(b)}) AS bucket FROM e"
+        f"  SELECT id, {b} AS band, ({band_bucket(b)}) AS bucket FROM dots"
         for b in range(n_bands)
     )
     cos = (
@@ -2733,6 +2750,18 @@ def _embedding_near_dups_sql(
     return f"""
 WITH e AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), elems AS (
+  SELECT id,
+         unnest(generate_series(1, len(v))) AS i,
+         unnest(v) AS x
+  FROM e
+), signs(i, {sign_cols}) AS (
+  VALUES
+    {sign_rows}
+), dots AS (
+  SELECT id, {dot_cols}
+  FROM elems JOIN signs USING (i)
+  GROUP BY id
 ), banded AS (
 {band_selects}
 ), cand AS (

@@ -116,9 +116,11 @@ def main() -> int:
         )
 
     failures = []
+    ran = 0
     for name, fn in all_queries.items():
         if only and name not in only:
             continue
+        ran += 1
         sdf = fn(spark, sf_dir)
         s_cols, s_rows = _arrow_rows(sdf.toArrow())
         if name not in all_oracles:
@@ -141,10 +143,14 @@ def main() -> int:
         else:
             print(f"{name:28s} OK    ({len(s_rows)} rows)")
 
-    print(
-        f"\n{len(all_queries) - len(failures)}/{len(all_queries)} pass "
+    # Count only what actually ran: invoked on a subset, the summary
+    # must say e.g. "1/1", never the full-registry denominator.
+    scope = (
         f"({len(QUERIES)} declared + {len(AUX_QUERIES)} aux)"
+        if not only
+        else f"(subset of {len(all_queries)} registered)"
     )
+    print(f"\n{ran - len(failures)}/{ran} pass {scope}")
     return 1 if failures else 0
 
 
