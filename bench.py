@@ -37,6 +37,11 @@ neither engine pays Python materialization in the timed region):
 - Per-query Spark JOB counts are published (jobs_per_query, via job
   groups) so the fixed per-job scheduling floor (null_job_sec) can
   be audited against each query's overhead share.
+- A with-plan-build companion is published per query and in total
+  (``value_with_plan_build``): one run that pays Python-side plan
+  construction plus execution with JIT warm — the framing the r2
+  bench used — so the prepared-statement headline decomposes
+  auditable instead of resting on the docstring's argument.
 
 Published next to the Spark number every round so the ratio is
 reproducible — no cold-start numbers on either side.
@@ -77,7 +82,6 @@ def main() -> None:
     # warmup: JVM, codegen, parquet reader init, Python UDF workers
     # (untimed)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
     import pandas as _pd
 
     def _noop(batches):
@@ -87,6 +91,38 @@ def main() -> None:
     spark.range(100).selectExpr("id").mapInPandas(
         _noop, "id long"
     ).count()
+    # steady-state warmup: touch every input once (parquet footers +
+    # page cache) and run each COMMON PHYSICAL SHAPE — window, join,
+    # explode+hash aggregate, sort/top-k — so the first queries in
+    # registry order measure steady-state codegen rather than C2
+    # compilation of shared operator classes (measured: the
+    # early-position LSH queries ran ~0.2-0.3s hotter purely from
+    # position). Symmetric: the DuckDB side gets its own per-query
+    # warm run.
+    from pyspark.sql import functions as _F
+
+    from etl_macropulse_br_spark.sources.files import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    _d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy(_F.col("doc_id") % 8).orderBy("doc_id")
+    _d.select("doc_id", _F.row_number().over(_w).alias("rn")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    _d.alias("a").join(_d.alias("b"), "doc_id").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    _d.select(
+        "doc_id", _F.explode(_F.split("text", " ")).alias("tok")
+    ).select("doc_id", _F.md5("tok").alias("h")).groupBy("doc_id").agg(
+        _F.count(_F.lit(1))
+    ).write.mode("overwrite").format("noop").save()
+    _d.orderBy(_F.col("doc_id").desc()).limit(5).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     # three timed runs per query, report the min — absorbs one-off
     # JIT/page-cache noise so the number reflects steady-state plan
@@ -101,6 +137,7 @@ def main() -> None:
     jobs_per_query: dict[str, float] = {}
     from etl_macropulse_br_spark.operators import dedup as _dedup
 
+    timings_with_build: dict[str, float] = {}
     for name in bench_queries():
         fn = QUERIES[name]
         sc.setJobGroup(f"bench:{name}:warm", name)
@@ -108,13 +145,17 @@ def main() -> None:
         # docstring) and one untimed warmup run, symmetric with the
         # DuckDB side's warm run (absorbs first-run codegen JIT:
         # measured up to 4s on the window-heavy plans)
+        n_persisted_before = len(_dedup._PERSISTED_CANDIDATES)
         df = fn(spark, sf_dir)
         # queries that persist an intermediate (LSH candidate sets,
         # BM25 tf) may NOT reuse plan or cache across timed runs —
         # the warm cache would shrink the timed number to a fraction
         # of the pipeline. They rebuild cold inside every run (plan
-        # build billed) and release caches between runs.
-        uses_cache = len(_dedup._PERSISTED_CANDIDATES) > 0
+        # build billed) and release caches between runs. Detected by
+        # THIS query's plan build registering a persisted frame
+        # (delta, not absolute state — an earlier query's leftover
+        # registration must not reclassify this one).
+        uses_cache = len(_dedup._PERSISTED_CANDIDATES) > n_persisted_before
         df.write.mode("overwrite").format("noop").save()
         sc.setJobGroup(f"bench:{name}", name)
         best = float("inf")
@@ -141,6 +182,24 @@ def main() -> None:
         # release LSH candidate caches so repeated plan builds don't
         # accumulate persisted partitions across the run
         unpersist_candidates()
+        # with-plan-build companion: one run that pays Python-side
+        # plan construction (fn()) PLUS execution, JIT already warm —
+        # the r2-comparable framing, published so the
+        # prepared-statement methodology is auditable against it.
+        # Cache-using queries already rebuild plan+caches inside
+        # every timed run, so their min IS the with-build number.
+        if uses_cache:
+            timings_with_build[name] = timings[name]
+        else:
+            sc.setJobGroup(f"bench:{name}:build", name)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            timings_with_build[name] = round(
+                time.perf_counter() - t0, 3
+            )
+            unpersist_candidates()
         print(
             f"# {name}: {timings[name]:.3f}s"
             f" ({jobs_per_query[name]} jobs)",
@@ -167,6 +226,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # companion total where every query pays Python plan build +
+        # one execution (JIT warm): the number the r2 bench would
+        # have produced, so the reused-plan headline decomposes
+        # auditable.
+        "value_with_plan_build": round(
+            sum(timings_with_build.values()), 3
+        ),
+        "queries_with_plan_build": timings_with_build,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "null_job_sec": round(null_best, 3),
         "jobs_per_query": jobs_per_query,
@@ -187,13 +254,13 @@ def main() -> None:
         out["duckdb_total"] = duck["total"]
         out["duckdb_queries"] = duck["queries"]
         out["ratio"] = round(total / duck["total"], 2) if duck["total"] else None
-        # Transparency companions to the headline ratio: the total is
-        # dominated by embedding_near_dups, whose bit-faithful SQL
-        # replay (24 SRP hyperplane list_reduce folds per row) is
-        # pathologically slow in DuckDB while Spark runs it in
-        # codegen — a real engine win, but published alongside the
-        # ratio WITHOUT that query and the per-query median so the
-        # comparison can be read either way.
+        # Transparency companions to the headline ratio. (The r3
+        # pathology — embedding_near_dups' oracle spending 24.8s in
+        # interpreted list_reduce folds — is gone: the oracle now
+        # computes the projections via an unnest+signs-matrix join in
+        # ~0.14s, so headline and excl ratios should sit within
+        # noise; both stay published so the convergence is on the
+        # record.)
         ratios = sorted(
             timings[n] / dv
             for n, dv in duck["queries"].items()

@@ -5,7 +5,11 @@ The Spark-side machinery (schemas, partition-aware batch iteration,
 Arrow-vectorized UDF signatures, frame sampling plans) is real and
 tested. Codecs are feature-flagged per modality:
 
-- image: real PIL decode when importable (``HAS_PIL``);
+- image: real PIL decode when importable (``HAS_PIL``); PNG payloads
+  parse on pure stdlib (``zlib`` + ``struct``, critical chunks,
+  filters 0-4, every 8-bit color type) with the exact ITU-R 601-2
+  integer luminance PIL uses — so the image path is real for the
+  dominant interchange format in ANY environment;
 - audio: real decode — soundfile/torchaudio when importable, else a
   stdlib ``wave`` PCM parser for RIFF/WAV payloads (always
   available, so the audio path is real and tested in ANY
@@ -107,6 +111,195 @@ def _decode_pil(content: bytes | None, kind: str) -> list[float]:
         float(len(content)),
         1.0,
     ]
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# PNG color type → samples per pixel (8-bit depth): gray, RGB,
+# palette index, gray+alpha, RGBA.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_defilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filters 0-4 (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) over the zlib-inflated stream: each scanline is one
+    filter byte + ``width*bpp`` filtered samples."""
+    stride = width * bpp
+    out = bytearray(stride * height)
+    pos = 0
+    for y in range(height):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        off = y * stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: + left
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up: + above
+            if y:
+                for i in range(stride):
+                    line[i] = (line[i] + out[off - stride + i]) & 0xFF
+        elif f == 3:  # Average: + floor((left+above)/2)
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[off - stride + i] if y else 0
+                line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[off - stride + i] if y else 0
+                c = out[off - stride + i - bpp] if (y and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[off : off + stride] = line
+    return out
+
+
+def _png_read(content: bytes):
+    """Minimal stdlib PNG reader (``zlib`` + ``struct``, critical
+    chunks only): returns ``(width, height, color_type, channels,
+    pixels, palette)`` with ``pixels`` the de-filtered sample bytes
+    (row-major, ``channels`` samples per pixel). Supports 8-bit
+    non-interlaced images of every color type — the dominant
+    interchange shape — and raises for the rest (16-bit, interlaced),
+    which need a full codec library."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    palette = None
+    n = len(content)
+    while pos + 8 <= n:
+        (length,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # CRC not verified: stats/transform reader
+        if ctype == b"IHDR":
+            (
+                width,
+                height,
+                bit_depth,
+                color_type,
+                _comp,
+                _filt,
+                interlace,
+            ) = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"stdlib PNG path handles 8-bit non-interlaced only "
+            f"(got depth={bit_depth}, interlace={interlace}); install PIL"
+        )
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (1 + width * channels):
+        raise ValueError("PNG pixel data length mismatch")
+    pixels = _png_defilter(raw, width, height, channels)
+    return width, height, color_type, channels, pixels, palette
+
+
+def _png_luminance(content: bytes):
+    """(width, height, float64 luminance array) for a PNG payload.
+    Luminance uses the exact integer ITU-R 601-2 fold PIL's
+    ``convert("L")`` applies — ``(R*19595 + G*38470 + B*7471 +
+    0x8000) >> 16`` — so the stdlib path and the PIL path produce
+    bit-identical features for the same image."""
+    import numpy as np
+
+    width, height, color_type, channels, pixels, palette = _png_read(content)
+    a = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(-1, channels)
+    if color_type == 3:
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        a = pal[a[:, 0]]
+        channels = 3
+    if channels >= 3:  # RGB / RGBA: alpha ignored, as PIL does
+        rgb = a[:, :3].astype(np.uint32)
+        lum = (
+            rgb[:, 0] * 19595 + rgb[:, 1] * 38470 + rgb[:, 2] * 7471 + 0x8000
+        ) >> 16
+    else:  # gray / gray+alpha
+        lum = a[:, 0].astype(np.uint32)
+    return width, height, lum.astype(np.float64)
+
+
+def _decode_png(content: bytes) -> list[float]:
+    """Real image decoder on pure stdlib for PNG payloads (the
+    fallback when PIL is absent — same role as the ``wave``/y4m
+    parsers for audio/video). Identical 8-dim feature contract and
+    values as :func:`_decode_pil`."""
+    w, h, lum = _png_luminance(content)
+    return [
+        float(w),
+        float(h),
+        float(lum.mean()),
+        float(lum.std()),
+        float(lum.min()),
+        float(lum.max()),
+        float(len(content)),
+        1.0,
+    ]
+
+
+def png_encode(
+    width: int, height: int, pixels: bytes, color_type: int = 2
+) -> bytes:
+    """Minimal deterministic PNG writer (stdlib): 8-bit, filter 0
+    rows, one zlib IDAT. ``pixels`` is row-major sample bytes with
+    ``_PNG_CHANNELS[color_type]`` samples per pixel. Used by the
+    resize pass to re-encode transformed images without a codec
+    library (and by tests to craft exact inputs)."""
+    import struct
+    import zlib
+
+    channels = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        raise NotImplementedError("png_encode writes gray/RGB/alpha types only")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride])
+        for y in range(height)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _decode_wav(content: bytes) -> list[float]:
@@ -246,16 +439,29 @@ def decode_media(
 ) -> list[float]:
     """Decode one media payload to a feature vector.
 
-    ``use_real=None`` auto-selects per modality: PIL for images when
-    importable; soundfile → stdlib-``wave`` (RIFF payloads) for
-    audio; PyAV for video when importable; the deterministic stub
-    otherwise — so the same pipeline code runs end-to-end in every
-    environment. ``use_real=False`` forces the stub for all kinds.
+    ``use_real=None`` auto-selects per modality: PIL → stdlib PNG
+    parser (PNG payloads) for images; soundfile → stdlib-``wave``
+    (RIFF payloads) for audio; PyAV → stdlib y4m (raw payloads) for
+    video; the deterministic stub otherwise — so the same pipeline
+    code runs end-to-end in every environment, with a REAL decoder
+    for each modality's stdlib-parseable interchange format.
+    ``use_real=False`` forces the stub for all kinds.
     """
     if use_real is False:
         return _decode_stub(content, kind)
-    if kind == "image" and (HAS_PIL or use_real):
-        return _decode_pil(content, kind)
+    if kind == "image":
+        if content is None:
+            raise NotImplementedError(
+                "missing media bytes; real decoder required"
+            )
+        if HAS_PIL:
+            return _decode_pil(content, kind)
+        if content[:8] == _PNG_MAGIC:
+            return _decode_png(content)
+        if use_real:
+            raise NotImplementedError(
+                "non-PNG image needs PIL; PNG decodes without it"
+            )
     if kind == "audio":
         if content is None:
             raise NotImplementedError(
@@ -348,14 +554,80 @@ def extract_features(
     return pruned.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def fit_within(width: int, height: int, max_px: int) -> tuple[int, int]:
+    """Thumbnail-fit dimensions: scale so the longer side == max_px,
+    preserving aspect ratio, floor division, never below 1. Pure
+    integer arithmetic so every resample path (stdlib PNG, PIL)
+    lands on identical output dimensions."""
+    longest = max(width, height)
+    if longest <= max_px:
+        return width, height
+    return (
+        max(1, (width * max_px) // longest),
+        max(1, (height * max_px) // longest),
+    )
+
+
+def _png_resize(content: bytes, max_px: int) -> tuple[bytes, int, int]:
+    """Real PNG resample on pure stdlib: decode (``_png_read``),
+    nearest-neighbor sample down to :func:`fit_within` dims with
+    integer index mapping ``src = (dst * src_len) // dst_len``
+    (deterministic, no float rounding), re-encode via
+    :func:`png_encode`. Palette images come back as RGB."""
+    import numpy as np
+
+    width, height, color_type, channels, pixels, palette = _png_read(content)
+    a = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    if color_type == 3:
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        a = pal[a[:, :, 0]]
+        color_type, channels = 2, 3
+    nw, nh = fit_within(width, height, max_px)
+    idx_y = (np.arange(nh) * height) // nh
+    idx_x = (np.arange(nw) * width) // nw
+    out = a[idx_y][:, idx_x]
+    return png_encode(nw, nh, out.tobytes(), color_type), nw, nh
+
+
+def _pil_resize(content: bytes, max_px: int) -> tuple[bytes, int, int]:
+    """Resample via PIL for non-PNG formats (only reachable when
+    ``HAS_PIL``); output re-encoded as PNG. Same :func:`fit_within`
+    dims as the stdlib path."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content))
+    img.load()
+    nw, nh = fit_within(*img.size, max_px)
+    resized = img.resize((nw, nh), Image.NEAREST)
+    buf = io.BytesIO()
+    resized.save(buf, format="PNG")
+    return buf.getvalue(), nw, nh
+
+
+def resize_media(content: bytes, max_px: int) -> tuple[bytes, int, int]:
+    """Resample one image payload to fit ``max_px``: stdlib for PNG
+    (real in any environment), PIL for other formats when importable;
+    raises for formats no available codec can read."""
+    if content[:8] == _PNG_MAGIC:
+        return _png_resize(content, max_px)
+    if HAS_PIL:
+        return _pil_resize(content, max_px)  # pragma: no cover (no PIL here)
+    raise NotImplementedError("non-PNG resize needs PIL")
+
+
 def resize_plan(df: DataFrame, max_px: int = 512) -> DataFrame:
     """Plan a resize pass: rows needing work are selected by metadata
-    only (no byte reads — predicate prunes on plain columns), then the
-    binary transform runs per-batch.
-
-    STUB: the pixel resample inside is the fake decoder; the
-    partition/batch shape is the production one.
-    """
+    only (no byte reads — predicate prunes on plain columns), then
+    the binary transform runs per-batch as a REAL resample
+    (:func:`resize_media`: stdlib nearest-neighbor for PNG, PIL for
+    other formats). Rows whose payload no available codec can read
+    pass through UNCHANGED — a curation pass must never corrupt
+    bytes it cannot parse; downstream metadata (width > max_px)
+    still identifies them as unprocessed."""
     needs = df.filter(
         (F.col("kind") == "image")
         & ((F.col("width") > max_px) | (F.col("height") > max_px))
@@ -363,14 +635,23 @@ def resize_plan(df: DataFrame, max_px: int = 512) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # deterministic fake: truncate bytes proportionally
             out = pdf.copy()
-            out["content"] = [
-                (c[: max(1, len(c) // 2)] if c is not None else None)
-                for c in pdf["content"]
-            ]
-            out["width"] = pdf["width"].clip(upper=max_px)
-            out["height"] = pdf["height"].clip(upper=max_px)
+            contents, widths, heights = [], [], []
+            for c, w, h in zip(
+                pdf["content"], pdf["width"], pdf["height"]
+            ):
+                try:
+                    nc, nw, nh = resize_media(c, max_px)
+                    contents.append(nc)
+                    widths.append(nw)
+                    heights.append(nh)
+                except (NotImplementedError, ValueError, TypeError, OSError):
+                    contents.append(c)  # unparseable → pass through
+                    widths.append(w)
+                    heights.append(h)
+            out["content"] = contents
+            out["width"] = widths
+            out["height"] = heights
             yield out
 
     return needs.mapInPandas(run, schema=df.schema)

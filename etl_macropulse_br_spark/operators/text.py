@@ -226,6 +226,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_tf: bool = True,
 ) -> DataFrame:
     """BM25 document ranking for a bag of query terms (Robertson/
     Sparck Jones probabilistic retrieval), log-free variant.
@@ -270,9 +271,9 @@ def bm25_topk(
     # query run). Released by dedup.unpersist_candidates().
     from etl_macropulse_br_spark.operators.dedup import register_persisted
 
-    tf = register_persisted(
-        tok_rows.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tok_rows.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    if persist_tf:
+        tf = register_persisted(tf)
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
 
     # Global (N, avgdl) scalars stay a partial-combining aggregate

@@ -762,22 +762,35 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
+    # Aggregate BELOW the join: the measures depend only on lineitem
+    # columns and the final group keys are functionally dependent on
+    # l_suppkey, so the fact pre-aggregates 600k rows -> |supplier|
+    # partials before any join touches it. The per-row round-to-BIGINT
+    # scaling makes the two-level sum exact (integer regrouping), so
+    # the oracle is unchanged. At 100 TB this is the difference
+    # between joining the full fact and joining one row per supplier;
+    # locally it also removes the three broadcast-build jobs (the
+    # remaining joins are partial-sized and AQE/static stats handle
+    # them without hints).
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _scaled(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            )
+        ).alias("__rev"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    dims = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "r_name", "n_name")
+    )
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        per_supp.join(dims, per_supp.l_suppkey == dims.s_suppkey)
         .groupBy("r_name", "n_name")
         .agg(
-            (
-                F.sum(
-                    _scaled(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                        10000,
-                    )
-                )
-                / F.lit(10000.0)
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("__rev") / F.lit(10000.0)).alias("revenue"),
+            F.sum("__n").alias("n_items"),
         )
     )
 
@@ -1462,77 +1475,97 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    # Multiset positions via a DETERMINISTIC two-level rank. A plain
-    # ``row_number() over (partition by flag order by price)`` caps
-    # sort parallelism at the number of groups (3 here) — the whole
-    # 100 TB group funnels through one task's sort. Instead:
+    # Histogram-refine percentile — no full-fact exchange ANYWHERE:
     #
-    # 1. derive a fixed-width price bucket (monotone in price, so
-    #    bucket order == value order; equal values share a bucket);
-    # 2. hash-exchange on (flag, bucket) — parallelism is now
-    #    groups x buckets, and each task sorts only its bucket;
-    # 3. global position = exclusive cumulative bucket count (a
-    #    window over the tiny (flag, bucket) count table, broadcast
-    #    back) + intra-bucket row_number.
+    # 1. histogram pass: aggregate the fact to (flag, fixed-width
+    #    price bucket) counts + per-bucket min/max. Map-side combine
+    #    shrinks the shuffle to |flags x buckets| rows regardless of
+    #    data size (the r3 design exchanged and rank-windowed every
+    #    fact row).
+    # 2. locate, via a window over that TINY table, the buckets whose
+    #    cumulative range covers the bracket ranks floor(h)/ceil(h)
+    #    for each percentile target — provably at most 2 buckets per
+    #    target per flag, so ``needed`` is bounded by targets x flags
+    #    (an unconditional broadcast is safe at ANY scale).
+    # 3. refine pass: re-scan the fact, joining only rows in the
+    #    needed buckets (scan-speed hash lookup), and rank WITHIN
+    #    those buckets — the only sort in the query runs over
+    #    O(bucket width) rows. Global position = bucket's exclusive
+    #    cumulative count + intra-bucket row_number, so ``cum`` keeps
+    #    the exact multiset-position semantics the oracle's
+    #    cumulative-count formulation computes.
     #
-    # Unlike repartitionByRange, the bucket function is a pure
-    # expression — no sampling, so the split is reproducible across
-    # jobs and engines. ``cum`` = # values <= this row's value
-    # exactly as before, so the conditional-min bracket pick below
-    # stays identical to the oracle's cumulative-count formulation.
-    bucketed = li.withColumn(
-        "__b", F.floor(F.col("l_extendedprice") / F.lit(2048.0))
-    ).repartition(
-        DEFAULT_SHUFFLE_PARTITIONS, F.col("l_returnflag"), F.col("__b")
-    )
-    w_in_bucket = Window.partitionBy("l_returnflag", "__b").orderBy(
-        "l_extendedprice"
+    # The bucket function is a pure expression (monotone in price,
+    # equal values share a bucket) — reproducible across jobs and
+    # engines, no sampling.
+    b_expr = F.floor(F.col("l_extendedprice") / F.lit(2048.0))
+    counts = (
+        li.withColumn("__b", b_expr)
+        .groupBy("l_returnflag", "__b")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min("l_extendedprice").alias("__minp"),
+            F.max("l_extendedprice").alias("__maxp"),
+        )
     )
     w_off = (
         Window.partitionBy("l_returnflag")
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        bucketed.groupBy("l_returnflag", "__b")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .select(
-            "l_returnflag",
-            "__b",
-            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
-            F.sum("__cnt").over(Window.partitionBy("l_returnflag")).alias("n"),
-        )
-    )
-    ranked = (
-        bucketed.withColumn("__rn", F.row_number().over(w_in_bucket))
-        .join(F.broadcast(offsets), ["l_returnflag", "__b"])
-        .select(
-            "l_returnflag",
-            "l_extendedprice",
-            (F.col("__off") + F.col("__rn")).alias("cum"),
-            "n",
-        )
-    )
+    w_all = Window.partitionBy("l_returnflag")
 
     def pos(p: float) -> Column:
         return (F.col("n") - F.lit(1)).cast("double") * F.lit(p) + F.lit(1.0)
 
-    with_pos = ranked.withColumn("h50", pos(0.5)).withColumn("h90", pos(0.9))
+    cum_buckets = counts.select(
+        "l_returnflag",
+        "__b",
+        "__cnt",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).alias("n"),
+        F.min("__minp").over(w_all).alias("min_price"),
+        F.max("__maxp").over(w_all).alias("max_price"),
+    ).withColumn("h50", pos(0.5)).withColumn("h90", pos(0.9))
+
+    def covers(h: Column) -> Column:
+        # bucket rank-range [__off+1, __off+__cnt] intersects
+        # [floor(h), ceil(h)]
+        return (F.col("__off") < F.ceil(h)) & (
+            (F.col("__off") + F.col("__cnt")) >= F.floor(h)
+        )
+
+    needed = cum_buckets.filter(
+        covers(F.col("h50")) | covers(F.col("h90"))
+    ).select(
+        "l_returnflag", "__b", "__off", "h50", "h90",
+        "min_price", "max_price",
+    )
+    w_in_bucket = Window.partitionBy("l_returnflag", "__b").orderBy(
+        "l_extendedprice"
+    )
+    ranked = (
+        li.withColumn("__b", b_expr)
+        .join(F.broadcast(needed), ["l_returnflag", "__b"])
+        .withColumn(
+            "cum", F.col("__off") + F.row_number().over(w_in_bucket)
+        )
+    )
 
     def bracket(h: str, side: Column) -> Column:
         return F.min(
             F.when(F.col("cum") >= side, F.col("l_extendedprice"))
         )
 
-    agg = with_pos.groupBy("l_returnflag").agg(
+    agg = ranked.groupBy("l_returnflag").agg(
         bracket("h50", F.floor("h50")).alias("lo50"),
         bracket("h50", F.ceil("h50")).alias("hi50"),
         bracket("h90", F.floor("h90")).alias("lo90"),
         bracket("h90", F.ceil("h90")).alias("hi90"),
         F.max("h50").alias("h50"),
         F.max("h90").alias("h90"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
     )
 
     def interp(lo: str, hi: str, h: str) -> Column:
@@ -2087,9 +2120,15 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval top-10 (log-free rational idf — see
     operators/text.py:bm25_topk)."""
     from etl_macropulse_br_spark.operators.text import bm25_topk
+    from etl_macropulse_br_spark.operators.util import small_input_profile
 
     docs = _t(spark, sf_dir, "documents")
-    return bm25_topk(docs, _BM25_TERMS, k=10)
+    # tf persist is profile-gated like the LSH candidate persist in
+    # docs_near_dups: right at corpus scale (three consumers), net
+    # cost under the small-input profile.
+    return bm25_topk(
+        docs, _BM25_TERMS, k=10, persist_tf=not small_input_profile(docs)
+    )
 
 
 def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
@@ -2337,7 +2376,18 @@ def docs_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pipeline is portable, so the oracle replays the banded LSH
     end-to-end."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_dups(docs, threshold=0.5)
+    # Persist policy follows the session profile, same deploy-time
+    # gating as broadcast_small: at cluster scale the candidate set /
+    # shingle stream persist pays for their two consumers; under the
+    # small-input profile ReuseExchange already shares the one token
+    # shuffle across both branches and the persist population job +
+    # per-run plan rebuild cost more than the recompute they save
+    # (measured 0.96s -> 0.40s at sf0.1).
+    from etl_macropulse_br_spark.operators.util import small_input_profile
+
+    return minhash_near_dups(
+        docs, threshold=0.5, persist_candidates=not small_input_profile(docs)
+    )
 
 
 def _near_dups_sql(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:

@@ -152,7 +152,12 @@ def test_multimodal_feature_extraction(spark):
 
     resized = resize_plan(media, max_px=512).collect()
     assert [r["media_id"] for r in resized] == [1]
-    assert resized[0]["width"] == 512 and len(resized[0]["content"]) == 2
+    # content is not parseable by any available codec → the real
+    # resize pass must NOT corrupt it: row passes through unchanged
+    # (metadata still marks it unprocessed). Real-resample coverage:
+    # tests/test_multimodal_png.py.
+    assert resized[0]["width"] == 1024
+    assert resized[0]["content"] == b"\x01\x02\x03\x04"
 
     frames = sample_frames(media, every_ms=1000, max_frames=8).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000, 4000, 5000]
@@ -209,14 +214,12 @@ def test_embedding_near_dups_pairs_verified(spark):
 
 def test_multimodal_decoder_both_modes(spark):
     """extract_features runs end-to-end with the decoder flag in
-    both positions: stub mode always; real (PIL) mode when the
-    library is importable in this environment."""
-    import pytest as _pytest
-
+    both positions — SKIP-FREE: real mode decodes PNG on the stdlib
+    parser in any environment (PIL merely widens format support)."""
     from etl_macropulse_br_spark.operators.multimodal import (
-        HAS_PIL,
         MEDIA_SCHEMA,
         extract_features,
+        png_encode,
     )
 
     rows = [(1, "image", b"\x89PNGfakebytes", "image/png", 4, 4, None)]
@@ -226,23 +229,16 @@ def test_multimodal_decoder_both_modes(spark):
     out = extract_features(media, use_real_decoder=False).collect()
     assert out[0]["decode_ok"] and out[0]["feature"][0] == 13.0
 
-    if not HAS_PIL:
-        _pytest.skip("PIL not installed: real-decoder mode untestable here")
-
-    # real mode: decode an actual PNG generated in-process
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("L", (3, 2), color=128).save(buf, format="PNG")
+    # real mode: decode an actual PNG generated in-process (stdlib
+    # encoder → stdlib-or-PIL decoder, identical features either way)
+    content = png_encode(3, 2, bytes([128] * 6), color_type=0)
     real = spark.createDataFrame(
-        [(2, "image", buf.getvalue(), "image/png", 3, 2, None)], MEDIA_SCHEMA
+        [(2, "image", content, "image/png", 3, 2, None)], MEDIA_SCHEMA
     )
     got = extract_features(real, use_real_decoder=True).collect()[0]
     assert got["decode_ok"]
-    assert got["feature"][:2] == [3.0, 2.0]  # width, height from pixels
-    assert got["feature"][2] == 128.0        # mean gray
+    assert got["feature"][:3] == [3.0, 2.0, 128.0]  # w, h, mean gray
+    assert got["feature"][3] == 0.0                 # std of constant image
 
     # real mode on garbage bytes → decode_ok False, row preserved
     bad = extract_features(media, use_real_decoder=True).collect()[0]
