@@ -9,9 +9,9 @@ neither engine pays Python materialization in the timed region):
   immutable; a resident service reuses them exactly like prepared
   statements — the Python-side build is 50-140 ms of Py4J
   round-trips that would otherwise be billed to every run), then
-  ONE untimed warmup run (absorbs whole-stage codegen JIT for that
-  plan shape — the DuckDB side gets the same per-query warm run)
-  and min of 3 timed full executions into a noop sink (rows flow
+  TWO untimed warmup runs (absorb whole-stage codegen JIT for that
+  plan shape; the DuckDB side gets the same two per-query warm
+  runs) and min of 3 timed full executions into a noop sink (rows flow
   through every operator and are dropped; a count() would let
   Catalyst prune work). Queries that persist an intermediate (LSH
   candidates, BM25 tf) are excluded from plan reuse: they rebuild
@@ -106,28 +106,37 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     _d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     from pyspark.sql import Window as _W
 
     _w = _W.partitionBy(_F.col("doc_id") % 8).orderBy("doc_id")
-    _d.select("doc_id", _F.row_number().over(_w).alias("rn")).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    _d.alias("a").join(_d.alias("b"), "doc_id").write.mode(
-        "overwrite"
-    ).format("noop").save()
-    _d.select(
-        "doc_id", _F.explode(_F.split("text", " ")).alias("tok")
-    ).select("doc_id", _F.md5("tok").alias("h")).groupBy("doc_id").agg(
-        _F.count(_F.lit(1))
-    ).write.mode("overwrite").format("noop").save()
-    _d.orderBy(_F.col("doc_id").desc()).limit(5).write.mode(
-        "overwrite"
-    ).format("noop").save()
+    _shapes = [
+        _d.select("doc_id", _F.row_number().over(_w).alias("rn")),
+        _d.alias("a").join(_d.alias("b"), "doc_id"),
+        _d.select(
+            "doc_id", _F.explode(_F.split("text", " ")).alias("tok")
+        )
+        .select("doc_id", _F.md5("tok").alias("h"))
+        .groupBy("doc_id")
+        .agg(_F.count(_F.lit(1))),
+        _d.orderBy(_F.col("doc_id").desc()).limit(5),
+        _li.groupBy("l_returnflag").agg(
+            _F.sum("l_quantity"), _F.avg("l_extendedprice")
+        ),
+    ]
+    # three passes: C2 compiles shared operator classes in the
+    # background — a single execution leaves the first timed queries
+    # running partially-interpreted code (measured: the same query
+    # 0.42s at registry position 1 vs 0.28s fully warm)
+    for _ in range(3):
+        for _s in _shapes:
+            _s.write.mode("overwrite").format("noop").save()
 
     # three timed runs per query, report the min — absorbs one-off
     # JIT/page-cache noise so the number reflects steady-state plan
     # execution (what a resident service would see).
-    from etl_macropulse_br_spark.operators.dedup import (
+    from etl_macropulse_br_spark.operators.util import (
+        persisted_count,
         unpersist_candidates,
     )
 
@@ -135,7 +144,6 @@ def main() -> None:
     tracker = sc.statusTracker()
     timings: dict[str, float] = {}
     jobs_per_query: dict[str, float] = {}
-    from etl_macropulse_br_spark.operators import dedup as _dedup
 
     timings_with_build: dict[str, float] = {}
     for name in bench_queries():
@@ -145,7 +153,7 @@ def main() -> None:
         # docstring) and one untimed warmup run, symmetric with the
         # DuckDB side's warm run (absorbs first-run codegen JIT:
         # measured up to 4s on the window-heavy plans)
-        n_persisted_before = len(_dedup._PERSISTED_CANDIDATES)
+        n_persisted_before = persisted_count()
         df = fn(spark, sf_dir)
         # queries that persist an intermediate (LSH candidate sets,
         # BM25 tf) may NOT reuse plan or cache across timed runs —
@@ -155,7 +163,13 @@ def main() -> None:
         # THIS query's plan build registering a persisted frame
         # (delta, not absolute state — an earlier query's leftover
         # registration must not reclassify this one).
-        uses_cache = len(_dedup._PERSISTED_CANDIDATES) > n_persisted_before
+        uses_cache = persisted_count() > n_persisted_before
+        # TWO untimed warm executions (symmetric: the DuckDB side
+        # warms twice per query): the first compiles this plan's
+        # generated code, the second lets C2 finish replacing it —
+        # min-of-3 after one warm run still caught half-compiled
+        # code on early-position queries.
+        df.write.mode("overwrite").format("noop").save()
         df.write.mode("overwrite").format("noop").save()
         sc.setJobGroup(f"bench:{name}", name)
         best = float("inf")
@@ -298,6 +312,7 @@ def duckdb_baseline(sf_dir: str) -> dict:
         if sql is None:
             continue
         con.execute(sql).fetchall()  # warm (compile + page cache)
+        con.execute(sql).arrow()  # second warm, symmetric with Spark
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

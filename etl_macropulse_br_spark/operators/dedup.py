@@ -349,31 +349,15 @@ def ngram_jaccard_pairs(
     )
 
 
-# Candidate frames persisted by minhash_near_dups, so callers (and
-# the bench harness) can release them once the verified result has
-# materialized — repeated plan builds would otherwise accumulate
-# cached partitions until the ContextCleaner happens to run.
-_PERSISTED_CANDIDATES: list[DataFrame] = []
-
-
-def unpersist_candidates() -> None:
-    """Release every intermediate cache registered via
-    :func:`register_persisted` so far (safe to call any time; lazy
-    plans that still reference a released frame simply recompute)."""
-    while _PERSISTED_CANDIDATES:
-        _PERSISTED_CANDIDATES.pop().unpersist()
-
-
-def register_persisted(df: DataFrame) -> DataFrame:
-    """Persist ``df`` MEMORY_AND_DISK and register it for release by
-    :func:`unpersist_candidates` — the shared pattern for operators
-    whose DAG consumes an expensive intermediate from multiple
-    branches (LSH candidate sets, BM25 term-frequency tables)."""
-    from pyspark.storagelevel import StorageLevel
-
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED_CANDIDATES.append(out)
-    return out
+# The persist registry moved to the neutral operators/util module
+# (bm25_topk consumers shouldn't need a release hook from the dedup
+# module); re-exported here for backwards compatibility.
+from etl_macropulse_br_spark.operators.util import (  # noqa: E402,F401
+    _PERSISTED_CANDIDATES,
+    persisted_count,
+    register_persisted,
+    unpersist_candidates,
+)
 
 
 def minhash_near_dups(

@@ -46,6 +46,22 @@ def salted_join(
     return out.drop("__salt")
 
 
+def drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """Drop a managed table AND its warehouse directory. A fresh
+    session's in-memory catalog does not know tables a previous
+    session wrote, but their directories persist — a bare
+    ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS. Only
+    touches ``<warehouse.dir>/<table>``."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -55,7 +71,9 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (optionally sorted) catalog table so
     subsequent equi-joins/aggregations on ``bucket_col`` are
-    exchange-free."""
+    exchange-free. Replaces any prior table of the same name,
+    including an orphaned location from an earlier session."""
+    drop_table_and_location(df.sparkSession, table)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

@@ -56,10 +56,19 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 # Restricted to syntax RE2 (DuckDB) and java.util.regex agree on:
 # no backreferences, no lookaround. Order matters — emails first so
 # their digit runs can't be half-eaten by the phone pattern.
+#
+# Phone = 8-15 DIGITS (E.164 bounds) each optionally preceded by
+# separator chars — a digit-count anchor, not a raw span length: the
+# earlier span form (`[0-9][0-9 ()./-]{7,}[0-9]`) matched any >=9-char
+# stretch of digits-plus-separators, e.g. short number lists spread
+# out by spaces. Known residual false positive, stated: a date-time
+# like "2026-08-13 21" carries >=8 digits with listed separators and
+# still matches — excluding it needs lookaround, which RE2 lacks and
+# cross-engine parity forbids.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][0-9 ()./-]{7,}[0-9]", "<PHONE>"),
+    ("phone", r"\+?[0-9](?:[ ()./-]{0,3}[0-9]){7,14}", "<PHONE>"),
 )
 
 
@@ -264,12 +273,16 @@ def bm25_topk(
     )
     # per-doc term frequencies; doc length re-aggregates FROM tf
     # (sum of per-term counts) so the token explode happens exactly
-    # once in the lineage. tf is persisted via the shared registry:
-    # the df_t / stats / dl broadcasts below each launch their own
-    # job, and without materialization every one of them would
+    # once in the lineage. With ``persist_tf`` (the cluster-scale
+    # default) tf persists via the shared registry in operators/util:
+    # the df_t / stats / dl branches below would otherwise each
     # re-run the explode+aggregate (measured: 4 full explodes per
-    # query run). Released by dedup.unpersist_candidates().
-    from etl_macropulse_br_spark.operators.dedup import register_persisted
+    # query run). REPEATED CALLERS MUST RELEASE via
+    # util.unpersist_candidates() between query sets — or pass
+    # persist_tf=False to stay fully lazy (small inputs, one-shot
+    # plans; under ReuseExchange the recompute shares the one token
+    # shuffle and costs less than the persist round-trip).
+    from etl_macropulse_br_spark.operators.util import register_persisted
 
     tf = tok_rows.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     if persist_tf:

@@ -39,6 +39,45 @@ def small_input_profile(df: DataFrame) -> bool:
     )
 
 
+# Frames persisted by operators whose DAG consumes an expensive
+# intermediate from multiple branches (LSH candidate sets, BM25
+# term-frequency tables), registered for explicit release. Lives in
+# this NEUTRAL module — consumers of text.bm25_topk should not need
+# to know the release hook sits in the dedup module (it used to).
+_PERSISTED_CANDIDATES: list[DataFrame] = []
+
+
+def register_persisted(df: DataFrame) -> DataFrame:
+    """Persist ``df`` MEMORY_AND_DISK and register it for release by
+    :func:`unpersist_candidates`. Callers that persist on every
+    invocation (bm25_topk, minhash_near_dups with their persist
+    flags on) accumulate cached frames until released — a long-lived
+    session looping over query sets must call
+    :func:`unpersist_candidates` between iterations, or pass the
+    operators' ``persist*=False`` escape hatch to stay fully lazy."""
+    from pyspark.storagelevel import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_CANDIDATES.append(out)
+    return out
+
+
+def unpersist_candidates() -> None:
+    """Release every intermediate cache registered via
+    :func:`register_persisted` so far (safe to call any time; lazy
+    plans that still reference a released frame simply recompute)."""
+    while _PERSISTED_CANDIDATES:
+        _PERSISTED_CANDIDATES.pop().unpersist()
+
+
+def persisted_count() -> int:
+    """Number of currently-registered persisted frames — the public
+    probe for harnesses that must know whether a plan build
+    registered a cache (bench.py snapshots it around each build
+    instead of reading the private list)."""
+    return len(_PERSISTED_CANDIDATES)
+
+
 def broadcast_small(df: DataFrame) -> DataFrame:
     """Broadcast hint for a build side that is small at bench scale
     but UNBOUNDED at the 100 TB target (orders/customer-derived join

@@ -1425,8 +1425,12 @@ def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows plans a Python-RDD scan (a Python worker round-trip per
     # query run, measured ~0.3s); a VALUES LocalRelation is pure JVM
     # and constant-folds into the broadcast.
+    # single quotes doubled when formatting: the current bucket names
+    # are constants, but this literal-building pattern gets copied —
+    # it must not break (or inject) on a label containing a quote
     vals = ", ".join(
-        f"({lo}, {hi}, '{name}')" for lo, hi, name in _VALUE_BUCKETS
+        f"({lo}, {hi}, '{name.replace(chr(39), chr(39) * 2)}')"
+        for lo, hi, name in _VALUE_BUCKETS
     )
     buckets = spark.sql(f"SELECT * FROM VALUES {vals} AS t(lo, hi, bucket)")
     joined = ev.join(
@@ -1442,7 +1446,7 @@ def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANGE_JOIN_BUCKETS_SQL = f"""
 WITH buckets(lo, hi, bucket) AS (
-  VALUES {", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in _VALUE_BUCKETS)}
+  VALUES {", ".join(f"({lo}, {hi}, '{name.replace(chr(39), chr(39) * 2)}')" for lo, hi, name in _VALUE_BUCKETS)}
 )
 SELECT bucket,
        count(*) AS n_events,
@@ -3362,6 +3366,62 @@ ORDER BY shard, bin
 """
 
 
+def bucketed_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join, END-TO-END (the write side of
+    ``skew.write_bucketed`` was previously pytest-only): write orders
+    and customer as bucketed catalog tables on the join key, then
+    join them bucket-to-bucket and roll up per market segment.
+
+    The join is hinted ``merge`` — the point is the SHUFFLE-FREE
+    sort-merge join over compatible bucket layouts (a broadcast of
+    the small side would be locally faster but demonstrates nothing);
+    the plan must contain exactly one hash exchange (the final
+    rollup), pinned by ``tests/test_skew.py``. At 100 TB this is the
+    standing trade for a fact joined on the same key by many
+    consumers: pay the shuffle once at write time, never again.
+
+    NOTE: plan construction WRITES the two bucketed tables into the
+    session warehouse (an action) — aux-only, never part of the
+    driver's 50-query contract.
+    """
+    from etl_macropulse_br_spark.operators.skew import write_bucketed
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    write_bucketed(
+        orders.select("o_custkey", "o_totalprice"),
+        "aux_bucketed_orders",
+        "o_custkey",
+        n_buckets=8,
+        sort_col="o_custkey",
+    )
+    write_bucketed(
+        cust.select("c_custkey", "c_mktsegment"),
+        "aux_bucketed_customer",
+        "c_custkey",
+        n_buckets=8,
+        sort_col="c_custkey",
+    )
+    bo = spark.table("aux_bucketed_orders")
+    bc = spark.table("aux_bucketed_customer")
+    joined = bc.hint("merge").join(bo, bc.c_custkey == bo.o_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(_scaled("o_totalprice")) / F.lit(100.0)).alias(
+            "total_price"
+        ),
+    )
+
+
+BUCKETED_ORDERS_ROLLUP_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -3477,6 +3537,10 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r3: the simhash PAIRING operator (docs_simhash declares the
     # sketch; this gates banding + Hamming verify end-to-end)
     "docs_simhash_near_dups": docs_simhash_near_dups,
+    # r4: bucketed-table co-located join, gated end-to-end (write
+    # two bucketed tables, shuffle-free SMJ, rollup) vs a plain-join
+    # oracle; plan shape pinned in tests/test_skew.py
+    "bucketed_orders_rollup": bucketed_orders_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3557,4 +3621,5 @@ AUX_ORACLES: dict[str, str] = {
     "moving_avg_value": MOVING_AVG_VALUE_SQL,
     "events_kmv_distinct": EVENTS_KMV_DISTINCT_SQL,
     "docs_simhash_near_dups": DOCS_SIMHASH_NEAR_DUPS_SQL,
+    "bucketed_orders_rollup": BUCKETED_ORDERS_ROLLUP_SQL,
 }

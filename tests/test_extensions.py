@@ -489,6 +489,14 @@ def test_pii_scrub_redacts_and_counts(spark):
         (3, "two mails x@y.io and z@w.dev plus 10.0.0.7"),
         (4, "no pii here at all"),
         (5, "version 1.2.3 is not an ip, 1234 not a phone"),
+        # r4 (ADVICE): 7 digits spread over a >=9-char span — the old
+        # span-length pattern redacted this; the digit-count anchor
+        # (8-15 digits) must not
+        (6, "scores 1 2 3 4 5 6 7 end"),
+        # documented residual false positive (see PII_PATTERNS
+        # comment): a date-time carries >=8 digits with listed
+        # separators; excluding it needs lookaround, which RE2 lacks
+        (7, "meeting 2026-08-13 21 room"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
@@ -508,3 +516,5 @@ def test_pii_scrub_redacts_and_counts(spark):
     )
     # 1.2.3 lacks a fourth octet; a lone 4-digit run is too short
     assert out[5]["ipv4_count"] == 0 and out[5]["phone_count"] == 0
+    assert out[6]["phone_count"] == 0 and out[6]["text"] == rows[6][1]
+    assert out[7]["phone_count"] == 1  # documented FP, pinned

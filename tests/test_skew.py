@@ -58,3 +58,51 @@ def test_bucketed_join_plans_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_a")
         spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
+
+def test_bucketed_orders_rollup_query_plan_and_values(spark):
+    """The r4 aux query end-to-end: the join of the two bucketed
+    tables must be a sort-merge join with NO exchange between the
+    bucketed scans and the join — the only hash exchange in the plan
+    is the final rollup. Values must match the plain (non-bucketed)
+    join of the same inputs."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.plans.queries import (
+        _scaled,
+        _t,
+        bucketed_orders_rollup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    try:
+        df = bucketed_orders_rollup(spark, sf_dir)
+    except Exception as e:  # no writable warehouse in some environments
+        _pytest.skip(f"warehouse unavailable: {e}")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Bucketed: true" in plan
+
+        plain = (
+            _t(spark, sf_dir, "customer")
+            .join(
+                _t(spark, sf_dir, "orders"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                (F.sum(_scaled("o_totalprice")) / F.lit(100.0)).alias(
+                    "total_price"
+                ),
+            )
+        )
+        got = {tuple(r) for r in df.collect()}
+        want = {tuple(r) for r in plain.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aux_bucketed_orders")
+        spark.sql("DROP TABLE IF EXISTS aux_bucketed_customer")
