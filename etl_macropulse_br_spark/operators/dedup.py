@@ -693,3 +693,99 @@ def winnow_fingerprints(
         | ((F.col("n_sh") < w) & (F.col("sh_h") == F.col("glob_min")))
     )
     return selected.select("id", F.col("sh_h").alias("fp")).distinct()
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 16,
+) -> DataFrame:
+    """Connected components over a near-dup PAIR graph → one cluster
+    label per member document (the minimum reachable id — the
+    deterministic "keep this one" convention every dedup pipeline
+    needs once pairs exist: A~B and B~C must collapse to ONE survivor
+    even though (A, C) was never emitted as a pair).
+
+    Iterative min-label propagation (the standard MapReduce/Spark CC
+    formulation, cf. Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every node starts labeled with
+    itself; each round takes the min of its label and its neighbors'
+    labels; fixpoint in O(component diameter) rounds. Scale shape:
+    each round is one join + one aggregate over the EDGE set — the
+    pair graph, which is orders of magnitude smaller than the corpus
+    (LSH already reduced it) — and each round's labels are
+    CHECKPOINTED, not merely persisted: persist alone truncates
+    recomputation but the logical plan still deepens every round, so
+    Catalyst re-analysis grows superlinearly with iterations
+    (measured: a 9-round path graph took minutes in re-planning).
+    Checkpointing cuts the lineage, keeping plan depth — and
+    per-round planning cost — O(1). Reliable ``checkpoint()`` when
+    the session has a checkpoint dir (the cluster deployment);
+    ``localCheckpoint`` otherwise (executor-local, fine for local
+    mode; set a checkpoint dir in production so task retries can
+    rebuild).
+    Near-dup components are shallow (dup clusters are near-cliques),
+    so rounds ≈ 2-3 in practice; ``max_iter`` bounds the worst case
+    (a path graph) and a driver-side convergence count stops early.
+
+    Returns (node, cluster, keep): every document that appears in a
+    pair, its component's min id, and whether it IS that survivor.
+    Documents in no pair never enter the graph — they are their own
+    implicit singleton clusters.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    def truncate(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+        if has_dir:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = truncate(
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = truncate(
+                labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_min"), F.col("label")),
+                    ).alias("label"),
+                )
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        # checkpointed: O(1)-deep plan backed by materialized
+        # partitions (freed by the ContextCleaner when unreferenced)
+        return labels.select(
+            F.col("node"),
+            F.col("label").alias("cluster"),
+            (F.col("node") == F.col("label")).alias("keep"),
+        )
+    finally:
+        sym.unpersist()

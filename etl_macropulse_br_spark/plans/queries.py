@@ -2457,6 +2457,58 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 DOCS_NEAR_DUPS_SQL = _near_dups_sql()
 
 
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs:
+    A~B, B~C collapse to one min-id survivor per component even
+    though (A, C) never appears as a pair — the step a dedup
+    pipeline needs between "pairs found" and "rows dropped"
+    (operators/dedup.py:dup_clusters — iterative min-label
+    propagation; the oracle replays it as a recursive-CTE transitive
+    closure over the identically-replayed pair pipeline).
+
+    NOTE: plan construction runs the label-propagation loop (driver
+    actions) — aux-only, never part of the driver's 50-query
+    contract.
+    """
+    from etl_macropulse_br_spark.operators.dedup import dup_clusters
+    from etl_macropulse_br_spark.operators.util import small_input_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        docs, threshold=0.5, persist_candidates=not small_input_profile(docs)
+    )
+    return dup_clusters(pairs.select("id_a", "id_b"))
+
+
+def _dup_clusters_sql() -> str:
+    # strip the leading WITH of the pair query so its CTE list splices
+    # into the recursive WITH below (DuckDB scopes the RECURSIVE
+    # keyword to the whole list; non-recursive members are fine)
+    inner = DOCS_NEAR_DUPS_SQL.strip()
+    assert inner.upper().startswith("WITH")
+    inner_ctes, final_select = inner[4:].rsplit("SELECT", 1)
+    return f"""
+WITH RECURSIVE {inner_ctes.rstrip()}
+, pairs AS (
+  SELECT{final_select}
+), dedges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT src, src FROM dedges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN dedges e ON re.r = e.src
+)
+SELECT node, min(r) AS cluster, (node = min(r)) AS keep
+FROM reach
+GROUP BY node
+"""
+
+
+DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()
+
+
 def docs_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprints: (doc_id, fp) rows — the sparse
     deterministic shingle-hash sample two documents sharing a long
@@ -3541,6 +3593,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # two bucketed tables, shuffle-free SMJ, rollup) vs a plain-join
     # oracle; plan shape pinned in tests/test_skew.py
     "bucketed_orders_rollup": bucketed_orders_rollup,
+    # r4: connected components over the near-dup pair graph
+    # (iterative min-label propagation vs recursive-CTE closure)
+    "docs_dup_clusters": docs_dup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -3622,4 +3677,5 @@ AUX_ORACLES: dict[str, str] = {
     "events_kmv_distinct": EVENTS_KMV_DISTINCT_SQL,
     "docs_simhash_near_dups": DOCS_SIMHASH_NEAR_DUPS_SQL,
     "bucketed_orders_rollup": BUCKETED_ORDERS_ROLLUP_SQL,
+    "docs_dup_clusters": DOCS_DUP_CLUSTERS_SQL,
 }

@@ -518,3 +518,56 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[5]["ipv4_count"] == 0 and out[5]["phone_count"] == 0
     assert out[6]["phone_count"] == 0 and out[6]["text"] == rows[6][1]
     assert out[7]["phone_count"] == 1  # documented FP, pinned
+
+
+def test_dup_clusters_label_propagation(spark):
+    """Connected components over a pair graph: a path A-B-C collapses
+    to min-id survivor A even though (A, C) is not a pair; separate
+    components keep separate labels; every node appears exactly
+    once."""
+    from etl_macropulse_br_spark.operators.dedup import dup_clusters
+    from etl_macropulse_br_spark.operators.util import (
+        unpersist_candidates,
+    )
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3} as a path; {10,11}; {20,21,22} as a star
+        [(2, 3), (1, 2), (10, 11), (20, 21), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    try:
+        got = {
+            r["node"]: (r["cluster"], r["keep"])
+            for r in dup_clusters(pairs).collect()
+        }
+    finally:
+        unpersist_candidates()
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        10: (10, True),
+        11: (10, False),
+        20: (20, True),
+        21: (20, False),
+        22: (20, False),
+    }
+
+
+def test_dup_clusters_long_path_converges(spark):
+    """A 9-node path is the diameter worst case — label propagation
+    must still reach the fixpoint (min id at the far end)."""
+    from etl_macropulse_br_spark.operators.dedup import dup_clusters
+    from etl_macropulse_br_spark.operators.util import (
+        unpersist_candidates,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    try:
+        rows = dup_clusters(pairs).collect()
+    finally:
+        unpersist_candidates()
+    assert {r["cluster"] for r in rows} == {0}
+    assert sum(r["keep"] for r in rows) == 1

@@ -96,3 +96,41 @@ def test_cluster_profile_carries_no_hint_on_orders_sides():
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+
+def test_price_percentiles_no_full_fact_exchange(small_spark):
+    """r4 histogram-refine pin: the only exchanges in the plan carry
+    AGGREGATED bucket rows, never the raw fact — no hash exchange
+    node may sit directly over a lineitem scan subtree that hasn't
+    been aggregated first, and no full-fact rank window exists (the
+    one window runs over the tiny bucket-count table; the refine
+    row_number runs over the bucket-pruned join output)."""
+    from etl_macropulse_br_spark.plans.queries import QUERIES
+
+    df = QUERIES["price_percentiles"](small_spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan()
+    for ex in _jvm_collect(plan, "ShuffleExchange"):
+        sub = _subtree_string(ex)
+        if "lineitem" in sub:
+            # any exchange that sees the fact must aggregate it first
+            assert "HashAggregate" in sub, sub
+
+
+def test_regional_revenue_aggregates_below_join(small_spark):
+    """r4 pin: the fact pre-aggregates to per-supplier partials
+    BEFORE any join — every join or broadcast subtree that contains
+    the lineitem scan must contain a HashAggregate below it (the RAW
+    fact never rides a join or broadcast build; the per-supplier
+    aggregate may — it is bounded by |supplier| at any data size,
+    carries no hint, and AQE re-decides it at scale)."""
+    from etl_macropulse_br_spark.plans.queries import QUERIES
+
+    df = QUERIES["regional_revenue"](small_spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan()
+    for node_kind in ("BroadcastExchange", "Join"):
+        nodes = _jvm_collect(plan, node_kind)
+        for n in nodes:
+            sub = _subtree_string(n)
+            if "lineitem" in sub:
+                assert "HashAggregate" in sub, sub
+    assert _jvm_collect(plan, "Join"), "expected join operators"
