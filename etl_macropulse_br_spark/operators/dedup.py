@@ -789,3 +789,49 @@ def dup_clusters(
         )
     finally:
         sym.unpersist()
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares ANY n-token shingle with an evaluation corpus — the
+    overlap pass run before a training corpus ships (the GPT-3
+    appendix-C / Pile-style n-gram collision check), here as a pure
+    relational plan.
+
+    Scale shape: both corpora reduce to shingle-hash rows (the same
+    affine-combine stream the LSH path uses — map-only, no
+    exchange); the eval side is DISTINCT shingles of a benchmark
+    suite, i.e. small by construction, so the semi-join
+    broadcast-resolves under AQE and the 100 TB training side is
+    flagged at scan speed without ever shuffling its text. Only the
+    matched ids (``|contaminated| << |train|``) hit a shuffle (the
+    distinct).
+
+    Returns (id_col, contaminated) for EVERY training doc.
+    """
+    t_sh = shingle_hash_rows(train, text_col, id_col, n_shingle)
+    e_sh = (
+        shingle_hash_rows(eval_df, text_col, id_col, n_shingle)
+        .select("sh_h")
+        .distinct()
+    )
+    hits = (
+        t_sh.join(e_sh, "sh_h", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )

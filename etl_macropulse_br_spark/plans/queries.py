@@ -2509,6 +2509,102 @@ GROUP BY node
 DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()
 
 
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: docs with
+    ``doc_id % 97 == 0`` stand in for the evaluation suite; every
+    remaining (training) doc is flagged when it shares ANY 3-token
+    shingle with that suite (operators/dedup.py:decontaminate — the
+    n-gram collision pass a corpus runs before shipping)."""
+    from etl_macropulse_br_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, eval_df)
+
+
+def _decontaminate_sql(n_shingle: int = 3, mod: int = 97) -> str:
+    from etl_macropulse_br_spark.functions.hashing import base32_sql
+
+    from etl_macropulse_br_spark.operators.dedup import (
+        token_shingle_hashes_sql,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS ntoks
+  FROM documents
+), h_t AS (
+  SELECT doc_id, list_transform(ntoks, t -> {base32_sql("t")}) AS th FROM t
+), sh_t AS (
+  SELECT doc_id, {token_shingle_hashes_sql(n_shingle)} AS sh FROM h_t
+), eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS sh_h FROM sh_t WHERE doc_id % {mod} = 0
+), tr_sh AS (
+  SELECT doc_id, unnest(sh) AS sh_h FROM sh_t WHERE doc_id % {mod} <> 0
+), hits AS (
+  SELECT DISTINCT tr.doc_id FROM tr_sh tr JOIN eval_sh e USING (sh_h)
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+DOCS_DECONTAMINATE_SQL = _decontaminate_sql()
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` aggregation — Spark's built-in
+    gap-session operator (the batch twin of the streaming
+    sessionizer), vs a gaps-and-islands oracle that replays its exact
+    merge rule: an event EXTENDS the session iff ts < prev_ts + gap
+    (strict; an event landing exactly on the gap boundary starts a
+    NEW session — note this differs from ``sessionize_events``'s
+    inclusive boundary), and the reported window end is
+    last_ts + gap. One shuffle on user_id; state is
+    O(active sessions) under the hood, the same bound the streaming
+    path holds."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_gap"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_STATS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts, 1) OVER w IS NULL
+                OR ts >= lag(ts, 1) OVER w + INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_seq
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 1800 SECOND AS session_end_gap,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def docs_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprints: (doc_id, fp) rows — the sparse
     deterministic shingle-hash sample two documents sharing a long
@@ -3596,6 +3692,11 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r4: connected components over the near-dup pair graph
     # (iterative min-label propagation vs recursive-CTE closure)
     "docs_dup_clusters": docs_dup_clusters,
+    # r4: benchmark decontamination (n-gram collision semi-join)
+    "docs_decontaminate": docs_decontaminate,
+    # r4: native session_window aggregation (the batch twin of the
+    # streaming sessionizer) vs the gaps-and-islands oracle
+    "session_window_stats": session_window_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -3678,4 +3779,6 @@ AUX_ORACLES: dict[str, str] = {
     "docs_simhash_near_dups": DOCS_SIMHASH_NEAR_DUPS_SQL,
     "bucketed_orders_rollup": BUCKETED_ORDERS_ROLLUP_SQL,
     "docs_dup_clusters": DOCS_DUP_CLUSTERS_SQL,
+    "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
+    "session_window_stats": SESSION_WINDOW_STATS_SQL,
 }

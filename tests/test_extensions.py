@@ -571,3 +571,41 @@ def test_dup_clusters_long_path_converges(spark):
         unpersist_candidates()
     assert {r["cluster"] for r in rows} == {0}
     assert sum(r["keep"] for r in rows) == 1
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A training doc sharing a 3-token shingle with the eval corpus
+    is flagged; docs with no shared trigram are not; every training
+    doc appears exactly once."""
+    from etl_macropulse_br_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # shares "the quick brown"
+            (2, "completely unrelated content here"),
+            (3, "short"),                            # < n tokens: partial shingle
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "benchmark asks about the quick brown fox")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(train, eval_df).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}
+
+    # an eval doc repeated verbatim in training must flag
+    train2 = train.union(
+        spark.createDataFrame(
+            [(4, "benchmark asks about the quick brown fox")],
+            ["doc_id", "text"],
+        )
+    )
+    got2 = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(train2, eval_df).collect()
+    }
+    assert got2[4] is True
