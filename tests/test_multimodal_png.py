@@ -266,3 +266,53 @@ def test_pil_parity_when_available():
     rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     content = png_encode(w, h, rgb.tobytes(), color_type=2)
     assert _decode_pil(content, "image") == _decode_png(content)
+
+
+# ---- property-based: the codec holds for arbitrary images ----
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, color_type, seed):
+    """encode → decode stats equal numpy-computed luminance stats for
+    arbitrary sizes, channel layouts, and pixel content."""
+    from etl_macropulse_br_spark.operators.multimodal import _PNG_CHANNELS
+
+    rng = np.random.default_rng(seed)
+    ch = _PNG_CHANNELS[color_type]
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    content = png_encode(w, h, px.tobytes(), color_type)
+    got = _decode_png(content)
+    lum = _lum(px) if ch >= 3 else px[..., 0].astype(np.uint32)
+    assert got == _expected_features(content, w, h, lum)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(2, 64),
+    h=st.integers(2, 64),
+    max_px=st.integers(1, 48),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_resize_property(w, h, max_px, seed):
+    """resize always fits within max_px (when input exceeded it),
+    preserves aspect-ratio ordering, and output pixels are the exact
+    nearest-neighbor mapping of input pixels."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    content = png_encode(w, h, px.tobytes(), color_type=2)
+    out, nw, nh = _png_resize(content, max_px)
+    assert max(nw, nh) == min(max(w, h), max_px) or max(w, h) <= max_px
+    rw, rh, _, _, pixels, _ = _png_read(out)
+    assert (rw, rh) == (nw, nh)
+    got = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(nh, nw, 3)
+    idx_y = (np.arange(nh) * h) // nh
+    idx_x = (np.arange(nw) * w) // nw
+    assert np.array_equal(got, px[idx_y][:, idx_x])
