@@ -11,7 +11,7 @@ neither engine pays Python materialization in the timed region):
   round-trips that would otherwise be billed to every run), then
   TWO untimed warmup runs (absorb whole-stage codegen JIT for that
   plan shape; the DuckDB side gets the same two per-query warm
-  runs) and min of 3 timed full executions into a noop sink (rows flow
+  runs) and min of 5 timed full executions into a noop sink (rows flow
   through every operator and are dropped; a count() would let
   Catalyst prune work). Queries that persist an intermediate (LSH
   candidates, BM25 tf) are excluded from plan reuse: they rebuild
@@ -24,7 +24,7 @@ neither engine pays Python materialization in the timed region):
   session profile (deploy-time sizing for known-tiny inputs; see
   session.get_spark).
 - DuckDB baseline: the SAME workload via each query's oracle SQL on
-  the same parquet files, warm in-process connection, min of 3 runs
+  the same parquet files, warm in-process connection, min of 5 runs
   of ``con.execute(sql).arrow()`` — full execution plus native
   (C++-side) Arrow materialization. A bare ``execute()`` is NOT
   enough: DuckDB defers projection-only pipelines until fetch
@@ -132,8 +132,11 @@ def main() -> None:
         for _s in _shapes:
             _s.write.mode("overwrite").format("noop").save()
 
-    # three timed runs per query, report the min — absorbs one-off
-    # JIT/page-cache noise so the number reflects steady-state plan
+    # five timed runs per query (SAME count on the DuckDB side),
+    # report the min — a better floor estimator than min-of-3 on a
+    # shared host whose background noise swings either engine's
+    # multi-minute phase by ~±8% run-over-run (observed across four
+    # otherwise-idle r4 runs); the min reflects steady-state plan
     # execution (what a resident service would see).
     from etl_macropulse_br_spark.operators.util import (
         persisted_count,
@@ -173,7 +176,7 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         sc.setJobGroup(f"bench:{name}", name)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             if uses_cache:
                 unpersist_candidates()
                 t0 = time.perf_counter()
@@ -191,7 +194,7 @@ def main() -> None:
         # driver actions and persist population count too — they are
         # part of what a run costs)
         jobs_per_query[name] = round(
-            len(tracker.getJobIdsForGroup(f"bench:{name}")) / 3, 1
+            len(tracker.getJobIdsForGroup(f"bench:{name}")) / 5, 1
         )
         # release LSH candidate caches so repeated plan builds don't
         # accumulate persisted partitions across the run
@@ -291,7 +294,7 @@ def main() -> None:
 
 
 def duckdb_baseline(sf_dir: str) -> dict:
-    """Warm min-of-3 DuckDB timings of the same workload (each
+    """Warm min-of-5 DuckDB timings of the same workload (each
     query's oracle SQL over the same parquet). ``.arrow()`` forces
     full execution (bare ``execute()`` defers projection-only
     pipelines) and materializes natively; Python-object conversion
@@ -314,7 +317,7 @@ def duckdb_baseline(sf_dir: str) -> dict:
         con.execute(sql).fetchall()  # warm (compile + page cache)
         con.execute(sql).arrow()  # second warm, symmetric with Spark
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             con.execute(sql).arrow()
             best = min(best, time.perf_counter() - t0)
