@@ -425,3 +425,73 @@ def repetition_stats(
         (F.col("n_uniq") / F.col("n_tok")).alias("uniq_token_ratio"),
     )
     return out
+
+
+def model_weights(n_buckets: int = 1024, seed: str = "qw") -> list[int]:
+    """Deterministic integer weight vector in [-1000, 1000] for the
+    hashed-linear scorer, derived from the portable md5 family (same
+    derivation pattern as ``dedup.srp_signs``) — a stand-in for
+    trained parameters with the identical deployment shape (swap in a
+    real model's quantized weights without touching the plan)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:15], 16)
+        % 2001
+        - 1000
+        for j in range(n_buckets)
+    ]
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: str = "qw",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Linear model over hashed bag-of-words features, applied at
+    SCAN SPEED — the shape of a fasttext-style quality classifier
+    filtering a training corpus: the model is a driver-precomputed
+    literal weight vector (broadcast parameters, exactly like the
+    SRP hyperplanes), each token indexes it by portable 32-bit hash
+    mod buckets, and the doc score is the mean of its token weights.
+
+    Scale shape: map-only — no explode, no exchange, no UDF; 100 TB
+    of text scores in one scan pass. Exactness: weights are INTEGERS
+    and the fold sums integers (order-free, overflow-safe: |w| <=
+    1000, so 2^53/1000 tokens per doc before the double...BIGINT sum
+    could ever matter), with ONE final double division — so the
+    score is bit-identical across engines and partitionings, unlike
+    a float-weight sum (order-dependent) or a sigmoid (libm exp is
+    not bit-portable).
+
+    Returns (id_col, model_score, keep) where keep = score > threshold.
+    """
+    from etl_macropulse_br_spark.functions.hashing import base32
+    from etl_macropulse_br_spark.operators.util import spread
+
+    weights = model_weights(n_buckets, seed)
+    w_lit = F.array(*[F.lit(w) for w in weights])
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " "), _WS
+    )
+    score_int = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                w_lit, (F.pmod(base32(t), F.lit(n_buckets)) + 1).cast("int")
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    out = spread(df).select(
+        F.col(id_col),
+        (
+            score_int.cast("double")
+            / (F.lit(1000.0) * F.size(toks).cast("double"))
+        ).alias("model_score"),
+    )
+    return out.withColumn("keep", F.col("model_score") > F.lit(threshold))

@@ -2555,6 +2555,49 @@ LEFT JOIN hits h USING (doc_id)
 DOCS_DECONTAMINATE_SQL = _decontaminate_sql()
 
 
+def docs_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear model scoring at scan speed (fasttext-quality-
+    classifier shape): broadcast literal weight vector indexed by
+    portable token hash, integer-exact fold, one double division
+    (operators/text.py:hashed_linear_score)."""
+    from etl_macropulse_br_spark.operators.text import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(docs)
+
+
+def _model_score_sql(
+    n_buckets: int = 1024, seed: str = "qw", threshold: float = 0.0
+) -> str:
+    from etl_macropulse_br_spark.functions.hashing import base32_sql
+    from etl_macropulse_br_spark.operators.text import model_weights
+
+    w_lit = "[" + ", ".join(str(x) for x in model_weights(n_buckets, seed)) + "]"
+    score = "CAST(s_int AS DOUBLE) / (1000.0 * len(ntoks))"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS ntoks
+  FROM documents
+), w AS (
+  SELECT {w_lit} AS wv
+), s AS (
+  SELECT doc_id, ntoks,
+         list_reduce(list_transform(ntoks,
+           t -> CAST(wv[(({base32_sql("t")}) % {n_buckets}) + 1] AS BIGINT)),
+           (a, b) -> a + b) AS s_int
+  FROM t CROSS JOIN w
+)
+SELECT doc_id,
+       {score} AS model_score,
+       ({score}) > {threshold} AS keep
+FROM s
+"""
+
+
+DOCS_MODEL_SCORE_SQL = _model_score_sql()
+
+
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``F.session_window`` aggregation — Spark's built-in
     gap-session operator (the batch twin of the streaming
@@ -3697,6 +3740,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r4: native session_window aggregation (the batch twin of the
     # streaming sessionizer) vs the gaps-and-islands oracle
     "session_window_stats": session_window_stats,
+    # r4: hashed-linear model scoring (broadcast literal weights,
+    # map-only, integer-exact)
+    "docs_model_score": docs_model_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -3781,4 +3827,5 @@ AUX_ORACLES: dict[str, str] = {
     "docs_dup_clusters": DOCS_DUP_CLUSTERS_SQL,
     "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
     "session_window_stats": SESSION_WINDOW_STATS_SQL,
+    "docs_model_score": DOCS_MODEL_SCORE_SQL,
 }

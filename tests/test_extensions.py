@@ -609,3 +609,36 @@ def test_decontaminate_flags_ngram_overlap(spark):
         for r in decontaminate(train2, eval_df).collect()
     }
     assert got2[4] is True
+
+
+def test_hashed_linear_score_matches_python_reference(spark):
+    """The scan-speed hashed-linear scorer must equal a pure-python
+    reference: mean of integer weights indexed by the portable token
+    hash — bit-identical (integer sum, one double division)."""
+    import hashlib
+
+    from etl_macropulse_br_spark.operators.text import (
+        hashed_linear_score,
+        model_weights,
+    )
+
+    def base32_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) & 0xFFFFFFFF
+
+    w = model_weights(1024, "qw")
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "Mixed  CASE   and   spacing"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["model_score"], r["keep"])
+        for r in hashed_linear_score(df).collect()
+    }
+    for doc_id, text in rows:
+        toks = " ".join(text.lower().strip().split()).split(" ")
+        s = sum(w[base32_py(t) % 1024] for t in toks)
+        score = s / (1000.0 * len(toks))
+        assert got[doc_id][0] == score, (doc_id, got[doc_id][0], score)
+        assert got[doc_id][1] == (score > 0.0)
