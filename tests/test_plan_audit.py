@@ -1,0 +1,116 @@
+"""Mechanical enforcement of PLANS.md's audit claims: the physical
+plans the document describes are asserted here, so a regression that
+silently changes a strategy (a top-k becoming a global sort, a
+map-only scorer growing an exchange, an LSH stage going quadratic)
+fails CI instead of silently invalidating the audit.
+
+Plan strings come from the small-input profile (AQE off) so the
+executed plan is static and inspectable — same convention as
+tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def small_spark():
+    from etl_macropulse_br_spark.session import get_spark
+
+    return get_spark(app_name="test_plan_audit", profile="small-input")
+
+
+def _plan(small_spark, name: str) -> str:
+    from etl_macropulse_br_spark.plans.queries import AUX_QUERIES, QUERIES
+
+    fn = {**QUERIES, **AUX_QUERIES}[name]
+    return (
+        fn(small_spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_topk_queries_use_take_ordered(small_spark):
+    """Top-k = distributed TakeOrderedAndProject, never a global sort
+    materialization (PLANS.md rows: latest/recent/top_movers,
+    embedding_cosine_topk, top_tokens)."""
+    for name in (
+        "top_movers",
+        "recent_events_top10",
+        "embedding_cosine_topk",
+        "top_tokens",
+    ):
+        assert "TakeOrderedAndProject" in _plan(small_spark, name), name
+
+
+def test_no_cartesian_products_anywhere(small_spark):
+    """No query in the declared registry plans a CartesianProduct.
+    (BroadcastNestedLoopJoin is allowed ONLY where PLANS.md declares
+    it: 1-row/3-row broadcast dims in the cosine/range-join/threshold
+    queries — a streaming fact against a constant-size build.)"""
+    from etl_macropulse_br_spark.plans.queries import QUERIES
+
+    bnlj_whitelist = {
+        "embedding_cosine_topk",  # 1-row query-vector broadcast
+        "embedding_cosine_topk_pandas",
+        "embedding_ivf_topk",
+        "range_join_buckets",  # 3-row bucket dim, non-equi
+        "q6_forecast_revenue",
+        "q14_promo_effect",
+        "q17_small_quantity_revenue",
+        "docs_bm25_topk",  # 1-row (N, avgdl) scalar ride-along
+        "docs_curated",
+        "q1_pricing_summary",
+        "latest_month_activity",  # 1-row max-month threshold
+        "docs_train_val_split",
+        "zscore_events",
+    }
+    for name in QUERIES:
+        plan = _plan(small_spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in bnlj_whitelist:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_map_only_operators_have_zero_exchanges(small_spark):
+    """Scan-speed operators must stay exchange-free: the hashed-linear
+    scorer and the per-doc text stats are pure map plans (spread()'s
+    small-input round-robin redistribute is exempt — it is the
+    deliberate parallelism fix for one-file inputs, absent at scale)."""
+    for name in ("docs_model_score", "docs_text_stats"):
+        plan = _plan(small_spark, name)
+        assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_q1_filter_reaches_the_scan(small_spark):
+    """Predicate pushdown: q1's shipdate filter must appear in the
+    parquet scan's PushedFilters, and the scan must not read columns
+    the query never touches."""
+    plan = _plan(small_spark, "q1_pricing_summary")
+    scan = plan[plan.index("PushedFilters") :]
+    assert "l_shipdate" in scan[: scan.index("\n")]
+    read = plan[plan.index("ReadSchema") :]
+    assert "l_comment" not in read[: read.index("\n")]
+
+
+def test_single_exchange_window_pipelines(small_spark):
+    """One hash exchange serves the whole pipeline for the window
+    queries PLANS.md documents as single-shuffle (sessionize, as-of
+    both directions)."""
+    for name in ("sessionize_events", "asof_click_view", "asof_forward_click_view"):
+        plan = _plan(small_spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_lsh_pipeline_never_quadratic(small_spark):
+    """The near-dup pipelines must contain no cartesian/nested-loop
+    stage — candidates come only from band-bucket equi-joins."""
+    for name in ("docs_near_dups", "embedding_near_dups", "docs_simhash"):
+        plan = _plan(small_spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
