@@ -16,12 +16,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    from etl_macropulse_br_spark.functions.sql_functions import (
+        register_sql_functions,
+    )
     from etl_macropulse_br_spark.session import get_spark
     from etl_macropulse_br_spark.sources.files import register_testdata_views
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     spark = get_spark(app_name="query_sql")
     register_testdata_views(spark, sf_dir)
+    register_sql_functions(spark)
+
+    print("-- engine SQL functions (locale parsers by name in raw SQL)")
+    spark.sql(
+        """
+        SELECT parse_ptbr('1.234,56')            AS parsed,
+               fmt_ptbr(1234.56)                 AS formatted,
+               parse_date_ddmmyyyy('31/01/2024') AS d,
+               flag_is_enabled(' YES ')          AS flag
+        """
+    ).show(truncate=False)
 
     print("-- catalog")
     spark.sql("SHOW TABLES").show(truncate=False)
