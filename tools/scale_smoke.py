@@ -1,0 +1,164 @@
+"""Virtual scale-up smoke: does each operator's runtime scale the way
+its plan claims when the input grows KX?
+
+The driver testdata is fixed (sf0.1 max), so scale is synthesized
+IN-FLIGHT: each table unions K lazy copies of itself with id offsets
+(and a per-copy text tag where ids alone wouldn't decorrelate) — no
+files written, no new inputs invented, rows simply multiply at scan
+time. Runs under the CLUSTER profile (AQE on), i.e. the deployment
+path, not the bench profile.
+
+Two operator classes, two expectations:
+
+- linear operators (scan/aggregate/join-after-aggregate): time at KX
+  should grow ~= K (per-row work dominates; sublinear when the 1X run
+  is overhead-bound, which the 1X/K ratio exposes).
+- pair-producing LSH: K exact copies of every doc make each
+  duplicate group K rows, so the PAIR OUTPUT grows O(K^2) BY
+  CONSTRUCTION — the scale property to verify is that runtime tracks
+  the pair count (bucket-join efficiency), not that it stays linear.
+  time_per_pair at KX should be <= the 1X value (never worse).
+
+Usage: python tools/scale_smoke.py [sf_dir] [max_k]
+Prints one human table + one JSON line.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OFFSET = 100_000_000
+
+
+def replicate(
+    df: DataFrame, k: int, id_col: str, text_col: str | None = None
+) -> DataFrame:
+    """K lazy copies with disjoint ids (and per-copy text tags so
+    text-keyed operators don't degenerate into one giant dup group
+    unless that IS the point)."""
+    parts = []
+    for i in range(k):
+        d = df.withColumn(id_col, F.col(id_col) + F.lit(i * _OFFSET))
+        if text_col is not None and i > 0:
+            d = d.withColumn(
+                text_col, F.concat(F.col(text_col), F.lit(f" c{i}"))
+            )
+        parts.append(d)
+    return functools.reduce(DataFrame.unionAll, parts)
+
+
+def timed_count(df: DataFrame) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = df.count()
+    return time.perf_counter() - t0, n
+
+
+def main() -> None:
+    from etl_macropulse_br_spark.operators.dedup import (
+        exact_dedup,
+        minhash_near_dups,
+    )
+    from etl_macropulse_br_spark.operators.text import (
+        hashed_linear_score,
+        repetition_stats,
+    )
+    from etl_macropulse_br_spark.plans.queries import _scaled, _t
+    from etl_macropulse_br_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark(app_name="scale_smoke", profile="cluster")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    docs = _t(spark, sf_dir, "documents")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+
+    def li_q1(k: int) -> DataFrame:
+        d = replicate(li, k, "l_orderkey")
+        return d.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(_scaled("l_quantity")).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def ev_sessionize(k: int) -> DataFrame:
+        from etl_macropulse_br_spark.plans.queries import QUERIES  # noqa: F401
+        d = replicate(ev, k, "user_id")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev = F.lag("ts").over(w)
+        new_s = F.when(
+            prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 1800 SECOND")),
+            1,
+        ).otherwise(0)
+        return (
+            d.withColumn("seq", F.sum(new_s).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "seq")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    linear_ops = {
+        "exact_dedup(docs)": lambda k: exact_dedup(
+            replicate(docs, k, "doc_id", "text")
+        ),
+        "model_score(docs)": lambda k: hashed_linear_score(
+            replicate(docs, k, "doc_id", "text")
+        ),
+        "repetition(docs)": lambda k: repetition_stats(
+            replicate(docs, k, "doc_id", "text")
+        ),
+        "q1_agg(lineitem)": li_q1,
+        "sessionize(events)": ev_sessionize,
+    }
+
+    results: dict[str, dict] = {}
+    print(f"# scale smoke @ {sf_dir}, cluster profile, K in (1, {max_k})")
+    print(f"{'operator':26s} {'t_1x':>7s} {'t_Kx':>7s} {'ratio':>6s}  ideal={max_k}")
+    for name, build in linear_ops.items():
+        build(1).count()  # warm plan shape
+        t1, n1 = timed_count(build(1))
+        tk, nk = timed_count(build(max_k))
+        ratio = tk / t1 if t1 else float("inf")
+        results[name] = {
+            "t_1x": round(t1, 2),
+            "t_kx": round(tk, 2),
+            "ratio": round(ratio, 2),
+            "rows_1x": n1,
+            "rows_kx": nk,
+        }
+        print(f"{name:26s} {t1:7.2f} {tk:7.2f} {ratio:6.2f}")
+
+    # duplicate-heavy LSH stress: K exact copies per doc -> pair
+    # output grows O(K^2); time per PAIR must not grow.
+    print(f"{'lsh near-dups (dup-heavy)':26s} {'t':>7s} {'pairs':>9s} {'us/pair':>9s}")
+    lsh = {}
+    for k in (1, 2, 4):
+        d = replicate(docs, k, "doc_id")  # NO text tag: exact dups
+        df = minhash_near_dups(d, threshold=0.5, persist_candidates=False)
+        df.count()  # warm
+        t, pairs = timed_count(df)
+        per_pair_us = 1e6 * t / pairs if pairs else float("nan")
+        lsh[f"k{k}"] = {
+            "t": round(t, 2),
+            "pairs": pairs,
+            "us_per_pair": round(per_pair_us, 1),
+        }
+        print(f"{'  k=' + str(k):26s} {t:7.2f} {pairs:9d} {per_pair_us:9.1f}")
+    results["lsh_dup_heavy"] = lsh
+
+    print(json.dumps({"sf_dir": sf_dir, "max_k": max_k, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
