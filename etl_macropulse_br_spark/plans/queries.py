@@ -2509,6 +2509,42 @@ GROUP BY node
 DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()
 
 
+def docs_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-correct dedup survivors: one kept doc per CONNECTED
+    COMPONENT of the near-dup pair graph, vs the pair-loser policy
+    (`docs_curated` drops every pair's id_b). The two differ whenever
+    a non-minimal doc appears only as id_a: pairs (2,3) and (1,3)
+    leave doc 2 un-dropped under pair-loser (it is nobody's id_b)
+    even though {1,2,3} is one duplicate cluster — CC keeps exactly
+    {1}. Survivors = all docs minus non-min cluster members.
+
+    NOTE: plan construction runs the label-propagation loop (driver
+    actions) — aux-only, like docs_dup_clusters.
+    """
+    from etl_macropulse_br_spark.operators.dedup import dup_clusters
+    from etl_macropulse_br_spark.operators.util import small_input_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        docs, threshold=0.5, persist_candidates=not small_input_profile(docs)
+    )
+    clusters = dup_clusters(pairs.select("id_a", "id_b"))
+    losers = clusters.filter(~F.col("keep")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+DOCS_CC_SURVIVORS_SQL = f"""
+SELECT d.doc_id
+FROM documents d
+LEFT JOIN (
+  {DOCS_DUP_CLUSTERS_SQL}
+) c ON d.doc_id = c.node AND NOT c.keep
+WHERE c.node IS NULL
+"""
+
+
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over the documents table: docs with
     ``doc_id % 97 == 0`` stand in for the evaluation suite; every
@@ -3743,6 +3779,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r4: hashed-linear model scoring (broadcast literal weights,
     # map-only, integer-exact)
     "docs_model_score": docs_model_score,
+    # r4: cluster-correct dedup survivors (one kept doc per connected
+    # component — strictly stronger than the pair-loser policy)
+    "docs_cc_survivors": docs_cc_survivors,
 }
 
 ORACLES: dict[str, str] = {
@@ -3828,4 +3867,5 @@ AUX_ORACLES: dict[str, str] = {
     "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
     "session_window_stats": SESSION_WINDOW_STATS_SQL,
     "docs_model_score": DOCS_MODEL_SCORE_SQL,
+    "docs_cc_survivors": DOCS_CC_SURVIVORS_SQL,
 }

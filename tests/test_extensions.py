@@ -642,3 +642,35 @@ def test_hashed_linear_score_matches_python_reference(spark):
         score = s / (1000.0 * len(toks))
         assert got[doc_id][0] == score, (doc_id, got[doc_id][0], score)
         assert got[doc_id][1] == (score > 0.0)
+
+
+def test_cc_survivors_stronger_than_pair_loser(spark):
+    """The motivating case: pairs (2,3) and (1,3) — doc 2 is nobody's
+    id_b, so pair-loser dropping keeps {1, 2}; connected components
+    keep exactly the cluster minimum {1}."""
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(2, 3), (1, 3)], ["id_a", "id_b"])
+    all_docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 9)], ["doc_id"])
+
+    pair_loser_kept = {
+        r["doc_id"]
+        for r in all_docs.join(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).collect()
+    }
+    assert pair_loser_kept == {1, 2, 9}  # 2 survives incorrectly
+
+    clusters = dup_clusters(pairs)
+    losers = clusters.filter(~F.col("keep")).select(
+        F.col("node").alias("doc_id")
+    )
+    cc_kept = {
+        r["doc_id"]
+        for r in all_docs.join(losers, "doc_id", "left_anti").collect()
+    }
+    assert cc_kept == {1, 9}  # one survivor per cluster + singleton
