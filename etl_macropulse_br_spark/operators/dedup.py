@@ -755,6 +755,7 @@ def dup_clusters(
         .withColumn("label", F.col("node"))
     )
     try:
+        changed = 0
         for _ in range(max_iter):
             nbr_min = (
                 sym.join(labels, sym.dst == labels.node)
@@ -780,6 +781,16 @@ def dup_clusters(
             labels = new_labels
             if changed == 0:
                 break
+        if changed:
+            # a component with diameter > max_iter would be silently
+            # reported as several clusters (extra "survivors"); fail
+            # loudly rather than hand back a non-fixpoint labeling
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iter} rounds "
+                f"({changed} labels still changing); raise max_iter — "
+                "near-dup components are near-cliques, so a deep "
+                "component usually means the pair threshold is wrong"
+            )
         # checkpointed: O(1)-deep plan backed by materialized
         # partitions (freed by the ContextCleaner when unreferenced)
         return labels.select(

@@ -187,15 +187,18 @@ def _png_read(content: bytes):
             raise ValueError("truncated PNG chunk")
         pos += 12 + length  # CRC not verified: stats/transform reader
         if ctype == b"IHDR":
-            (
-                width,
-                height,
-                bit_depth,
-                color_type,
-                _comp,
-                _filt,
-                interlace,
-            ) = struct.unpack(">IIBBBBB", data)
+            try:
+                (
+                    width,
+                    height,
+                    bit_depth,
+                    color_type,
+                    _comp,
+                    _filt,
+                    interlace,
+                ) = struct.unpack(">IIBBBBB", data)
+            except struct.error as e:
+                raise ValueError(f"short PNG IHDR chunk: {e}") from e
         elif ctype == b"PLTE":
             palette = data
         elif ctype == b"IDAT":
@@ -214,8 +217,18 @@ def _png_read(content: bytes):
         raise ValueError(f"bad PNG color type {color_type}")
     if color_type == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (1 + width * channels):
+    # Bounded inflate: the exact output size is known from IHDR, so cap
+    # the decompressor there — a decompression-bomb IDAT (tiny input,
+    # huge output) cannot exhaust executor memory before the length
+    # check; corrupt streams re-raise as ValueError per the
+    # decode_ok=False contract.
+    expected = height * (1 + width * channels)
+    dec = zlib.decompressobj()
+    try:
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) != expected or dec.unconsumed_tail:
         raise ValueError("PNG pixel data length mismatch")
     pixels = _png_defilter(raw, width, height, channels)
     return width, height, color_type, channels, pixels, palette
@@ -233,6 +246,8 @@ def _png_luminance(content: bytes):
     a = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(-1, channels)
     if color_type == 3:
         pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        if a.size and int(a[:, 0].max()) >= len(pal):
+            raise ValueError("PNG palette index out of range")
         a = pal[a[:, 0]]
         channels = 3
     if channels >= 3:  # RGB / RGBA: alpha ignored, as PIL does
@@ -582,6 +597,8 @@ def _png_resize(content: bytes, max_px: int) -> tuple[bytes, int, int]:
     )
     if color_type == 3:
         pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        if a.size and int(a[:, :, 0].max()) >= len(pal):
+            raise ValueError("PNG palette index out of range")
         a = pal[a[:, :, 0]]
         color_type, channels = 2, 3
     nw, nh = fit_within(width, height, max_px)

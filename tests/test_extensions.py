@@ -573,6 +573,26 @@ def test_dup_clusters_long_path_converges(spark):
     assert sum(r["keep"] for r in rows) == 1
 
 
+def test_dup_clusters_nonconvergence_raises(spark):
+    """max_iter exhausted before fixpoint must raise, never hand back
+    a partial labeling that looks like extra survivors (r4 ADVICE)."""
+    import pytest
+
+    from etl_macropulse_br_spark.operators.dedup import dup_clusters
+    from etl_macropulse_br_spark.operators.util import (
+        unpersist_candidates,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    try:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dup_clusters(pairs, max_iter=2).collect()
+    finally:
+        unpersist_candidates()
+
+
 def test_decontaminate_flags_ngram_overlap(spark):
     """A training doc sharing a 3-token shingle with the eval corpus
     is flagged; docs with no shared trigram are not; every training

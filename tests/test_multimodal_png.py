@@ -172,6 +172,95 @@ def test_png_reader_rejects_malformed():
         _png_read(truncated)
 
 
+def _corrupt_idat_png() -> bytes:
+    """Valid wrapper chunks, garbage zlib stream inside IDAT."""
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"\xde\xad\xbe\xef not zlib at all")
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_reader_parse_failures_raise_value_error():
+    """Every malformed-payload path must surface as ValueError (the
+    type extract_features/resize_plan catch for decode_ok=False /
+    pass-through) — never a bare zlib.error / struct.error /
+    IndexError that would fail the Spark task (r4 ADVICE, high)."""
+    # corrupt zlib stream inside a well-formed IDAT chunk
+    with pytest.raises(ValueError):
+        _png_read(_corrupt_idat_png())
+    # short IHDR chunk (length field honest, payload too small)
+    short_ihdr = (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIB", 4, 4, 8))
+        + _chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 4))))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        _png_read(short_ihdr)
+    # palette index beyond PLTE length
+    lines = [b"\x00" + bytes([9] * 4)] * 4  # index 9, palette has 2 entries
+    bad_pal = _manual_png(4, 4, 3, lines, plte=bytes(6))
+    with pytest.raises(ValueError):
+        _decode_png(bad_pal)
+    with pytest.raises(ValueError):
+        _png_resize(bad_pal, 2)
+    # inflated size disagreeing with IHDR (too much data = bomb shape)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(10_000_000)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        _png_read(bomb)
+
+
+def test_decompression_bomb_is_bounded():
+    """A forged tiny-IHDR / huge-IDAT payload must be rejected without
+    materializing the inflated stream (bounded decompressobj)."""
+    import tracemalloc
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(200_000_000)))
+        + _chunk(b"IEND", b"")
+    )
+    tracemalloc.start()
+    with pytest.raises(ValueError):
+        _png_read(bomb)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # compressed payload is ~200 KB; unbounded inflate would be 200 MB
+    assert peak < 50_000_000
+
+
+def test_extract_features_malformed_payload_yields_decode_ok_false(spark):
+    """End-to-end contract: one malformed PNG in a batch must not fail
+    the job; it maps to decode_ok=False while good rows decode."""
+    from etl_macropulse_br_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    good = png_encode(2, 2, bytes([10, 20, 30, 40]), color_type=0)
+    rows = [
+        (1, "image", good, "image/png", 2, 2, None),
+        (2, "image", _corrupt_idat_png(), "image/png", 4, 4, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r for r in extract_features(media, use_real_decoder=True).collect()
+    }
+    assert got[1]["decode_ok"] is True
+    assert got[2]["decode_ok"] is False and got[2]["feature"] is None
+
+
 def test_fit_within_dims():
     assert fit_within(100, 40, 50) == (50, 20)
     assert fit_within(40, 100, 50) == (20, 50)

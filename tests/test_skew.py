@@ -106,3 +106,42 @@ def test_bucketed_orders_rollup_query_plan_and_values(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS aux_bucketed_orders")
         spark.sql("DROP TABLE IF EXISTS aux_bucketed_customer")
+
+
+def test_write_bucketed_replace_is_crash_safe(spark):
+    """A failed replacement write must leave the previous table's
+    data restored, not destroyed (r4 ADVICE on skew.py)."""
+    import os
+
+    from etl_macropulse_br_spark.operators.skew import _table_location
+
+    a = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    try:
+        write_bucketed(a, "bucketed_safe", "id", n_buckets=4)
+    except Exception as e:
+        pytest.skip(f"warehouse unavailable: {e}")
+    loc = _table_location(spark, "bucketed_safe")
+    try:
+        before = sorted(os.listdir(loc))
+
+        # a frame whose evaluation throws mid-write (UDF raising)
+        from pyspark.sql.types import LongType
+
+        def boom(x):
+            raise RuntimeError("injected write failure")
+
+        bad = spark.range(0, 100).withColumn(
+            "v", F.udf(boom, LongType())(F.col("id"))
+        )
+        with pytest.raises(Exception):
+            write_bucketed(bad, "bucketed_safe", "id", n_buckets=4)
+
+        # old location restored byte-for-byte file set; no backup left
+        assert sorted(os.listdir(loc)) == before
+        assert not os.path.isdir(f"{loc}.__replacing")
+        # orphan-dir path still recoverable: a fresh successful
+        # replace works and reads back
+        write_bucketed(a, "bucketed_safe", "id", n_buckets=4)
+        assert spark.table("bucketed_safe").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_safe")
