@@ -27,7 +27,12 @@ def zscore_expr(
     """z = (v - mean) / sample_std, NULL when the group has <2 rows
     or zero variance. All moments from exact integer cent-sums."""
     w = Window.partitionBy(*group_cols)
-    c = F.round(F.col(value_col) * 100, 0).cast("bigint")
+    # shift-then-truncate == round-half-away-from-zero, minus the
+    # per-row BigDecimal cost of F.round (see plans.queries._scaled)
+    x = F.col(value_col) * 100
+    c = F.when(x < 0, x - F.lit(0.5)).otherwise(x + F.lit(0.5)).cast(
+        "bigint"
+    )
     n = F.count(F.lit(1)).over(w)
     s = F.sum(c).over(w)
     ssq = F.sum(c * c).over(w)

@@ -110,3 +110,32 @@ def test_dedup_keep_first_is_min_under_order(spark):
     assert {(k_o_v[0]) for k_o_v in got} == {r[0] for r in rows}
     for k, o, v in got:
         assert (o, v) == min((r[1], r[2]) for r in rows if r[0] == k)
+
+
+def test_scaled_matches_round_semantics(spark):
+    """_scaled's shift-then-truncate must equal F.round(x*s, 0) —
+    half away from zero — across signs, .5 boundaries, and
+    representative finite-decimal money/measure values."""
+    import random
+
+    from etl_macropulse_br_spark.plans.queries import _scaled
+
+    rng = random.Random(42)
+    vals = [
+        0.0, 0.005, -0.005, 2.5, -2.5, 2.675, -2.675,
+        0.49999999999999994, -0.49999999999999994,
+        9999.99, -999.99, 123456.78, -123456.78,
+    ]
+    vals += [round(rng.uniform(-10000, 10000), 2) for _ in range(500)]
+    vals += [round(rng.uniform(-1, 1), 4) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    for scale in (100, 10000):
+        bad = (
+            df.select(
+                _scaled(F.col("x"), scale).alias("fast"),
+                F.round(F.col("x") * scale, 0).cast("bigint").alias("ref"),
+            )
+            .filter(F.col("fast") != F.col("ref"))
+            .count()
+        )
+        assert bad == 0, f"scale={scale}: {bad} mismatches"
