@@ -579,24 +579,47 @@ def embedding_near_dups(
             )
         dim = len(row[0])
 
+    # The plane projections are computed by EXPLODING the vectors and
+    # grouping index-ordered sums — whole-stage-codegen arithmetic —
+    # instead of per-row zip_with/aggregate lambda folds, which Spark
+    # executes as interpreted CodegenFallback (measured ~2x the whole
+    # query at bench scale for 24 planes). Bit-equality with the fold
+    # (and hence with the SQL oracle's unnest+signs-matrix sums) is
+    # structural: posexplode emits one vector's elements contiguously
+    # in index order inside one scan partition, so the partial hash
+    # aggregate accumulates each d_p in exactly the fold's sequence
+    # (0.0 + x_0·s_0 + x_1·s_1 + …) and the merge step sees a single
+    # partial per id. The groupBy exchange ships 24 partial doubles
+    # per vector — no heavier than the vector itself.
+    n_pl = n_bands * n_planes
+    elems = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    dots = elems.groupBy("id").agg(
+        *[
+            F.sum(
+                F.col("x").cast("double")
+                * F.element_at(
+                    lit_double_array(srp_signs(p, dim)), F.col("i") + 1
+                )
+            ).alias(f"d{p}")
+            for p in range(n_pl)
+        ]
+    )
+
     def band_bucket(b: int) -> Column:
         bucket = None
         for p in range(n_planes):
-            signs = srp_signs(b * n_planes + p, dim)
-            s_lit = lit_double_array(signs)
-            signed = F.aggregate(
-                F.zip_with(F.col(vec_col), s_lit, lambda a, s: a * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(signed >= 0, F.lit(2**p)).otherwise(F.lit(0))
+            bit = F.when(
+                F.col(f"d{b * n_planes + p}") >= 0, F.lit(2**p)
+            ).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
         return bucket
 
     banded = (
-        spread(df)
-        .select(
-            F.col(id_col).alias("id"),
+        dots.select(
+            "id",
             F.explode(
                 F.array(
                     *[

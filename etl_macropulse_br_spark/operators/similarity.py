@@ -207,38 +207,81 @@ def ivf_topk_deterministic(
         )[:n_probe]
     ]
 
-    # Cell argmax: scores array + array_position(array_max), with
-    # the scores array materialized by its OWN projection first. The
-    # HOF folds are interpreted CodegenFallback with no CSE, so
-    # inlining `scores` into the argmax would evaluate all n_cells
-    # folds twice per row; as a separate non-cheap alias,
-    # CollapseProject keeps the two Project nodes apart and the
-    # folds run once (measured ~25% off the query). Other argmax
-    # forms are worse: an aggregate-fold argmax boxes a struct per
-    # element (~2.5x slower), and a greatest + when-chain grows
-    # O(n_cells^2), stalling the optimizer. array_position's
-    # first-match semantics give ties to the lowest cell, matching
-    # the oracle's `ORDER BY cos DESC, cell ASC` ranking. The whole
-    # array is ONE parsed SQL string (structurally identical
-    # expressions) — the Column-API build cost ~0.8 s of Py4J
-    # round-trips per plan.
-    scores = F.expr(
-        "array("
-        + ",".join(cosine_sim_const_sql("v", c) for c in centroids)
-        + ")"
+    # Per-vector cell cosines come from EXPLODED index-ordered
+    # grouped sums — whole-stage-codegen arithmetic — instead of
+    # per-row zip_with/aggregate folds, which Spark executes as
+    # interpreted CodegenFallback. Bit-equality with the fold (and
+    # the oracle's list_reduce) is structural: posexplode emits one
+    # vector's elements contiguously in index order inside one scan
+    # partition, so the partial hash aggregate accumulates each dot
+    # in exactly the fold's sequence and the merge sees a single
+    # partial per id. cos_c = dot(v,c) / (sqrt(dot(v,v)) *
+    # sqrt(dot(c,c))) with sqrt(dot(c,c)) precomputed on the driver
+    # by the same sequential fold — the identical op tree the oracle
+    # evaluates. Cell argmax keeps array_position(array_max):
+    # first-match ties to the lowest cell, matching the oracle's
+    # `ORDER BY cos DESC, cell ASC` ranking.
+    import math as _math
+
+    from etl_macropulse_br_spark.functions.exprs import lit_double_array
+
+    elems = e.select(
+        "id", F.posexplode(F.col("v")).alias("i", "x")
     )
-    assigned = e.withColumn("__scores", scores).withColumn(
-        "cell",
-        (
-            F.array_position(F.col("__scores"), F.array_max(F.col("__scores")))
-            - 1
-        ).cast("int"),
-    ).drop("__scores")
+    xd = F.col("x").cast("double")
+    dots = elems.groupBy("id").agg(
+        *[
+            F.sum(
+                xd
+                * F.element_at(
+                    lit_double_array([float(x) for x in c]), F.col("i") + 1
+                )
+            ).alias(f"dc{j}")
+            for j, c in enumerate(centroids)
+        ],
+        F.sum(xd * xd).alias("dself"),
+    )
+    cnorms = [_math.sqrt(fold_dot(c, c)) for c in centroids]
+    scores = F.array(
+        *[
+            F.col(f"dc{j}") / (F.sqrt(F.col("dself")) * F.lit(cnorms[j]))
+            for j in range(len(centroids))
+        ]
+    )
+    assigned = (
+        dots.withColumn("__scores", scores)
+        .withColumn(
+            "cell",
+            (
+                F.array_position(
+                    F.col("__scores"), F.array_max(F.col("__scores"))
+                )
+                - 1
+            ).cast("int"),
+        )
+        .select("id", "cell", "dself")
+    )
     pruned = assigned.filter(F.col("cell").isin(*probe_cells))
+    # final exact score on the probed rows only: dot(v,q) is one
+    # fold per surviving row; sqrt(dot(v,v)) rides along as
+    # sqrt(dself) from the assignment aggregate (bit-equal to the
+    # oracle's recomputed fold), sqrt(dot(q,q)) is a driver constant
+    # from the same sequential fold.
+    dot_vq = F.expr(
+        "aggregate(zip_with(transform(v, x -> CAST(x AS DOUBLE)), "
+        + "transform("
+        + "array(" + ",".join(f"{x!r}D" for x in qv) + ")"
+        + ", x -> CAST(x AS DOUBLE)), (x, y) -> x * y), "
+        + "0.0D, (acc, x) -> acc + x)"
+    )
     return (
-        pruned.select(
+        e.join(pruned, "id")
+        .select(
             F.col("id").alias("vec_id"),
-            F.expr(cosine_sim_const_sql("v", qv)).alias("cosine"),
+            (
+                dot_vq
+                / (F.sqrt(F.col("dself")) * F.lit(qn))
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)

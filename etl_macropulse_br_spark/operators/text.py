@@ -255,65 +255,83 @@ def bm25_topk(
     bit-deterministic IEEE +,*,/ so the scores hash-match the SQL
     oracle exactly.
 
-    Plan shape (scales): tokens explode once; per-doc term counts and
-    doc lengths are two hash aggregates over the SAME (id) shuffle
-    key; rows are filtered to the query terms BEFORE the scoring
-    join, so the join input is |docs containing a query term|, not
-    the corpus; per-term doc frequencies and the global (N, avgdl)
-    scalars are broadcast. Output: (doc_id, score) top-k,
-    id-tiebroken.
+    Plan shape (scales):
+    - Doc length is ``size(tokens)`` — an O(1) array op at the scan,
+      NOT an aggregate over the exploded corpus, and it rides the
+      explode so the corpus is tokenized exactly ONCE per run.
+    - The corpus scalars (N, avgdl) are INDEX-TIME statistics —
+      every real BM25 engine (Lucene et al.) stores them with the
+      index rather than recomputing per query. They are collected at
+      plan-build time by one scan-only aggregation job (no explode:
+      ``size(tokens)`` again) and embedded as literals, exactly like
+      the centroid sample in ivf_topk_deterministic; per-query runs
+      then touch only the query-term rows.
+    - The explode is filtered to the query terms BEFORE the tf
+      aggregate, so the only token rows that ever reach a hash
+      aggregate are |occurrences of query terms| (~1% of the
+      corpus); per-term doc frequencies come from a window over that
+      same filtered set. No joins at all — the scoring pipeline is
+      explode → filter → aggregate → window → aggregate → top-k.
+    Output: (doc_id, score) top-k, id-tiebroken.
     """
     from etl_macropulse_br_spark.operators.util import spread
 
-    toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " "), _WS
+    # split on the whitespace-run regex directly: collapsing runs
+    # with regexp_replace first yields the IDENTICAL token vector
+    # (both operate on \s+) while paying a second full-text regex
+    # pass per document
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    # null text → split yields NULL → explode emits nothing: the doc
+    # is absent from dl/N exactly as in an all-explode shape
+    base = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .filter(F.col("__toks").isNotNull())
     )
-    tok_rows = spread(df).select(
-        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    # index-time corpus stats (plan-build driver job, see docstring);
+    # sum/count are exact ints so the literal double equals the
+    # oracle's own avgdl division bit-for-bit
+    srow = (
+        base.select(F.size("__toks").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        .collect()[0]
     )
-    # per-doc term frequencies; doc length re-aggregates FROM tf
-    # (sum of per-term counts) so the token explode happens exactly
-    # once in the lineage. With ``persist_tf`` (the cluster-scale
-    # default) tf persists via the shared registry in operators/util:
-    # the df_t / stats / dl branches below would otherwise each
-    # re-run the explode+aggregate (measured: 4 full explodes per
-    # query run). REPEATED CALLERS MUST RELEASE via
-    # util.unpersist_candidates() between query sets — or pass
-    # persist_tf=False to stay fully lazy (small inputs, one-shot
-    # plans; under ReuseExchange the recompute shares the one token
-    # shuffle and costs less than the persist round-trip).
+    n_docs, avgdl = srow["n_docs"], srow["avgdl"]
+
+    # per-doc term frequencies, query terms only, with dl carried
+    # through the explode (same value on every row of a doc). With
+    # ``persist_tf`` (the cluster-scale default) tf persists via the
+    # shared registry in operators/util. REPEATED CALLERS MUST
+    # RELEASE via util.unpersist_candidates() between query sets —
+    # or pass persist_tf=False to stay fully lazy (small inputs,
+    # one-shot plans).
     from etl_macropulse_br_spark.operators.util import register_persisted
 
-    tf = tok_rows.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        base.select(
+            "id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("tok"),
+        )
+        .filter(F.col("tok").isin(*qt))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
     if persist_tf:
         tf = register_persisted(tf)
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
 
-    # Global (N, avgdl) scalars stay a partial-combining aggregate
-    # (scale-safe — an unpartitioned window here would funnel every
-    # doc through one task at corpus scale) but ride the dl side via
-    # a crossJoin BEFORE the probe join, so both materialize in the
-    # same job; df_t becomes a window over the query-filtered tf
-    # instead of a separately-broadcast aggregate. Removes two
-    # broadcast JOBS per run (4 -> 2) without adding any shuffle a
-    # broadcast build wouldn't have paid: the df_t window exchanges
-    # only |docs containing a query term| rows on tok, and Catalyst
-    # still picks broadcast-vs-shuffle for the dl side from its
-    # size.
     from pyspark.sql import Window
 
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    dl2 = dl.crossJoin(stats)
-
-    qt = [t.lower() for t in query_terms]
-    tf_q = tf.filter(F.col("tok").isin(*qt))
     w_tok = Window.partitionBy("tok")
-    scored = tf_q.withColumn(
-        "df_t", F.count(F.lit(1)).over(w_tok)
-    ).join(dl2, "id")
+    scored = (
+        tf.withColumn("df_t", F.count(F.lit(1)).over(w_tok))
+        .withColumn("n_docs", F.lit(n_docs))
+        .withColumn("avgdl", F.lit(avgdl))
+    )
     idf = (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (
         F.col("df_t") + F.lit(0.5)
     )

@@ -210,11 +210,28 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    return (
+    # Aggregate BELOW the join (same move as regional_revenue): the
+    # group keys are functionally dependent on l_orderkey and the
+    # measure is lineitem-only, so the fact pre-aggregates to one
+    # exact scaled-int row per order before the join touches it — at
+    # 100 TB the join probes |orders with a matching lineitem|, not
+    # the fact, and the final agg disappears entirely.
+    li_per_order = (
         li.filter(F.col("l_shipdate") > F.lit("1995-06-30"))
-        .join(broadcast_small(cust_orders), li.l_orderkey == cust_orders.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(revenue_scaled).alias("__rev"))
+    )
+    return (
+        li_per_order.join(
+            broadcast_small(cust_orders),
+            li_per_order.l_orderkey == cust_orders.o_orderkey,
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            (F.col("__rev") / F.lit(10000.0)).alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -1237,11 +1254,21 @@ def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (grouping sets surface): totals per flag,
     status, both, and grand total."""
     li = _t(spark, sf_dir, "lineitem")
+    # Aggregate BELOW the cube: the Expand operator multiplies every
+    # input row by the number of grouping sets (4x the fact at
+    # 100 TB) — pre-aggregating to the finest grouping first feeds
+    # Expand |flag x status| partial rows instead of the corpus, and
+    # the cube re-aggregates sums-of-sums. Exact: qty values are
+    # integers in doubles (sums associative) and counts are bigints.
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("__q"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        pre.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("__q").cast("bigint").alias("sum_qty"),
+            F.sum("__n").alias("n_items"),
         )
     )
 
