@@ -2743,13 +2743,16 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``F.session_window`` aggregation — Spark's built-in
     gap-session operator (the batch twin of the streaming
     sessionizer), vs a gaps-and-islands oracle that replays its exact
-    merge rule: an event EXTENDS the session iff ts < prev_ts + gap
-    (strict; an event landing exactly on the gap boundary starts a
-    NEW session — note this differs from ``sessionize_events``'s
-    inclusive boundary), and the reported window end is
-    last_ts + gap. One shuffle on user_id; state is
-    O(active sessions) under the hood, the same bound the streaming
-    path holds."""
+    merge rule: an event EXTENDS the session iff ts <= prev_ts + gap
+    (INCLUSIVE — an event landing exactly on the gap boundary merges,
+    verified empirically against session_window and pinned by the
+    stream-vs-batch differential test; the boundary case never
+    occurs in the continuous-timestamp testdata, which is why the
+    earlier strict-boundary oracle also hash-matched), and the
+    reported window end is last_ts + gap. Same rule as
+    ``sessionize_events`` and ``streaming/sessions.py``. One shuffle
+    on user_id; state is O(active sessions) under the hood, the same
+    bound the streaming path holds."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -2770,7 +2773,7 @@ SESSION_WINDOW_STATS_SQL = """
 WITH g AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts, 1) OVER w IS NULL
-                OR ts >= lag(ts, 1) OVER w + INTERVAL 1800 SECOND
+                OR ts > lag(ts, 1) OVER w + INTERVAL 1800 SECOND
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

@@ -5,9 +5,14 @@ The batch twin is ``plans/queries.sessionize_events`` (lag + running
 sum windows). In streaming, session state must live across
 micro-batches — exactly the case Spark's arbitrary-stateful API
 exists for. Per user: keep (session_start, last_ts, n_events);
-an event more than ``gap`` seconds after ``last_ts`` closes the open
-session (emitting it) and opens a new one; ``GroupStateTimeout``
-closes idle sessions when their watermark-driven timeout fires.
+an event strictly more than ``gap`` seconds after ``last_ts`` closes
+the open session (emitting it) and opens a new one — an event
+landing EXACTLY on ``last_ts + gap`` EXTENDS the session, which is
+the native ``F.session_window`` merge rule (verified empirically and
+pinned by the stream-vs-batch differential test; the boundary case
+never appears in the driver's testdata, so only that test guards
+it); ``GroupStateTimeout`` closes idle sessions when their
+watermark-driven timeout fires.
 
 State size is O(active users), not O(events) — the operator scales
 with key cardinality, and shuffle is the single hash partition on
@@ -74,7 +79,7 @@ def _sessionize_group(
     for t in ts_list:
         if start_us is None:
             start_us, last_us, n = t, t, 1
-        elif t - last_us > gap_us:
+        elif t - last_us > gap_us:  # inclusive boundary extends (see module docstring)
             closed.append((start_us, last_us, n))
             start_us, last_us, n = t, t, 1
         else:
@@ -94,7 +99,13 @@ def _sessionize_group(
 
 
 def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
-    """events(user_id, ts, ...) stream → closed-session stream."""
+    """events(user_id, ts, ...) stream → closed-session stream.
+
+    Uses the inclusive gap boundary — an event landing EXACTLY on
+    ``last_ts + gap`` extends the session — which IS the native
+    ``F.session_window`` merge rule, so the streaming operator is
+    row-identical to the batch ``session_window`` aggregation on the
+    same input (pinned by the stream-vs-batch differential test)."""
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy("user_id")

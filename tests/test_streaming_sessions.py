@@ -52,3 +52,147 @@ def test_sessionize_stream_closes_gapped_sessions(spark, tmp_path):
     start, end = got[(1, 3)]
     assert start == base and end == base + dt.timedelta(minutes=10)
     assert len(got) == 1
+
+
+def test_stream_matches_batch_session_window(spark, tmp_path):
+    """Differential gate (r4 VERDICT #2): the streaming sessionizer
+    must be row-identical to the batch F.session_window aggregation
+    on the same input — including events landing EXACTLY on the gap
+    boundary (strict rule: boundary starts a NEW session). A
+    far-future sentinel per user force-closes every real session so
+    the availableNow run emits them all; the sentinel's own
+    (still-open) session is excluded from the comparison."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.streaming.sessions import sessionize_stream
+
+    gap_s = 1800
+    rng = random.Random(7)
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for user in range(1, 9):
+        t = base + dt.timedelta(minutes=rng.randint(0, 120))
+        for _ in range(40):
+            # mix sub-gap, super-gap, and EXACT-boundary deltas
+            delta = rng.choice([1, 60, 600, 1799, 1800, 1801, 4000])
+            t = t + dt.timedelta(seconds=delta)
+            rows.append((user, t))
+    sentinel = max(ts for _, ts in rows) + dt.timedelta(days=30)
+    real = list(rows)
+    for user in range(1, 9):
+        rows.append((user, sentinel))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    # one file → one availableNow micro-batch: the differential is
+    # about the gap/merge rule (incl. exact-boundary events); a
+    # multi-file source would replay files in arbitrary order, i.e.
+    # time-travel no real stream exhibits (cross-batch state carry
+    # is covered by the closed-sessions test above)
+    src = str(tmp_path / "diff_stream")
+    spark.createDataFrame(sorted(rows, key=lambda r: r[1]), schema).coalesce(
+        1
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_s=gap_s)
+        .writeStream.format("memory")
+        .queryName("diff_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "diff_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM diff_sessions").collect()
+    }
+
+    batch = {
+        (
+            r["user_id"],
+            r["start"],
+            r["last_ts"],
+            r["n_events"],
+        )
+        for r in (
+            spark.createDataFrame(real, schema)
+            .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+            .agg(
+                F.min("ts").alias("start"),
+                F.max("ts").alias("last_ts"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .collect()
+        )
+    }
+    assert streamed == batch
+    # sanity: the generator actually produced boundary-exact deltas
+    assert any(
+        (b - a) == dt.timedelta(seconds=1800)
+        for (u1, a), (u2, b) in zip(real, real[1:])
+        if u1 == u2
+    )
+
+
+def test_session_oracle_matches_native_on_boundary_events(spark, tmp_path):
+    """The gaps-and-islands DuckDB oracle must replay session_window
+    EXACTLY at the gap boundary (ts == prev + gap merges). The
+    driver's testdata has continuous timestamps, so only this test
+    exercises the boundary case the r5 differential surfaced."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.plans.queries import (
+        SESSION_WINDOW_STATS_SQL,
+    )
+
+    base = dt.datetime(2026, 3, 1, 9, 0, 0)
+    deltas = [0, 1800, 3600, 5401, 7201, 9001, 9002, 10803]
+    rows = [
+        (1, i + 1, base + dt.timedelta(seconds=s))
+        for i, s in enumerate(deltas)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "boundary_events.parquet")
+    df.coalesce(1).write.parquet(src)
+
+    native = {
+        (r["user_id"], r["session_start"], r["session_end_gap"], r["n_events"])
+        for r in df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_gap"),
+            "n_events",
+        )
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{src}/*.parquet'")
+    oracle = {
+        (u, s, e, n)
+        for u, s, e, n in con.execute(SESSION_WINDOW_STATS_SQL).fetchall()
+    }
+    assert native == oracle
+    # the chain 0,1800,3600 merges through two exact boundaries
+    assert any(n >= 3 and s == base for _, s, _, n in native)
