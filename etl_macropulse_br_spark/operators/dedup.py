@@ -825,6 +825,78 @@ def dup_clusters(
         sym.unpersist()
 
 
+def dup_clusters_plan(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rounds: int = 6,
+    persist_edges: bool = True,
+) -> DataFrame:
+    """Connected components as ONE LAZY PLAN: ``rounds`` unrolled
+    min-label-propagation steps, no driver actions, no checkpoints —
+    the contract-safe twin of :func:`dup_clusters` for declared
+    queries and prepared-statement reuse (the iterative variant runs
+    count()/checkpoint() actions at plan-build time, which a
+    reusable plan must not).
+
+    Reaches the true fixpoint iff ``rounds >= component diameter``.
+    Near-dup components are near-cliques (LSH emits most transitive
+    edges directly), so diameter is 2-3 in practice; rounds=6 is a
+    2x safety margin, and extra rounds past the fixpoint are label
+    no-ops — the result then equals :func:`dup_clusters` and the
+    oracle's recursive transitive closure exactly (pinned by
+    tests/test_extensions.py's static-vs-iterative comparison). For
+    unbounded-diameter graphs (a path of retweets, not near-dups)
+    use the iterative variant, which detects non-convergence.
+
+    Plan-size discipline — the reason this is not a transcription of
+    the iterative loop: a round written as labels ⋈ nbr_min(labels)
+    references ``labels`` TWICE, so k unrolled rounds build a
+    2^k-leaf logical plan (measured: 6 rounds took ~10 s of Catalyst
+    analysis alone). Instead the edge set carries SELF-LOOPS, so one
+    round is a single join + min-aggregate that references
+    ``labels`` exactly once — min over {own label} ∪ {neighbor
+    labels} is the identical update rule, and plan depth stays
+    linear in ``rounds``.
+
+    ``persist_edges`` (default) registers the self-looped symmetric
+    edge set in the shared persist registry: every unrolled round
+    references it, and without materialization the pair-producing
+    pipeline (typically a full LSH pass) would be re-analyzed and
+    re-executed per round. Callers must release via
+    util.unpersist_candidates() between query sets.
+    """
+    from etl_macropulse_br_spark.operators.util import register_persisted
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    nodes = edges.select("src").union(
+        edges.select(F.col("dst").alias("src"))
+    ).distinct()
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .union(nodes.select("src", F.col("src").alias("dst")))  # self-loops
+    )
+    if persist_edges:
+        sym = register_persisted(sym)
+    labels = sym.select(
+        F.col("dst").alias("node"), F.col("dst").alias("label")
+    ).distinct()
+    for _ in range(rounds):
+        labels = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels.select(
+        F.col("node"),
+        F.col("label").alias("cluster"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -210,28 +210,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    # Aggregate BELOW the join (same move as regional_revenue): the
-    # group keys are functionally dependent on l_orderkey and the
-    # measure is lineitem-only, so the fact pre-aggregates to one
-    # exact scaled-int row per order before the join touches it — at
-    # 100 TB the join probes |orders with a matching lineitem|, not
-    # the fact, and the final agg disappears entirely.
-    li_per_order = (
-        li.filter(F.col("l_shipdate") > F.lit("1995-06-30"))
-        .groupBy("l_orderkey")
-        .agg(F.sum(revenue_scaled).alias("__rev"))
-    )
+    # Join FIRST, aggregate after — deliberately the opposite of
+    # regional_revenue's aggregate-below-join: q3's build side is
+    # highly selective (one mktsegment x date cut), so the join
+    # discards ~80% of the fact before any aggregation; pre-
+    # aggregating the whole filtered fact to per-order partials
+    # first was measured ~60% slower locally and does strictly more
+    # work at 100 TB (it hash-aggregates rows the join would drop).
+    # Aggregate-below-join pays off only when the join preserves
+    # most probe rows.
     return (
-        li_per_order.join(
-            broadcast_small(cust_orders),
-            li_per_order.l_orderkey == cust_orders.o_orderkey,
-        )
-        .select(
-            "o_orderkey",
-            "o_orderdate",
-            "o_orderpriority",
-            (F.col("__rev") / F.lit(10000.0)).alias("revenue"),
-        )
+        li.filter(F.col("l_shipdate") > F.lit("1995-06-30"))
+        .join(broadcast_small(cust_orders), li.l_orderkey == cust_orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -2862,7 +2854,20 @@ def docs_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, split) of the surviving corpus. Every stage is
     an existing oracle-gated operator; this query gates their
-    COMPOSITION (joins, anti-join, ordering of filters)."""
+    COMPOSITION (joins, anti-join, ordering of filters).
+
+    Dedup policy note: pair-loser (drop id_b) under-drops when a
+    non-minimal doc appears only as id_a — the cluster-correct
+    composition exists as the oracle-gated ``docs_curated_cc`` (aux)
+    built on ``dup_clusters_plan``. It stays out of the declared
+    flagship deliberately, and not only for bench budget (measured:
+    CC adds ~0.7-1.5 s/run at bench scale across every lazy shape
+    tried — exponential-plan fix, round bounds, broadcast reuse):
+    at 100 TB a curation pipeline materializes the cluster verdict
+    ONCE (the checkpointed iterative ``dup_clusters``) and anti-
+    joins the label table downstream; recomputing connected
+    components inside every consuming query is the wrong
+    architecture at any scale."""
     from etl_macropulse_br_spark.operators.dedup import (
         exact_dedup,
         minhash_near_dups,
@@ -2910,6 +2915,70 @@ WITH rep AS (
   SELECT keep_id AS doc_id FROM ({DOCS_EXACT_DEDUP_SQL})
 ), losers AS (
   SELECT DISTINCT id_b AS doc_id FROM ({DOCS_NEAR_DUPS_SQL})
+)
+SELECT d.doc_id,
+       CASE WHEN ({md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 100) < 80
+            THEN 'train' ELSE 'val' END AS split
+FROM documents d
+JOIN quality_ok USING (doc_id)
+JOIN winners USING (doc_id)
+ANTI JOIN losers USING (doc_id)
+"""
+
+
+def docs_curated_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-correct curation: ``docs_curated`` with the near-dup
+    drop decided by CONNECTED COMPONENT (one survivor per component,
+    min id) instead of pair-loser — fixes the missed-survivor case
+    (pairs (2,3) + (1,3): doc 2 survives pair-loser but is a
+    non-minimal member of cluster {1,2,3}). Clustering is the LAZY
+    bounded-round ``dup_clusters_plan`` (no driver actions at plan
+    build); the oracle replays a true recursive transitive closure,
+    equal because near-dup components converge inside the round
+    bound (pinned by the static-vs-iterative test)."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        dup_clusters_plan,
+        exact_dedup,
+        minhash_near_dups,
+    )
+    from etl_macropulse_br_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    quality_ok = repetition_stats(docs).filter(
+        (F.col("top_word_ratio") <= 0.14)
+        & (F.col("dup_bigram_ratio") <= 0.08)
+        & (F.col("uniq_token_ratio") >= 0.3)
+    ).select("doc_id")
+    winners = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    pairs = minhash_near_dups(docs, threshold=0.5, persist_candidates=False)
+    losers = (
+        dup_clusters_plan(pairs.select("id_a", "id_b"))
+        .filter(~F.col("keep"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        docs.select("doc_id")
+        .join(quality_ok, "doc_id")
+        .join(winners, "doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", split.alias("split"))
+    )
+
+
+DOCS_CURATED_CC_SQL = f"""
+WITH rep AS (
+  SELECT * FROM ({DOCS_REPETITION_SQL})
+), quality_ok AS (
+  SELECT doc_id FROM rep
+  WHERE top_word_ratio <= 0.14
+    AND dup_bigram_ratio <= 0.08
+    AND uniq_token_ratio >= 0.3
+), winners AS (
+  SELECT keep_id AS doc_id FROM ({DOCS_EXACT_DEDUP_SQL})
+), losers AS (
+  SELECT node AS doc_id FROM ({DOCS_DUP_CLUSTERS_SQL}) WHERE NOT keep
 )
 SELECT d.doc_id,
        CASE WHEN ({md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 100) < 80
@@ -3770,6 +3839,15 @@ GROUP BY c_mktsegment
 # previously-unchecked LSH/embedding queries (r2 registry positions
 # 51-57) now sit directly after the flagship so any future cap hits
 # the best-covered tail, not the most distinctive components.
+#
+# Stream-batch consistency: the sessionization surface carries THREE
+# gates — session_window_stats (declared, DuckDB gaps-and-islands
+# oracle), the boundary-exact oracle test, and the stream-vs-batch
+# differential (tests/test_streaming_sessions.py) asserting the
+# applyInPandasWithState sessionizer is row-identical to the native
+# session_window aggregation on the same input. All three pin the
+# INCLUSIVE gap boundary (an event at exactly last_ts + gap merges —
+# the empirically-verified native rule).
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     # --- dedup / ANN flagships (no driver row in r2 — first now) ---
@@ -3890,6 +3968,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r4: cluster-correct dedup survivors (one kept doc per connected
     # component — strictly stronger than the pair-loser policy)
     "docs_cc_survivors": docs_cc_survivors,
+    "docs_curated_cc": docs_curated_cc,
 }
 
 ORACLES: dict[str, str] = {
@@ -3976,4 +4055,5 @@ AUX_ORACLES: dict[str, str] = {
     "session_window_stats": SESSION_WINDOW_STATS_SQL,
     "docs_model_score": DOCS_MODEL_SCORE_SQL,
     "docs_cc_survivors": DOCS_CC_SURVIVORS_SQL,
+    "docs_curated_cc": DOCS_CURATED_CC_SQL,
 }

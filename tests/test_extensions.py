@@ -694,3 +694,66 @@ def test_cc_survivors_stronger_than_pair_loser(spark):
         for r in all_docs.join(losers, "doc_id", "left_anti").collect()
     }
     assert cc_kept == {1, 9}  # one survivor per cluster + singleton
+
+
+def test_dup_clusters_plan_matches_iterative(spark):
+    """The lazy bounded-round CC (declared-contract-safe) must equal
+    the checkpointed iterative CC at its fixpoint — on the pair-loser
+    counterexample graph, a clique, and the real LSH pair graph."""
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_plan,
+        minhash_near_dups,
+    )
+    from etl_macropulse_br_spark.operators.util import unpersist_candidates
+    from etl_macropulse_br_spark.sources.files import load_table
+
+    def as_set(df):
+        return {
+            (r["node"], r["cluster"], r["keep"]) for r in df.collect()
+        }
+
+    graphs = [
+        [(2, 3), (1, 3)],                      # pair-loser counterexample
+        [(i, j) for i in range(5) for j in range(i + 1, 5)],  # clique
+        [(i, i + 1) for i in range(5)],        # path, diameter 5 < 6
+    ]
+    try:
+        for g in graphs:
+            pairs = spark.createDataFrame(g, ["id_a", "id_b"])
+            assert as_set(dup_clusters_plan(pairs)) == as_set(
+                dup_clusters(pairs)
+            )
+        # the real declared-gate graph: LSH pairs over sf0.001 docs
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        pairs = minhash_near_dups(
+            docs, threshold=0.5, persist_candidates=False
+        ).select("id_a", "id_b")
+        assert as_set(dup_clusters_plan(pairs)) == as_set(
+            dup_clusters(pairs)
+        )
+    finally:
+        unpersist_candidates()
+
+
+def test_dup_clusters_plan_undermerges_past_round_bound(spark):
+    """Documented limitation: a component with diameter > rounds is
+    left split by the lazy variant (the iterative one raises
+    instead) — pin it so the bound is a visible contract, not a
+    silent surprise."""
+    from etl_macropulse_br_spark.operators.dedup import dup_clusters_plan
+    from etl_macropulse_br_spark.operators.util import unpersist_candidates
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    try:
+        labels = {
+            r["node"]: r["cluster"]
+            for r in dup_clusters_plan(pairs, rounds=2).collect()
+        }
+    finally:
+        unpersist_candidates()
+    assert len(set(labels.values())) > 1  # 9-path not merged in 2 rounds
