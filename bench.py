@@ -5,6 +5,14 @@ one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Methodology (symmetric: full execution, native-memory results,
 neither engine pays Python materialization in the timed region):
+- Schedule: TWO interleaved passes per engine (S1 D1 S2 D2) with
+  the per-query, per-engine min taken across passes — the shared
+  box's background noise arrives in multi-minute bursts that land
+  on whichever engine's phase they overlap (measured: identical
+  HEAD swung Spark 9.9->12.2 s while DuckDB simultaneously dropped
+  5.7->4.9 s), and a burst must now hit both passes of the same
+  engine, minutes apart, to survive. Pass totals are published so
+  the min is auditable.
 - Spark: per query, the plan is built ONCE (DataFrame plans are
   immutable; a resident service reuses them exactly like prepared
   statements — the Python-side build is 50-140 ms of Py4J
@@ -67,12 +75,28 @@ def bench_queries() -> list[str]:
     return list(QUERIES)
 
 
-def main() -> None:
+def _spark_phase(
+    sf_dir: str,
+    n_runs: int,
+    group_prefix: str,
+    companion: bool,
+) -> dict:
+    """One full Spark measurement pass: fresh session, full warmup,
+    per-query warm min-of-``n_runs``. Returns timings plus (pass 1
+    only) job counts, the with-plan-build companion, and the null-job
+    floor. Two passes exist because the box's background noise drifts
+    in multi-minute bursts (see PLANS.md "Run-to-run noise floor"):
+    a burst overlapping one pass inflates every query in it, and the
+    per-query min across two passes separated by the DuckDB phase
+    discards it — the same estimator min-of-N applies within a pass.
+    """
+    from etl_macropulse_br_spark.operators.util import (
+        persisted_count,
+        unpersist_candidates,
+    )
     from etl_macropulse_br_spark.plans.queries import QUERIES
     from etl_macropulse_br_spark.session import get_spark
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The bench inputs are a few MB of parquet: run under the
     # small-input profile (static partitioning, AQE off). The cluster
     # profile's AQE barriers cost more than these stages run; at real
@@ -82,7 +106,6 @@ def main() -> None:
     # warmup: JVM, codegen, parquet reader init, Python UDF workers
     # (untimed)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    import pandas as _pd
 
     def _noop(batches):
         for pdf in batches:
@@ -98,7 +121,7 @@ def main() -> None:
     # compilation of shared operator classes (measured: the
     # early-position LSH queries ran ~0.2-0.3s hotter purely from
     # position). Symmetric: the DuckDB side gets its own per-query
-    # warm run.
+    # warm runs.
     from pyspark.sql import functions as _F
 
     from etl_macropulse_br_spark.sources.files import TESTDATA_TABLES
@@ -132,51 +155,38 @@ def main() -> None:
         for _s in _shapes:
             _s.write.mode("overwrite").format("noop").save()
 
-    # five timed runs per query (SAME count on the DuckDB side),
-    # report the min — a better floor estimator than min-of-3 on a
-    # shared host whose background noise swings either engine's
-    # multi-minute phase by ~±8% run-over-run (observed across four
-    # otherwise-idle r4 runs); the min reflects steady-state plan
-    # execution (what a resident service would see).
-    from etl_macropulse_br_spark.operators.util import (
-        persisted_count,
-        unpersist_candidates,
-    )
-
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     timings: dict[str, float] = {}
     jobs_per_query: dict[str, float] = {}
-
     timings_with_build: dict[str, float] = {}
+
     for name in bench_queries():
         fn = QUERIES[name]
-        sc.setJobGroup(f"bench:{name}:warm", name)
+        sc.setJobGroup(f"{group_prefix}:{name}:warm", name)
         # plan built once (prepared-statement reuse — see module
-        # docstring) and one untimed warmup run, symmetric with the
-        # DuckDB side's warm run (absorbs first-run codegen JIT:
+        # docstring) and untimed warmup runs, symmetric with the
+        # DuckDB side's warm runs (absorbs first-run codegen JIT:
         # measured up to 4s on the window-heavy plans)
         n_persisted_before = persisted_count()
         df = fn(spark, sf_dir)
-        # queries that persist an intermediate (LSH candidate sets,
-        # BM25 tf) may NOT reuse plan or cache across timed runs —
-        # the warm cache would shrink the timed number to a fraction
-        # of the pipeline. They rebuild cold inside every run (plan
-        # build billed) and release caches between runs. Detected by
-        # THIS query's plan build registering a persisted frame
-        # (delta, not absolute state — an earlier query's leftover
-        # registration must not reclassify this one).
+        # queries that persist an intermediate (LSH candidate sets)
+        # may NOT reuse plan or cache across timed runs — the warm
+        # cache would shrink the timed number to a fraction of the
+        # pipeline. They rebuild cold inside every run (plan build
+        # billed) and release caches between runs. Detected by THIS
+        # query's plan build registering a persisted frame (delta,
+        # not absolute state).
         uses_cache = persisted_count() > n_persisted_before
-        # TWO untimed warm executions (symmetric: the DuckDB side
-        # warms twice per query): the first compiles this plan's
+        # TWO untimed warm executions: the first compiles this plan's
         # generated code, the second lets C2 finish replacing it —
         # min-of-3 after one warm run still caught half-compiled
         # code on early-position queries.
         df.write.mode("overwrite").format("noop").save()
         df.write.mode("overwrite").format("noop").save()
-        sc.setJobGroup(f"bench:{name}", name)
+        sc.setJobGroup(f"{group_prefix}:{name}", name)
         best = float("inf")
-        for _ in range(5):
+        for _ in range(n_runs):
             if uses_cache:
                 unpersist_candidates()
                 t0 = time.perf_counter()
@@ -190,113 +200,151 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        # jobs per single run = group total / 3 runs (plan-build-time
-        # driver actions and persist population count too — they are
-        # part of what a run costs)
         jobs_per_query[name] = round(
-            len(tracker.getJobIdsForGroup(f"bench:{name}")) / 5, 1
+            len(tracker.getJobIdsForGroup(f"{group_prefix}:{name}"))
+            / n_runs,
+            1,
         )
-        # release LSH candidate caches so repeated plan builds don't
-        # accumulate persisted partitions across the run
         unpersist_candidates()
-        # with-plan-build companion: one run that pays Python-side
-        # plan construction (fn()) PLUS execution, JIT already warm —
-        # the r2-comparable framing, published so the
+        # with-plan-build companion (pass 1 only): one run that pays
+        # Python-side plan construction (fn()) PLUS execution, JIT
+        # already warm — the r2-comparable framing, published so the
         # prepared-statement methodology is auditable against it.
         # Cache-using queries already rebuild plan+caches inside
         # every timed run, so their min IS the with-build number.
-        if uses_cache:
-            timings_with_build[name] = timings[name]
-        else:
-            sc.setJobGroup(f"bench:{name}:build", name)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            timings_with_build[name] = round(
-                time.perf_counter() - t0, 3
-            )
-            unpersist_candidates()
+        if companion:
+            if uses_cache:
+                timings_with_build[name] = timings[name]
+            else:
+                sc.setJobGroup(f"{group_prefix}:{name}:build", name)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                timings_with_build[name] = round(
+                    time.perf_counter() - t0, 3
+                )
+                unpersist_candidates()
         print(
-            f"# {name}: {timings[name]:.3f}s"
+            f"# {group_prefix} {name}: {timings[name]:.3f}s"
             f" ({jobs_per_query[name]} jobs)",
             file=sys.stderr,
         )
-    sc.setJobGroup("bench:idle", "idle")
-
-    total = round(sum(timings.values()), 3)
+    sc.setJobGroup(f"{group_prefix}:idle", "idle")
 
     # Fixed per-job cost of this Spark deployment (scheduler + Py4J +
-    # task launch for a 1-row plan). With ~37 queries at 1-3 jobs
-    # each, null_job_sec * jobs is the hard floor under any total
-    # here — it amortizes to nothing at real data scale but bounds
-    # how close a local sub-second-query bench can get to an
-    # in-process engine. Published so the ratio reads honestly.
+    # task launch for a 1-row plan). null_job_sec * total_jobs is the
+    # hard floor under any local total here — it amortizes to nothing
+    # at real data scale but bounds how close a local sub-second-query
+    # bench can get to an in-process engine. Published so the ratio
+    # reads honestly.
     null_best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
         spark.range(1).write.mode("overwrite").format("noop").save()
         null_best = min(null_best, time.perf_counter() - t0)
 
+    # Stop the JVM before any DuckDB phase: a resident local[32]
+    # Spark session (heap + 32 idle-but-scheduled threads) measurably
+    # slows an in-process DuckDB run on the same box (observed up to
+    # 20x on sort-heavy queries) — each engine gets the machine to
+    # itself, like-for-like.
+    spark.stop()
+    return {
+        "timings": timings,
+        "jobs": jobs_per_query,
+        "with_build": timings_with_build,
+        "null_job_sec": round(null_best, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    no_duck = bool(os.environ.get("SPARK_GRAFT_NO_DUCKDB"))
+
+    # Interleaved two-pass schedule S1 D1 S2 D2 with per-query,
+    # per-engine min across passes. Rationale (measured, r5): the
+    # shared box's noise arrives in multi-minute bursts that inflate
+    # whichever engine's phase they overlap — single-pass totals
+    # swung 9.9 -> 12.2 s (Spark) while DuckDB simultaneously dropped
+    # 5.7 -> 4.9 s on IDENTICAL code, i.e. the phases drift
+    # anti-correlated and a one-shot ratio can read 1.7 or 2.5 for
+    # the same HEAD. A burst would now have to hit BOTH passes of the
+    # same engine, minutes apart, to survive the min. Pass 2 uses
+    # min-of-3 (engine-symmetric within each pass) to bound wall
+    # clock.
+    s1 = _spark_phase(sf_dir, 5, "bench1", companion=True)
+    d1 = {} if no_duck else duckdb_baseline(sf_dir, 5)
+    s2 = _spark_phase(sf_dir, 3, "bench2", companion=False)
+    d2 = {} if no_duck else duckdb_baseline(sf_dir, 3)
+
+    names = bench_queries()
+    timings = {
+        n: min(s1["timings"][n], s2["timings"][n]) for n in names
+    }
+    total = round(sum(timings.values()), 3)
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spark_pass_totals": [
+            round(sum(s["timings"].values()), 3) for s in (s1, s2)
+        ],
         # companion total where every query pays Python plan build +
         # one execution (JIT warm): the number the r2 bench would
         # have produced, so the reused-plan headline decomposes
         # auditable.
         "value_with_plan_build": round(
-            sum(timings_with_build.values()), 3
+            sum(s1["with_build"].values()), 3
         ),
-        "queries_with_plan_build": timings_with_build,
+        "queries_with_plan_build": s1["with_build"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "null_job_sec": round(null_best, 3),
-        "jobs_per_query": jobs_per_query,
-        "total_jobs": round(sum(jobs_per_query.values()), 1),
+        "null_job_sec": s1["null_job_sec"],
+        "jobs_per_query": s1["jobs"],
+        "total_jobs": round(sum(s1["jobs"].values()), 1),
         "sinks": "spark: noop write (full execution, rows dropped); "
         "duckdb: execute().arrow() (full execution, native Arrow "
         "result); python-object conversion charged to neither",
     }
 
-    if not os.environ.get("SPARK_GRAFT_NO_DUCKDB"):
-        # Stop the JVM first: a resident local[32] Spark session
-        # (heap + 32 idle-but-scheduled threads) measurably slows an
-        # in-process DuckDB run on the same box (observed up to 20x
-        # on sort-heavy queries) — each engine gets the machine to
-        # itself, like-for-like.
-        spark.stop()
-        duck = duckdb_baseline(sf_dir)
-        out["duckdb_total"] = duck["total"]
-        out["duckdb_queries"] = duck["queries"]
-        out["ratio"] = round(total / duck["total"], 2) if duck["total"] else None
-        # Transparency companions to the headline ratio. (The r3
-        # pathology — embedding_near_dups' oracle spending 24.8s in
-        # interpreted list_reduce folds — is gone: the oracle now
-        # computes the projections via an unnest+signs-matrix join in
-        # ~0.14s, so headline and excl ratios should sit within
-        # noise; both stay published so the convergence is on the
-        # record.)
+    if not no_duck:
+        duck_q = {
+            n: min(d1["queries"][n], d2["queries"][n])
+            for n in d1["queries"]
+        }
+        duck_total = round(sum(duck_q.values()), 3)
+        out["duckdb_total"] = duck_total
+        out["duckdb_queries"] = duck_q
+        out["duckdb_pass_totals"] = [d1["total"], d2["total"]]
+        out["ratio"] = (
+            round(total / duck_total, 2) if duck_total else None
+        )
         ratios = sorted(
             timings[n] / dv
-            for n, dv in duck["queries"].items()
+            for n, dv in duck_q.items()
             if n in timings and dv
         )
         if ratios:
-            out["median_query_ratio"] = round(ratios[len(ratios) // 2], 2)
+            out["median_query_ratio"] = round(
+                ratios[len(ratios) // 2], 2
+            )
         t_ex = total - timings.get("embedding_near_dups", 0.0)
-        d_ex = duck["total"] - duck["queries"].get("embedding_near_dups", 0.0)
+        d_ex = duck_total - duck_q.get("embedding_near_dups", 0.0)
         if d_ex:
-            out["ratio_excl_embedding_near_dups"] = round(t_ex / d_ex, 2)
+            out["ratio_excl_embedding_near_dups"] = round(
+                t_ex / d_ex, 2
+            )
 
     print(json.dumps(out))
 
 
-def duckdb_baseline(sf_dir: str) -> dict:
-    """Warm min-of-5 DuckDB timings of the same workload (each
-    query's oracle SQL over the same parquet). ``.arrow()`` forces
-    full execution (bare ``execute()`` defers projection-only
+def duckdb_baseline(sf_dir: str, n_runs: int = 5) -> dict:
+    """Warm min-of-``n_runs`` DuckDB timings of the same workload
+    (each query's oracle SQL over the same parquet). ``.arrow()``
+    forces full execution (bare ``execute()`` defers projection-only
     pipelines) and materializes natively; Python-object conversion
     is excluded — symmetric with Spark's noop sink (module
     docstring)."""
@@ -317,7 +365,7 @@ def duckdb_baseline(sf_dir: str) -> dict:
         con.execute(sql).fetchall()  # warm (compile + page cache)
         con.execute(sql).arrow()  # second warm, symmetric with Spark
         best = float("inf")
-        for _ in range(5):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             con.execute(sql).arrow()
             best = min(best, time.perf_counter() - t0)
