@@ -8,8 +8,10 @@ tested. Codecs are feature-flagged per modality:
 - image: real PIL decode when importable (``HAS_PIL``); PNG payloads
   parse on pure stdlib (``zlib`` + ``struct``, critical chunks,
   filters 0-4, every 8-bit color type) with the exact ITU-R 601-2
-  integer luminance PIL uses — so the image path is real for the
-  dominant interchange format in ANY environment;
+  integer luminance PIL uses, and baseline JPEG payloads decode on
+  stdlib + numpy (:mod:`.jpeg`: Huffman, dequant, floating IDCT,
+  JFIF color) — so the image path is real for BOTH dominant
+  interchange formats in ANY environment;
 - audio: real decode — soundfile/torchaudio when importable, else a
   stdlib ``wave`` PCM parser for RIFF/WAV payloads (always
   available, so the audio path is real and tested in ANY
@@ -260,6 +262,31 @@ def _png_luminance(content: bytes):
     return width, height, lum.astype(np.float64)
 
 
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _decode_jpeg(content: bytes) -> list[float]:
+    """Real image decoder on pure stdlib + numpy for baseline JPEG
+    payloads (see :mod:`.jpeg`): Huffman entropy decode, dequantize,
+    floating IDCT, JFIF YCbCr→RGB, then the SAME integer ITU-R 601-2
+    luminance fold as the PNG path. Identical 8-dim feature contract
+    as :func:`_decode_pil` (values standards-accurate, not
+    libjpeg-bit-identical — the IDCT is floating-point)."""
+    from .jpeg import jpeg_luminance
+
+    w, h, lum = jpeg_luminance(content)
+    return [
+        float(w),
+        float(h),
+        float(lum.mean()),
+        float(lum.std()),
+        float(lum.min()),
+        float(lum.max()),
+        float(len(content)),
+        1.0,
+    ]
+
+
 def _decode_png(content: bytes) -> list[float]:
     """Real image decoder on pure stdlib for PNG payloads (the
     fallback when PIL is absent — same role as the ``wave``/y4m
@@ -473,9 +500,19 @@ def decode_media(
             return _decode_pil(content, kind)
         if content[:8] == _PNG_MAGIC:
             return _decode_png(content)
+        if content[:3] == _JPEG_MAGIC:
+            try:
+                return _decode_jpeg(content)
+            except NotImplementedError:
+                # valid-but-unsupported variant (progressive,
+                # 12-bit) without a codec lib → stub fallback,
+                # unless the caller demanded a real decode
+                if use_real:
+                    raise
         if use_real:
             raise NotImplementedError(
-                "non-PNG image needs PIL; PNG decodes without it"
+                "non-PNG/JPEG image needs PIL; PNG and baseline JPEG "
+                "decode without it"
             )
     if kind == "audio":
         if content is None:
@@ -625,15 +662,50 @@ def _pil_resize(content: bytes, max_px: int) -> tuple[bytes, int, int]:
     return buf.getvalue(), nw, nh
 
 
+def _jpeg_resize(content: bytes, max_px: int) -> tuple[bytes, int, int]:
+    """Real JPEG resample on stdlib + numpy: decode (:mod:`.jpeg`),
+    nearest-neighbor sample to :func:`fit_within` dims with the same
+    integer index mapping as the PNG path, re-encode as baseline
+    JPEG (gray stays gray; YCbCr converts through RGB)."""
+    import numpy as np
+
+    from .jpeg import jpeg_encode, jpeg_read
+
+    width, height, channels, arr = jpeg_read(content)
+    nw, nh = fit_within(width, height, max_px)
+    idx_y = (np.arange(nh) * height) // nh
+    idx_x = (np.arange(nw) * width) // nw
+    out = arr[idx_y][:, idx_x]
+    if channels == 3:  # YCbCr → RGB for the encoder's RGB contract
+        y = out[:, :, 0].astype(np.float64)
+        cb = out[:, :, 1].astype(np.float64) - 128.0
+        cr = out[:, :, 2].astype(np.float64) - 128.0
+        rgb = np.stack(
+            [
+                np.clip(np.rint(y + 1.402 * cr), 0, 255),
+                np.clip(
+                    np.rint(y - 0.344136286 * cb - 0.714136286 * cr), 0, 255
+                ),
+                np.clip(np.rint(y + 1.772 * cb), 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        out = rgb
+    return jpeg_encode(nw, nh, out.tobytes(), channels), nw, nh
+
+
 def resize_media(content: bytes, max_px: int) -> tuple[bytes, int, int]:
     """Resample one image payload to fit ``max_px``: stdlib for PNG
-    (real in any environment), PIL for other formats when importable;
-    raises for formats no available codec can read."""
+    and baseline JPEG (real in any environment), PIL for other
+    formats when importable; raises for formats no available codec
+    can read."""
     if content[:8] == _PNG_MAGIC:
         return _png_resize(content, max_px)
+    if content[:3] == _JPEG_MAGIC and not HAS_PIL:
+        return _jpeg_resize(content, max_px)
     if HAS_PIL:
         return _pil_resize(content, max_px)  # pragma: no cover (no PIL here)
-    raise NotImplementedError("non-PNG resize needs PIL")
+    raise NotImplementedError("non-PNG/JPEG resize needs PIL")
 
 
 def resize_plan(df: DataFrame, max_px: int = 512) -> DataFrame:
