@@ -93,3 +93,102 @@ def zscore_pandas(
         return pdf
 
     return df.groupBy(*group_cols).applyInPandas(norm, schema=schema_str)
+
+
+def exact_ntile_stats(
+    df: DataFrame,
+    value_col: str,
+    n_tiles: int = 10,
+    bucket_scale: float = 1024.0,
+) -> DataFrame:
+    """Order-free per-tile stats (bucket, n_rows, min_val, max_val)
+    for an exact equal-count ``ntile(n_tiles)`` split — WITHOUT the
+    global single-task window ``ntile`` itself plans.
+
+    Tile d of n rows covers ranks [lo_d, hi_d] by pure arithmetic
+    (base = n div k, rem = n mod k, lo_d = (d-1)·base + min(d-1, rem)
+    + 1, size_d = base + (d <= rem) — exactly ntile's allocation), so
+    the aggregate needs only the 2·k order statistics at those ranks.
+    Histogram-refine two-pass (same machinery as price_percentiles):
+
+    1. map-side-combined fixed-width value-bucket counts — the
+       shuffle carries |buckets| rows at ANY input size;
+    2. a window over that tiny table (bounded: |buckets| rows,
+       single partition is fine) finds buckets covering any target
+       rank — at most 2·k of them, so the refine join side is an
+       unconditional broadcast;
+    3. one refine re-scan ranks only inside those buckets (bounded
+       per-bucket sorts); conditional mins pick the 2·k values and a
+       literal ``stack`` unpivots to k rows. n_rows per tile is
+       arithmetic in n. Empty tiles (n < k) drop out, matching
+       ntile. Ties are value-stable: order statistics of a multiset
+       don't depend on tiebreak order.
+    """
+    from pyspark.sql import Column
+
+    v = F.col(value_col)
+    b_expr = F.floor(v * F.lit(bucket_scale))
+    counts = (
+        df.withColumn("__b", b_expr)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__b").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "__b",
+        "__cnt",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).alias("n"),
+    )
+
+    base = F.floor(F.col("n") / F.lit(n_tiles)).cast("bigint")
+    rem = F.col("n") % F.lit(n_tiles)
+
+    def lo_rank(d: int) -> Column:
+        return F.lit(d - 1) * base + F.least(F.lit(d - 1), rem) + F.lit(1)
+
+    def hi_rank(d: int) -> Column:
+        size = base + F.when(F.lit(d) <= rem, F.lit(1)).otherwise(F.lit(0))
+        return lo_rank(d) + size - F.lit(1)
+
+    def covers(r: Column) -> Column:
+        return (F.col("__off") < r) & (r <= F.col("__off") + F.col("__cnt"))
+
+    any_target = None
+    for d in range(1, n_tiles + 1):
+        c = covers(lo_rank(d)) | covers(hi_rank(d))
+        any_target = c if any_target is None else (any_target | c)
+    needed = cum.filter(any_target).select("__b", "__off", "n")
+
+    w_in = Window.partitionBy("__b").orderBy(value_col)
+    ranked = (
+        df.withColumn("__b", b_expr)
+        .join(F.broadcast(needed), "__b")
+        .withColumn("cum", F.col("__off") + F.row_number().over(w_in))
+    )
+    aggs = []
+    for d in range(1, n_tiles + 1):
+        aggs.append(
+            F.min(F.when(F.col("cum") == lo_rank(d), v)).alias(f"lo{d}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") == hi_rank(d), v)).alias(f"hi{d}")
+        )
+    agg = ranked.groupBy().agg(F.max("n").alias("n"), *aggs)
+    stack_args = ", ".join(f"{d}, lo{d}, hi{d}" for d in range(1, n_tiles + 1))
+    rows = agg.selectExpr(
+        "n", f"stack({n_tiles}, {stack_args}) AS (bucket, min_val, max_val)"
+    )
+    base_r = F.floor(F.col("n") / F.lit(n_tiles)).cast("bigint")
+    size_r = base_r + F.when(
+        F.col("bucket") <= F.col("n") % F.lit(n_tiles), F.lit(1)
+    ).otherwise(F.lit(0))
+    return rows.filter(size_r > 0).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        size_r.alias("n_rows"),
+        "min_val",
+        "max_val",
+    )

@@ -513,3 +513,63 @@ def hashed_linear_score(
         ).alias("model_score"),
     )
     return out.withColumn("keep", F.col("model_score") > F.lit(threshold))
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    min_docs: int = 3,
+    max_frac: float = 0.5,
+) -> DataFrame:
+    """Corpus-frequent-n-gram ("boilerplate") flagging — the crawl
+    curation stage that drops documents dominated by shared
+    templates (nav bars, cookie banners, license footers; cf. the
+    C4/RefinedWeb boilerplate filters). Reference scope: the
+    reference pipeline (src/pipeline.py) has no corpus-level text
+    ops; this extends the training-data surface.
+
+    Two passes over ONE shared map-only shingle-hash stream (the
+    same affine combine the LSH/decontamination paths use —
+    operators/dedup.py:shingle_hash_rows, zero exchange to produce):
+
+    1. doc-frequency aggregate per shingle hash → the ``common`` set
+       (hashes seen in >= ``min_docs`` distinct docs). Shuffles int
+       hashes, never text; partial distinct-combine applies.
+    2. join the stream against ``common`` (un-hinted: the common set
+       is df-thresholded and usually small, so AQE broadcast-resolves
+       it at scale; at worst it is a hash join on int keys), then a
+       per-doc aggregate: total shingles, common shingles, coverage
+       fraction, and the keep/flag decision ``frac > max_frac``.
+
+    The fraction divides two bigints (exact, order-free) and is
+    rounded to 9dp so the cross-engine hash gate is stable.
+    """
+    from etl_macropulse_br_spark.operators.dedup import shingle_hash_rows
+
+    rows = shingle_hash_rows(df, text_col, id_col, n_shingle)
+    common = (
+        rows.groupBy("sh_h")
+        .agg(F.count_distinct(F.col("id")).alias("dfreq"))
+        .filter(F.col("dfreq") >= F.lit(min_docs))
+        .select("sh_h", F.lit(1).alias("is_common"))
+    )
+    frac = F.col("n_common").cast("double") / F.col("n_shingles").cast(
+        "double"
+    )
+    return (
+        rows.join(common, "sh_h", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("is_common").alias("n_common"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_common",
+            F.round(frac, 9).alias("boilerplate_frac"),
+            (frac > F.lit(max_frac)).alias("boilerplate"),
+        )
+    )

@@ -2990,6 +2990,124 @@ ANTI JOIN losers USING (doc_id)
 """
 
 
+def docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent-n-gram boilerplate flagging (the C4/RefinedWeb
+    template-removal stage): per-doc coverage fraction of 3-token
+    shingles shared by >= 3 docs (operators/text.py:
+    boilerplate_stats — one map-only shingle-hash stream feeding a
+    doc-frequency aggregate and a per-doc coverage aggregate)."""
+    from etl_macropulse_br_spark.operators.text import boilerplate_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_stats(docs)
+
+
+def _boilerplate_sql(
+    n_shingle: int = 3, min_docs: int = 3, max_frac: float = 0.5
+) -> str:
+    from etl_macropulse_br_spark.functions.hashing import base32_sql
+    from etl_macropulse_br_spark.operators.dedup import _SHINGLE_COEFS
+
+    # NON-distinct twin of token_shingle_hashes_sql: coverage counts
+    # every shingle position, so duplicates within a doc stay.
+    terms = " + ".join(
+        f"coalesce(th[i + {j}], 0) * {coef}"
+        for j, coef in enumerate(_SHINGLE_COEFS[:n_shingle])
+    )
+    shingles = (
+        f"list_transform(generate_series(1, greatest(len(th) - "
+        f"{n_shingle - 1}, 1)), i -> {terms})"
+    )
+    frac = "CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE)"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS ntoks
+  FROM documents
+), h_t AS (
+  SELECT doc_id, list_transform(ntoks, t -> {base32_sql("t")}) AS th FROM t
+), sh AS (
+  SELECT doc_id, unnest({shingles}) AS sh_h FROM h_t
+), common AS (
+  SELECT sh_h FROM (
+    SELECT sh_h, count(DISTINCT doc_id) AS dfreq FROM sh GROUP BY sh_h
+  ) WHERE dfreq >= {min_docs}
+), stats AS (
+  SELECT s.doc_id,
+         count(*) AS n_shingles,
+         count(c.sh_h) AS n_common
+  FROM sh s LEFT JOIN common c ON s.sh_h = c.sh_h
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_common AS BIGINT) AS n_common,
+       round({frac}, 9) AS boilerplate_frac,
+       ({frac}) > {max_frac} AS boilerplate
+FROM stats
+"""
+
+
+DOCS_BOILERPLATE_SQL = _boilerplate_sql()
+
+
+def docs_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile bucketing of the hashed-linear model score (the
+    curriculum/mixture-weighting stage: rank the corpus by classifier
+    score, then sample per decile), aggregated to order-free
+    per-decile stats (count + min/max — an avg of doubles would be
+    summation-order-dependent cross-engine).
+
+    Scale-right formulation: a global ``ntile(10)`` window would pin
+    the whole corpus to ONE task (the anti-pattern the
+    price_percentiles rewrite removed). But the per-decile AGGREGATE
+    needs only 20 order statistics — decile d of n rows covers ranks
+    [lo_d, hi_d] by pure arithmetic (base = n div 10, rem = n mod 10,
+    lo_d = (d-1)·base + min(d-1, rem) + 1, hi_d = lo_d + size_d - 1,
+    exactly ntile's allocation), and min/max of decile d ARE the
+    values at ranks lo_d / hi_d. So this reuses the histogram-refine
+    two-pass: (1) map-side-combined fixed-width score-bucket counts —
+    shuffle is |buckets| rows at any corpus size; (2) a window over
+    that tiny table finds buckets covering any of the 20 target
+    ranks; (3) one refine re-scan ranks only inside those buckets
+    (bounded sorts), conditional-min picks the 20 values; a literal
+    ``stack`` unpivots to (bucket, n_docs, min, max). n_docs is
+    arithmetic in n — no second count. Empty deciles (n < 10) drop
+    out, matching ntile. The oracle keeps the naive window-ntile
+    formulation — it checks semantics, not the plan."""
+    from etl_macropulse_br_spark.operators.features import exact_ntile_stats
+    from etl_macropulse_br_spark.operators.text import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).select("doc_id", "model_score")
+    return exact_ntile_stats(scored, "model_score", n_tiles=10).select(
+        "bucket",
+        F.col("n_rows").alias("n_docs"),
+        F.round(F.col("min_val"), 9).alias("min_score"),
+        F.round(F.col("max_val"), 9).alias("max_score"),
+    )
+
+
+def _quality_buckets_sql() -> str:
+    score_sql = _model_score_sql()
+    return f"""
+WITH scored AS (
+  SELECT doc_id, model_score FROM ({score_sql})
+), b AS (
+  SELECT doc_id, model_score,
+         ntile(10) OVER (ORDER BY model_score, doc_id) AS bucket
+  FROM scored
+)
+SELECT bucket, count(*) AS n_docs,
+       round(min(model_score), 9) AS min_score,
+       round(max(model_score), 9) AS max_score
+FROM b GROUP BY bucket
+"""
+
+
+DOCS_QUALITY_BUCKETS_SQL = _quality_buckets_sql()
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact ANN baseline: top-10 cosine neighbors of
     vec_id=0, deterministic tiebreak on id."""
@@ -3969,6 +4087,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # component — strictly stronger than the pair-loser policy)
     "docs_cc_survivors": docs_cc_survivors,
     "docs_curated_cc": docs_curated_cc,
+    # r5: boilerplate coverage + scale-right quality deciles
+    "docs_boilerplate": docs_boilerplate,
+    "docs_quality_buckets": docs_quality_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -4056,4 +4177,6 @@ AUX_ORACLES: dict[str, str] = {
     "docs_model_score": DOCS_MODEL_SCORE_SQL,
     "docs_cc_survivors": DOCS_CC_SURVIVORS_SQL,
     "docs_curated_cc": DOCS_CURATED_CC_SQL,
+    "docs_boilerplate": DOCS_BOILERPLATE_SQL,
+    "docs_quality_buckets": DOCS_QUALITY_BUCKETS_SQL,
 }

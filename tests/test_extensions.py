@@ -757,3 +757,86 @@ def test_dup_clusters_plan_undermerges_past_round_bound(spark):
     finally:
         unpersist_candidates()
     assert len(set(labels.values())) > 1  # 9-path not merged in 2 rounds
+
+
+# ------------------------------------------------------------------
+# r5: boilerplate coverage + exact-ntile stats
+
+
+def test_boilerplate_stats_flags_template_docs(spark):
+    from etl_macropulse_br_spark.operators.text import boilerplate_stats
+
+    template = "all rights reserved click here to subscribe now"
+    rows = [
+        (1, template),
+        (2, template),
+        (3, template),
+        (4, template + " plus unique trailing content here"),
+        (5, "entirely original writing with no shared phrases at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in boilerplate_stats(docs).collect()}
+    # docs 1-3: every 3-shingle shared by >= 3 docs → frac 1.0, flagged
+    for d in (1, 2, 3):
+        assert out[d]["boilerplate_frac"] == 1.0
+        assert out[d]["boilerplate"] is True
+    # doc 4 shares the template prefix shingles but not the tail
+    assert 0.0 < out[4]["boilerplate_frac"] < 1.0
+    # doc 5 shares nothing
+    assert out[5]["n_common"] == 0
+    assert out[5]["boilerplate"] is False
+    # coverage denominator: n_tokens - 2 shingle positions
+    assert out[5]["n_shingles"] == 9 - 2
+
+
+def test_boilerplate_short_doc_partial_shingle(spark):
+    from etl_macropulse_br_spark.operators.text import boilerplate_stats
+
+    # docs shorter than the shingle width keep one partial shingle
+    rows = [(1, "hi"), (2, "hi"), (3, "hi"), (4, "yo")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in boilerplate_stats(docs).collect()}
+    assert out[1]["n_shingles"] == 1 and out[1]["boilerplate"] is True
+    assert out[4]["n_shingles"] == 1 and out[4]["n_common"] == 0
+
+
+def _naive_ntile_stats(spark, vals, k):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    w = Window.orderBy("v", "id")
+    return {
+        r["bucket"]: (r["n_rows"], r["mn"], r["mx"])
+        for r in df.select("v", F.ntile(k).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "vals,k",
+    [
+        ([0.31, -0.2, 0.05, 0.05, 0.05, 0.44, -0.9], 10),  # n < k, ties
+        ([(i * 37 % 23) / 10.0 - 1.0 for i in range(23)], 10),  # n=23
+        ([0.5] * 12, 4),  # all-equal multiset
+        ([(i * 101 % 97) / 50.0 for i in range(97)], 7),  # n=97, k=7
+    ],
+)
+def test_exact_ntile_stats_matches_window_ntile(spark, vals, k):
+    from etl_macropulse_br_spark.operators.features import exact_ntile_stats
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    got = {
+        r["bucket"]: (r["n_rows"], r["min_val"], r["max_val"])
+        for r in exact_ntile_stats(df, "v", n_tiles=k).collect()
+    }
+    assert got == _naive_ntile_stats(spark, vals, k)
