@@ -13,9 +13,11 @@ tested. Codecs are feature-flagged per modality:
   JFIF color) — so the image path is real for BOTH dominant
   interchange formats in ANY environment;
 - audio: real decode — soundfile/torchaudio when importable, else a
-  stdlib ``wave`` PCM parser for RIFF/WAV payloads (always
-  available, so the audio path is real and tested in ANY
-  environment);
+  stdlib ``wave`` PCM parser for RIFF/WAV payloads, falling back to
+  the RIFF parser in :mod:`.audio` for compressed/non-PCM tags
+  (G.711 A-law/mu-law, IMA ADPCM, IEEE float, extensible) — so the
+  audio path is real, including compressed telephony formats, in
+  ANY environment;
 - video: real frame decode when ``av`` (PyAV) is importable
   (``HAS_AV``); raw YUV4MPEG2 (y4m) streams parse on pure stdlib —
   always available, so the video path is real for uncompressed
@@ -362,8 +364,17 @@ def _decode_wav(content: bytes) -> list[float]:
             rate = w.getframerate()
             nframes = w.getnframes()
             raw = w.readframes(nframes)
-    except (wave.Error, EOFError) as e:  # malformed RIFF → contract error
-        raise ValueError(f"undecodable WAV payload: {e}") from e
+    except (wave.Error, EOFError) as e:
+        # stdlib ``wave`` reads integer PCM only; non-PCM tags
+        # (G.711 A-law/mu-law, IMA ADPCM, IEEE float, extensible)
+        # decode via the RIFF parser in operators/audio. A payload
+        # neither can parse is malformed → contract ValueError.
+        try:
+            return _decode_wav_compressed(content)
+        except NotImplementedError:
+            raise
+        except ValueError:
+            raise ValueError(f"undecodable WAV payload: {e}") from e
     if sw == 2:
         a = np.frombuffer(raw, dtype="<i2").astype(np.float64)
     elif sw == 1:  # 8-bit WAV is unsigned, centered at 128
@@ -372,6 +383,31 @@ def _decode_wav(content: bytes) -> list[float]:
         a = np.frombuffer(raw, dtype="<i4").astype(np.float64)
     else:
         raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    dur_ms = 1000.0 * nframes / rate if rate else 0.0
+    rms = float(np.sqrt((a * a).mean())) if a.size else 0.0
+    peak = float(np.abs(a).max()) if a.size else 0.0
+    return [
+        dur_ms,
+        float(rate),
+        float(nch),
+        rms,
+        peak,
+        float(a.size),
+        float(len(content)),
+        1.0,
+    ]
+
+
+def _decode_wav_compressed(content: bytes) -> list[float]:
+    """Non-PCM WAV decode (G.711 A-law/mu-law, IMA ADPCM, IEEE
+    float, WAVE_FORMAT_EXTENSIBLE) via the stdlib RIFF parser in
+    :mod:`.audio` — same 8-dim feature contract as
+    :func:`_decode_wav`."""
+    import numpy as np
+
+    from .audio import wav_read
+
+    rate, nch, a, nframes = wav_read(content)
     dur_ms = 1000.0 * nframes / rate if rate else 0.0
     rms = float(np.sqrt((a * a).mean())) if a.size else 0.0
     peak = float(np.abs(a).max()) if a.size else 0.0
@@ -522,7 +558,13 @@ def decode_media(
         if HAS_SOUNDFILE:
             return _decode_audio_soundfile(content)
         if content[:4] == b"RIFF":
-            return _decode_wav(content)
+            try:
+                return _decode_wav(content)
+            except NotImplementedError:
+                # valid container, unsupported codec tag → stub
+                # fallback unless the caller demanded a real decode
+                if use_real:
+                    raise
         if use_real:
             raise NotImplementedError(
                 "non-WAV audio needs soundfile/torchaudio"
