@@ -3018,6 +3018,71 @@ ANTI JOIN losers USING (doc_id)
 """
 
 
+def docs_curated_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pipeline as one lazy composition — every
+    stage a 100 TB training-data run ships, in the order a real run
+    applies them: Gopher-style repetition/quality gates, boilerplate
+    coverage gate, exact-dedup winners, connected-component near-dup
+    survivors, benchmark decontamination (eval docs excluded, train
+    docs sharing eval shingles dropped), model-score gate, and the
+    hash-bucket train/val split. Each stage reuses the shared
+    operator (and its individually-gated oracle CTE), so the full
+    composition stays one plan: the token/shingle streams feed
+    multiple gates, and Catalyst shares the scans."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        decontaminate,
+        dup_clusters_plan,
+        exact_dedup,
+        minhash_near_dups,
+    )
+    from etl_macropulse_br_spark.operators.text import (
+        boilerplate_stats,
+        hashed_linear_score,
+        repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    quality_ok = repetition_stats(docs).filter(
+        (F.col("top_word_ratio") <= 0.14)
+        & (F.col("dup_bigram_ratio") <= 0.08)
+        & (F.col("uniq_token_ratio") >= 0.3)
+    ).select("doc_id")
+    bp_ok = (
+        boilerplate_stats(docs)
+        .filter(~F.col("boilerplate"))
+        .select("doc_id")
+    )
+    winners = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    pairs = minhash_near_dups(docs, threshold=0.5, persist_candidates=False)
+    losers = (
+        dup_clusters_plan(pairs.select("id_a", "id_b"))
+        .filter(~F.col("keep"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    clean = (
+        decontaminate(train, eval_df)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    score_ok = (
+        hashed_linear_score(docs).filter(F.col("keep")).select("doc_id")
+    )
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        docs.select("doc_id")
+        .join(quality_ok, "doc_id")
+        .join(bp_ok, "doc_id")
+        .join(winners, "doc_id")
+        .join(clean, "doc_id")
+        .join(score_ok, "doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", split.alias("split"))
+    )
+
+
 def docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequent-n-gram boilerplate flagging (the C4/RefinedWeb
     template-removal stage): per-doc coverage fraction of 3-token
@@ -3134,6 +3199,38 @@ FROM b GROUP BY bucket
 
 
 DOCS_QUALITY_BUCKETS_SQL = _quality_buckets_sql()
+
+
+DOCS_CURATED_FULL_SQL = f"""
+WITH rep AS (
+  SELECT * FROM ({DOCS_REPETITION_SQL})
+), quality_ok AS (
+  SELECT doc_id FROM rep
+  WHERE top_word_ratio <= 0.14
+    AND dup_bigram_ratio <= 0.08
+    AND uniq_token_ratio >= 0.3
+), bp_ok AS (
+  SELECT doc_id FROM ({DOCS_BOILERPLATE_SQL}) WHERE NOT boilerplate
+), winners AS (
+  SELECT keep_id AS doc_id FROM ({DOCS_EXACT_DEDUP_SQL})
+), losers AS (
+  SELECT node AS doc_id FROM ({DOCS_DUP_CLUSTERS_SQL}) WHERE NOT keep
+), clean AS (
+  SELECT doc_id FROM ({DOCS_DECONTAMINATE_SQL}) WHERE NOT contaminated
+), score_ok AS (
+  SELECT doc_id FROM ({DOCS_MODEL_SCORE_SQL}) WHERE keep
+)
+SELECT d.doc_id,
+       CASE WHEN ({md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 100) < 80
+            THEN 'train' ELSE 'val' END AS split
+FROM documents d
+JOIN quality_ok USING (doc_id)
+JOIN bp_ok USING (doc_id)
+JOIN winners USING (doc_id)
+JOIN clean USING (doc_id)
+JOIN score_ok USING (doc_id)
+ANTI JOIN losers USING (doc_id)
+"""
 
 
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4119,6 +4216,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_boilerplate": docs_boilerplate,
     "docs_quality_buckets": docs_quality_buckets,
     "props_variant_parse": props_variant_parse,  # Spark-4 VARIANT twin of P-json
+    "docs_curated_full": docs_curated_full,  # every curation stage, one plan
 }
 
 ORACLES: dict[str, str] = {
@@ -4209,4 +4307,5 @@ AUX_ORACLES: dict[str, str] = {
     "docs_boilerplate": DOCS_BOILERPLATE_SQL,
     "docs_quality_buckets": DOCS_QUALITY_BUCKETS_SQL,
     "props_variant_parse": PROPS_VARIANT_PARSE_SQL,
+    "docs_curated_full": DOCS_CURATED_FULL_SQL,
 }
