@@ -941,3 +941,86 @@ def decontaminate(
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
         )
     )
+
+
+def chunk_dedup_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring span removal — the relational approximation of
+    the suffix-array dedup in Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): instead of deleting
+    every duplicated >=50-token substring (which needs a corpus-wide
+    suffix array), partition each document into DISJOINT
+    ``chunk_tokens``-token chunks and delete every chunk whose exact
+    text occurs in >= ``min_docs`` distinct documents. Reference
+    scope: the reference pipeline (src/pipeline.py) has no corpus
+    text ops; this extends the training-data surface.
+
+    Scale shape — the document text NEVER shuffles:
+
+    1. map-only per doc: token array -> disjoint chunk strings
+       (``transform(sequence(...))`` over ``slice``) -> one portable
+       md5 hash per chunk. All inside whole-stage codegen.
+    2. ``posexplode`` the HASH array only: (id, idx, h) int rows feed
+       a doc-frequency aggregate (partial distinct-combine before the
+       single int shuffle) -> the duplicated-hash set.
+    3. semi-join the int rows against that set and collect the
+       dropped POSITIONS per doc (``collect_set(idx)`` — ints again).
+    4. join positions back to the per-doc chunk arrays on id — the
+       dropped-positions side holds only docs that lost a chunk
+       (``|dup docs| << corpus``), so AQE broadcast-resolves it and
+       the reassembly ``filter((c, i) -> ...)`` + ``array_join`` runs
+       at scan speed on the map side.
+
+    Returns (id_col, n_chunks, n_dropped, clean_text) for every doc.
+    """
+    from etl_macropulse_br_spark.functions.hashing import md5_long
+    from etl_macropulse_br_spark.operators.util import spread
+
+    k = chunk_tokens
+    toks = F.split(_norm_text(text_col), _WS)
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(k))).cast("int"), F.lit(1)
+    )
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(toks, i * F.lit(k) + F.lit(1), F.lit(k)), " "
+            ),
+        ).alias("chunks"),
+    )
+    ex = base.select(
+        "id",
+        F.posexplode(F.transform("chunks", lambda c: md5_long(c))).alias(
+            "idx", "h"
+        ),
+    )
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count_distinct(F.col("id")).alias("dfreq"))
+        .filter(F.col("dfreq") >= F.lit(min_docs))
+        .select("h")
+    )
+    drops = (
+        ex.join(dup, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("idx").alias("drop_idx"))
+    )
+    d = F.coalesce(F.col("drop_idx"), F.array().cast("array<int>"))
+    return base.join(drops, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.size("chunks").cast("bigint").alias("n_chunks"),
+        F.size(d).cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.filter(
+                "chunks", lambda c, i: ~F.array_contains(d, i)
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

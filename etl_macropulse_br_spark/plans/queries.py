@@ -3233,6 +3233,55 @@ ANTI JOIN losers USING (doc_id)
 """
 
 
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span removal (disjoint-chunk approximation of
+    the Lee et al. 2022 suffix-array dedup): delete every 10-token
+    chunk whose exact text occurs in >= 2 distinct docs, reassemble
+    the cleaned text map-side (operators/dedup.py:chunk_dedup_clean
+    — only int hashes and positions ever shuffle; the oracle groups
+    by chunk TEXT, so it also gates that hashing preserved the
+    semantics)."""
+    from etl_macropulse_br_spark.operators.dedup import chunk_dedup_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_dedup_clean(docs)
+
+
+def _chunk_dedup_sql(k: int = 10, min_docs: int = 2) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil(len(toks) / CAST({k} AS DOUBLE)) AS INT), 1) AS n_chunks
+  FROM t
+), ix AS (
+  SELECT doc_id, toks, unnest(generate_series(1, n_chunks)) AS i FROM b
+), c AS (
+  SELECT doc_id, i - 1 AS idx,
+         array_to_string(list_slice(toks, (i - 1) * {k} + 1, i * {k}), ' ') AS chunk
+  FROM ix
+), dup AS (
+  SELECT chunk FROM (
+    SELECT chunk, count(DISTINCT doc_id) AS dfreq FROM c GROUP BY chunk
+  ) WHERE dfreq >= {min_docs}
+), m AS (
+  SELECT c.doc_id, c.idx, c.chunk, (d.chunk IS NOT NULL) AS is_dup
+  FROM c LEFT JOIN dup d ON c.chunk = d.chunk
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(coalesce(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(CASE WHEN NOT is_dup THEN chunk END, ' ' ORDER BY idx), '') AS clean_text
+FROM m GROUP BY doc_id
+"""
+
+
+DOCS_CHUNK_DEDUP_SQL = _chunk_dedup_sql()
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact ANN baseline: top-10 cosine neighbors of
     vec_id=0, deterministic tiebreak on id."""
@@ -4217,6 +4266,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_quality_buckets": docs_quality_buckets,
     "props_variant_parse": props_variant_parse,  # Spark-4 VARIANT twin of P-json
     "docs_curated_full": docs_curated_full,  # every curation stage, one plan
+    # r5: exact-substring span removal (disjoint-chunk Lee et al.
+    # approximation); text never shuffles, oracle groups by chunk TEXT
+    "docs_chunk_dedup": docs_chunk_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4308,4 +4360,5 @@ AUX_ORACLES: dict[str, str] = {
     "docs_quality_buckets": DOCS_QUALITY_BUCKETS_SQL,
     "props_variant_parse": PROPS_VARIANT_PARSE_SQL,
     "docs_curated_full": DOCS_CURATED_FULL_SQL,
+    "docs_chunk_dedup": DOCS_CHUNK_DEDUP_SQL,
 }

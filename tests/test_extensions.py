@@ -840,3 +840,63 @@ def test_exact_ntile_stats_matches_window_ntile(spark, vals, k):
         for r in exact_ntile_stats(df, "v", n_tiles=k).collect()
     }
     assert got == _naive_ntile_stats(spark, vals, k)
+
+
+# r5: exact-substring (disjoint-chunk) span removal
+
+
+def test_chunk_dedup_removes_cross_doc_chunks(spark):
+    """A 10-token chunk shared verbatim by two docs is dropped from
+    BOTH; unique chunks survive; a doc with no duplicated chunk is
+    returned untouched."""
+    from etl_macropulse_br_spark.operators.dedup import chunk_dedup_clean
+
+    shared = "a b c d e f g h i j"  # exactly one 10-token chunk
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail"),
+            (2, shared + " other suffix here"),
+            (3, "totally different words that never repeat anywhere else"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup_clean(docs).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dropped"] == 1
+    assert out[1]["clean_text"] == "unique one tail"
+    assert out[2]["clean_text"] == "other suffix here"
+    assert out[3]["n_dropped"] == 0
+    assert (
+        out[3]["clean_text"]
+        == "totally different words that never repeat anywhere else"
+    )
+
+
+def test_chunk_dedup_within_doc_repeat_not_dropped(spark):
+    """min_docs=2 counts DISTINCT docs: the same chunk twice inside
+    one doc is not corpus duplication and must survive."""
+    from etl_macropulse_br_spark.operators.dedup import chunk_dedup_clean
+
+    c = "p q r s t u v w x y"
+    docs = spark.createDataFrame(
+        [(1, c + " " + c)], "doc_id long, text string"
+    )
+    row = chunk_dedup_clean(docs).collect()[0]
+    assert row["n_chunks"] == 2 and row["n_dropped"] == 0
+    assert row["clean_text"] == c + " " + c
+
+
+def test_chunk_dedup_fully_duplicated_doc_empties(spark):
+    """Two identical short docs collapse to empty clean_text (every
+    chunk is shared), and the partial (<10-token) trailing chunk
+    participates like any other chunk."""
+    from etl_macropulse_br_spark.operators.dedup import chunk_dedup_clean
+
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup_clean(docs).collect()}
+    for d in (1, 2):
+        assert out[d]["n_chunks"] == 2  # 10 + 2-token partial
+        assert out[d]["n_dropped"] == 2
+        assert out[d]["clean_text"] == ""
