@@ -1,0 +1,160 @@
+"""Distributed Lloyd k-means on the integer lattice — iterative
+clustering with EXACT cross-engine parity.
+
+Iterative algorithms normally get only a weak rows-only correctness
+check (float means are summation-order-dependent, so no two engines
+agree bit-for-bit). This variant makes every round exactly
+reproducible in any engine:
+
+- **Quantize** each float32 component to a 64-bit integer lattice
+  point ``floor(x * 1e6)`` — float→double is exact and ``floor`` is
+  deterministic everywhere.
+- **Distances** are integer sums of squares — exact, order-free.
+- **Centroid update** is component-wise integer FLOOR DIVISION of
+  the member sum by the member count (``(s - pmod(s, n)) / n`` —
+  pmod keeps floor semantics for negative sums; the quotient is an
+  exact multiple, so the double division is exact for |s| < 2^53,
+  which holds up to ~10^9 members per cluster at this lattice
+  scale).
+- **Ties** break to the smallest cluster id; clusters that lose all
+  members drop out. Both rules are replayed identically by the SQL
+  oracle (``QUALIFY row_number() OVER (ORDER BY dist, cluster_id)``).
+
+Scale shape (100 TB): assignment is MAP-ONLY — the k centroids ride
+along as one broadcast row (array of structs), and the argmin is a
+``aggregate`` fold over that array inside codegen; no n×k explode,
+no shuffle. The update shuffles (cluster_id, component) INTEGER
+rows; map-side partial combine collapses each partition to at most
+k·d rows before the exchange, so the shuffle is O(partitions · k·d)
+regardless of corpus size. Round count is a static bound (the same
+lazy-bounded-plan pattern as ``dup_clusters_plan``) — no driver
+actions during plan construction.
+
+Reference scope: the reference pipeline (src/pipeline.py,
+src/transform.py) has no clustering; this extends the
+training-data/embedding surface (mixture balancing, IVF centroid
+training).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def quantize(emb_col) -> "F.Column":
+    """float32 embedding -> exact integer lattice point array."""
+    return F.transform(
+        emb_col.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(SCALE))).cast("long"),
+    )
+
+
+def _floordiv(s, n):
+    """Exact integer floor division as portable expressions."""
+    return ((s - F.pmod(s, n)) / n).cast("long")
+
+
+def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-only assignment: broadcast the k centroids as ONE row,
+    fold an argmin over them per point. Adds (cluster_id, dist)."""
+    packed = cents.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster_id", "c"))
+        ).alias("cents")
+    )
+    dist_to = lambda cen: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("q"), cen["c"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(2**63 - 1).cast("long").alias("dist"),
+            F.lit(-1).cast("int").alias("cluster_id"),
+        ),
+        lambda acc, cen: F.when(
+            dist_to(cen) < acc["dist"],
+            F.struct(
+                dist_to(cen).alias("dist"),
+                cen["cluster_id"].cast("int").alias("cluster_id"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        pts.crossJoin(F.broadcast(packed))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "q",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
+
+
+def _update(assigned: DataFrame, dim: int) -> DataFrame:
+    """Exploded-component integer centroid update. The explode is
+    k·d-bounded AFTER map-side combine, so the exchange stays tiny
+    at any corpus size."""
+    comp = assigned.select(
+        "cluster_id", F.posexplode("q").alias("j", "v")
+    )
+    sums = comp.groupBy("cluster_id", "j").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        sums.select(
+            "cluster_id", "j", _floordiv(F.col("s"), F.col("n")).alias("cj")
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cj"))),
+                lambda x: x["cj"],
+            ).alias("c")
+        )
+    )
+
+
+def kmeans_stats(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """``rounds`` Lloyd iterations from the k smallest-id vectors,
+    then per-cluster stats under the final centroids. Fully lazy —
+    one composed plan, no driver actions.
+
+    Returns (cluster_id, n_members, min_vec_id, inertia) where
+    inertia is the exact integer sum of squared lattice distances,
+    published as DECIMAL(38,0) so it cannot overflow at any corpus
+    size."""
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(emb_col)).alias("q")
+    )
+    w = Window.orderBy("vec_id")
+    cents = (
+        pts.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - F.lit(1)).cast("int").alias(
+                "cluster_id"
+            ),
+            F.col("q").alias("c"),
+        )
+    )
+    for _ in range(rounds):
+        cents = _update(_assign(pts, cents), dim)
+    final = _assign(pts, cents)
+    return final.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.sum(F.col("dist").cast("decimal(38,0)")).alias("inertia"),
+    )

@@ -3282,6 +3282,67 @@ FROM m GROUP BY doc_id
 DOCS_CHUNK_DEDUP_SQL = _chunk_dedup_sql()
 
 
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 3 rounds) on the integer
+    lattice — an ITERATIVE algorithm with a full exact SQL oracle
+    (quantized integer arithmetic makes every round bit-identical
+    cross-engine; operators/clustering.py). Assignment is map-only
+    (broadcast centroid row + codegen argmin fold); the update
+    shuffles k·d integer rows per partition after partial combine."""
+    from etl_macropulse_br_spark.operators.clustering import kmeans_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_stats(emb)
+
+
+def _kmeans_sql(
+    k: int = 8, rounds: int = 3, dim: int = 64, scale: int = 1_000_000
+) -> str:
+    dist = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    sql = f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id, q AS c
+  FROM (SELECT vec_id, q FROM pts ORDER BY vec_id LIMIT {k})
+)"""
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        sql += f""", a{r} AS (
+  SELECT p.vec_id, p.q, c.cluster_id, {dist} AS dist
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cluster_id) = 1
+), e{r} AS (
+  SELECT cluster_id, unnest(generate_series(1, {dim})) AS j, q FROM a{r}
+), s{r} AS (
+  SELECT cluster_id, j, sum(q[j]) AS s, count(*) AS n FROM e{r} GROUP BY cluster_id, j
+), c{r} AS (
+  SELECT cluster_id, list(CAST((s - (((s % n) + n) % n)) / n AS BIGINT) ORDER BY j) AS c
+  FROM s{r} GROUP BY cluster_id
+)"""
+        prev = f"c{r}"
+    sql += f""", fin AS (
+  SELECT p.vec_id, c.cluster_id, {dist} AS dist
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cluster_id) = 1
+)
+SELECT CAST(cluster_id AS INT) AS cluster_id,
+       count(*) AS n_members,
+       min(vec_id) AS min_vec_id,
+       CAST(sum(dist) AS DECIMAL(38,0)) AS inertia
+FROM fin GROUP BY cluster_id
+"""
+    return sql
+
+
+EMBEDDING_KMEANS_SQL = _kmeans_sql()
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact ANN baseline: top-10 cosine neighbors of
     vec_id=0, deterministic tiebreak on id."""
@@ -4269,6 +4330,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r5: exact-substring span removal (disjoint-chunk Lee et al.
     # approximation); text never shuffles, oracle groups by chunk TEXT
     "docs_chunk_dedup": docs_chunk_dedup,
+    # r5: iterative Lloyd k-means with exact integer-lattice parity
+    "embedding_kmeans": embedding_kmeans,
 }
 
 ORACLES: dict[str, str] = {
@@ -4361,4 +4424,5 @@ AUX_ORACLES: dict[str, str] = {
     "props_variant_parse": PROPS_VARIANT_PARSE_SQL,
     "docs_curated_full": DOCS_CURATED_FULL_SQL,
     "docs_chunk_dedup": DOCS_CHUNK_DEDUP_SQL,
+    "embedding_kmeans": EMBEDDING_KMEANS_SQL,
 }

@@ -1,0 +1,100 @@
+"""Integer-lattice Lloyd k-means (operators/clustering.py) vs an
+independent pure-Python reference of the same semantics."""
+
+import math
+
+
+def _py_kmeans(vecs, k, rounds, scale=1_000_000):
+    """Reference: same quantize / assign / floor-div update rules,
+    written imperatively."""
+    q = {
+        vid: [math.floor(x * scale) for x in v] for vid, v in vecs.items()
+    }
+    ids = sorted(q)
+    cents = {c: list(q[ids[c]]) for c in range(k)}
+
+    def assign():
+        out = {}
+        for vid, v in q.items():
+            best = None
+            for cid in sorted(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(v, cents[cid]))
+                if best is None or d < best[0]:
+                    best = (d, cid)
+            out[vid] = best
+        return out
+
+    for _ in range(rounds):
+        a = assign()
+        new = {}
+        for vid, (_, cid) in a.items():
+            new.setdefault(cid, []).append(q[vid])
+        cents = {
+            cid: [
+                (sum(col) - ((sum(col) % n + n) % n)) // n
+                if (n := len(members))
+                else 0
+                for col in zip(*members)
+            ]
+            for cid, members in new.items()
+        }
+    a = assign()
+    stats = {}
+    for vid, (d, cid) in a.items():
+        s = stats.setdefault(cid, [0, None, 0])
+        s[0] += 1
+        s[1] = vid if s[1] is None else min(s[1], vid)
+        s[2] += d
+    return stats
+
+
+def test_kmeans_matches_python_reference(spark):
+    import random
+
+    from etl_macropulse_br_spark.operators.clustering import kmeans_stats
+
+    rng = random.Random(7)
+    dim, n, k, rounds = 6, 40, 3, 2
+    vecs = {
+        i: [rng.uniform(-0.3, 0.3) for _ in range(dim)] for i in range(n)
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # quantize from the float32 values Spark will actually see
+    import struct as _struct
+
+    f32 = {
+        i: [_struct.unpack("f", _struct.pack("f", x))[0] for x in v]
+        for i, v in vecs.items()
+    }
+    expect = _py_kmeans(f32, k, rounds)
+    got = {
+        r["cluster_id"]: (
+            r["n_members"],
+            r["min_vec_id"],
+            int(r["inertia"]),
+        )
+        for r in kmeans_stats(emb, k=k, rounds=rounds, dim=dim).collect()
+    }
+    assert got == {
+        cid: (s[0], s[1], s[2]) for cid, s in expect.items()
+    }
+
+
+def test_kmeans_identical_points_tie_to_lowest_cluster(spark):
+    """All points identical -> every centroid identical -> ties must
+    all break to cluster 0, which then holds the full corpus."""
+    from etl_macropulse_br_spark.operators.clustering import kmeans_stats
+
+    emb = spark.createDataFrame(
+        [(i, [0.1, -0.2]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kmeans_stats(emb, k=2, rounds=1, dim=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cluster_id"] == 0
+    assert r["n_members"] == 6
+    assert int(r["inertia"]) == 0
