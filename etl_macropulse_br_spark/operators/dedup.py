@@ -478,28 +478,44 @@ def simhash_near_dups(
     never all-pairs. ``bit_count``/xor are bit-identical in the SQL
     oracle.
     """
+    sk = simhash(df, text_col, id_col, bits).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sketch")
+    )
+    return banded_hamming_pairs(sk, bits, max_hamming)
+
+
+def banded_hamming_pairs(
+    sk: DataFrame, bits: int, max_hamming: int
+) -> DataFrame:
+    """Pigeonhole-banded Hamming pairing over any (id, sketch)
+    table of ``bits``-bit integer sketches — shared by the SimHash
+    text path and the image dHash path. Split into ``max_hamming+1``
+    bands; two sketches within ``max_hamming`` flips must agree on
+    >= 1 band (recall 1.0); verify ``bit_count(xor)`` on colliding
+    pairs only. Arithmetic ``shiftright`` sign-fill is masked off,
+    so 64-bit (negative) sketches band correctly."""
     n_bands = max_hamming + 1
     band_width = bits // n_bands
-    sk = simhash(df, text_col, id_col, bits).select(
-        F.col(id_col).alias("id"), "simhash"
-    )
+    # a full-width band's all-ones mask is -1 in two's complement
+    # ((1 << 64) - 1 would overflow LongType)
+    mask = ((1 << band_width) - 1) if band_width < 64 else -1
     banded = sk.select(
         "id",
-        "simhash",
+        "sketch",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * band_width)
-                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        F.shiftright("sketch", b * band_width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("band_bits"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.band_bits")
+    ).select("id", "sketch", "bb.band", "bb.band_bits")
     left, right = banded.alias("l"), banded.alias("r")
     return (
         left.join(
@@ -514,7 +530,7 @@ def simhash_near_dups(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                F.col("l.sketch").bitwiseXOR(F.col("r.sketch"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

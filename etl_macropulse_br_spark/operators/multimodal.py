@@ -809,3 +809,85 @@ def sample_frames(
         ).alias("frame_ts_ms"),
     )
     return frames
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) — images join the dedup story
+
+
+def dhash64(content: bytes) -> int:
+    """64-bit difference hash of a PNG payload (stdlib decode):
+    nearest-neighbor sample the luminance plane onto a 9x8 grid,
+    set bit ``y*8 + x`` when ``grid[y][x] < grid[y][x+1]``. Returns
+    a SIGNED 64-bit int (Spark LongType). Near-identical images land
+    within a small Hamming distance; pairing reuses the pigeonhole
+    banding in ``operators/dedup.banded_hamming_pairs``.
+
+    The grid sample is the pure-integer map ``src = (dst*src_dim) //
+    grid_dim`` — deterministic on every platform, no resampling
+    filter involved."""
+    w, h, lum = _png_luminance(content)
+    grid = [
+        [int(lum[((y * h) // 8) * w + ((x * w) // 9)]) for x in range(9)]
+        for y in range(8)
+    ]
+    v = 0
+    for y in range(8):
+        for x in range(8):
+            if grid[y][x] < grid[y][x + 1]:
+                v |= 1 << (y * 8 + x)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(df: DataFrame, batch_size: int = 256) -> DataFrame:
+    """(media_id, dhash, decode_ok) via mapInPandas — Arrow batches
+    in, one 64-bit sketch per image out; bytes never leave the
+    executor. Non-image rows and undecodable payloads yield
+    ``decode_ok = false`` with a null sketch."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, oks = [], []
+            for content, kind in zip(pdf["content"], pdf["kind"]):
+                try:
+                    if kind != "image":
+                        raise ValueError("not an image row")
+                    hashes.append(dhash64(bytes(content)))
+                    oks.append(True)
+                except (NotImplementedError, ValueError, OSError):
+                    hashes.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.select("media_id", "kind", "content").mapInPandas(
+        run, schema=schema
+    )
+
+
+def image_near_dups(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate IMAGE pairs: dHash sketches -> banded Hamming
+    pairing (the same Manku-style pigeonhole blocking as the SimHash
+    text path — never all-pairs). Returns (id_a, id_b, hamming)."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    sk = (
+        image_dhash(df)
+        .filter(F.col("decode_ok"))
+        .select(F.col("media_id").alias("id"), F.col("dhash").alias("sketch"))
+    )
+    return banded_hamming_pairs(sk, bits=64, max_hamming=max_hamming)
