@@ -21,7 +21,7 @@ BASE = dt.datetime(2026, 2, 1, 9, 0, 0)
 
 
 def _run_stream(spark, src, ckpt, name):
-    from etl_macropulse_br_spark.streaming.dedup import dedup_stream
+    from etl_macropulse_br_spark.streaming.dedup import text_dedup_stream
 
     stream = (
         spark.readStream.schema(SCHEMA)
@@ -29,7 +29,7 @@ def _run_stream(spark, src, ckpt, name):
         .parquet(src)
     )
     q = (
-        dedup_stream(stream)
+        text_dedup_stream(stream)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")

@@ -63,7 +63,9 @@ def timed_count(df: DataFrame) -> tuple[float, int]:
 
 
 def main() -> None:
+    from etl_macropulse_br_spark.operators.clustering import kmeans_stats
     from etl_macropulse_br_spark.operators.dedup import (
+        chunk_dedup_clean,
         exact_dedup,
         minhash_near_dups,
     )
@@ -82,6 +84,7 @@ def main() -> None:
     docs = _t(spark, sf_dir, "documents")
     li = _t(spark, sf_dir, "lineitem")
     ev = _t(spark, sf_dir, "events")
+    emb = _t(spark, sf_dir, "embeddings")
 
     def li_q1(k: int) -> DataFrame:
         d = replicate(li, k, "l_orderkey")
@@ -120,6 +123,17 @@ def main() -> None:
         ),
         "q1_agg(lineitem)": li_q1,
         "sessionize(events)": ev_sessionize,
+        # r5: chunk dedup is linear in rows (hash explode + int
+        # shuffles; reassembly map-side) even though the dup-chunk
+        # set grows with K
+        "chunk_dedup(docs)": lambda k: chunk_dedup_clean(
+            replicate(docs, k, "doc_id", "text")
+        ),
+        # r5: k-means assignment is map-only; update shuffle is
+        # k*d-bounded per partition, so KX points ~= K* assignment cost
+        "kmeans(embeddings)": lambda k: kmeans_stats(
+            replicate(emb, k, "vec_id"), rounds=2
+        ),
     }
 
     results: dict[str, dict] = {}
