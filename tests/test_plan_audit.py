@@ -114,3 +114,26 @@ def test_lsh_pipeline_never_quadratic(small_spark):
         plan = _plan(small_spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_chunk_dedup_text_stays_map_side(small_spark):
+    """PLANS.md row `docs_chunk_dedup`: only int hashes/positions
+    shuffle; no cartesian; the reassembly join broadcast-resolves
+    (small-input profile pins BroadcastHashJoin for the positions
+    side)."""
+    plan = _plan(small_spark, "docs_chunk_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only sort-merge-join candidates would be the id joins; the
+    # positions side must never arrive via a full shuffle of text
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assignment_is_broadcast_map_only(small_spark):
+    """PLANS.md row `embedding_kmeans`: centroids reach every point
+    as ONE broadcast row (BroadcastNestedLoopJoin over a 1-row
+    build side — a true broadcast, not a shuffled cross), and the
+    plan contains no CartesianProduct."""
+    plan = _plan(small_spark, "embedding_kmeans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
