@@ -98,3 +98,47 @@ def test_kmeans_identical_points_tie_to_lowest_cluster(spark):
     assert r["cluster_id"] == 0
     assert r["n_members"] == 6
     assert int(r["inertia"]) == 0
+
+
+def test_kmeans_property_random_corpora():
+    """Hypothesis-style sweep without per-example Spark jobs: many
+    small random corpora, one assertion loop, exact match to the
+    Python reference for every (k, rounds) combo."""
+    import random
+    import struct as _struct
+
+    from etl_macropulse_br_spark.operators.clustering import kmeans_stats
+    from etl_macropulse_br_spark.session import get_spark
+
+    spark = get_spark(app_name="kmeans_props", profile="small-input")
+    rng = random.Random(29)
+    for trial, (k, rounds, dim, n) in enumerate(
+        [(1, 1, 2, 5), (2, 2, 3, 9), (3, 1, 4, 12), (2, 3, 2, 7)]
+    ):
+        vecs = {
+            i: [
+                _struct.unpack(
+                    "f", _struct.pack("f", rng.uniform(-0.3, 0.3))
+                )[0]
+                for _ in range(dim)
+            ]
+            for i in range(n)
+        }
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        expect = _py_kmeans(vecs, k, rounds)
+        got = {
+            r["cluster_id"]: (
+                r["n_members"],
+                r["min_vec_id"],
+                int(r["inertia"]),
+            )
+            for r in kmeans_stats(
+                emb, k=k, rounds=rounds, dim=dim
+            ).collect()
+        }
+        assert got == {
+            cid: (s[0], s[1], s[2]) for cid, s in expect.items()
+        }, (trial, k, rounds)

@@ -139,3 +139,60 @@ def test_scaled_matches_round_semantics(spark):
             .count()
         )
         assert bad == 0, f"scale={scale}: {bad} mismatches"
+
+
+_WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(_WORDS), min_size=1, max_size=25
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    data=st.data(),
+)
+def test_chunk_dedup_properties(docs, data):
+    """Invariants of exact-substring chunk removal, for any corpus:
+
+    - clean_text is the original token stream with zero or more
+      whole chunks deleted (verified by chunk-level replay);
+    - a doc whose every chunk is corpus-unique comes back verbatim;
+    - n_dropped + surviving chunk count == n_chunks;
+    - identical docs always empty each other out completely.
+    """
+    from etl_macropulse_br_spark.operators.dedup import chunk_dedup_clean
+    from etl_macropulse_br_spark.session import get_spark
+
+    k = data.draw(st.sampled_from([2, 3, 10]))
+    spark = get_spark(app_name="props", profile="small-input")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup_clean(df, chunk_tokens=k).collect()
+    }
+
+    # python replay of the same semantics
+    def chunks_of(text):
+        toks = text.split()
+        n = max(-(-len(toks) // k), 1)
+        return [" ".join(toks[i * k : (i + 1) * k]) for i in range(n)]
+
+    from collections import defaultdict
+
+    seen_in = defaultdict(set)
+    for i, t in enumerate(docs):
+        for c in chunks_of(t):
+            seen_in[c].add(i)
+    for i, t in enumerate(docs):
+        cs = chunks_of(t)
+        expect_kept = [c for c in cs if len(seen_in[c]) < 2]
+        r = out[i]
+        assert r["n_chunks"] == len(cs)
+        assert r["n_dropped"] == len(cs) - len(expect_kept)
+        assert r["clean_text"] == " ".join(expect_kept)
