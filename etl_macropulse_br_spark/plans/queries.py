@@ -3028,8 +3028,13 @@ def docs_curated_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-bucket train/val split. Each stage reuses the shared
     operator (and its individually-gated oracle CTE), so the full
     composition stays one plan: the token/shingle streams feed
-    multiple gates, and Catalyst shares the scans."""
+    multiple gates, and Catalyst shares the scans.
+
+    r5 adds the final TRANSFORM stage: exact-substring span removal
+    (``chunk_dedup_clean``) over the surviving docs — the emitted
+    corpus carries the span-cleaned text, not just a keep set."""
     from etl_macropulse_br_spark.operators.dedup import (
+        chunk_dedup_clean,
         decontaminate,
         dup_clusters_plan,
         exact_dedup,
@@ -3071,6 +3076,11 @@ def docs_curated_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = md5_long(F.col("doc_id").cast("string")) % 100
     split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val"))
+    spans = chunk_dedup_clean(docs).select(
+        "doc_id",
+        F.col("n_dropped").alias("n_spans_dropped"),
+        "clean_text",
+    )
     return (
         docs.select("doc_id")
         .join(quality_ok, "doc_id")
@@ -3079,7 +3089,10 @@ def docs_curated_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(clean, "doc_id")
         .join(score_ok, "doc_id")
         .join(losers, "doc_id", "left_anti")
-        .select("doc_id", split.alias("split"))
+        .join(spans, "doc_id")
+        .select(
+            "doc_id", split.alias("split"), "n_spans_dropped", "clean_text"
+        )
     )
 
 
@@ -3201,38 +3214,6 @@ FROM b GROUP BY bucket
 DOCS_QUALITY_BUCKETS_SQL = _quality_buckets_sql()
 
 
-DOCS_CURATED_FULL_SQL = f"""
-WITH rep AS (
-  SELECT * FROM ({DOCS_REPETITION_SQL})
-), quality_ok AS (
-  SELECT doc_id FROM rep
-  WHERE top_word_ratio <= 0.14
-    AND dup_bigram_ratio <= 0.08
-    AND uniq_token_ratio >= 0.3
-), bp_ok AS (
-  SELECT doc_id FROM ({DOCS_BOILERPLATE_SQL}) WHERE NOT boilerplate
-), winners AS (
-  SELECT keep_id AS doc_id FROM ({DOCS_EXACT_DEDUP_SQL})
-), losers AS (
-  SELECT node AS doc_id FROM ({DOCS_DUP_CLUSTERS_SQL}) WHERE NOT keep
-), clean AS (
-  SELECT doc_id FROM ({DOCS_DECONTAMINATE_SQL}) WHERE NOT contaminated
-), score_ok AS (
-  SELECT doc_id FROM ({DOCS_MODEL_SCORE_SQL}) WHERE keep
-)
-SELECT d.doc_id,
-       CASE WHEN ({md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 100) < 80
-            THEN 'train' ELSE 'val' END AS split
-FROM documents d
-JOIN quality_ok USING (doc_id)
-JOIN bp_ok USING (doc_id)
-JOIN winners USING (doc_id)
-JOIN clean USING (doc_id)
-JOIN score_ok USING (doc_id)
-ANTI JOIN losers USING (doc_id)
-"""
-
-
 def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span removal (disjoint-chunk approximation of
     the Lee et al. 2022 suffix-array dedup): delete every 10-token
@@ -3280,6 +3261,46 @@ FROM m GROUP BY doc_id
 
 
 DOCS_CHUNK_DEDUP_SQL = _chunk_dedup_sql()
+
+
+DOCS_CURATED_FULL_SQL = f"""
+WITH rep AS (
+  SELECT * FROM ({DOCS_REPETITION_SQL})
+), quality_ok AS (
+  SELECT doc_id FROM rep
+  WHERE top_word_ratio <= 0.14
+    AND dup_bigram_ratio <= 0.08
+    AND uniq_token_ratio >= 0.3
+), bp_ok AS (
+  SELECT doc_id FROM ({DOCS_BOILERPLATE_SQL}) WHERE NOT boilerplate
+), winners AS (
+  SELECT keep_id AS doc_id FROM ({DOCS_EXACT_DEDUP_SQL})
+), losers AS (
+  SELECT node AS doc_id FROM ({DOCS_DUP_CLUSTERS_SQL}) WHERE NOT keep
+), clean AS (
+  SELECT doc_id FROM ({DOCS_DECONTAMINATE_SQL}) WHERE NOT contaminated
+), score_ok AS (
+  SELECT doc_id FROM ({DOCS_MODEL_SCORE_SQL}) WHERE keep
+), spans AS (
+  SELECT doc_id, n_dropped AS n_spans_dropped, clean_text
+  FROM ({DOCS_CHUNK_DEDUP_SQL})
+)
+SELECT d.doc_id,
+       CASE WHEN ({md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 100) < 80
+            THEN 'train' ELSE 'val' END AS split,
+       spans.n_spans_dropped,
+       spans.clean_text
+FROM documents d
+JOIN quality_ok USING (doc_id)
+JOIN bp_ok USING (doc_id)
+JOIN winners USING (doc_id)
+JOIN clean USING (doc_id)
+JOIN score_ok USING (doc_id)
+ANTI JOIN losers USING (doc_id)
+JOIN spans ON spans.doc_id = d.doc_id
+"""
+
+
 
 
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
