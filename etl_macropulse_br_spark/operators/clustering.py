@@ -139,6 +139,8 @@ def kmeans_stats(
     pts = emb.select(
         F.col(id_col).alias("vec_id"), quantize(F.col(emb_col)).alias("q")
     )
+    # global window runs on <= k rows (post-limit) — the WindowExec
+    # single-partition warning is expected and harmless here
     w = Window.orderBy("vec_id")
     cents = (
         pts.orderBy("vec_id")

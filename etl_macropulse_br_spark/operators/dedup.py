@@ -356,6 +356,7 @@ from etl_macropulse_br_spark.operators.util import (  # noqa: E402,F401
     _PERSISTED_CANDIDATES,
     persisted_count,
     register_persisted,
+    small_input_profile,
     unpersist_candidates,
 )
 
@@ -664,13 +665,16 @@ def embedding_near_dups(
         .distinct()  # a pair colliding in several bands verifies once
     )
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # the two broadcast lookup builds schedule as their own jobs
+    # under the bench profile (~2 of the query's 3 jobs) but each is
+    # a bare scan; measured alternatives lose — shuffle-hash hints
+    # re-run the banding pipeline through two extra exchanges
+    # (0.61-0.76 s -> 0.79-0.91 s at sf0.1)
+    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
-        cands.join(
-            e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
-        )
-        .join(
-            e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b"
-        )
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
         .select(
             "id_a",
             "id_b",
