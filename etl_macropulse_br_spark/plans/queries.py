@@ -3263,6 +3263,47 @@ FROM m GROUP BY doc_id
 DOCS_CHUNK_DEDUP_SQL = _chunk_dedup_sql()
 
 
+def monthly_gapfill_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with carry-forward (operators/gold.py:
+    gapfill_monthly): monthly high-value-order revenue per priority,
+    missing months synthesized from each priority's first..last
+    month with the previous value carried forward and flagged. The
+    >480000 filter makes months genuinely sparse at small SFs, so
+    the fill path is exercised, not vacuous."""
+    from etl_macropulse_br_spark.operators.gold import gapfill_monthly
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 480000
+    )
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg((F.sum(_scaled("o_totalprice")) / F.lit(100.0)).alias("revenue"))
+    return gapfill_monthly(m, "priority", "month", "revenue")
+
+
+MONTHLY_GAPFILL_ORDERS_SQL = """
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         date_trunc('month', o_orderdate) AS month,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS revenue
+  FROM orders WHERE o_totalprice > 480000
+  GROUP BY 1, 2
+), b AS (
+  SELECT priority, min(month) AS mn, max(month) AS mx FROM m GROUP BY priority
+), cal AS (
+  SELECT priority, unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
+  FROM b
+)
+SELECT cal.priority, cal.month,
+       last_value(m.revenue IGNORE NULLS) OVER (
+         PARTITION BY cal.priority ORDER BY cal.month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue,
+       (m.revenue IS NULL) AS is_filled
+FROM cal LEFT JOIN m ON m.priority = cal.priority AND m.month = cal.month
+"""
+
+
 DOCS_CURATED_FULL_SQL = f"""
 WITH rep AS (
   SELECT * FROM ({DOCS_REPETITION_SQL})
@@ -4353,6 +4394,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_chunk_dedup": docs_chunk_dedup,
     # r5: iterative Lloyd k-means with exact integer-lattice parity
     "embedding_kmeans": embedding_kmeans,
+    # r5: calendar gap-fill with carry-forward (time-series
+    # interpolation for the monthly gold marts)
+    "monthly_gapfill_orders": monthly_gapfill_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -4446,4 +4490,5 @@ AUX_ORACLES: dict[str, str] = {
     "docs_curated_full": DOCS_CURATED_FULL_SQL,
     "docs_chunk_dedup": DOCS_CHUNK_DEDUP_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
+    "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
 }
