@@ -891,3 +891,92 @@ def image_near_dups(df: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(F.col("media_id").alias("id"), F.col("dhash").alias("sketch"))
     )
     return banded_hamming_pairs(sk, bits=64, max_hamming=max_hamming)
+
+
+def ehash64(content: bytes) -> int:
+    """64-bit audio envelope difference hash: decode WAV (stdlib
+    RIFF parser — PCM, G.711, ADPCM, float), downmix to mono, split
+    into 65 equal time segments, compare adjacent segment RMS
+    energies — bit ``i`` set when ``rms[i] < rms[i+1]``. Signed
+    64-bit (Spark LongType).
+
+    Like image dHash, the sketch is invariant to uniform GAIN
+    changes (comparisons don't move under positive scaling) and
+    robust to resampling (segments are relative positions), so
+    re-encoded/normalized copies of a recording land at small
+    Hamming distance. Pairing reuses ``banded_hamming_pairs``."""
+    import numpy as np
+
+    from .audio import wav_read
+
+    rate, nch, samples, nframes = wav_read(content)
+    if len(samples) == 0:
+        raise ValueError("empty audio payload")
+    mono = np.asarray(samples, dtype=np.float64)
+    if nch > 1:
+        mono = mono[: (len(mono) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    n = len(mono)
+    bounds = [(s * n) // 65 for s in range(66)]
+    rms = [
+        float(np.sqrt(np.mean(np.square(mono[bounds[s] : bounds[s + 1]]))))
+        if bounds[s + 1] > bounds[s]
+        else 0.0
+        for s in range(65)
+    ]
+    v = 0
+    for i in range(64):
+        if rms[i] < rms[i + 1]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_ehash(df: DataFrame, batch_size: int = 256) -> DataFrame:
+    """(media_id, ehash, decode_ok) via mapInPandas — the audio twin
+    of :func:`image_dhash`; bytes never leave the executor."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ehash", T.LongType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, oks = [], []
+            for content, kind in zip(pdf["content"], pdf["kind"]):
+                try:
+                    if kind != "audio":
+                        raise ValueError("not an audio row")
+                    hashes.append(ehash64(bytes(content)))
+                    oks.append(True)
+                except (NotImplementedError, ValueError, OSError):
+                    hashes.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ehash": pd.array(hashes, dtype="Int64"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.select("media_id", "kind", "content").mapInPandas(
+        run, schema=schema
+    )
+
+
+def audio_near_dups(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate AUDIO pairs via envelope-hash banding — same
+    pigeonhole blocking as the text SimHash and image dHash paths.
+    Returns (id_a, id_b, hamming)."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    sk = (
+        audio_ehash(df)
+        .filter(F.col("decode_ok"))
+        .select(F.col("media_id").alias("id"), F.col("ehash").alias("sketch"))
+    )
+    return banded_hamming_pairs(sk, bits=64, max_hamming=max_hamming)

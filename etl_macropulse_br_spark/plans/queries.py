@@ -2634,10 +2634,60 @@ GROUP BY node
 DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()
 
 
+def _dup_clusters_rounds_sql(rounds: int = 6) -> str:
+    """BOUNDED-round min-label propagation oracle — the exact replay
+    of ``dup_clusters_plan`` (self-looped symmetric edges; label =
+    min over neighborhood labels, ``rounds`` times). Equivalent to
+    the recursive-CTE closure whenever components converge within
+    the bound, but polynomial-cheap where the closure's path
+    enumeration made the DuckDB side ~6x the whole rest of the
+    oracle suite (measured 4.6 s at sf0.1 — an oracle pathology that
+    would flatter the bench ratio, the r3 lesson). Declared/benched
+    compositions embed THIS oracle; the aux ``docs_dup_clusters``
+    row keeps the true-closure oracle as the independent
+    fixpoint check."""
+    inner = DOCS_NEAR_DUPS_SQL.strip()
+    assert inner.upper().startswith("WITH")
+    inner_ctes, final_select = inner[4:].rsplit("SELECT", 1)
+    parts = [
+        f"""
+WITH {inner_ctes.rstrip()}
+, pairs AS MATERIALIZED (
+  SELECT{final_select}
+), cedges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+  UNION ALL SELECT n AS src, n AS dst FROM (
+    SELECT id_a AS n FROM pairs UNION SELECT id_b AS n FROM pairs)
+), l0 AS (
+  SELECT DISTINCT dst AS node, dst AS label FROM cedges
+)"""
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", l{r} AS (
+  SELECT e.src AS node, min(l.label) AS label
+  FROM cedges e JOIN {prev} l ON e.dst = l.node GROUP BY e.src
+)"""
+        )
+        prev = f"l{r}"
+    parts.append(
+        f"""
+SELECT node, label AS cluster, (node = label) AS keep FROM {prev}
+"""
+    )
+    return "".join(parts)
+
+
+DOCS_DUP_CLUSTERS_ROUNDS_SQL = _dup_clusters_rounds_sql()
+
+
 def docs_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-correct dedup survivors: one kept doc per CONNECTED
     COMPONENT of the near-dup pair graph, vs the pair-loser policy
-    (`docs_curated` drops every pair's id_b). The two differ whenever
+    (drop every pair's id_b — the declared ``docs_curated`` used it
+    until the late-r5 CC promotion). The two differ whenever
     a non-minimal doc appears only as id_a: pairs (2,3) and (1,3)
     leave doc 2 un-dropped under pair-loser (it is nobody's id_b)
     even though {1,2,3} is one duplicate cluster — CC keeps exactly
@@ -2946,7 +2996,7 @@ WITH rep AS (
 ), winners AS (
   SELECT keep_id AS doc_id FROM ({DOCS_EXACT_DEDUP_SQL})
 ), losers AS (
-  SELECT node AS doc_id FROM ({DOCS_DUP_CLUSTERS_SQL}) WHERE NOT keep
+  SELECT node AS doc_id FROM ({DOCS_DUP_CLUSTERS_ROUNDS_SQL}) WHERE NOT keep
 )
 SELECT d.doc_id,
        CASE WHEN ({md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 100) < 80
@@ -3270,7 +3320,7 @@ WITH rep AS (
 ), winners AS (
   SELECT keep_id AS doc_id FROM ({DOCS_EXACT_DEDUP_SQL})
 ), losers AS (
-  SELECT node AS doc_id FROM ({DOCS_DUP_CLUSTERS_SQL}) WHERE NOT keep
+  SELECT node AS doc_id FROM ({DOCS_DUP_CLUSTERS_ROUNDS_SQL}) WHERE NOT keep
 ), clean AS (
   SELECT doc_id FROM ({DOCS_DECONTAMINATE_SQL}) WHERE NOT contaminated
 ), score_ok AS (
