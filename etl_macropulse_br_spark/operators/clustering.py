@@ -120,6 +120,42 @@ def _update(assigned: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def _points(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(emb_col)).alias("q")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """``rounds`` Lloyd iterations from the k smallest-id vectors —
+    the trained codebook as a LAZY k-row DataFrame (cluster_id, c).
+    Shared by the stats query and the IVF serving path."""
+    pts = _points(emb, id_col, emb_col)
+    # global window runs on <= k rows (post-limit) — the WindowExec
+    # single-partition warning is expected and harmless here
+    w = Window.orderBy("vec_id")
+    cents = (
+        pts.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - F.lit(1)).cast("int").alias(
+                "cluster_id"
+            ),
+            F.col("q").alias("c"),
+        )
+    )
+    for _ in range(rounds):
+        cents = _update(_assign(pts, cents), dim)
+    return cents
+
+
 def kmeans_stats(
     emb: DataFrame,
     k: int = 8,
@@ -136,27 +172,76 @@ def kmeans_stats(
     inertia is the exact integer sum of squared lattice distances,
     published as DECIMAL(38,0) so it cannot overflow at any corpus
     size."""
-    pts = emb.select(
-        F.col(id_col).alias("vec_id"), quantize(F.col(emb_col)).alias("q")
-    )
-    # global window runs on <= k rows (post-limit) — the WindowExec
-    # single-partition warning is expected and harmless here
-    w = Window.orderBy("vec_id")
-    cents = (
-        pts.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(w) - F.lit(1)).cast("int").alias(
-                "cluster_id"
-            ),
-            F.col("q").alias("c"),
-        )
-    )
-    for _ in range(rounds):
-        cents = _update(_assign(pts, cents), dim)
+    pts = _points(emb, id_col, emb_col)
+    cents = kmeans_centroids(emb, k, rounds, dim, id_col, emb_col)
     final = _assign(pts, cents)
     return final.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("vec_id").alias("min_vec_id"),
         F.sum(F.col("dist").cast("decimal(38,0)")).alias("inertia"),
+    )
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    n_probe: int = 2,
+    topk: int = 10,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF serving over a k-means-TRAINED codebook, index training
+    and query answering composed into ONE lazy plan (the structure a
+    real IVF deployment has, vs the sampled-centroid
+    ``similarity.ivf_topk_deterministic``):
+
+    1. train: ``kmeans_centroids`` (lazy bounded Lloyd rounds),
+    2. assign every vector to its cell (map-only broadcast argmin —
+       the index build),
+    3. probe: rank cells by exact lattice distance of centroid to
+       the query vector, keep ``n_probe`` (a k-row sort),
+    4. scan ONLY the probed cells' members and rank by the same
+       sequential-fold cosine as ``embedding_cosine_topk`` —
+       TakeOrderedAndProject, never a global sort.
+
+    At corpus scale the probed subset is ~``n_probe/k`` of the data;
+    everything upstream of the final top-k is map-only or
+    k-row-sized. Exactness: lattice distances (integer) pick cells
+    deterministically (ties -> lower cluster id), and the cosine fold
+    is bit-identical cross-engine, so the full composition
+    hash-matches its SQL oracle replaying identical rounds."""
+    pts = _points(emb, id_col, emb_col)
+    cents = kmeans_centroids(emb, k, rounds, dim, id_col, emb_col)
+    assign = _assign(pts, cents).select("vec_id", "cluster_id")
+    qpt = pts.filter(F.col("vec_id") == query_id).select(
+        F.col("q").alias("qq")
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("c"), F.col("qq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qpt))
+        .select("cluster_id", qdist.alias("qdist"))
+        .orderBy("qdist", "cluster_id")
+        .limit(n_probe)
+        .select("cluster_id")
+    )
+    cand = assign.join(F.broadcast(probe), "cluster_id", "left_semi")
+    from etl_macropulse_br_spark.operators.similarity import cosine_sim
+
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("v"))
+    qv = emb.filter(F.col(id_col) == query_id).select(
+        F.col(emb_col).alias("qv")
+    )
+    return (
+        e.join(cand, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cosine_sim(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(topk)
     )

@@ -3360,15 +3360,29 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_stats(emb)
 
 
-def _kmeans_sql(
-    k: int = 8, rounds: int = 3, dim: int = 64, scale: int = 1_000_000
-) -> str:
-    dist = (
-        f"list_reduce(list_transform(generate_series(1, {dim}), "
-        "i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i])), (a, b) -> a + b)"
-    )
-    sql = f"""
-WITH pts AS (
+# The oracle mirrors the engine's sequential left-fold dot product
+# (Spark `aggregate` == DuckDB `list_reduce`, same op order) so the
+# doubles are bit-identical — no rounding needed.
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+)
+
+
+_KM_DIST = (
+    "list_reduce(list_transform(generate_series(1, {dim}), "
+    "i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i])), (a, b) -> a + b)"
+)
+
+
+def _kmeans_ctes(
+    k: int, rounds: int, dim: int, scale: int = 1_000_000
+) -> tuple[str, str]:
+    """CTE list (no leading WITH) replaying ``kmeans_centroids``;
+    returns (ctes, final_centroid_cte_name). Shared by the stats
+    oracle and the IVF-serving oracle."""
+    dist = _KM_DIST.format(dim=dim)
+    sql = f"""pts AS (
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
   FROM embeddings
@@ -3391,7 +3405,16 @@ WITH pts AS (
   FROM s{r} GROUP BY cluster_id
 )"""
         prev = f"c{r}"
-    sql += f""", fin AS (
+    return sql, prev
+
+
+def _kmeans_sql(
+    k: int = 8, rounds: int = 3, dim: int = 64, scale: int = 1_000_000
+) -> str:
+    ctes, prev = _kmeans_ctes(k, rounds, dim, scale)
+    dist = _KM_DIST.format(dim=dim)
+    return f"""
+WITH {ctes}, fin AS (
   SELECT p.vec_id, c.cluster_id, {dist} AS dist
   FROM pts p CROSS JOIN {prev} c
   QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cluster_id) = 1
@@ -3402,10 +3425,67 @@ SELECT CAST(cluster_id AS INT) AS cluster_id,
        CAST(sum(dist) AS DECIMAL(38,0)) AS inertia
 FROM fin GROUP BY cluster_id
 """
-    return sql
 
 
 EMBEDDING_KMEANS_SQL = _kmeans_sql()
+
+
+def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving over a k-means-trained codebook — train (2 Lloyd
+    rounds), index (map-only cell assignment), probe (2 cells by
+    exact lattice distance), and cosine top-10 composed into ONE
+    lazy plan (operators/clustering.py:ivf_kmeans_topk). The oracle
+    replays identical rounds, probe ranking, and the sequential-fold
+    cosine — full hash gate on an iterative-train + serve pipeline."""
+    from etl_macropulse_br_spark.operators.clustering import ivf_kmeans_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_kmeans_topk(emb)
+
+
+def _ivf_kmeans_sql(
+    k: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    n_probe: int = 2,
+    topk: int = 10,
+) -> str:
+    ctes, prev = _kmeans_ctes(k, rounds, dim)
+    dist = _KM_DIST.format(dim=dim)
+    qdist = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (c.c[i] - qq[i]) * (c.c[i] - qq[i])), (a, b) -> a + b)"
+    )
+    return f"""
+WITH {ctes}, fin AS (
+  SELECT p.vec_id, c.cluster_id, {dist} AS dist
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cluster_id) = 1
+), qpt AS (
+  SELECT q AS qq FROM pts WHERE vec_id = 0
+), probe AS (
+  SELECT c.cluster_id
+  FROM {prev} c CROSS JOIN qpt
+  ORDER BY {qdist}, c.cluster_id
+  LIMIT {n_probe}
+), cand AS (
+  SELECT f.vec_id FROM fin f SEMI JOIN probe p ON f.cluster_id = p.cluster_id
+), qv_t AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT e.vec_id,
+       {_DOT_SQL.format(a="v", b="qv")}
+       / (sqrt({_DOT_SQL.format(a="v", b="v")})
+          * sqrt({_DOT_SQL.format(a="qv", b="qv")})) AS cosine
+FROM e SEMI JOIN cand cd ON e.vec_id = cd.vec_id CROSS JOIN qv_t
+ORDER BY cosine DESC, vec_id
+LIMIT {topk}
+"""
+
+
+EMBEDDING_IVF_KMEANS_SQL = _ivf_kmeans_sql()
 
 
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3420,13 +3500,6 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
 
 
-# The oracle mirrors the engine's sequential left-fold dot product
-# (Spark `aggregate` == DuckDB `list_reduce`, same op order) so the
-# doubles are bit-identical — no rounding needed.
-_DOT_SQL = (
-    "list_reduce(list_transform(generate_series(1, len({a})), "
-    "i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
-)
 
 EMBEDDING_COSINE_TOPK_SQL = f"""
 WITH q AS (
@@ -4400,6 +4473,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r5: calendar gap-fill with carry-forward (time-series
     # interpolation for the monthly gold marts)
     "monthly_gapfill_orders": monthly_gapfill_orders,
+    # r5: IVF serving over a k-means-trained codebook, train+serve
+    # in one lazy plan, full hash gate
+    "embedding_ivf_kmeans_topk": embedding_ivf_kmeans_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -4494,4 +4570,5 @@ AUX_ORACLES: dict[str, str] = {
     "docs_chunk_dedup": DOCS_CHUNK_DEDUP_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
+    "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,
 }

