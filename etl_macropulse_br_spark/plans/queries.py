@@ -2686,8 +2686,7 @@ DOCS_DUP_CLUSTERS_ROUNDS_SQL = _dup_clusters_rounds_sql()
 def docs_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-correct dedup survivors: one kept doc per CONNECTED
     COMPONENT of the near-dup pair graph, vs the pair-loser policy
-    (drop every pair's id_b — the declared ``docs_curated`` used it
-    until the late-r5 CC promotion). The two differ whenever
+    (`docs_curated` drops every pair's id_b). The two differ whenever
     a non-minimal doc appears only as id_a: pairs (2,3) and (1,3)
     leave doc 2 un-dropped under pair-loser (it is nobody's id_b)
     even though {1,2,3} is one duplicate cluster — CC keeps exactly
@@ -2926,30 +2925,33 @@ def docs_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. quality gate: Gopher-style repetition thresholds
        (`repetition_stats`),
     2. exact dedup: keep the min-id doc per normalized text hash,
-    3. near-dup removal: MinHash-LSH pairs at Jaccard ≥ 0.5,
-       clustered into CONNECTED COMPONENTS (lazy bounded
-       ``dup_clusters_plan`` — no driver actions) and every
-       non-minimal component member dropped — one survivor per
-       near-dup cluster, the policy an actual 100 TB dedup ships
-       (pair-loser under-drops when a non-minimal doc appears only
-       as id_a; counterexample pinned in tests),
+    3. near-dup removal: MinHash-LSH pairs at Jaccard ≥ 0.5, drop
+       the higher id of each pair,
     4. deterministic hash split (train/val).
 
     Output: (doc_id, split) of the surviving corpus. Every stage is
     an existing oracle-gated operator; this query gates their
     COMPOSITION (joins, anti-join, ordering of filters).
 
-    History: through late r5 the flagship used pair-loser because CC
-    then measured +0.7-1.5 s/run at bench scale; after the r5 engine
-    work (lazy bounded rounds, broadcast label joins) the CC
-    composition measures FASTER than the pair-distinct (interleaved
-    min 1.23 s vs 1.54 s at sf0.1), so correctness and budget now
-    agree. At 100 TB a pipeline would still materialize the cluster
-    verdict once (checkpointed iterative ``dup_clusters``) and
-    anti-join the label table downstream; the bounded lazy plan here
-    is the single-query form of the same join tree."""
+    Dedup policy note: pair-loser (drop id_b) under-drops when a
+    non-minimal doc appears only as id_a — the cluster-correct
+    composition exists as the oracle-gated ``docs_curated_cc`` (aux)
+    built on ``dup_clusters_plan``. It stays out of the declared
+    flagship deliberately. Late-r5 re-measurement under the bench's
+    COLD-CACHE contract (a cache-registering query is torn down and
+    rebuilt inside the timer, the repo's own honesty mechanism):
+    CC-with-persisted-edges costs 4.7-6.4 s per cold run (plan
+    analysis of the 6 unrolled rounds + LSH cache population) vs
+    1.5 s for this composition; the fully-lazy CC variant re-executes
+    the LSH subtree per round reference (~5-7 s — ReuseExchange does
+    not collapse the copies). The same measurements show warm
+    plan-reuse CC at 0.65-1.0 s, which is the architecture a real
+    100 TB pipeline uses: materialize the cluster verdict ONCE
+    (checkpointed iterative ``dup_clusters``) and anti-join the
+    label table downstream — recomputing connected components inside
+    every consuming query is the wrong design at any scale, and the
+    bench prices that correctly."""
     from etl_macropulse_br_spark.operators.dedup import (
-        dup_clusters_plan,
         exact_dedup,
         minhash_near_dups,
     )
@@ -2968,11 +2970,10 @@ def docs_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured ~25-35% slower WITH the caches here, the opposite of
     # the standalone docs_near_dups query (whose verify re-reads the
     # corpus-wide intermediates and wins from materializing them).
-    pairs = minhash_near_dups(docs, threshold=0.5, persist_candidates=False)
     losers = (
-        dup_clusters_plan(pairs.select("id_a", "id_b"))
-        .filter(~F.col("keep"))
-        .select(F.col("node").alias("doc_id"))
+        minhash_near_dups(docs, threshold=0.5, persist_candidates=False)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
     )
     bucket = md5_long(F.col("doc_id").cast("string")) % 100
     split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val"))
@@ -2996,7 +2997,7 @@ WITH rep AS (
 ), winners AS (
   SELECT keep_id AS doc_id FROM ({DOCS_EXACT_DEDUP_SQL})
 ), losers AS (
-  SELECT node AS doc_id FROM ({DOCS_DUP_CLUSTERS_ROUNDS_SQL}) WHERE NOT keep
+  SELECT DISTINCT id_b AS doc_id FROM ({DOCS_NEAR_DUPS_SQL})
 )
 SELECT d.doc_id,
        CASE WHEN ({md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 100) < 80
@@ -3009,16 +3010,72 @@ ANTI JOIN losers USING (doc_id)
 
 
 def docs_curated_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Alias of the declared ``docs_curated`` since the CC promotion
-    (late r5): the cluster-correct policy IS the flagship now, and
-    this aux name is kept so the r4 ledger row stays runnable. The
-    pair-loser policy it used to contrast against is retired — the
-    lazy bounded CC plan measures faster (interleaved min 1.23 s vs
-    1.54 s at sf0.1) as well as strictly more correct."""
-    return docs_curated(spark, sf_dir)
+    """Cluster-correct curation: ``docs_curated`` with the near-dup
+    drop decided by CONNECTED COMPONENT (one survivor per component,
+    min id) instead of pair-loser — fixes the missed-survivor case
+    (pairs (2,3) + (1,3): doc 2 survives pair-loser but is a
+    non-minimal member of cluster {1,2,3}). Clustering is the LAZY
+    bounded-round ``dup_clusters_plan`` (no driver actions at plan
+    build). Aux rather than declared: under the bench's cold-cache
+    contract this shape costs 4.7-6.4 s per rebuilt run (see the
+    policy note in ``docs_curated``); warm plan-reuse runs in
+    0.65-1.0 s, matching the materialize-labels-once architecture a
+    real pipeline uses. Oracle: the bounded-rounds min-label replay
+    (cheap), equal to the true closure because near-dup components
+    converge inside the round bound (pinned by the
+    static-vs-iterative test)."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        dup_clusters_plan,
+        exact_dedup,
+        minhash_near_dups,
+    )
+    from etl_macropulse_br_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    quality_ok = repetition_stats(docs).filter(
+        (F.col("top_word_ratio") <= 0.14)
+        & (F.col("dup_bigram_ratio") <= 0.08)
+        & (F.col("uniq_token_ratio") >= 0.3)
+    ).select("doc_id")
+    winners = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    pairs = minhash_near_dups(docs, threshold=0.5, persist_candidates=False)
+    losers = (
+        dup_clusters_plan(pairs.select("id_a", "id_b"))
+        .filter(~F.col("keep"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        docs.select("doc_id")
+        .join(quality_ok, "doc_id")
+        .join(winners, "doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", split.alias("split"))
+    )
 
 
-DOCS_CURATED_CC_SQL = DOCS_CURATED_SQL
+DOCS_CURATED_CC_SQL = f"""
+WITH rep AS (
+  SELECT * FROM ({DOCS_REPETITION_SQL})
+), quality_ok AS (
+  SELECT doc_id FROM rep
+  WHERE top_word_ratio <= 0.14
+    AND dup_bigram_ratio <= 0.08
+    AND uniq_token_ratio >= 0.3
+), winners AS (
+  SELECT keep_id AS doc_id FROM ({DOCS_EXACT_DEDUP_SQL})
+), losers AS (
+  SELECT node AS doc_id FROM ({DOCS_DUP_CLUSTERS_ROUNDS_SQL}) WHERE NOT keep
+)
+SELECT d.doc_id,
+       CASE WHEN ({md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 100) < 80
+            THEN 'train' ELSE 'val' END AS split
+FROM documents d
+JOIN quality_ok USING (doc_id)
+JOIN winners USING (doc_id)
+ANTI JOIN losers USING (doc_id)
+"""
 
 
 def docs_curated_full(spark: SparkSession, sf_dir: str) -> DataFrame:
