@@ -1044,3 +1044,96 @@ def chunk_dedup_clean(
             " ",
         ).alias("clean_text"),
     )
+
+
+# 10 odd constants < 2^24 for the span affine combine: 10 terms of
+# (2^32 base x 2^24 coef) stay under 2^60 — no signed-64 overflow
+# even with ANSI checks on (the 3-wide _SHINGLE_COEFS family uses
+# ~2^20 coefs for the same reason at width 3).
+_SPAN_COEFS = (
+    15485863, 12582917, 11400713, 9999991, 8388617,
+    7368791, 6291469, 5242883, 4194319, 3145739,
+)
+
+
+def span_dedup_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """SLIDING-window exact-substring span removal — the faithful
+    relational form of Lee et al. 2022's duplicated-span deletion,
+    strictly stronger than the disjoint-chunk approximation
+    (:func:`chunk_dedup_clean`): a duplicated run of >= ``span_tokens``
+    tokens is caught at ANY offset, not only on chunk boundaries.
+    Every token covered by any corpus-duplicated ``span_tokens``-gram
+    (exact, in >= ``min_docs`` distinct docs) is deleted; the doc is
+    reassembled from the surviving tokens.
+
+    Plan (text never shuffles):
+
+    1. posexplode token HASHES; one ``lead``-window pass per doc
+       builds the affine sliding n-gram hash at every start position
+       (the ``with_pos`` shingle trick, widened to 10 via
+       ``_SPAN_COEFS``) — one exchange on id.
+    2. doc-frequency aggregate over the int gram hashes -> the
+       duplicated-gram set; semi-join back -> hit START positions;
+       ``collect_set`` per doc (ints only).
+    3. join hit-starts to the per-doc token arrays (hits side holds
+       only docs with a duplicated span -> AQE broadcast) and filter
+       tokens map-side with a nested higher-order predicate:
+       token i survives iff NO hit start s has s <= i < s+K.
+
+    Docs shorter than ``span_tokens`` have no window and pass
+    through untouched. Returns (id_col, n_tokens, n_spans,
+    n_removed, clean_text)."""
+    from pyspark.sql import Window
+
+    from etl_macropulse_br_spark.functions.hashing import base32
+    from etl_macropulse_br_spark.operators.util import spread
+
+    k = span_tokens
+    toks = F.split(_norm_text(text_col), _WS)
+    tok_rows = spread(df).select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    hashed = tok_rows.select("id", "pos", base32("tok").alias("h"))
+    w = Window.partitionBy("id").orderBy("pos")
+    wcnt = Window.partitionBy("id")
+    g_h = F.col("h") * F.lit(_SPAN_COEFS[0])
+    for j, coef in enumerate(_SPAN_COEFS[1:k], start=1):
+        g_h = g_h + F.coalesce(F.lead("h", j).over(w), F.lit(0)) * F.lit(
+            coef
+        )
+    grams = hashed.select(
+        "id",
+        "pos",
+        g_h.alias("g_h"),
+        F.count(F.lit(1)).over(wcnt).alias("n_tok"),
+    ).filter(F.col("pos") <= F.col("n_tok") - F.lit(k))
+    dup = (
+        grams.groupBy("g_h")
+        .agg(F.count_distinct(F.col("id")).alias("dfreq"))
+        .filter(F.col("dfreq") >= F.lit(min_docs))
+        .select("g_h")
+    )
+    hits = (
+        grams.join(dup, "g_h", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    base = spread(df).select(F.col(id_col).alias("id"), toks.alias("toks"))
+    s = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    covered = lambda i: F.exists(  # noqa: E731
+        s, lambda st: (i >= st) & (i < st + F.lit(k))
+    )
+    kept = F.filter("toks", lambda t, i: ~covered(i))
+    return base.join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(s).cast("bigint").alias("n_spans"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

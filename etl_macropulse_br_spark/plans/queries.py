@@ -3323,6 +3323,61 @@ FROM m GROUP BY doc_id
 DOCS_CHUNK_DEDUP_SQL = _chunk_dedup_sql()
 
 
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact-substring span removal (the faithful Lee
+    et al. form — duplicated 10-token runs caught at ANY offset, not
+    just chunk boundaries; operators/dedup.py:span_dedup_clean).
+    Oracle groups grams by TEXT, so it also gates that the affine
+    hash stream preserved the semantics."""
+    from etl_macropulse_br_spark.operators.dedup import span_dedup_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup_clean(docs)
+
+
+def _span_dedup_sql(k: int = 10, min_docs: int = 2) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS toks
+  FROM documents
+), g0 AS (
+  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - {k - 1}, 0))) AS p
+  FROM t
+), g AS (
+  SELECT doc_id, p, array_to_string(list_slice(toks, p, p + {k - 1}), ' ') AS gram
+  FROM g0
+), dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS dfreq FROM g GROUP BY gram
+  ) WHERE dfreq >= {min_docs}
+), hits AS (
+  SELECT g.doc_id, g.p FROM g JOIN dup ON g.gram = dup.gram
+), spans AS (
+  SELECT doc_id, count(*) AS n_spans FROM hits GROUP BY doc_id
+), cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(p, p + {k - 1})) AS i FROM hits
+), tk AS (
+  SELECT doc_id, toks, len(toks) AS n, unnest(generate_series(1, len(toks))) AS i
+  FROM t
+), m AS (
+  SELECT tk.doc_id, tk.n, tk.i, tk.toks[tk.i] AS tok,
+         (cov.i IS NOT NULL) AS is_cov
+  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.i = cov.i
+)
+SELECT m.doc_id,
+       CAST(max(m.n) AS BIGINT) AS n_tokens,
+       CAST(coalesce(max(sp.n_spans), 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(sum(CASE WHEN m.is_cov THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT m.is_cov THEN m.tok END, ' ' ORDER BY m.i), '') AS clean_text
+FROM m LEFT JOIN spans sp ON sp.doc_id = m.doc_id
+GROUP BY m.doc_id
+"""
+
+
+DOCS_SPAN_DEDUP_SQL = _span_dedup_sql()
+
+
 def monthly_gapfill_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar gap-fill with carry-forward (operators/gold.py:
     gapfill_monthly): monthly high-value-order revenue per priority,
@@ -4525,6 +4580,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r5: exact-substring span removal (disjoint-chunk Lee et al.
     # approximation); text never shuffles, oracle groups by chunk TEXT
     "docs_chunk_dedup": docs_chunk_dedup,
+    # r5: sliding-window span removal (any-offset duplicated runs)
+    "docs_span_dedup": docs_span_dedup,
     # r5: iterative Lloyd k-means with exact integer-lattice parity
     "embedding_kmeans": embedding_kmeans,
     # r5: calendar gap-fill with carry-forward (time-series
@@ -4625,6 +4682,7 @@ AUX_ORACLES: dict[str, str] = {
     "props_variant_parse": PROPS_VARIANT_PARSE_SQL,
     "docs_curated_full": DOCS_CURATED_FULL_SQL,
     "docs_chunk_dedup": DOCS_CHUNK_DEDUP_SQL,
+    "docs_span_dedup": DOCS_SPAN_DEDUP_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,

@@ -900,3 +900,56 @@ def test_chunk_dedup_fully_duplicated_doc_empties(spark):
         assert out[d]["n_chunks"] == 2  # 10 + 2-token partial
         assert out[d]["n_dropped"] == 2
         assert out[d]["clean_text"] == ""
+
+
+def test_span_dedup_catches_any_offset(spark):
+    """The sliding form catches a shared 10-token run at DIFFERENT
+    offsets in each doc — the case disjoint chunks miss — and
+    removes exactly the covered tokens."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        chunk_dedup_clean,
+        span_dedup_clean,
+    )
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    docs = spark.createDataFrame(
+        [
+            # run starts at token 0
+            (1, run + " tailone tailtwo"),
+            # run starts at token 3: crosses the 10-token chunk border
+            (2, "pre1 pre2 pre3 " + run + " posttail"),
+            (3, "free words with no shared run at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup_clean(docs).collect()}
+    assert out[1]["n_spans"] == 1 and out[1]["n_removed"] == 10
+    assert out[1]["clean_text"] == "tailone tailtwo"
+    assert out[2]["n_spans"] == 1 and out[2]["n_removed"] == 10
+    assert out[2]["clean_text"] == "pre1 pre2 pre3 posttail"
+    assert out[3]["n_removed"] == 0
+
+    # the disjoint-chunk approximation misses this offset pairing
+    chunk = {r["doc_id"]: r for r in chunk_dedup_clean(docs).collect()}
+    assert chunk[1]["n_dropped"] == 0 and chunk[2]["n_dropped"] == 0
+
+
+def test_span_dedup_overlapping_hits_merge_coverage(spark):
+    """Two overlapping duplicated grams cover the union of their
+    ranges, not double-counted; short docs pass through."""
+    from etl_macropulse_br_spark.operators.dedup import span_dedup_clean
+
+    run11 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11"  # 11 tokens -> 2 grams
+    docs = spark.createDataFrame(
+        [
+            (1, run11 + " endbit"),
+            (2, run11 + " otherend"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup_clean(docs).collect()}
+    assert out[1]["n_spans"] == 2
+    assert out[1]["n_removed"] == 11  # union of [0,10) and [1,11)
+    assert out[1]["clean_text"] == "endbit"
+    assert out[3]["n_spans"] == 0 and out[3]["clean_text"] == "tiny doc"
