@@ -68,6 +68,16 @@ Training-data extension ops: docs_exact_dedup, docs_text_stats,
   embedding_near_dups, docs_train_val_split (all oracle-gated).
 As-of family: asof_click_view (backward), asof_forward_click_view;
   nearest is pandas-differential-tested (tests/test_asof.py).
+Late-r5 aux additions (all locally oracle-gated):
+  docs_chunk_dedup / docs_span_dedup (exact-substring span removal,
+  disjoint-chunk and sliding-window forms), embedding_kmeans
+  (integer-lattice Lloyd — iterative with a FULL hash gate),
+  embedding_ivf_kmeans_topk (train+serve IVF in one lazy plan),
+  monthly_gapfill_orders (calendar gap-fill with carry-forward).
+  Engine-only (no DuckDB analogue, pytest/differential-gated):
+  image_dhash/image_near_dups, audio_ehash/audio_near_dups,
+  streaming text_dedup_stream, transformWithStateInPandas
+  running_user_stats, SeriesExplode UDTF, JSONL/ORC sources.
 """
 
 from __future__ import annotations
