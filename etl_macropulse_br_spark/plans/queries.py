@@ -3101,14 +3101,15 @@ def docs_curated_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiple gates, and Catalyst shares the scans.
 
     r5 adds the final TRANSFORM stage: exact-substring span removal
-    (``chunk_dedup_clean``) over the surviving docs — the emitted
+    (``span_dedup_clean``, the sliding any-offset form) over the
+    surviving docs — the emitted
     corpus carries the span-cleaned text, not just a keep set."""
     from etl_macropulse_br_spark.operators.dedup import (
-        chunk_dedup_clean,
         decontaminate,
         dup_clusters_plan,
         exact_dedup,
         minhash_near_dups,
+        span_dedup_clean,
     )
     from etl_macropulse_br_spark.operators.text import (
         boilerplate_stats,
@@ -3146,9 +3147,9 @@ def docs_curated_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = md5_long(F.col("doc_id").cast("string")) % 100
     split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val"))
-    spans = chunk_dedup_clean(docs).select(
+    spans = span_dedup_clean(docs).select(
         "doc_id",
-        F.col("n_dropped").alias("n_spans_dropped"),
+        F.col("n_removed").alias("n_spans_dropped"),
         "clean_text",
     )
     return (
@@ -3448,8 +3449,8 @@ WITH rep AS (
 ), score_ok AS (
   SELECT doc_id FROM ({DOCS_MODEL_SCORE_SQL}) WHERE keep
 ), spans AS (
-  SELECT doc_id, n_dropped AS n_spans_dropped, clean_text
-  FROM ({DOCS_CHUNK_DEDUP_SQL})
+  SELECT doc_id, n_removed AS n_spans_dropped, clean_text
+  FROM ({DOCS_SPAN_DEDUP_SQL})
 )
 SELECT d.doc_id,
        CASE WHEN ({md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 100) < 80

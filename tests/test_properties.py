@@ -196,3 +196,53 @@ def test_chunk_dedup_properties(docs, data):
         assert r["n_chunks"] == len(cs)
         assert r["n_dropped"] == len(cs) - len(expect_kept)
         assert r["clean_text"] == " ".join(expect_kept)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(_WORDS[:4]), min_size=1, max_size=30
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_dedup_properties(docs):
+    """Sliding span removal invariants for any corpus: python replay
+    of the covered-position semantics matches exactly (count and
+    reassembled text), short docs untouched."""
+    from collections import defaultdict
+
+    from etl_macropulse_br_spark.operators.dedup import span_dedup_clean
+    from etl_macropulse_br_spark.session import get_spark
+
+    K = 10
+    spark = get_spark(app_name="props", profile="small-input")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in span_dedup_clean(df).collect()}
+
+    grams = defaultdict(set)
+    for i, t in enumerate(docs):
+        toks = t.split()
+        for p in range(len(toks) - K + 1):
+            grams[" ".join(toks[p : p + K])].add(i)
+    for i, t in enumerate(docs):
+        toks = t.split()
+        starts = [
+            p
+            for p in range(len(toks) - K + 1)
+            if len(grams[" ".join(toks[p : p + K])]) >= 2
+        ]
+        cov = set()
+        for p in starts:
+            cov.update(range(p, p + K))
+        r = out[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_spans"] == len(starts)
+        assert r["n_removed"] == len(cov)
+        assert r["clean_text"] == " ".join(
+            tok for j, tok in enumerate(toks) if j not in cov
+        )
