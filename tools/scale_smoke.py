@@ -68,6 +68,7 @@ def main() -> None:
         chunk_dedup_clean,
         exact_dedup,
         minhash_near_dups,
+        span_dedup_clean,
     )
     from etl_macropulse_br_spark.operators.text import (
         hashed_linear_score,
@@ -127,6 +128,9 @@ def main() -> None:
         # shuffles; reassembly map-side) even though the dup-chunk
         # set grows with K
         "chunk_dedup(docs)": lambda k: chunk_dedup_clean(
+            replicate(docs, k, "doc_id", "text")
+        ),
+        "span_dedup(docs)": lambda k: span_dedup_clean(
             replicate(docs, k, "doc_id", "text")
         ),
         # r5: k-means assignment is map-only; update shuffle is
