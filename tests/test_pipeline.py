@@ -251,3 +251,39 @@ def test_jsonl_and_orc_roundtrip(spark, tmp_path):
     back = read_orc(spark, orc_path)
     assert back.schema == good.schema
     assert sorted(back.collect()) == sorted(good.collect())
+
+
+def test_curate_cli_writes_manifest_and_corpus(tmp_path):
+    """scripts/curate.py end-to-end at sf0.001: one JSON manifest
+    line on stdout, curated parquet on disk, counts consistent."""
+    import json as _json
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "corpus")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/curate.py",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out_dir,
+            "--profile",
+            "small-input",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    manifest = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert manifest["n_curated_docs"] > 0
+    assert (
+        manifest["n_train"] + manifest["n_val"]
+        == manifest["n_curated_docs"]
+    )
+    assert manifest["n_curated_docs"] <= manifest["n_input_docs"]
+    import os
+
+    assert any(f.endswith(".parquet") for f in os.listdir(out_dir))
