@@ -3421,6 +3421,47 @@ GROUP BY t
 """
 
 
+def docs_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k per-stratum sample (fixed-budget
+    training-mix building — k docs per (lang, source) cell, chosen
+    by portable-hash order so the sample is stable across runs and
+    engines; complements the rate-based ``docs_stratified_sample``).
+
+    Scale shape: ``row_number <= k`` over a keyed window plans
+    Spark's ``WindowGroupLimit`` — each map task pre-prunes to its
+    local top-k per stratum BEFORE the exchange (pinned by
+    tests/test_plan_audit.py), so the shuffle carries at most
+    k x strata x partitions rows, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        md5_long(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", "source", "rn")
+    )
+
+
+DOCS_STRATIFIED_EXACT_K_SQL = f"""
+SELECT doc_id, lang, source, rn
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+"""
+
+
 def monthly_gapfill_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar gap-fill with carry-forward (operators/gold.py:
     gapfill_monthly): monthly high-value-order revenue per priority,
@@ -4627,6 +4668,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_span_dedup": docs_span_dedup,
     # r5: Spark-4 collation-keyed dedup grouping (UTF8_LCASE)
     "docs_exact_dedup_collated": docs_exact_dedup_collated,
+    # r5: deterministic exact-k per-stratum sample (WindowGroupLimit)
+    "docs_stratified_exact_k": docs_stratified_exact_k,
     # r5: iterative Lloyd k-means with exact integer-lattice parity
     "embedding_kmeans": embedding_kmeans,
     # r5: calendar gap-fill with carry-forward (time-series
@@ -4729,6 +4772,7 @@ AUX_ORACLES: dict[str, str] = {
     "docs_chunk_dedup": DOCS_CHUNK_DEDUP_SQL,
     "docs_span_dedup": DOCS_SPAN_DEDUP_SQL,
     "docs_exact_dedup_collated": DOCS_EXACT_DEDUP_COLLATED_SQL,
+    "docs_stratified_exact_k": DOCS_STRATIFIED_EXACT_K_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,

@@ -137,3 +137,11 @@ def test_kmeans_assignment_is_broadcast_map_only(small_spark):
     plan = _plan(small_spark, "embedding_kmeans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_stratified_exact_k_plans_window_group_limit(small_spark):
+    """PLANS/docstring claim for `docs_stratified_exact_k`: the
+    rn <= k filter becomes a WindowGroupLimit, pre-pruning each map
+    task to its local top-k per stratum before the exchange."""
+    plan = _plan(small_spark, "docs_stratified_exact_k")
+    assert "WindowGroupLimit" in plan
