@@ -573,3 +573,46 @@ def boilerplate_stats(
             (frac > F.lit(max_frac)).alias("boilerplate"),
         )
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon token entropy in bits — the
+    distribution-shape quality signal (low entropy = keyword
+    stuffing / template text; complements the ratio features in
+    :func:`quality_features` and the Gopher repetition stats).
+
+    Exactness strategy: counts aggregate as integers (one explode +
+    one (id, token-hash) group — int shuffles only; partial combine
+    applies), and the entropy fold runs over the per-doc count
+    VECTOR as ``-sum((c/n) * log2(c/n))`` — the sum is over a
+    ``collect_list`` sorted by (count, hash), so the float
+    accumulation order is deterministic, and the result is rounded
+    to 9dp for the cross-engine gate (libm log differences live ~7
+    digits deeper).
+    """
+    from etl_macropulse_br_spark.functions.hashing import base32
+    from etl_macropulse_br_spark.operators.util import spread
+
+    toks = tokens(F.col(text_col))
+    rows = spread(df).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    )
+    counts = rows.groupBy("id", base32("tok").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n"),
+        F.array_sort(F.collect_list(F.struct("c", "h"))).alias("cs"),
+    )
+    p = lambda c: c["c"].cast("double") / F.col("n").cast("double")  # noqa: E731
+    ent = -F.aggregate(
+        F.col("cs"),
+        F.lit(0.0),
+        lambda acc, c: acc + p(c) * F.log2(p(c)),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        F.col("n").alias("n_tokens"),
+        F.size("cs").cast("bigint").alias("n_distinct"),
+        F.round(ent, 9).alias("token_entropy_bits"),
+    )

@@ -3421,6 +3421,46 @@ GROUP BY t
 """
 
 
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon token entropy (operators/text.py:
+    token_entropy): integer count vector per doc (int-only
+    shuffles), deterministic-order float fold, 9dp-rounded gate."""
+    from etl_macropulse_br_spark.operators.text import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
+def _token_entropy_sql() -> str:
+    from etl_macropulse_br_spark.functions.hashing import base32_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id, {base32_sql("tok")} AS h, count(*) AS c
+  FROM t GROUP BY doc_id, h
+), per_doc AS (
+  SELECT doc_id, sum(c) AS n,
+         list({{'c': c, 'h': h}} ORDER BY c, h) AS cs
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(cs) AS BIGINT) AS n_distinct,
+       round(-list_reduce(
+         list_prepend(0.0, list_transform(cs,
+           s -> (CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))
+                * log2(CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE)))),
+         (a, b) -> a + b), 9) AS token_entropy_bits
+FROM per_doc
+"""
+
+
+DOCS_TOKEN_ENTROPY_SQL = _token_entropy_sql()
+
+
 def docs_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic EXACT-k per-stratum sample (fixed-budget
     training-mix building — k docs per (lang, source) cell, chosen
@@ -4670,6 +4710,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_exact_dedup_collated": docs_exact_dedup_collated,
     # r5: deterministic exact-k per-stratum sample (WindowGroupLimit)
     "docs_stratified_exact_k": docs_stratified_exact_k,
+    # r5: Shannon token entropy (order-pinned float fold, 9dp gate)
+    "docs_token_entropy": docs_token_entropy,
     # r5: iterative Lloyd k-means with exact integer-lattice parity
     "embedding_kmeans": embedding_kmeans,
     # r5: calendar gap-fill with carry-forward (time-series
@@ -4773,6 +4815,7 @@ AUX_ORACLES: dict[str, str] = {
     "docs_span_dedup": DOCS_SPAN_DEDUP_SQL,
     "docs_exact_dedup_collated": DOCS_EXACT_DEDUP_COLLATED_SQL,
     "docs_stratified_exact_k": DOCS_STRATIFIED_EXACT_K_SQL,
+    "docs_token_entropy": DOCS_TOKEN_ENTROPY_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,

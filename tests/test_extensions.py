@@ -989,3 +989,26 @@ def test_collated_dedup_groups_case_insensitively(spark):
     }
     assert out == {1: 3, 4: 1}
     del docs_exact_dedup_collated
+
+
+def test_token_entropy_known_values(spark):
+    """Entropy of a uniform 4-token doc is exactly 2 bits; of an
+    all-same doc, 0; repeated-token docs fall between."""
+    import math
+
+    from etl_macropulse_br_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # uniform over 4 -> 2 bits
+            (2, "x x x x"),            # single symbol -> 0
+            (3, "a a b"),              # H(2/3,1/3)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert out[1]["token_entropy_bits"] == 2.0
+    assert out[1]["n_distinct"] == 4
+    assert out[2]["token_entropy_bits"] == 0.0
+    expect3 = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(out[3]["token_entropy_bits"] - round(expect3, 9)) < 1e-9
