@@ -616,3 +616,82 @@ def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.size("cs").cast("bigint").alias("n_distinct"),
         F.round(ent, 9).alias("token_entropy_bits"),
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bits-per-token under a corpus-trained bigram LM
+    with add-one smoothing — the PERPLEXITY-FILTER shape (score each
+    doc against a cheap n-gram LM of the corpus itself; outlier docs
+    are noise/TeX/tables). Classic KenLM-filter stand-in that stays
+    a pure relational plan:
+
+    - train: unigram and bigram COUNT tables over the normalized
+      token-hash stream (int-only shuffles, partial combine; vocab
+      V = global distinct count, a broadcast scalar via literal
+      cross-join of a 1-row aggregate — no driver action);
+    - score: P(w2|w1) = (c12 + 1) / (c1 + V) — a rational of exact
+      integers, so the per-bigram ``log2`` agrees cross-engine to
+      ~1 ulp; the per-doc sum folds over the POSITION-SORTED list
+      (``collect_list`` sorted by pos) so float accumulation order
+      is pinned, then rounds to 9dp for the hash gate.
+
+    Returns (id_col, n_bigrams, avg_surprisal_bits); docs with < 2
+    tokens score 0.0 over 0 bigrams.
+    """
+    from pyspark.sql import Window
+
+    from etl_macropulse_br_spark.functions.hashing import base32
+    from etl_macropulse_br_spark.operators.dedup import _WS, _norm_text
+    from etl_macropulse_br_spark.operators.util import spread
+
+    toks = F.split(_norm_text(text_col), _WS)
+    rows = spread(df).select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    hashed = rows.select("id", "pos", base32("tok").alias("h1"))
+    w = Window.partitionBy("id").orderBy("pos")
+    bi = hashed.select(
+        "id", "pos", "h1", F.lead("h1", 1).over(w).alias("h2")
+    ).filter(F.col("h2").isNotNull())
+
+    uni = hashed.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    big = bi.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = uni.groupBy().agg(F.count(F.lit(1)).alias("v"))
+
+    logp = F.log2(
+        (F.col("c12") + F.lit(1)).cast("double")
+        / (F.col("c1") + F.col("v")).cast("double")
+    )
+    scored = (
+        bi.join(big, ["h1", "h2"])
+        .join(uni, "h1")
+        .crossJoin(F.broadcast(vocab))
+        .select("id", "pos", logp.alias("lp"))
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("lps"),
+    )
+    total = F.aggregate(
+        F.col("lps"), F.lit(0.0), lambda acc, x: acc + x["lp"]
+    )
+    out = per_doc.select(
+        "id",
+        "n_bigrams",
+        F.round(-total / F.col("n_bigrams").cast("double"), 9).alias(
+            "avg_surprisal_bits"
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(out, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("avg_surprisal_bits", F.lit(0.0)).alias(
+                "avg_surprisal_bits"
+            ),
+        )
+    )

@@ -3461,6 +3461,66 @@ FROM per_doc
 DOCS_TOKEN_ENTROPY_SQL = _token_entropy_sql()
 
 
+def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter shape: per-doc bits-per-token under a
+    corpus-trained add-one bigram LM (operators/text.py:
+    bigram_surprisal — int count tables, exact-rational log2 args,
+    position-pinned float fold, 9dp gate)."""
+    from etl_macropulse_br_spark.operators.text import bigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(docs)
+
+
+def _bigram_surprisal_sql() -> str:
+    from etl_macropulse_br_spark.functions.hashing import base32_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM t
+), hashed AS (
+  SELECT doc_id, pos, {base32_sql("toks[pos]")} AS h1,
+         CASE WHEN pos < len(toks) THEN {base32_sql("toks[pos + 1]")} END AS h2
+  FROM r
+), uni AS (
+  SELECT h1, count(*) AS c1 FROM hashed GROUP BY h1
+), vocab AS (
+  SELECT count(*) AS v FROM uni
+), bi AS (
+  SELECT doc_id, pos, h1, h2 FROM hashed WHERE h2 IS NOT NULL
+), big AS (
+  SELECT h1, h2, count(*) AS c12 FROM bi GROUP BY h1, h2
+), scored AS (
+  SELECT bi.doc_id, bi.pos,
+         log2(CAST(big.c12 + 1 AS DOUBLE) / CAST(uni.c1 + vocab.v AS DOUBLE)) AS lp
+  FROM bi
+  JOIN big ON bi.h1 = big.h1 AND bi.h2 = big.h2
+  JOIN uni ON bi.h1 = uni.h1
+  CROSS JOIN vocab
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         list(lp ORDER BY pos) AS lps
+  FROM scored GROUP BY doc_id
+), folded AS (
+  SELECT doc_id, n_bigrams,
+         round(-list_reduce(list_prepend(0.0, lps), (a, b) -> a + b)
+               / CAST(n_bigrams AS DOUBLE), 9) AS avg_surprisal_bits
+  FROM per_doc
+)
+SELECT d.doc_id,
+       CAST(coalesce(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(f.avg_surprisal_bits, 0.0) AS avg_surprisal_bits
+FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
+"""
+
+
+DOCS_BIGRAM_SURPRISAL_SQL = _bigram_surprisal_sql()
+
+
 def docs_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic EXACT-k per-stratum sample (fixed-budget
     training-mix building — k docs per (lang, source) cell, chosen
@@ -4712,6 +4772,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_stratified_exact_k": docs_stratified_exact_k,
     # r5: Shannon token entropy (order-pinned float fold, 9dp gate)
     "docs_token_entropy": docs_token_entropy,
+    # r5: bigram-LM surprisal (the perplexity-filter shape)
+    "docs_bigram_surprisal": docs_bigram_surprisal,
     # r5: iterative Lloyd k-means with exact integer-lattice parity
     "embedding_kmeans": embedding_kmeans,
     # r5: calendar gap-fill with carry-forward (time-series
@@ -4816,6 +4878,7 @@ AUX_ORACLES: dict[str, str] = {
     "docs_exact_dedup_collated": DOCS_EXACT_DEDUP_COLLATED_SQL,
     "docs_stratified_exact_k": DOCS_STRATIFIED_EXACT_K_SQL,
     "docs_token_entropy": DOCS_TOKEN_ENTROPY_SQL,
+    "docs_bigram_surprisal": DOCS_BIGRAM_SURPRISAL_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,

@@ -1012,3 +1012,24 @@ def test_token_entropy_known_values(spark):
     assert out[2]["token_entropy_bits"] == 0.0
     expect3 = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
     assert abs(out[3]["token_entropy_bits"] - round(expect3, 9)) < 1e-9
+
+
+def test_bigram_surprisal_add_one_lm_hand_computed(spark):
+    """Corpus: 'a b', 'a b', 'a c', 'solo'. Vocab V=4 (a,b,c,solo),
+    c(a)=3; P(b|a)=(2+1)/(3+4)=3/7 -> log2(7/3) bits;
+    P(c|a)=(1+1)/7 -> log2(7/2); a one-token doc scores 0 over 0
+    bigrams."""
+    import math
+
+    from etl_macropulse_br_spark.operators.text import bigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    assert out[1]["avg_surprisal_bits"] == round(math.log2(7 / 3), 9)
+    assert out[2]["avg_surprisal_bits"] == round(math.log2(7 / 3), 9)
+    assert out[3]["avg_surprisal_bits"] == round(math.log2(7 / 2), 9)
+    assert out[4]["n_bigrams"] == 0
+    assert out[4]["avg_surprisal_bits"] == 0.0
