@@ -73,7 +73,11 @@ Late-r5 aux additions (all locally oracle-gated):
   disjoint-chunk and sliding-window forms), embedding_kmeans
   (integer-lattice Lloyd — iterative with a FULL hash gate),
   embedding_ivf_kmeans_topk (train+serve IVF in one lazy plan),
-  monthly_gapfill_orders (calendar gap-fill with carry-forward).
+  monthly_gapfill_orders (calendar gap-fill with carry-forward),
+  docs_token_entropy / docs_bigram_surprisal (distribution-shape
+  quality signals; the perplexity-filter shape), docs_stratified_
+  exact_k (WindowGroupLimit-pinned), docs_exact_dedup_collated
+  (Spark-4 UTF8_LCASE aggregate).
   Engine-only (no DuckDB analogue, pytest/differential-gated):
   image_dhash/image_near_dups, audio_ehash/audio_near_dups,
   streaming text_dedup_stream, transformWithStateInPandas
