@@ -552,6 +552,73 @@ def srp_signs(plane: int, dim: int) -> list[float]:
     return out
 
 
+def srp_banded(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, band, bucket) rows of the banded sign-random-projection
+    blocking — shared by the near-dup pairing and the blocked-KNN
+    path. The plane projections are computed by EXPLODING the
+    vectors and grouping index-ordered sums — whole-stage-codegen
+    arithmetic — instead of per-row zip_with/aggregate lambda folds,
+    which Spark executes as interpreted CodegenFallback (measured
+    ~2x the whole query at bench scale for 24 planes). Bit-equality
+    with the fold (and hence with the SQL oracle's
+    unnest+signs-matrix sums) is structural: posexplode emits one
+    vector's elements contiguously in index order inside one scan
+    partition, so the partial hash aggregate accumulates each d_p in
+    exactly the fold's sequence and the merge step sees a single
+    partial per id. The groupBy exchange ships n_bands*n_planes
+    partial doubles per vector — no heavier than the vector itself.
+    """
+    from etl_macropulse_br_spark.operators.util import spread
+
+    n_pl = n_bands * n_planes
+    elems = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    dots = elems.groupBy("id").agg(
+        *[
+            F.sum(
+                F.col("x").cast("double")
+                * F.element_at(
+                    lit_double_array(srp_signs(p, dim)), F.col("i") + 1
+                )
+            ).alias(f"d{p}")
+            for p in range(n_pl)
+        ]
+    )
+
+    def band_bucket(b: int) -> Column:
+        bucket = None
+        for p in range(n_planes):
+            bit = F.when(
+                F.col(f"d{b * n_planes + p}") >= 0, F.lit(2**p)
+            ).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        return bucket
+
+    return dots.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(b).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -596,61 +663,7 @@ def embedding_near_dups(
             )
         dim = len(row[0])
 
-    # The plane projections are computed by EXPLODING the vectors and
-    # grouping index-ordered sums — whole-stage-codegen arithmetic —
-    # instead of per-row zip_with/aggregate lambda folds, which Spark
-    # executes as interpreted CodegenFallback (measured ~2x the whole
-    # query at bench scale for 24 planes). Bit-equality with the fold
-    # (and hence with the SQL oracle's unnest+signs-matrix sums) is
-    # structural: posexplode emits one vector's elements contiguously
-    # in index order inside one scan partition, so the partial hash
-    # aggregate accumulates each d_p in exactly the fold's sequence
-    # (0.0 + x_0·s_0 + x_1·s_1 + …) and the merge step sees a single
-    # partial per id. The groupBy exchange ships 24 partial doubles
-    # per vector — no heavier than the vector itself.
-    n_pl = n_bands * n_planes
-    elems = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col)).alias("i", "x"),
-    )
-    dots = elems.groupBy("id").agg(
-        *[
-            F.sum(
-                F.col("x").cast("double")
-                * F.element_at(
-                    lit_double_array(srp_signs(p, dim)), F.col("i") + 1
-                )
-            ).alias(f"d{p}")
-            for p in range(n_pl)
-        ]
-    )
-
-    def band_bucket(b: int) -> Column:
-        bucket = None
-        for p in range(n_planes):
-            bit = F.when(
-                F.col(f"d{b * n_planes + p}") >= 0, F.lit(2**p)
-            ).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        return bucket
-
-    banded = (
-        dots.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            band_bucket(b).alias("bucket"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bb"),
-        )
-        .select("id", "bb.band", "bb.bucket")
-    )
+    banded = srp_banded(df, vec_col, id_col, n_bands, n_planes, dim)
     left, right = banded.alias("l"), banded.alias("r")
     cands = (
         left.join(

@@ -4029,6 +4029,60 @@ WHERE {cos} >= {threshold}
 EMBEDDING_NEAR_DUPS_SQL = _embedding_near_dups_sql()
 
 
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per-anchor top-3 most
+    similar DIFFERENT-label vectors via the shared banded-SRP
+    blocking (operators/similarity.py:knn_hard_negatives) — the
+    blocked batch-KNN shape, WindowGroupLimit-pruned."""
+    from etl_macropulse_br_spark.operators.similarity import (
+        knn_hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_hard_negatives(emb)
+
+
+def _hard_negatives_sql(
+    k: int = 3, n_bands: int = 3, n_planes: int = 8, dim: int = 64
+) -> str:
+    # reuse the near-dup oracle's signs-matrix blocking verbatim;
+    # only the pairing (directed), label filter, and per-anchor
+    # QUALIFY differ
+    base = _embedding_near_dups_sql(n_bands, n_planes, 0.0, dim)
+    prefix, _ = base.rsplit("), cand AS (", 1)
+    cos = (
+        _DOT_SQL.format(a="a.v", b="b.v")
+        + f" / (sqrt({_DOT_SQL.format(a='a.v', b='a.v')})"
+        + f" * sqrt({_DOT_SQL.format(a='b.v', b='b.v')}))"
+    )
+    return f"""{prefix}), cand AS (
+  SELECT DISTINCT l.id AS anchor, r.id AS cand
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id <> r.id
+), lbl AS (
+  SELECT vec_id AS id, label FROM embeddings
+), scored AS (
+  SELECT c.anchor, c.cand, lb.label AS neighbor_label, {cos} AS cosine
+  FROM cand c
+  JOIN e a ON a.id = c.anchor
+  JOIN e b ON b.id = c.cand
+  JOIN lbl la ON la.id = c.anchor
+  JOIN lbl lb ON lb.id = c.cand
+  WHERE la.label <> lb.label
+)
+SELECT anchor AS vec_id,
+       CAST(row_number() OVER (
+         PARTITION BY anchor ORDER BY cosine DESC, cand
+       ) AS INT) AS rn,
+       cand AS neighbor_id, neighbor_label, cosine
+FROM scored
+QUALIFY rn <= {k}
+"""
+
+
+EMBEDDING_HARD_NEGATIVES_SQL = _hard_negatives_sql()
+
+
 # --------------------------------------------------------------------
 # TPC-H completion (aux): every remaining TPC-H query shape that is
 # expressible over the provided tables. The testdata has no partsupp
@@ -4778,6 +4832,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_token_entropy": docs_token_entropy,
     # r5: bigram-LM surprisal (the perplexity-filter shape)
     "docs_bigram_surprisal": docs_bigram_surprisal,
+    # r5: contrastive hard-negative mining (blocked batch-KNN)
+    "embedding_hard_negatives": embedding_hard_negatives,
     # r5: iterative Lloyd k-means with exact integer-lattice parity
     "embedding_kmeans": embedding_kmeans,
     # r5: calendar gap-fill with carry-forward (time-series
@@ -4883,6 +4939,7 @@ AUX_ORACLES: dict[str, str] = {
     "docs_stratified_exact_k": DOCS_STRATIFIED_EXACT_K_SQL,
     "docs_token_entropy": DOCS_TOKEN_ENTROPY_SQL,
     "docs_bigram_surprisal": DOCS_BIGRAM_SURPRISAL_SQL,
+    "embedding_hard_negatives": EMBEDDING_HARD_NEGATIVES_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,

@@ -1033,3 +1033,33 @@ def test_bigram_surprisal_add_one_lm_hand_computed(spark):
     assert out[3]["avg_surprisal_bits"] == round(math.log2(7 / 2), 9)
     assert out[4]["n_bigrams"] == 0
     assert out[4]["avg_surprisal_bits"] == 0.0
+
+
+def test_knn_hard_negatives_excludes_same_label(spark):
+    """The top hard negative is the most similar DIFFERENT-label
+    vector, even when a same-label vector is closer; every anchor
+    with a blocked different-label candidate appears."""
+    from etl_macropulse_br_spark.operators.similarity import (
+        knn_hard_negatives,
+    )
+
+    dim = 4
+    # v0 ~ v1 (same label) ~ v2 (other label); v3 far, other label
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),
+        (2, [0.95, 0.2, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_hard_negatives(
+        emb, k=1, n_bands=3, n_planes=2, dim=dim
+    ).collect()
+    by_anchor = {r["vec_id"]: r for r in out}
+    # anchor 0's nearest different-label vector is 2 (not same-label 1)
+    assert by_anchor[0]["neighbor_id"] == 2
+    assert by_anchor[0]["neighbor_label"] == 1
+    # anchor 2's hard negative is one of the label-0 cluster
+    assert by_anchor[2]["neighbor_label"] == 0

@@ -145,3 +145,11 @@ def test_stratified_exact_k_plans_window_group_limit(small_spark):
     task to its local top-k per stratum before the exchange."""
     plan = _plan(small_spark, "docs_stratified_exact_k")
     assert "WindowGroupLimit" in plan
+
+
+def test_hard_negatives_plans_window_group_limit(small_spark):
+    """`embedding_hard_negatives`: per-anchor top-k must pre-prune
+    via WindowGroupLimit; the blocked join must not be cartesian."""
+    plan = _plan(small_spark, "embedding_hard_negatives")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
