@@ -980,3 +980,101 @@ def audio_near_dups(df: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(F.col("media_id").alias("id"), F.col("ehash").alias("sketch"))
     )
     return banded_hamming_pairs(sk, bits=64, max_hamming=max_hamming)
+
+
+def _y4m_first_frame_luma(content: bytes):
+    """(width, height, Y-plane bytes) of the first frame of a
+    YUV4MPEG2 stream — the luminance plane needs NO color
+    conversion, so video keyframe hashing is pure parsing."""
+    header_end = content.find(b"\x0a")
+    if not content.startswith(b"YUV4MPEG2") or header_end < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = 0
+    for tok in content[:header_end].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+    if width <= 0 or height <= 0:
+        raise ValueError("y4m header missing W/H")
+    fstart = content.find(b"FRAME", header_end)
+    if fstart < 0:
+        raise ValueError("y4m stream has no frames")
+    fhdr_end = content.find(b"\x0a", fstart)
+    if fhdr_end < 0:
+        raise ValueError("y4m FRAME header unterminated")
+    y = content[fhdr_end + 1 : fhdr_end + 1 + width * height]
+    if len(y) < width * height:
+        raise ValueError("y4m first frame truncated")
+    return width, height, y
+
+
+def vhash64(content: bytes) -> int:
+    """64-bit difference hash of a video's FIRST FRAME (y4m): the
+    Y plane goes through the same 9x8 NN grid + left<right rule as
+    the image dHash, so re-encoded/rescaled copies of a clip land at
+    small Hamming distance. Compressed containers would need PyAV —
+    same feature-flag posture as decode_media."""
+    w, h, y = _y4m_first_frame_luma(content)
+    grid = [
+        [y[((gy * h) // 8) * w + ((gx * w) // 9)] for gx in range(9)]
+        for gy in range(8)
+    ]
+    v = 0
+    for gy in range(8):
+        for gx in range(8):
+            if grid[gy][gx] < grid[gy][gx + 1]:
+                v |= 1 << (gy * 8 + gx)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def video_vhash(df: DataFrame, batch_size: int = 256) -> DataFrame:
+    """(media_id, vhash, decode_ok) via mapInPandas — the video twin
+    of :func:`image_dhash`/:func:`audio_ehash`."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("vhash", T.LongType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, oks = [], []
+            for content, kind in zip(pdf["content"], pdf["kind"]):
+                try:
+                    if kind != "video":
+                        raise ValueError("not a video row")
+                    hashes.append(vhash64(bytes(content)))
+                    oks.append(True)
+                except (NotImplementedError, ValueError, OSError):
+                    hashes.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "vhash": pd.array(hashes, dtype="Int64"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.select("media_id", "kind", "content").mapInPandas(
+        run, schema=schema
+    )
+
+
+def video_near_dups(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate VIDEO pairs via first-frame dHash banding —
+    completing the modality set (text SimHash, image dHash, audio
+    envelope hash) over ONE shared pigeonhole implementation."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    sk = (
+        video_vhash(df)
+        .filter(F.col("decode_ok"))
+        .select(F.col("media_id").alias("id"), F.col("vhash").alias("sketch"))
+    )
+    return banded_hamming_pairs(sk, bits=64, max_hamming=max_hamming)

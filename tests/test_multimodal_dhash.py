@@ -87,3 +87,51 @@ def test_image_near_dups_exact_copy_hamming_zero(spark):
     )
     rows = image_near_dups(df, max_hamming=0).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
+def _y4m(w: int, h: int, frames: list[bytes]) -> bytes:
+    hdr = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+    body = b"".join(
+        b"FRAME\n" + y + bytes((w * h) // 2)  # Y plane + 4:2:0 chroma
+        for y in frames
+    )
+    return hdr + body
+
+
+def test_video_vhash_first_frame_and_pairing(spark):
+    import random
+
+    from etl_macropulse_br_spark.operators.multimodal import (
+        vhash64,
+        video_near_dups,
+        video_vhash,
+    )
+
+    rng = random.Random(23)
+    w, h = 32, 16
+    y1 = bytes(rng.randrange(256) for _ in range(w * h))
+    y2 = bytes(rng.randrange(256) for _ in range(w * h))
+    # same first frame, different later frames -> identical vhash
+    a = _y4m(w, h, [y1, y2])
+    b = _y4m(w, h, [y1])
+    c = _y4m(w, h, [y2])
+    assert vhash64(a) == vhash64(b)
+    assert vhash64(a) != vhash64(c)
+
+    rows = [
+        (1, "video", bytearray(a)),
+        (2, "video", bytearray(b)),
+        (3, "video", bytearray(c)),
+        (4, "video", bytearray(b"not y4m")),
+        (5, "image", bytearray(b"wrong kind")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    hs = {r["media_id"]: r for r in video_vhash(df).collect()}
+    assert hs[1]["decode_ok"] and not hs[4]["decode_ok"] and not hs[5]["decode_ok"]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in video_near_dups(df, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2): 0}
