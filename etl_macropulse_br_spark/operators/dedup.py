@@ -1150,3 +1150,72 @@ def span_dedup_clean(
         (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 5,
+) -> DataFrame:
+    """DIRECTIONAL containment (Broder's asymmetric resemblance,
+    |A∩B| / |A|) — catches SUB-DOCUMENT duplication that symmetric
+    Jaccard under-scores: a short doc fully quoted inside a long one
+    has tiny Jaccard but containment ~1.0 in the short->long
+    direction.
+
+    Blocking is RARE-SHINGLE indexing instead of MinHash bands: two
+    docs are candidates iff they share >= 1 shingle seen in at most
+    ``max_df`` docs (2..max_df). Rare shingles are the
+    discriminative ones — boilerplate shingles (high df) generate
+    quadratic pair floods and no signal, so the df cap bounds the
+    inverted-index self-join at C(max_df, 2) pairs per shingle at
+    ANY corpus size. The candidate policy is exactly replayable in
+    SQL, so both containment directions hash-gate.
+
+    Plan: distinct shingle-hash rows (map-only affine stream) -> df
+    aggregate -> rare set -> bounded self-join -> array_intersect
+    verify on collect_set arrays (int arrays only; text never
+    shuffles). Returns (id_a, id_b, containment_a, containment_b)
+    where either direction >= ``threshold``.
+    """
+    rows = shingle_hash_rows(df, text_col, id_col, n_shingle).distinct()
+    dfreq = rows.groupBy("sh_h").agg(F.count(F.lit(1)).alias("c"))
+    rare = dfreq.filter(
+        (F.col("c") >= 2) & (F.col("c") <= F.lit(max_df))
+    ).select("sh_h")
+    rrows = rows.join(rare, "sh_h", "left_semi")
+    a, b = rrows.alias("a"), rrows.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.sh_h") == F.col("b.sh_h"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = rows.groupBy("id").agg(F.collect_set("sh_h").alias("sh"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    c_a = inter / F.size("sh_a")
+    c_b = inter / F.size("sh_b")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(threshold)
+        )
+    )

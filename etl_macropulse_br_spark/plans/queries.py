@@ -3393,6 +3393,66 @@ GROUP BY m.doc_id
 DOCS_SPAN_DEDUP_SQL = _span_dedup_sql()
 
 
+def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs (Broder's asymmetric
+    resemblance — sub-document duplication) under rare-shingle
+    blocking (operators/dedup.py:containment_pairs; candidate = a
+    shared shingle with df in 2..5, so the inverted-index self-join
+    is bounded at any corpus size and exactly SQL-replayable)."""
+    from etl_macropulse_br_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs)
+
+
+def _containment_sql(
+    n_shingle: int = 3, threshold: float = 0.5, max_df: int = 5
+) -> str:
+    from etl_macropulse_br_spark.functions.hashing import base32_sql
+    from etl_macropulse_br_spark.operators.dedup import (
+        token_shingle_hashes_sql,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS ntoks
+  FROM documents
+), h_t AS (
+  SELECT doc_id, list_transform(ntoks, tok -> {base32_sql("tok")}) AS th FROM t
+), sh AS (
+  SELECT doc_id, unnest({token_shingle_hashes_sql(n_shingle)}) AS sh_h FROM h_t
+), dfq AS (
+  SELECT sh_h, count(*) AS c FROM sh GROUP BY sh_h
+), rare AS (
+  SELECT sh_h FROM dfq WHERE c BETWEEN 2 AND {max_df}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a
+  JOIN rare r ON a.sh_h = r.sh_h
+  JOIN sh b ON b.sh_h = a.sh_h AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh_h = a.sh_h
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.i AS DOUBLE) / na.n AS containment_a,
+       CAST(i.i AS DOUBLE) / nb.n AS containment_b
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE greatest(CAST(i.i AS DOUBLE) / na.n, CAST(i.i AS DOUBLE) / nb.n) >= {threshold}
+"""
+
+
+DOCS_CONTAINMENT_SQL = _containment_sql()
+
+
 def docs_exact_dedup_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 COLLATION twin of the exact-dedup grouping: group the
     whitespace-normalized text under ``UTF8_LCASE`` instead of
@@ -4834,6 +4894,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_bigram_surprisal": docs_bigram_surprisal,
     # r5: contrastive hard-negative mining (blocked batch-KNN)
     "embedding_hard_negatives": embedding_hard_negatives,
+    # r5: directional containment (sub-document duplication)
+    "docs_containment": docs_containment,
     # r5: iterative Lloyd k-means with exact integer-lattice parity
     "embedding_kmeans": embedding_kmeans,
     # r5: calendar gap-fill with carry-forward (time-series
@@ -4940,6 +5002,7 @@ AUX_ORACLES: dict[str, str] = {
     "docs_token_entropy": DOCS_TOKEN_ENTROPY_SQL,
     "docs_bigram_surprisal": DOCS_BIGRAM_SURPRISAL_SQL,
     "embedding_hard_negatives": EMBEDDING_HARD_NEGATIVES_SQL,
+    "docs_containment": DOCS_CONTAINMENT_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,

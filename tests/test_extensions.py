@@ -1063,3 +1063,30 @@ def test_knn_hard_negatives_excludes_same_label(spark):
     assert by_anchor[0]["neighbor_label"] == 1
     # anchor 2's hard negative is one of the label-0 cluster
     assert by_anchor[2]["neighbor_label"] == 0
+
+
+def test_containment_catches_subdocument_duplication(spark):
+    """A short doc fully quoted inside a long one: Jaccard is small
+    (large union) but containment short->long is 1.0; unrelated docs
+    never pair; the rare-shingle df cap excludes boilerplate-only
+    overlap."""
+    from etl_macropulse_br_spark.operators.dedup import containment_pairs
+
+    quoted = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "intro words here " + quoted + " closing remarks with extra tokens"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, quoted),
+            (2, long_doc),
+            (3, "entirely unrelated content about something else now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    assert r["containment_a"] == 1.0        # all of doc 1's shingles in doc 2
+    assert r["containment_b"] < 0.5         # but doc 2 is mostly its own
