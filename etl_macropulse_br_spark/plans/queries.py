@@ -77,7 +77,9 @@ Late-r5 aux additions (all locally oracle-gated):
   docs_token_entropy / docs_bigram_surprisal (distribution-shape
   quality signals; the perplexity-filter shape), docs_stratified_
   exact_k (WindowGroupLimit-pinned), docs_exact_dedup_collated
-  (Spark-4 UTF8_LCASE aggregate).
+  (Spark-4 UTF8_LCASE aggregate), embedding_hard_negatives
+  (blocked batch-KNN contrastive mining), docs_containment
+  (directional sub-document duplication, rare-shingle blocking).
   Engine-only (no DuckDB analogue, pytest/differential-gated):
   image_dhash/image_near_dups, audio_ehash/audio_near_dups,
   streaming text_dedup_stream, transformWithStateInPandas
