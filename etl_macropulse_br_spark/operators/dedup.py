@@ -1219,3 +1219,84 @@ def containment_pairs(
             >= F.lit(threshold)
         )
     )
+
+
+def span_dedup_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """KEEP-GLOBALLY-FIRST span removal — the Lee et al. deletion
+    policy at gram granularity: every occurrence of a duplicated
+    >= ``span_tokens``-token run is deleted EXCEPT the corpus-first
+    one (min (doc_id, pos) lexicographically). Two sharpenings over
+    :func:`span_dedup_clean`: duplication counts OCCURRENCES (so a
+    run repeated within ONE doc is deduplicated too), and exactly
+    one copy of the duplicated text survives in the corpus (the
+    symmetric variant deletes all of them). Overlapping non-winner
+    grams may still clip a winner's tokens — inherent to greedy
+    gram-granular removal; the byte-range-merge refinement is a
+    driver-free post-pass if ever needed.
+
+    Plan: the sliding gram stream (one ``lead`` window per doc) goes
+    through ONE (gram-hash) window pass computing occurrence count
+    and rank in (doc_id, pos) order — both sides of the oracle share
+    that formulation verbatim; non-winner occurrences of duplicated
+    grams become hit starts; reassembly is the same map-side
+    ``filter``/``array_join`` as the symmetric variant. Int-only
+    shuffles; text never shuffles.
+
+    Returns (id_col, n_tokens, n_spans_removed, n_removed,
+    clean_text)."""
+    from pyspark.sql import Window
+
+    from etl_macropulse_br_spark.functions.hashing import base32
+    from etl_macropulse_br_spark.operators.util import spread
+
+    k = span_tokens
+    toks = F.split(_norm_text(text_col), _WS)
+    tok_rows = spread(df).select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    hashed = tok_rows.select("id", "pos", base32("tok").alias("h"))
+    w = Window.partitionBy("id").orderBy("pos")
+    wcnt = Window.partitionBy("id")
+    g_h = F.col("h") * F.lit(_SPAN_COEFS[0])
+    for j, coef in enumerate(_SPAN_COEFS[1:k], start=1):
+        g_h = g_h + F.coalesce(F.lead("h", j).over(w), F.lit(0)) * F.lit(
+            coef
+        )
+    grams = hashed.select(
+        "id",
+        "pos",
+        g_h.alias("g_h"),
+        F.count(F.lit(1)).over(wcnt).alias("n_tok"),
+    ).filter(F.col("pos") <= F.col("n_tok") - F.lit(k))
+    wg = Window.partitionBy("g_h")
+    wr = Window.partitionBy("g_h").orderBy("id", "pos")
+    hits = (
+        grams.select(
+            "id",
+            "pos",
+            F.count(F.lit(1)).over(wg).alias("occ"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter((F.col("occ") >= F.lit(min_count)) & (F.col("rk") > 1))
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    base = spread(df).select(F.col(id_col).alias("id"), toks.alias("toks"))
+    s = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    covered = lambda i: F.exists(  # noqa: E731
+        s, lambda st: (i >= st) & (i < st + F.lit(k))
+    )
+    kept = F.filter("toks", lambda t, i: ~covered(i))
+    return base.join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(s).cast("bigint").alias("n_spans_removed"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -3455,6 +3455,65 @@ WHERE greatest(CAST(i.i AS DOUBLE) / na.n, CAST(i.i AS DOUBLE) / nb.n) >= {thres
 DOCS_CONTAINMENT_SQL = _containment_sql()
 
 
+def docs_span_dedup_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-globally-first span removal (the Lee et al. deletion
+    policy at gram granularity — within-doc repeats deduplicated,
+    exactly one corpus copy of each duplicated run survives;
+    operators/dedup.py:span_dedup_keep_first)."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        span_dedup_keep_first,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup_keep_first(docs)
+
+
+def _span_keep_first_sql(k: int = 10, min_count: int = 2) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS toks
+  FROM documents
+), g0 AS (
+  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - {k - 1}, 0))) AS p
+  FROM t
+), g AS (
+  SELECT doc_id, p, array_to_string(list_slice(toks, p, p + {k - 1}), ' ') AS gram
+  FROM g0
+), ranked AS (
+  SELECT doc_id, p,
+         count(*) OVER (PARTITION BY gram) AS occ,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rk
+  FROM g
+), hits AS (
+  SELECT doc_id, p FROM ranked WHERE occ >= {min_count} AND rk > 1
+), spans AS (
+  SELECT doc_id, count(*) AS n_spans FROM hits GROUP BY doc_id
+), cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(p, p + {k - 1})) AS i FROM hits
+), tk AS (
+  SELECT doc_id, toks, len(toks) AS n, unnest(generate_series(1, len(toks))) AS i
+  FROM t
+), m AS (
+  SELECT tk.doc_id, tk.n, tk.i, tk.toks[tk.i] AS tok,
+         (cov.i IS NOT NULL) AS is_cov
+  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.i = cov.i
+)
+SELECT m.doc_id,
+       CAST(max(m.n) AS BIGINT) AS n_tokens,
+       CAST(coalesce(max(sp.n_spans), 0) AS BIGINT) AS n_spans_removed,
+       CAST(coalesce(sum(CASE WHEN m.is_cov THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT m.is_cov THEN m.tok END, ' ' ORDER BY m.i), '') AS clean_text
+FROM m LEFT JOIN spans sp ON sp.doc_id = m.doc_id
+GROUP BY m.doc_id
+"""
+
+
+DOCS_SPAN_KEEP_FIRST_SQL = _span_keep_first_sql()
+
+
 def docs_exact_dedup_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 COLLATION twin of the exact-dedup grouping: group the
     whitespace-normalized text under ``UTF8_LCASE`` instead of
@@ -4898,6 +4957,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "embedding_hard_negatives": embedding_hard_negatives,
     # r5: directional containment (sub-document duplication)
     "docs_containment": docs_containment,
+    # r5: keep-globally-first span removal (the Lee et al. policy)
+    "docs_span_dedup_keep_first": docs_span_dedup_keep_first,
     # r5: iterative Lloyd k-means with exact integer-lattice parity
     "embedding_kmeans": embedding_kmeans,
     # r5: calendar gap-fill with carry-forward (time-series
@@ -5005,6 +5066,7 @@ AUX_ORACLES: dict[str, str] = {
     "docs_bigram_surprisal": DOCS_BIGRAM_SURPRISAL_SQL,
     "embedding_hard_negatives": EMBEDDING_HARD_NEGATIVES_SQL,
     "docs_containment": DOCS_CONTAINMENT_SQL,
+    "docs_span_dedup_keep_first": DOCS_SPAN_KEEP_FIRST_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,

@@ -1090,3 +1090,36 @@ def test_containment_catches_subdocument_duplication(spark):
     r = pairs[(1, 2)]
     assert r["containment_a"] == 1.0        # all of doc 1's shingles in doc 2
     assert r["containment_b"] < 0.5         # but doc 2 is mostly its own
+
+
+def test_span_keep_first_within_doc_and_winner_survives(spark):
+    """Keep-first policy: a run repeated WITHIN one doc loses its
+    second occurrence (symmetric span_dedup keeps both — within-doc
+    repeats aren't cross-corpus dups there); across docs exactly the
+    corpus-first occurrence survives."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        span_dedup_clean,
+        span_dedup_keep_first,
+    )
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            (1, run + " middlebit " + run),   # intra-doc repeat
+            (2, "prefix " + run + " suffix"), # later cross-doc copy
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in span_dedup_keep_first(docs).collect()
+    }
+    # doc 1: first occurrence kept, second removed
+    assert out[1]["clean_text"] == run + " middlebit"
+    assert out[1]["n_removed"] == 10
+    # doc 2's copy is not the global first -> removed
+    assert out[2]["clean_text"] == "prefix suffix"
+
+    # contrast: the symmetric variant drops ALL occurrences
+    sym = {r["doc_id"]: r for r in span_dedup_clean(docs).collect()}
+    assert sym[1]["clean_text"] == "middlebit"
+    assert sym[2]["clean_text"] == "prefix suffix"
