@@ -69,8 +69,9 @@ Training-data extension ops: docs_exact_dedup, docs_text_stats,
 As-of family: asof_click_view (backward), asof_forward_click_view;
   nearest is pandas-differential-tested (tests/test_asof.py).
 Late-r5 aux additions (all locally oracle-gated):
-  docs_chunk_dedup / docs_span_dedup (exact-substring span removal,
-  disjoint-chunk and sliding-window forms), embedding_kmeans
+  docs_chunk_dedup / docs_span_dedup / docs_span_dedup_keep_first
+  (exact-substring span removal: disjoint-chunk, sliding-window
+  symmetric, and keep-globally-first forms), embedding_kmeans
   (integer-lattice Lloyd — iterative with a FULL hash gate),
   embedding_ivf_kmeans_topk (train+serve IVF in one lazy plan),
   monthly_gapfill_orders (calendar gap-fill with carry-forward),
