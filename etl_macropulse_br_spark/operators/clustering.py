@@ -96,7 +96,7 @@ def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame, dim: int) -> DataFrame:
+def _update(assigned: DataFrame) -> DataFrame:
     """Exploded-component integer centroid update. The explode is
     k·d-bounded AFTER map-side combine, so the exchange stays tiny
     at any corpus size."""
@@ -130,7 +130,6 @@ def kmeans_centroids(
     emb: DataFrame,
     k: int = 8,
     rounds: int = 3,
-    dim: int = 64,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
@@ -152,7 +151,7 @@ def kmeans_centroids(
         )
     )
     for _ in range(rounds):
-        cents = _update(_assign(pts, cents), dim)
+        cents = _update(_assign(pts, cents))
     return cents
 
 
@@ -160,7 +159,6 @@ def kmeans_stats(
     emb: DataFrame,
     k: int = 8,
     rounds: int = 3,
-    dim: int = 64,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
@@ -173,7 +171,7 @@ def kmeans_stats(
     published as DECIMAL(38,0) so it cannot overflow at any corpus
     size."""
     pts = _points(emb, id_col, emb_col)
-    cents = kmeans_centroids(emb, k, rounds, dim, id_col, emb_col)
+    cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
     final = _assign(pts, cents)
     return final.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -186,7 +184,6 @@ def ivf_kmeans_topk(
     emb: DataFrame,
     k: int = 8,
     rounds: int = 2,
-    dim: int = 64,
     n_probe: int = 2,
     topk: int = 10,
     query_id: int = 0,
@@ -214,7 +211,7 @@ def ivf_kmeans_topk(
     is bit-identical cross-engine, so the full composition
     hash-matches its SQL oracle replaying identical rounds."""
     pts = _points(emb, id_col, emb_col)
-    cents = kmeans_centroids(emb, k, rounds, dim, id_col, emb_col)
+    cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
     assign = _assign(pts, cents).select("vec_id", "cluster_id")
     qpt = pts.filter(F.col("vec_id") == query_id).select(
         F.col("q").alias("qq")

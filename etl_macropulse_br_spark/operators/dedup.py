@@ -496,6 +496,14 @@ def banded_hamming_pairs(
     pairs only. Arithmetic ``shiftright`` sign-fill is masked off,
     so 64-bit (negative) sketches band correctly."""
     n_bands = max_hamming + 1
+    if n_bands > bits:
+        # band_width would floor to 0 and mask to 0 — every sketch
+        # lands in one bucket per band and the self-join goes
+        # quadratic. Fail fast instead of degrading to all-pairs.
+        raise ValueError(
+            f"max_hamming + 1 ({n_bands}) must be <= bits ({bits}); "
+            "pigeonhole banding needs >= 1 bit per band"
+        )
     band_width = bits // n_bands
     # a full-width band's all-ones mask is -1 in two's complement
     # ((1 << 64) - 1 would overflow LongType)
@@ -1069,6 +1077,20 @@ _SPAN_COEFS = (
 )
 
 
+def _check_span_tokens(span_tokens: int) -> None:
+    """The affine gram hash has exactly ``len(_SPAN_COEFS)`` terms;
+    a wider span would silently hash only the first 10 tokens and
+    treat runs with matching prefixes as duplicates. Fail loudly
+    instead (wider spans need more coefficients AND a wider-than-64
+    accumulator — the 2^60 overflow budget is exactly 10 terms)."""
+    if not 1 <= span_tokens <= len(_SPAN_COEFS):
+        raise ValueError(
+            f"span_tokens must be in 1..{len(_SPAN_COEFS)} (the affine "
+            f"gram hash has {len(_SPAN_COEFS)} coefficients and a 2^60 "
+            f"signed-64 overflow budget); got {span_tokens}"
+        )
+
+
 def span_dedup_clean(
     df: DataFrame,
     text_col: str = "text",
@@ -1107,6 +1129,7 @@ def span_dedup_clean(
     from etl_macropulse_br_spark.functions.hashing import base32
     from etl_macropulse_br_spark.operators.util import spread
 
+    _check_span_tokens(span_tokens)
     k = span_tokens
     toks = F.split(_norm_text(text_col), _WS)
     tok_rows = spread(df).select(
@@ -1255,6 +1278,7 @@ def span_dedup_keep_first(
     from etl_macropulse_br_spark.functions.hashing import base32
     from etl_macropulse_br_spark.operators.util import spread
 
+    _check_span_tokens(span_tokens)
     k = span_tokens
     toks = F.split(_norm_text(text_col), _WS)
     tok_rows = spread(df).select(

@@ -613,10 +613,12 @@ def _decode_stub(content: bytes | None, kind: str) -> list[float]:
 
 def extract_features(
     df: DataFrame,
-    batch_size: int = 256,
     use_real_decoder: bool | None = None,
 ) -> DataFrame:
-    """Decode + featurize media via mapInPandas (Arrow batches).
+    """Decode + featurize media via mapInPandas (Arrow batches;
+    batch sizing is the session's
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, not a
+    per-call knob — large payloads want a small session setting).
 
     ``use_real_decoder``: None auto-detects PIL on the EXECUTORS
     (resolved inside the UDF so heterogenous clusters behave);
@@ -839,7 +841,7 @@ def dhash64(content: bytes) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def image_dhash(df: DataFrame, batch_size: int = 256) -> DataFrame:
+def image_dhash(df: DataFrame) -> DataFrame:
     """(media_id, dhash, decode_ok) via mapInPandas — Arrow batches
     in, one 64-bit sketch per image out; bytes never leave the
     executor. Non-image rows and undecodable payloads yield
@@ -930,7 +932,7 @@ def ehash64(content: bytes) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def audio_ehash(df: DataFrame, batch_size: int = 256) -> DataFrame:
+def audio_ehash(df: DataFrame) -> DataFrame:
     """(media_id, ehash, decode_ok) via mapInPandas — the audio twin
     of :func:`image_dhash`; bytes never leave the executor."""
     schema = T.StructType(
@@ -1028,7 +1030,7 @@ def vhash64(content: bytes) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def video_vhash(df: DataFrame, batch_size: int = 256) -> DataFrame:
+def video_vhash(df: DataFrame) -> DataFrame:
     """(media_id, vhash, decode_ok) via mapInPandas — the video twin
     of :func:`image_dhash`/:func:`audio_ehash`."""
     schema = T.StructType(

@@ -3156,7 +3156,7 @@ def docs_curated_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val"))
     spans = span_dedup_clean(docs).select(
         "doc_id",
-        F.col("n_removed").alias("n_spans_dropped"),
+        F.col("n_removed").alias("n_span_tokens_dropped"),
         "clean_text",
     )
     return (
@@ -3169,7 +3169,7 @@ def docs_curated_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(losers, "doc_id", "left_anti")
         .join(spans, "doc_id")
         .select(
-            "doc_id", split.alias("split"), "n_spans_dropped", "clean_text"
+            "doc_id", split.alias("split"), "n_span_tokens_dropped", "clean_text"
         )
     )
 
@@ -3523,7 +3523,15 @@ def docs_exact_dedup_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
     collation-aware codegen), which at 100 TB saves one full
     lowered-string allocation per row. Output is the (keep_id,
     n_dups) group table; the oracle lowers explicitly — identical
-    groups, gated by hash."""
+    groups, gated by hash.
+
+    Caveat (simple-case corpora only): ICU's UTF8_LCASE case FOLDS,
+    while the oracle's ``lower()`` lowercases codepoints — they
+    diverge on full-casefold characters (German eszett ß/ẞ, Turkish
+    dotted İ, Greek final sigma ς). The gate holds because the test
+    corpus is ASCII-range; a corpus with those characters would need
+    the oracle to case-fold too (or the Spark side to group on
+    ``lower()``) for the twin to stay exact."""
     docs = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
     return (
@@ -3748,13 +3756,13 @@ WITH rep AS (
 ), score_ok AS (
   SELECT doc_id FROM ({DOCS_MODEL_SCORE_SQL}) WHERE keep
 ), spans AS (
-  SELECT doc_id, n_removed AS n_spans_dropped, clean_text
+  SELECT doc_id, n_removed AS n_span_tokens_dropped, clean_text
   FROM ({DOCS_SPAN_DEDUP_SQL})
 )
 SELECT d.doc_id,
        CASE WHEN ({md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 100) < 80
             THEN 'train' ELSE 'val' END AS split,
-       spans.n_spans_dropped,
+       spans.n_span_tokens_dropped,
        spans.clean_text
 FROM documents d
 JOIN quality_ok USING (doc_id)

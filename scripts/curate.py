@@ -52,7 +52,7 @@ def main() -> None:
             "n_train"
         ),
         F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
-        F.sum("n_spans_dropped").alias("span_tokens_removed"),
+        F.sum("n_span_tokens_dropped").alias("span_tokens_removed"),
     ).collect()[0]
     n_input = _t(spark, args.sf_dir, "documents").count()
     print(

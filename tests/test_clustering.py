@@ -76,7 +76,7 @@ def test_kmeans_matches_python_reference(spark):
             r["min_vec_id"],
             int(r["inertia"]),
         )
-        for r in kmeans_stats(emb, k=k, rounds=rounds, dim=dim).collect()
+        for r in kmeans_stats(emb, k=k, rounds=rounds).collect()
     }
     assert got == {
         cid: (s[0], s[1], s[2]) for cid, s in expect.items()
@@ -92,7 +92,7 @@ def test_kmeans_identical_points_tie_to_lowest_cluster(spark):
         [(i, [0.1, -0.2]) for i in range(6)],
         "vec_id long, embedding array<float>",
     )
-    rows = kmeans_stats(emb, k=2, rounds=1, dim=2).collect()
+    rows = kmeans_stats(emb, k=2, rounds=1).collect()
     assert len(rows) == 1
     r = rows[0]
     assert r["cluster_id"] == 0
@@ -136,7 +136,7 @@ def test_kmeans_property_random_corpora():
                 int(r["inertia"]),
             )
             for r in kmeans_stats(
-                emb, k=k, rounds=rounds, dim=dim
+                emb, k=k, rounds=rounds
             ).collect()
         }
         assert got == {
@@ -171,13 +171,13 @@ def test_ivf_kmeans_topk_probes_cells_and_ranks(spark):
         "vec_id long, embedding array<float>",
     )
     out = ivf_kmeans_topk(
-        emb, k=4, rounds=2, dim=dim, n_probe=2, topk=5
+        emb, k=4, rounds=2, n_probe=2, topk=5
     ).collect()
     assert out[0]["vec_id"] == 0
     assert abs(out[0]["cosine"] - 1.0) < 1e-12
     assert len(out) == 5
     # every result sits in one of the 2 probed cells
-    cents = kmeans_centroids(emb, k=4, rounds=2, dim=dim)
+    cents = kmeans_centroids(emb, k=4, rounds=2)
     assign = {
         r["vec_id"]: r["cluster_id"]
         for r in _assign(_points(emb, "vec_id", "embedding"), cents).collect()

@@ -1123,3 +1123,30 @@ def test_span_keep_first_within_doc_and_winner_survives(spark):
     sym = {r["doc_id"]: r for r in span_dedup_clean(docs).collect()}
     assert sym[1]["clean_text"] == "middlebit"
     assert sym[2]["clean_text"] == "prefix suffix"
+
+
+def test_span_tokens_guard_rejects_unsupported_widths(spark):
+    """The affine gram hash has exactly 10 coefficients; a wider
+    span would silently hash only the first 10 tokens (prefix-match
+    false dups). Both span variants must fail loudly instead."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        span_dedup_clean,
+        span_dedup_keep_first,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for fn in (span_dedup_clean, span_dedup_keep_first):
+        with pytest.raises(ValueError, match="span_tokens"):
+            fn(docs, span_tokens=11)
+        with pytest.raises(ValueError, match="span_tokens"):
+            fn(docs, span_tokens=0)
+
+
+def test_banded_hamming_guard_rejects_zero_width_bands(spark):
+    """max_hamming + 1 > bits would floor band_width to 0 — every
+    sketch in one bucket per band, quadratic self-join. Fail fast."""
+    from etl_macropulse_br_spark.operators.dedup import banded_hamming_pairs
+
+    sk = spark.createDataFrame([(1, 5)], "id long, sketch long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        banded_hamming_pairs(sk, bits=8, max_hamming=8)

@@ -188,7 +188,7 @@ def test_extract_features_real_jpeg_in_pipeline(spark):
         rows.append((i, "image", enc))
     rows.append((99, "image", b"\xff\xd8\xff\xe0trash"))
     df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
-    out = {r["media_id"]: r for r in extract_features(df, batch_size=2).collect()}
+    out = {r["media_id"]: r for r in extract_features(df).collect()}
     assert out[99]["decode_ok"] is False and out[99]["feature"] is None
     for i, v in enumerate([0, 64, 128, 255]):
         r = out[i]
