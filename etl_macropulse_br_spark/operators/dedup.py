@@ -1001,7 +1001,8 @@ def chunk_dedup_clean(
     scope: the reference pipeline (src/pipeline.py) has no corpus
     text ops; this extends the training-data surface.
 
-    Scale shape — the document text NEVER shuffles:
+    Scale shape — text shuffles at most once, and only for docs
+    that lost a chunk:
 
     1. map-only per doc: token array -> disjoint chunk strings
        (``transform(sequence(...))`` over ``slice``) -> one portable
@@ -1011,11 +1012,14 @@ def chunk_dedup_clean(
        single int shuffle) -> the duplicated-hash set.
     3. semi-join the int rows against that set and collect the
        dropped POSITIONS per doc (``collect_set(idx)`` — ints again).
-    4. join positions back to the per-doc chunk arrays on id — the
-       dropped-positions side holds only docs that lost a chunk
-       (``|dup docs| << corpus``), so AQE broadcast-resolves it and
-       the reassembly ``filter((c, i) -> ...)`` + ``array_join`` runs
-       at scan speed on the map side.
+    4. join positions back to the per-doc chunk arrays on id. When
+       few docs lost a chunk, AQE broadcast-resolves the positions
+       side and the reassembly ``filter((c, i) -> ...)`` +
+       ``array_join`` runs at scan speed on the map side. On a real
+       web corpus where 30-50% of docs contain a duplicated chunk,
+       the positions side is corpus-order, the join plans as SMJ,
+       and the text-carrying side shuffles ONCE on id — the same
+       single text pass a production span-removal job pays.
 
     Returns (id_col, n_chunks, n_dropped, clean_text) for every doc.
     """
@@ -1077,6 +1081,47 @@ _SPAN_COEFS = (
 )
 
 
+def _merged_ranges(starts_col, k: int):
+    """Sorted hit-start array -> disjoint, merged token ranges
+    ``array<struct<s,e>>`` covering ``[s, e)`` — a map-side array
+    fold, no new shuffle. A duplicated run of length L >= k yields
+    L-k+1 consecutive starts that collapse to ONE range, so the
+    per-token coverage predicate checks |merged runs| entries
+    instead of |hit grams| (the Lee et al. byte-range merge,
+    token-granular). Adjacent/overlapping ranges (next start <=
+    previous end) extend the last range in place."""
+    empty = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+
+    def step(acc, st):
+        last = F.element_at(acc, -1)
+        extend = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], st + F.lit(k)).alias("e"),
+                )
+            ),
+        )
+        append = F.concat(
+            acc,
+            F.array(F.struct(st.alias("s"), (st + F.lit(k)).alias("e"))),
+        )
+        return F.when((F.size(acc) > 0) & (st <= last["e"]), extend).otherwise(
+            append
+        )
+
+    return F.aggregate(F.array_sort(starts_col), empty, step)
+
+
+def _in_ranges(ranges_col):
+    """Coverage predicate factory: token index -> covered by any
+    merged range."""
+    return lambda i: F.exists(
+        ranges_col, lambda r: (i >= r["s"]) & (i < r["e"])
+    )
+
+
 def _check_span_tokens(span_tokens: int) -> None:
     """The affine gram hash has exactly ``len(_SPAN_COEFS)`` terms;
     a wider span would silently hash only the first 10 tokens and
@@ -1107,7 +1152,8 @@ def span_dedup_clean(
     (exact, in >= ``min_docs`` distinct docs) is deleted; the doc is
     reassembled from the surviving tokens.
 
-    Plan (text never shuffles):
+    Plan (int-only shuffles upstream; the reassembly join is the
+    one place text can shuffle — see step 3):
 
     1. posexplode token HASHES; one ``lead``-window pass per doc
        builds the affine sliding n-gram hash at every start position
@@ -1116,10 +1162,13 @@ def span_dedup_clean(
     2. doc-frequency aggregate over the int gram hashes -> the
        duplicated-gram set; semi-join back -> hit START positions;
        ``collect_set`` per doc (ints only).
-    3. join hit-starts to the per-doc token arrays (hits side holds
-       only docs with a duplicated span -> AQE broadcast) and filter
-       tokens map-side with a nested higher-order predicate:
-       token i survives iff NO hit start s has s <= i < s+K.
+    3. join hit-starts to the per-doc token arrays and filter
+       tokens with a nested higher-order predicate: token i
+       survives iff NO hit start s has s <= i < s+K. With few
+       affected docs the hits side AQE-broadcasts and the
+       reassembly is map-side; on a heavily-duplicated corpus
+       (30-50% of docs hit) the join plans as SMJ and text shuffles
+       once on id — the unavoidable single text pass.
 
     Docs shorter than ``span_tokens`` have no window and pass
     through untouched. Returns (id_col, n_tokens, n_spans,
@@ -1162,9 +1211,10 @@ def span_dedup_clean(
     )
     base = spread(df).select(F.col(id_col).alias("id"), toks.alias("toks"))
     s = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
-    covered = lambda i: F.exists(  # noqa: E731
-        s, lambda st: (i >= st) & (i < st + F.lit(k))
-    )
+    # byte-range merge post-pass: consecutive starts of one long
+    # duplicated run collapse to a single [s, e) range before the
+    # per-token predicate — same coverage set, |runs| checks/token.
+    covered = _in_ranges(_merged_ranges(s, k))
     kept = F.filter("toks", lambda t, i: ~covered(i))
     return base.join(hits, "id", "left").select(
         F.col("id").alias(id_col),
@@ -1258,18 +1308,24 @@ def span_dedup_keep_first(
     :func:`span_dedup_clean`: duplication counts OCCURRENCES (so a
     run repeated within ONE doc is deduplicated too), and exactly
     one copy of the duplicated text survives in the corpus (the
-    symmetric variant deletes all of them). Overlapping non-winner
-    grams may still clip a winner's tokens — inherent to greedy
-    gram-granular removal; the byte-range-merge refinement is a
-    driver-free post-pass if ever needed.
+    symmetric variant deletes all of them).
+
+    Winner protection (r6): removal and winner hit-starts both
+    merge into byte ranges map-side (:func:`_merged_ranges`), and a
+    token is deleted iff covered by a removal range AND NOT by a
+    winner range — an overlapping non-winner gram can no longer
+    clip the corpus-first copy's tokens, so the surviving copy is
+    always intact (e.g. a doc of one token repeated 30x keeps the
+    full first 10-token span, not a single token).
 
     Plan: the sliding gram stream (one ``lead`` window per doc) goes
     through ONE (gram-hash) window pass computing occurrence count
     and rank in (doc_id, pos) order — both sides of the oracle share
     that formulation verbatim; non-winner occurrences of duplicated
-    grams become hit starts; reassembly is the same map-side
+    grams become hit starts; reassembly is the same
     ``filter``/``array_join`` as the symmetric variant. Int-only
-    shuffles; text never shuffles.
+    shuffles upstream; text shuffles at most once, only for the
+    reassembly join when the hits side is too large to broadcast.
 
     Returns (id_col, n_tokens, n_spans_removed, n_removed,
     clean_text)."""
@@ -1307,16 +1363,23 @@ def span_dedup_keep_first(
             F.count(F.lit(1)).over(wg).alias("occ"),
             F.row_number().over(wr).alias("rk"),
         )
-        .filter((F.col("occ") >= F.lit(min_count)) & (F.col("rk") > 1))
+        .filter(F.col("occ") >= F.lit(min_count))
         .groupBy("id")
-        .agg(F.collect_set("pos").alias("starts"))
+        .agg(
+            F.collect_set(
+                F.when(F.col("rk") > 1, F.col("pos"))
+            ).alias("starts"),
+            F.collect_set(
+                F.when(F.col("rk") == 1, F.col("pos"))
+            ).alias("win_starts"),
+        )
     )
     base = spread(df).select(F.col(id_col).alias("id"), toks.alias("toks"))
     s = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
-    covered = lambda i: F.exists(  # noqa: E731
-        s, lambda st: (i >= st) & (i < st + F.lit(k))
-    )
-    kept = F.filter("toks", lambda t, i: ~covered(i))
+    w_s = F.coalesce(F.col("win_starts"), F.array().cast("array<int>"))
+    removed = _in_ranges(_merged_ranges(s, k))
+    protected = _in_ranges(_merged_ranges(w_s, k))
+    kept = F.filter("toks", lambda t, i: ~removed(i) | protected(i))
     return base.join(hits, "id", "left").select(
         F.col("id").alias(id_col),
         F.size("toks").cast("bigint").alias("n_tokens"),

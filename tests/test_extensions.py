@@ -1150,3 +1150,52 @@ def test_banded_hamming_guard_rejects_zero_width_bands(spark):
     sk = spark.createDataFrame([(1, 5)], "id long, sketch long")
     with pytest.raises(ValueError, match="pigeonhole"):
         banded_hamming_pairs(sk, bits=8, max_hamming=8)
+
+
+def test_span_keep_first_winner_not_clipped_by_overlapping_gram(spark):
+    """Winner protection (r6): doc 1 holds the WINNER copy of gram G
+    (= a0..a9) and a NON-WINNER copy of gram H (= a3..a12, winner in
+    doc 0) overlapping it. H's removal range [3,13) must not clip
+    G's winner tokens [0,10): only tokens 10-12 are deleted and the
+    winner survives verbatim."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        span_dedup_keep_first,
+    )
+
+    a = [f"a{i}" for i in range(13)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(a[3:13])),   # H winner (corpus-first)
+            (1, " ".join(a[0:13])),   # G winner at [0,10); H copy at [3,13)
+            (2, " ".join(a[0:10])),   # G copy -> fully removed
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in span_dedup_keep_first(docs).collect()
+    }
+    assert out[0]["n_removed"] == 0
+    assert out[0]["clean_text"] == " ".join(a[3:13])
+    # pre-r6 greedy removal deleted [3,13) -> clean was "a0 a1 a2"
+    assert out[1]["clean_text"] == " ".join(a[0:10])
+    assert out[1]["n_removed"] == 3
+    assert out[1]["n_spans_removed"] == 1
+    assert out[2]["clean_text"] == ""
+    assert out[2]["n_removed"] == 10
+
+
+def test_span_keep_first_repeated_token_doc_keeps_full_span(spark):
+    """A doc of one token repeated 30x: every gram is identical, the
+    winner is pos 0, and protection keeps the FULL first 10-token
+    span (pre-r6 the overlapping removals [1,30) clipped it to one
+    token)."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        span_dedup_keep_first,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["z"] * 30))], "doc_id long, text string"
+    )
+    [r] = span_dedup_keep_first(docs).collect()
+    assert r["clean_text"] == " ".join(["z"] * 10)
+    assert r["n_removed"] == 20
