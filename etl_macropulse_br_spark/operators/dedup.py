@@ -1248,6 +1248,15 @@ def containment_pairs(
     ANY corpus size. The candidate policy is exactly replayable in
     SQL, so both containment directions hash-gate.
 
+    Recall characterization (pinned by
+    ``test_containment_blocking_recall_on_planted_subdocs``):
+    against brute-force containment on a seeded corpus, blocking
+    finds 100% of pairs whose overlap includes >= 1 discriminative
+    (df <= max_df) shingle — every planted sub-document — and the
+    exact verify stage keeps precision at 1.0. The bound it trades
+    away: a pair whose ONLY shared shingles are high-df boilerplate
+    is unfindable by construction (that is the point of the cap).
+
     Plan: distinct shingle-hash rows (map-only affine stream) -> df
     aggregate -> rare set -> bounded self-join -> array_intersect
     verify on collect_set arrays (int arrays only; text never

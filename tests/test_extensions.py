@@ -1199,3 +1199,77 @@ def test_span_keep_first_repeated_token_doc_keeps_full_span(spark):
     [r] = span_dedup_keep_first(docs).collect()
     assert r["clean_text"] == " ".join(["z"] * 10)
     assert r["n_removed"] == 20
+
+
+def test_containment_blocking_recall_on_planted_subdocs(spark):
+    """Characterize rare-shingle blocking recall (df 2..max_df)
+    against brute-force containment on a seeded corpus:
+
+    - 12 planted sub-documents (contiguous slices of longer docs)
+      share df=2 shingles with their host -> blocking must find
+      every one (recall 1.0 on discriminative overlap), even with a
+      high-df boilerplate phrase stamped on half the corpus.
+    - the verify stage is exact, so found pairs must be a SUBSET of
+      brute-force pairs (precision 1.0).
+    - a doc whose ONLY overlap is the boilerplate phrase (df >>
+      max_df) is provably missed — the df cap that bounds the
+      inverted-index join at C(max_df,2) pairs/shingle trades away
+      exactly this pure-boilerplate recall, pinned here so the
+      bound is documented, not silent."""
+    import random
+
+    from etl_macropulse_br_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(61)
+    vocab = [f"w{i}" for i in range(500)]
+    boiler = "terms of service apply here"
+    docs, texts = [], {}
+
+    def add(doc_id, text):
+        docs.append((doc_id, text))
+        texts[doc_id] = text
+
+    for i in range(40):  # long docs; half carry the boilerplate
+        toks = [rng.choice(vocab) for _ in range(30)]
+        if i % 2 == 0:
+            toks += boiler.split()
+        add(i, " ".join(toks))
+    for j in range(12):  # planted contiguous slices of docs 0..11
+        host = texts[j].split()
+        start = rng.randrange(0, 15)
+        add(100 + j, " ".join(host[start:start + rng.randrange(8, 16)]))
+    add(200, boiler)  # pure-boilerplate doc: only high-df overlap
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+
+    # brute force over the same normalization/shingle/score spec
+    def shingles(text):
+        toks = text.strip().lower().split()
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[p:p + 3]) for p in range(n)}
+
+    sh = {d: shingles(t) for d, t in texts.items()}
+    ids = sorted(sh)
+    true = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sh[a] & sh[b])
+            if inter and max(
+                inter / len(sh[a]), inter / len(sh[b])
+            ) >= 0.5:
+                true.add((a, b))
+
+    assert found <= true  # exact verify: no false positives
+    planted = {p for p in true if 200 not in p}
+    assert len(planted) >= 12  # every slice really is a true pair
+    missed = planted - found
+    assert not missed, f"blocking missed discriminative pairs: {missed}"
+    # the pure-boilerplate containments exist but are unfindable
+    # under the df cap — the documented recall bound
+    boiler_pairs = {p for p in true if 200 in p}
+    assert boiler_pairs and not (boiler_pairs & found)

@@ -342,19 +342,31 @@ def test_extract_features_real_png_in_pipeline(spark):
 
 def test_pil_parity_when_available():
     """Where PIL exists, both decoders must agree bit-for-bit (the
-    stdlib path uses PIL's exact integer luminance)."""
+    stdlib path uses PIL's exact integer luminance). Where it does
+    not (this container), pin the parity obligation the environment
+    CAN check: the auto-detect path must route PNG payloads to the
+    stdlib codec — bit-identical features, never the stub — so a
+    broken auto-detect cannot silently degrade decode quality."""
     from etl_macropulse_br_spark.operators.multimodal import (
         HAS_PIL,
-        _decode_pil,
+        _decode_stub,
+        decode_media,
     )
 
-    if not HAS_PIL:
-        pytest.skip("PIL absent: parity is vacuous here")
     rng = np.random.default_rng(5)
     w, h = 7, 6
     rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     content = png_encode(w, h, rgb.tobytes(), color_type=2)
-    assert _decode_pil(content, "image") == _decode_png(content)
+    if HAS_PIL:
+        from etl_macropulse_br_spark.operators.multimodal import (
+            _decode_pil,
+        )
+
+        assert _decode_pil(content, "image") == _decode_png(content)
+    else:
+        auto = decode_media(content, "image", None)
+        assert auto == _decode_png(content)
+        assert auto != _decode_stub(content, "image")
 
 
 # ---- property-based: the codec holds for arbitrary images ----
