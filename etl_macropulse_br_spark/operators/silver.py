@@ -29,16 +29,33 @@ def dedup_keep_first(
 
     pandas keeps first-in-row-order (``transform.py:12,107``); Spark's
     ``dropDuplicates`` keeps an *arbitrary* row. The faithful
-    distributed version ranks within each key group and keeps rank 1.
-    Executes as one shuffle on ``keys`` (window partition); at scale
-    prefer this over ``orderBy().dropDuplicates()`` which would need a
-    global sort.
+    distributed form is a ``min_by(struct(payload), struct(order))``
+    hash aggregate (r6; previously a row_number window): it
+    PARTIAL-COMBINES map-side, so the one shuffle carries only
+    |groups| candidate rows — not every input row — and needs no
+    per-partition sort. Struct ordering compares order columns
+    left-to-right with nulls-first, exactly matching the window
+    form's ``ORDER BY ... ASC`` (verified incl. null order keys and
+    ANSI mode); ties beyond ``order`` remain partition-order-
+    dependent in both forms, so pass a total order for full
+    determinism.
     """
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    payload = [c for c in df.columns if c not in keys]
+    if not payload:
+        return df.dropDuplicates(keys)
+    first = F.min_by(
+        F.struct(*[F.col(c) for c in payload]),
+        F.struct(*[F.col(c) for c in order]),
+    ).alias("__first")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*[F.col(c) for c in keys])
+        .agg(first)
+        .select(
+            *[
+                F.col(c) if c in keys else F.col(f"__first.{c}").alias(c)
+                for c in df.columns
+            ]
+        )
     )
 
 
