@@ -242,3 +242,227 @@ def ivf_kmeans_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(topk)
     )
+
+
+def pq_codebooks(
+    pts: DataFrame, m: int = 8, ks: int = 16, rounds: int = 2, sub: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebooks on the integer lattice
+    (Jegou et al. 2011, "Product quantization for nearest neighbor
+    search"): split each quantized vector into ``m`` disjoint
+    ``sub``-component subvectors and train an independent
+    ``ks``-centroid Lloyd codebook per subspace — all ``m``
+    trainings ride ONE plan (subspace id is just another grouping
+    column). Same exact-parity rules as :mod:`clustering`: integer
+    distances, floor-division updates, ties to the lowest code.
+
+    Returns ``(subpts, cb)`` where ``subpts`` is the exploded
+    (vec_id, s, qs) subvector table and ``cb`` the trained
+    (s, code, c) codebooks. Scale shape: subvector explode is
+    map-only (m small structs per row); the per-round update
+    shuffles <= m * ks * sub integer rows after partial combine;
+    codebook init needs one per-subspace top-ks — WindowGroupLimit
+    prunes it map-side."""
+    subpts = pts.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("q", s * sub + 1, sub).alias("qs"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.s", "e.qs")
+    w = Window.partitionBy("s").orderBy("vec_id")
+    cb = (
+        subpts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ks)
+        .select(
+            "s",
+            (F.col("rn") - F.lit(1)).cast("int").alias("code"),
+            F.col("qs").alias("c"),
+        )
+    )
+    for _ in range(rounds):
+        assigned = _pq_assign(subpts, cb)
+        comp = assigned.select(
+            "s", "code", F.posexplode("qs").alias("j", "v")
+        )
+        sums = comp.groupBy("s", "code", "j").agg(
+            F.sum("v").alias("sm"), F.count(F.lit(1)).alias("n")
+        )
+        cb = (
+            sums.select(
+                "s",
+                "code",
+                "j",
+                _floordiv(F.col("sm"), F.col("n")).alias("cj"),
+            )
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "cj"))),
+                    lambda x: x["cj"],
+                ).alias("c")
+            )
+        )
+    return subpts, cb
+
+
+def _pq_assign(subpts: DataFrame, cb: DataFrame) -> DataFrame:
+    """Map-only per-subspace assignment: all m codebooks broadcast
+    as ONE packed row; each (vec_id, s, qs) row folds an argmin over
+    its own subspace's <= ks centroids (array pre-filtered on s)."""
+    packed = cb.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("s", "code", "c"))).alias(
+            "cbs"
+        )
+    )
+    mine = F.filter("cbs", lambda cen: cen["s"] == F.col("s"))
+    dist_to = lambda cen: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("qs"), cen["c"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = F.aggregate(
+        mine,
+        F.struct(
+            F.lit(2**63 - 1).cast("long").alias("dist"),
+            F.lit(-1).cast("int").alias("code"),
+        ),
+        lambda acc, cen: F.when(
+            dist_to(cen) < acc["dist"],
+            F.struct(
+                dist_to(cen).alias("dist"),
+                cen["code"].cast("int").alias("code"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        subpts.crossJoin(F.broadcast(packed))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "s",
+            "qs",
+            F.col("best.code").alias("code"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
+
+
+def ivf_pq_rerank_topk(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    n_probe: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    pq_rounds: int = 2,
+    shortlist: int = 32,
+    topk: int = 10,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sub: int = 8,
+) -> DataFrame:
+    """IVF + PQ-ADC re-ranking — the standard 100 TB vector-search
+    serving shape, composed as ONE lazy plan with a FULL exact hash
+    gate:
+
+    1. coarse: ``kmeans_centroids`` trains k cells; every vector is
+       assigned map-only; the query's ``n_probe`` nearest cells (by
+       exact lattice distance) select the candidate set — the scan
+       touches ~n_probe/k of the corpus.
+    2. PQ: ``pq_codebooks`` trains m per-subspace codebooks; each
+       candidate's code is m small ints (the 8-byte-per-vector
+       memory story that makes billion-vector serving fit in RAM).
+    3. ADC (asymmetric distance computation): one m*ks-row lookup
+       table of exact integer distances from the QUERY's subvectors
+       to every subspace centroid — broadcast; each candidate's
+       approximate distance is the sum of m table lookups (exploded
+       codes join the table, partial-combined groupBy sums them).
+       The query's own code attains the per-subspace minima, so the
+       query is provably ADC-rank-1.
+    4. shortlist: top-``shortlist`` by (adc_dist, vec_id) —
+       TakeOrderedAndProject, never a global sort; then EXACT
+       re-rank: the full vectors of only those ``shortlist`` rows
+       are read and scored with the shared sequential-fold cosine.
+
+    Everything upstream of the final top-k is integer arithmetic
+    with deterministic ties, so the DuckDB oracle replays training,
+    encoding, ADC, shortlist, and re-rank bit-for-bit. This is FLAT
+    PQ over the raw lattice (re-rank usage); the residual-encoding
+    IVFADC variant (PQ over vector minus cell centroid) shares this
+    exact skeleton with one extra zip_with."""
+    from etl_macropulse_br_spark.operators.similarity import cosine_sim
+
+    pts = _points(emb, id_col, emb_col)
+    # coarse IVF: cells + probe (identical formulation to
+    # ivf_kmeans_topk so the two oracles share CTEs)
+    cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
+    assign = _assign(pts, cents).select("vec_id", "cluster_id")
+    qpt = pts.filter(F.col("vec_id") == query_id).select(
+        F.col("q").alias("qq")
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("c"), F.col("qq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qpt))
+        .select("cluster_id", qdist.alias("qdist"))
+        .orderBy("qdist", "cluster_id")
+        .limit(n_probe)
+        .select("cluster_id")
+    )
+    cand = assign.join(F.broadcast(probe), "cluster_id", "left_semi").select(
+        "vec_id"
+    )
+
+    # PQ train + encode
+    subpts, cb = pq_codebooks(pts, m, ks, pq_rounds, sub)
+    codes = _pq_assign(subpts, cb).select("vec_id", "s", "code")
+
+    # ADC table: query subvectors vs every subspace centroid
+    qsub = subpts.filter(F.col("vec_id") == query_id).select(
+        F.col("s").alias("qs_s"), F.col("qs").alias("qqs")
+    )
+    qd = F.aggregate(
+        F.zip_with(F.col("c"), F.col("qqs"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    adc = (
+        cb.join(F.broadcast(qsub), F.col("s") == F.col("qs_s"))
+        .select("s", "code", qd.alias("qd"))
+    )
+
+    short = (
+        codes.join(cand, "vec_id", "left_semi")
+        .join(F.broadcast(adc), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(shortlist)
+        .select("vec_id")
+    )
+
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("v"))
+    qv = emb.filter(F.col(id_col) == query_id).select(
+        F.col(emb_col).alias("qv")
+    )
+    return (
+        e.join(short, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", cosine_sim(F.col("v"), F.col("qv")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(topk)
+    )

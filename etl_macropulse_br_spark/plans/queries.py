@@ -74,6 +74,8 @@ Late-r5 aux additions (all locally oracle-gated):
   symmetric, and keep-globally-first forms), embedding_kmeans
   (integer-lattice Lloyd — iterative with a FULL hash gate),
   embedding_ivf_kmeans_topk (train+serve IVF in one lazy plan),
+  embedding_pq_rerank_topk (r6: IVF + product-quantization ADC
+  shortlist + exact re-rank, full integer-lattice hash gate),
   monthly_gapfill_orders (calendar gap-fill with carry-forward),
   docs_token_entropy / docs_bigram_surprisal (distribution-shape
   quality signals; the perplexity-filter shape), docs_stratified_
@@ -3964,6 +3966,133 @@ LIMIT {topk}
 EMBEDDING_IVF_KMEANS_SQL = _ivf_kmeans_sql()
 
 
+def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + product-quantization ADC re-ranking (Jegou et al. 2011)
+    — coarse k-means cells prune the corpus to ~n_probe/k, per-
+    subspace PQ codebooks compress candidates to m small ints, an
+    asymmetric-distance table (query subvectors vs every subspace
+    centroid, m*ks rows, broadcast) scores them with m lookups, and
+    only the top-``shortlist`` rows are re-ranked with the exact
+    sequential-fold cosine (operators/clustering.py:
+    ivf_pq_rerank_topk). Training, encoding, ADC, shortlist, and
+    re-rank are all integer-lattice exact, so the oracle replays the
+    ENTIRE serving pipeline bit-for-bit."""
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_pq_rerank_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_rerank_topk(emb)
+
+
+def _pq_rerank_sql(
+    k: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    n_probe: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    pq_rounds: int = 2,
+    shortlist: int = 32,
+    topk: int = 10,
+    query_id: int = 0,
+    sub: int = 8,
+) -> str:
+    ctes, prev = _kmeans_ctes(k, rounds, dim)
+    dist = _KM_DIST.format(dim=dim)
+    qdist = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (c.c[i] - qq[i]) * (c.c[i] - qq[i])), (a, b) -> a + b)"
+    )
+    subdist = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        "i -> (p.qs[i] - c.c[i]) * (p.qs[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    adcdist = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        "i -> (c.c[i] - q.qqs[i]) * (c.c[i] - q.qqs[i])), "
+        "(a, b) -> a + b)"
+    )
+    sql = f"""
+WITH {ctes}, fin AS (
+  SELECT p.vec_id, c.cluster_id, {dist} AS dist
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cluster_id) = 1
+), qpt AS (
+  SELECT q AS qq FROM pts WHERE vec_id = {query_id}
+), probe AS (
+  SELECT c.cluster_id
+  FROM {prev} c CROSS JOIN qpt
+  ORDER BY {qdist}, c.cluster_id
+  LIMIT {n_probe}
+), cand AS (
+  SELECT f.vec_id FROM fin f SEMI JOIN probe pr ON f.cluster_id = pr.cluster_id
+), sp AS (
+  SELECT vec_id, g.s,
+         list_slice(q, g.s * {sub} + 1, g.s * {sub} + {sub}) AS qs
+  FROM pts, (SELECT unnest(generate_series(0, {m - 1})) AS s) g
+), pcb0 AS (
+  SELECT s, CAST(rn - 1 AS INT) AS code, qs AS c FROM (
+    SELECT s, qs,
+           row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+    FROM sp
+  ) WHERE rn <= {ks}
+)"""
+    prevp = "pcb0"
+    for r in range(1, pq_rounds + 1):
+        sql += f""", pqa{r} AS (
+  SELECT p.vec_id, p.s, p.qs, c.code, {subdist.replace('{prevp}', prevp)} AS dist
+  FROM sp p JOIN {prevp} c ON c.s = p.s
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id, p.s ORDER BY dist, c.code) = 1
+), pqe{r} AS (
+  SELECT s, code, unnest(generate_series(1, {sub})) AS j, qs FROM pqa{r}
+), pqs{r} AS (
+  SELECT s, code, j, sum(qs[j]) AS sm, count(*) AS n
+  FROM pqe{r} GROUP BY s, code, j
+), pcb{r} AS (
+  SELECT s, code,
+         list(CAST((sm - (((sm % n) + n) % n)) / n AS BIGINT) ORDER BY j) AS c
+  FROM pqs{r} GROUP BY s, code
+)"""
+        prevp = f"pcb{r}"
+    sql += f""", codes AS (
+  SELECT p.vec_id, p.s, c.code
+  FROM sp p JOIN {prevp} c ON c.s = p.s
+  QUALIFY row_number() OVER (
+    PARTITION BY p.vec_id, p.s ORDER BY {subdist}, c.code) = 1
+), qsub AS (
+  SELECT s, qs AS qqs FROM sp WHERE vec_id = {query_id}
+), adc AS (
+  SELECT c.s, c.code, {adcdist} AS qd
+  FROM {prevp} c JOIN qsub q ON q.s = c.s
+), short AS (
+  SELECT cd.vec_id, sum(adc.qd) AS adc_dist
+  FROM codes cd
+  SEMI JOIN cand ca ON cd.vec_id = ca.vec_id
+  JOIN adc ON adc.s = cd.s AND adc.code = cd.code
+  GROUP BY cd.vec_id
+  ORDER BY adc_dist, cd.vec_id
+  LIMIT {shortlist}
+), qv_t AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {query_id}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT e.vec_id,
+       {_DOT_SQL.format(a="v", b="qv")}
+       / (sqrt({_DOT_SQL.format(a="v", b="v")})
+          * sqrt({_DOT_SQL.format(a="qv", b="qv")})) AS cosine
+FROM e SEMI JOIN short sh ON e.vec_id = sh.vec_id CROSS JOIN qv_t
+ORDER BY cosine DESC, vec_id
+LIMIT {topk}
+"""
+    return sql
+
+
+EMBEDDING_PQ_RERANK_SQL = _pq_rerank_sql()
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact ANN baseline: top-10 cosine neighbors of
     vec_id=0, deterministic tiebreak on id."""
@@ -5022,6 +5151,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r5: IVF serving over a k-means-trained codebook, train+serve
     # in one lazy plan, full hash gate
     "embedding_ivf_kmeans_topk": embedding_ivf_kmeans_topk,
+    "embedding_pq_rerank_topk": embedding_pq_rerank_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -5125,4 +5255,5 @@ AUX_ORACLES: dict[str, str] = {
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,
+    "embedding_pq_rerank_topk": EMBEDDING_PQ_RERANK_SQL,
 }

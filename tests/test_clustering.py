@@ -185,3 +185,107 @@ def test_ivf_kmeans_topk_probes_cells_and_ranks(spark):
     probed = {assign[0]}  # query's own cell must be probed (dist 0... or minimal)
     cells = {assign[r["vec_id"]] for r in out}
     assert len(cells) <= 2 and assign[0] in cells
+
+
+def test_pq_codebooks_assign_argmin_and_shapes(spark):
+    """PQ codebooks: every (vec, subspace) gets the code whose
+    centroid truly minimizes the integer subvector distance (ties
+    to the lowest code), and codebooks keep <= ks entries per
+    subspace with sub-wide centroids."""
+    import random
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        _points,
+        _pq_assign,
+        pq_codebooks,
+    )
+
+    rng = random.Random(23)
+    dim, m, sub, ks = 8, 4, 2, 4
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pts = _points(emb, "vec_id", "embedding")
+    subpts, cb = pq_codebooks(pts, m=m, ks=ks, rounds=2, sub=sub)
+    cb_rows = cb.collect()
+    assert {r["s"] for r in cb_rows} == set(range(m))
+    for r in cb_rows:
+        assert 0 <= r["code"] < ks and len(r["c"]) == sub
+    books = {}
+    for r in cb_rows:
+        books.setdefault(r["s"], []).append((r["code"], r["c"]))
+    assigned = _pq_assign(subpts, cb).collect()
+    for row in assigned:
+        dists = [
+            (
+                sum((a - b) * (a - b) for a, b in zip(row["qs"], c)),
+                code,
+            )
+            for code, c in books[row["s"]]
+        ]
+        best = min(dists)
+        assert (row["dist"], row["code"]) == best, row
+
+
+def test_ivf_pq_rerank_query_first_and_exact_scores(spark):
+    """IVF-PQ re-rank serving: the query vector is provably
+    ADC-rank-1 (its code attains every per-subspace minimum) so it
+    must come back rank-1 with cosine 1.0; every returned score
+    equals the brute-force sequential-fold cosine; results come
+    only from probed cells."""
+    import random
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        _assign,
+        _points,
+        ivf_pq_rerank_topk,
+        kmeans_centroids,
+    )
+    from etl_macropulse_br_spark.operators.similarity import cosine_sim
+    from pyspark.sql import functions as F
+
+    rng = random.Random(41)
+    dim, n = 8, 60
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-0.4, 0.4) for _ in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivf_pq_rerank_topk(
+        emb, k=4, rounds=2, n_probe=2, m=4, ks=8, pq_rounds=1,
+        shortlist=16, topk=5, sub=2,
+    ).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0
+    assert abs(out[0]["cosine"] - 1.0) < 1e-12
+    # exact re-rank: scores equal brute-force expression cosine
+    ids = [r["vec_id"] for r in out]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    brute = {
+        r["vec_id"]: r["c"]
+        for r in emb.crossJoin(q)
+        .select(
+            "vec_id", cosine_sim(F.col("embedding"), F.col("qv")).alias("c")
+        )
+        .collect()
+    }
+    for r in out:
+        assert r["cosine"] == brute[r["vec_id"]]
+    # containment in probed cells
+    cents = kmeans_centroids(emb, k=4, rounds=2)
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in _assign(
+            _points(emb, "vec_id", "embedding"), cents
+        ).collect()
+    }
+    probed = {assign[i] for i in ids}
+    assert len(probed) <= 2
