@@ -369,6 +369,7 @@ def ivf_pq_rerank_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     sub: int = 8,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF + PQ-ADC re-ranking — the standard 100 TB vector-search
     serving shape, composed as ONE lazy plan with a FULL exact hash
@@ -395,10 +396,17 @@ def ivf_pq_rerank_topk(
 
     Everything upstream of the final top-k is integer arithmetic
     with deterministic ties, so the DuckDB oracle replays training,
-    encoding, ADC, shortlist, and re-rank bit-for-bit. This is FLAT
-    PQ over the raw lattice (re-rank usage); the residual-encoding
-    IVFADC variant (PQ over vector minus cell centroid) shares this
-    exact skeleton with one extra zip_with."""
+    encoding, ADC, shortlist, and re-rank bit-for-bit.
+
+    ``residual=False`` is FLAT PQ over the raw lattice (re-rank
+    usage). ``residual=True`` is the full Jegou IVFADC: codebooks
+    train on (vector - own cell centroid) residuals — integer
+    subtraction, still exact — and the ADC table is built PER
+    PROBED CELL from the query's residual against that cell's
+    centroid (n_probe * m * ks rows, still broadcast-tiny); scores
+    join on (cell, s, code). Residual encoding centers every cell's
+    point cloud, so the shared codebooks spend their ks codes on
+    local structure — the standard recall win at equal bytes."""
     from etl_macropulse_br_spark.operators.similarity import cosine_sim
 
     pts = _points(emb, id_col, emb_col)
@@ -425,33 +433,84 @@ def ivf_pq_rerank_topk(
         "vec_id"
     )
 
-    # PQ train + encode
-    subpts, cb = pq_codebooks(pts, m, ks, pq_rounds, sub)
+    # PQ train + encode (on raw lattice vectors, or on per-cell
+    # residuals for IVFADC)
+    ctab = cents.select("cluster_id", F.col("c").alias("cc"))
+    if residual:
+        enc_pts = (
+            pts.join(assign, "vec_id")
+            .join(F.broadcast(ctab), "cluster_id")
+            .select(
+                "vec_id",
+                F.zip_with("q", "cc", lambda a, b: a - b).alias("q"),
+            )
+        )
+    else:
+        enc_pts = pts
+    subpts, cb = pq_codebooks(enc_pts, m, ks, pq_rounds, sub)
     codes = _pq_assign(subpts, cb).select("vec_id", "s", "code")
 
-    # ADC table: query subvectors vs every subspace centroid
-    qsub = subpts.filter(F.col("vec_id") == query_id).select(
-        F.col("s").alias("qs_s"), F.col("qs").alias("qqs")
-    )
     qd = F.aggregate(
         F.zip_with(F.col("c"), F.col("qqs"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    adc = (
-        cb.join(F.broadcast(qsub), F.col("s") == F.col("qs_s"))
-        .select("s", "code", qd.alias("qd"))
-    )
-
-    short = (
-        codes.join(cand, "vec_id", "left_semi")
-        .join(F.broadcast(adc), ["s", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd").alias("adc_dist"))
-        .orderBy("adc_dist", "vec_id")
-        .limit(shortlist)
-        .select("vec_id")
-    )
+    if residual:
+        # ADC per probed cell: the query's residual against THAT
+        # cell's centroid vs every subspace code
+        qres = (
+            probe.join(F.broadcast(ctab), "cluster_id")
+            .crossJoin(F.broadcast(qpt))
+            .select(
+                "cluster_id",
+                F.zip_with("qq", "cc", lambda a, b: a - b).alias("rq"),
+            )
+        )
+        qsub = qres.select(
+            "cluster_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("qs_s"),
+                            F.slice("rq", s * sub + 1, sub).alias("qqs"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e"),
+        ).select("cluster_id", "e.qs_s", "e.qqs")
+        adc = cb.join(
+            F.broadcast(qsub), F.col("s") == F.col("qs_s")
+        ).select("cluster_id", "s", "code", qd.alias("qd"))
+        short = (
+            codes.join(assign, "vec_id")
+            .join(F.broadcast(probe), "cluster_id", "left_semi")
+            .join(F.broadcast(adc), ["cluster_id", "s", "code"])
+            .groupBy("vec_id")
+            .agg(F.sum("qd").alias("adc_dist"))
+            .orderBy("adc_dist", "vec_id")
+            .limit(shortlist)
+            .select("vec_id")
+        )
+    else:
+        # ADC table: query subvectors vs every subspace centroid
+        qsub = subpts.filter(F.col("vec_id") == query_id).select(
+            F.col("s").alias("qs_s"), F.col("qs").alias("qqs")
+        )
+        adc = (
+            cb.join(F.broadcast(qsub), F.col("s") == F.col("qs_s"))
+            .select("s", "code", qd.alias("qd"))
+        )
+        short = (
+            codes.join(cand, "vec_id", "left_semi")
+            .join(F.broadcast(adc), ["s", "code"])
+            .groupBy("vec_id")
+            .agg(F.sum("qd").alias("adc_dist"))
+            .orderBy("adc_dist", "vec_id")
+            .limit(shortlist)
+            .select("vec_id")
+        )
 
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("v"))
     qv = emb.filter(F.col(id_col) == query_id).select(
@@ -465,4 +524,99 @@ def ivf_pq_rerank_topk(
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(topk)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"):
+    embedding-space near-duplicate pruning via k-means blocking —
+    pairwise cosine is computed only WITHIN a cluster, never across
+    the corpus, which is the paper's trick for making semantic
+    dedup tractable at web scale (cluster count scales with corpus
+    size, so per-cluster pair work stays bounded).
+
+    Keep policy: among two semantic duplicates (cosine >=
+    ``threshold``, same cluster) the member FARTHER from its
+    centroid survives — the paper's keep-low-centroid-similarity
+    rule for diversity — applied pairwise (a row is dropped if ANY
+    same-cluster neighbor above threshold beats it on
+    (centroid_dist, id)), the same lazy pair-loser shape as the
+    curation flagship rather than a connected-components pass.
+    Centroid distance is the EXACT integer-lattice distance and the
+    cosine is the shared sequential fold, so the whole operator
+    hash-gates cross-engine.
+
+    Returns (vec_id, cluster_id, centroid_dist, n_sem_dups, keep).
+
+    Scale shape: training + assignment as in :mod:`clustering`
+    (map-only assign, bounded update shuffles); the within-cluster
+    self-join shuffles on cluster_id and is quadratic only in
+    CLUSTER size — at 100 TB you grow k with the corpus (the paper
+    uses k ~ sqrt(n)) to hold E[cluster] fixed."""
+    from etl_macropulse_br_spark.operators.similarity import cosine_sim
+
+    pts = _points(emb, id_col, emb_col)
+    cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("v")
+    )
+    assigned = (
+        _assign(pts, cents)
+        .select("vec_id", "cluster_id", F.col("dist").alias("cdist"))
+        .join(e, "vec_id")
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cdist").alias("cdist_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("cdist").alias("cdist_b"),
+        F.col("v").alias("v_b"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            cosine_sim(F.col("v_a"), F.col("v_b")) >= F.lit(threshold)
+        )
+    )
+    # id_a loses when the neighbor is farther from the centroid
+    # (keep-diverse), ties to the lower id
+    losing = pairs.filter(
+        (F.col("cdist_b") > F.col("cdist_a"))
+        | (
+            (F.col("cdist_b") == F.col("cdist_a"))
+            & (F.col("id_b") < F.col("id_a"))
+        )
+    )
+    dup_stats = pairs.groupBy(F.col("id_a").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_sem_dups")
+    )
+    losers = losing.select(F.col("id_a").alias("vec_id")).distinct()
+    return (
+        assigned.join(dup_stats, "vec_id", "left")
+        .join(
+            losers.withColumn("__lost", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("cdist").alias("centroid_dist"),
+            F.coalesce("n_sem_dups", F.lit(0)).cast("bigint").alias(
+                "n_sem_dups"
+            ),
+            F.coalesce("__lost", F.lit(False)).alias("dropped"),
+        )
     )

@@ -76,6 +76,9 @@ Late-r5 aux additions (all locally oracle-gated):
   embedding_ivf_kmeans_topk (train+serve IVF in one lazy plan),
   embedding_pq_rerank_topk (r6: IVF + product-quantization ADC
   shortlist + exact re-rank, full integer-lattice hash gate),
+  embedding_ivfadc_topk (r6: residual-encoding IVFADC — per-probed-
+  cell ADC tables), embedding_semdedup (r6: SemDeDup k-means-blocked
+  semantic dedup, keep-farthest-from-centroid policy),
   monthly_gapfill_orders (calendar gap-fill with carry-forward),
   docs_token_entropy / docs_bigram_surprisal (distribution-shape
   quality signals; the perplexity-filter shape), docs_stratified_
@@ -3997,6 +4000,7 @@ def _pq_rerank_sql(
     topk: int = 10,
     query_id: int = 0,
     sub: int = 8,
+    residual: bool = False,
 ) -> str:
     ctes, prev = _kmeans_ctes(k, rounds, dim)
     dist = _KM_DIST.format(dim=dim)
@@ -4027,10 +4031,14 @@ WITH {ctes}, fin AS (
   LIMIT {n_probe}
 ), cand AS (
   SELECT f.vec_id FROM fin f SEMI JOIN probe pr ON f.cluster_id = pr.cluster_id
+), g AS (
+  SELECT unnest(generate_series(0, {m - 1})) AS s
+), enc AS (
+  {"SELECT f.vec_id, list_transform(generate_series(1, %d), i -> p.q[i] - c.c[i]) AS q FROM fin f JOIN pts p ON p.vec_id = f.vec_id JOIN %s c ON c.cluster_id = f.cluster_id" % (dim, prev) if residual else "SELECT vec_id, q FROM pts"}
 ), sp AS (
   SELECT vec_id, g.s,
          list_slice(q, g.s * {sub} + 1, g.s * {sub} + {sub}) AS qs
-  FROM pts, (SELECT unnest(generate_series(0, {m - 1})) AS s) g
+  FROM enc, g
 ), pcb0 AS (
   SELECT s, CAST(rn - 1 AS INT) AS code, qs AS c FROM (
     SELECT s, qs,
@@ -4060,7 +4068,32 @@ WITH {ctes}, fin AS (
   FROM sp p JOIN {prevp} c ON c.s = p.s
   QUALIFY row_number() OVER (
     PARTITION BY p.vec_id, p.s ORDER BY {subdist}, c.code) = 1
+)"""
+    if residual:
+        sql += f""", qres AS (
+  SELECT pr.cluster_id,
+         list_transform(generate_series(1, {dim}), i -> qq[i] - c.c[i]) AS rq
+  FROM probe pr JOIN {prev} c ON c.cluster_id = pr.cluster_id CROSS JOIN qpt
 ), qsub AS (
+  SELECT cluster_id, g.s,
+         list_slice(rq, g.s * {sub} + 1, g.s * {sub} + {sub}) AS qqs
+  FROM qres, g
+), adc AS (
+  SELECT q.cluster_id, c.s, c.code, {adcdist} AS qd
+  FROM {prevp} c JOIN qsub q ON q.s = c.s
+), short AS (
+  SELECT cd.vec_id, sum(adc.qd) AS adc_dist
+  FROM codes cd
+  JOIN fin f ON f.vec_id = cd.vec_id
+  SEMI JOIN probe pr2 ON f.cluster_id = pr2.cluster_id
+  JOIN adc ON adc.cluster_id = f.cluster_id
+          AND adc.s = cd.s AND adc.code = cd.code
+  GROUP BY cd.vec_id
+  ORDER BY adc_dist, cd.vec_id
+  LIMIT {shortlist}
+)"""
+    else:
+        sql += f""", qsub AS (
   SELECT s, qs AS qqs FROM sp WHERE vec_id = {query_id}
 ), adc AS (
   SELECT c.s, c.code, {adcdist} AS qd
@@ -4073,7 +4106,8 @@ WITH {ctes}, fin AS (
   GROUP BY cd.vec_id
   ORDER BY adc_dist, cd.vec_id
   LIMIT {shortlist}
-), qv_t AS (
+)"""
+    sql += f""", qv_t AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
   WHERE vec_id = {query_id}
 ), e AS (
@@ -4091,6 +4125,92 @@ LIMIT {topk}
 
 
 EMBEDDING_PQ_RERANK_SQL = _pq_rerank_sql()
+
+
+def embedding_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoding IVFADC (Jegou et al. 2011's full
+    construction): PQ codebooks train on (vector - own cell
+    centroid) integer residuals and the ADC table is built per
+    probed cell from the query's residual against that cell's
+    centroid — scores join on (cell, subspace, code). Same exact
+    integer gate as the flat variant
+    (operators/clustering.py:ivf_pq_rerank_topk residual=True)."""
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_pq_rerank_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_rerank_topk(emb, residual=True)
+
+
+EMBEDDING_IVFADC_SQL = _pq_rerank_sql(residual=True)
+
+
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic near-duplicate
+    pruning with k-means blocking: pairwise cosine only within a
+    cluster, keep-the-farther-from-centroid pair-loser policy
+    (operators/clustering.py:semantic_dedup). Exact lattice centroid
+    distances + shared-fold cosine -> full hash gate on an
+    embedding-space dedup that includes its own iterative
+    training."""
+    from etl_macropulse_br_spark.operators.clustering import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # the synthetic embeddings have no true 0.95-cosine duplicates
+    # (max pairwise cosine ~0.51), so the gate runs at 0.4 to
+    # exercise pairing + keep policy; the operator default stays the
+    # paper's production threshold
+    return semantic_dedup(emb, threshold=0.4)
+
+
+def _semdedup_sql(
+    k: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    threshold: float = 0.95,
+) -> str:
+    ctes, prev = _kmeans_ctes(k, rounds, dim)
+    dist = _KM_DIST.format(dim=dim)
+    cos = (
+        f"{_DOT_SQL.format(a='a.v', b='b.v')}"
+        f" / (sqrt({_DOT_SQL.format(a='a.v', b='a.v')})"
+        f" * sqrt({_DOT_SQL.format(a='b.v', b='b.v')}))"
+    )
+    return f"""
+WITH {ctes}, fin AS (
+  SELECT p.vec_id, c.cluster_id, {dist} AS dist
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cluster_id) = 1
+), ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), asg AS (
+  SELECT f.vec_id, f.cluster_id, f.dist AS cdist, ev.v
+  FROM fin f JOIN ev ON ev.vec_id = f.vec_id
+), prs AS (
+  SELECT a.vec_id AS id_a, a.cdist AS cdist_a,
+         b.vec_id AS id_b, b.cdist AS cdist_b
+  FROM asg a JOIN asg b
+    ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+  WHERE {cos} >= {threshold}
+), stats AS (
+  SELECT id_a AS vec_id, count(*) AS n FROM prs GROUP BY id_a
+), losers AS (
+  SELECT DISTINCT id_a AS vec_id FROM prs
+  WHERE cdist_b > cdist_a OR (cdist_b = cdist_a AND id_b < id_a)
+)
+SELECT asg.vec_id,
+       CAST(asg.cluster_id AS INT) AS cluster_id,
+       CAST(asg.cdist AS BIGINT) AS centroid_dist,
+       CAST(coalesce(stats.n, 0) AS BIGINT) AS n_sem_dups,
+       (losers.vec_id IS NOT NULL) AS dropped
+FROM asg
+LEFT JOIN stats ON stats.vec_id = asg.vec_id
+LEFT JOIN losers ON losers.vec_id = asg.vec_id
+"""
+
+
+EMBEDDING_SEMDEDUP_SQL = _semdedup_sql(threshold=0.4)
 
 
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5152,6 +5272,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # in one lazy plan, full hash gate
     "embedding_ivf_kmeans_topk": embedding_ivf_kmeans_topk,
     "embedding_pq_rerank_topk": embedding_pq_rerank_topk,
+    "embedding_ivfadc_topk": embedding_ivfadc_topk,
+    "embedding_semdedup": embedding_semdedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -5256,4 +5378,6 @@ AUX_ORACLES: dict[str, str] = {
     "monthly_gapfill_orders": MONTHLY_GAPFILL_ORDERS_SQL,
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,
     "embedding_pq_rerank_topk": EMBEDDING_PQ_RERANK_SQL,
+    "embedding_ivfadc_topk": EMBEDDING_IVFADC_SQL,
+    "embedding_semdedup": EMBEDDING_SEMDEDUP_SQL,
 }

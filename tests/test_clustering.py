@@ -289,3 +289,111 @@ def test_ivf_pq_rerank_query_first_and_exact_scores(spark):
     }
     probed = {assign[i] for i in ids}
     assert len(probed) <= 2
+
+
+def test_semantic_dedup_drops_all_but_farthest_from_centroid(spark):
+    """SemDeDup keep policy: within a planted group of mutual
+    semantic duplicates (same cluster by construction), every
+    member except the one farthest from the cluster centroid is
+    dropped; singletons and sub-threshold neighbors are kept."""
+    import random
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+
+    def jitter(base, eps, n):
+        return [
+            [x + rng.uniform(-eps, eps) for x in base] for _ in range(n)
+        ]
+
+    base_a = [1.0, 0.2, -0.5, 0.8, 0.1, -0.3, 0.6, -0.9]
+    base_b = [-0.7, 0.9, 0.4, -0.2, 0.8, 0.5, -0.6, 0.3]
+    rows = []
+    vid = 0
+    for v in jitter(base_a, 0.001, 3):  # group A: 3 mutual dups
+        rows.append((vid, v)); vid += 1
+    for v in jitter(base_b, 0.001, 2):  # group B: 2 mutual dups
+        rows.append((vid, v)); vid += 1
+    for _ in range(20):                 # scattered singletons
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, k=4, rounds=2, threshold=0.99).collect()
+    }
+    for group in ([0, 1, 2], [3, 4]):
+        rs = [out[i] for i in group]
+        assert len({r["cluster_id"] for r in rs}) == 1  # co-clustered
+        for r in rs:
+            assert r["n_sem_dups"] == len(group) - 1
+        survivors = [r for r in rs if not r["dropped"]]
+        assert len(survivors) == 1
+        expect = max(rs, key=lambda r: (r["centroid_dist"], -r["vec_id"]))
+        assert survivors[0]["vec_id"] == expect["vec_id"]
+    # scattered points: no dups, never dropped
+    for i in range(5, 25):
+        assert out[i]["n_sem_dups"] == 0 and not out[i]["dropped"]
+
+
+def test_ivfadc_residual_matches_semantics(spark):
+    """Residual-encoding IVFADC: rank-1 is the query with cosine
+    1.0 (shortlist covers the probed candidate set here), every
+    score equals brute-force cosine, and the result set comes from
+    probed cells only."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        _assign,
+        _points,
+        ivf_pq_rerank_topk,
+        kmeans_centroids,
+    )
+    from etl_macropulse_br_spark.operators.similarity import cosine_sim
+
+    rng = random.Random(43)
+    dim, n = 8, 60
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-0.4, 0.4) for _ in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivf_pq_rerank_topk(
+        emb, k=4, rounds=2, n_probe=2, m=4, ks=8, pq_rounds=1,
+        shortlist=64, topk=5, sub=2, residual=True,
+    ).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0
+    assert abs(out[0]["cosine"] - 1.0) < 1e-12
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    brute = {
+        r["vec_id"]: r["c"]
+        for r in emb.crossJoin(q)
+        .select(
+            "vec_id",
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("c"),
+        )
+        .collect()
+    }
+    for r in out:
+        assert r["cosine"] == brute[r["vec_id"]]
+    cents = kmeans_centroids(emb, k=4, rounds=2)
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in _assign(
+            _points(emb, "vec_id", "embedding"), cents
+        ).collect()
+    }
+    assert len({assign[r["vec_id"]] for r in out}) <= 2
