@@ -63,7 +63,11 @@ def timed_count(df: DataFrame) -> tuple[float, int]:
 
 
 def main() -> None:
-    from etl_macropulse_br_spark.operators.clustering import kmeans_stats
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_pq_rerank_topk,
+        kmeans_stats,
+        semantic_dedup,
+    )
     from etl_macropulse_br_spark.operators.dedup import (
         chunk_dedup_clean,
         exact_dedup,
@@ -137,6 +141,18 @@ def main() -> None:
         # k*d-bounded per partition, so KX points ~= K* assignment cost
         "kmeans(embeddings)": lambda k: kmeans_stats(
             replicate(emb, k, "vec_id"), rounds=2
+        ),
+        # r6: IVF-PQ serving — training/encoding are linear (map-only
+        # assignment, bounded update shuffles); ADC scoring touches
+        # only probed cells; shortlist is TakeOrderedAndProject
+        "ivf_pq_rerank(embeddings)": lambda k: ivf_pq_rerank_topk(
+            replicate(emb, k, "vec_id")
+        ),
+        # r6: SemDeDup — within-cluster pairs only; K exact copies
+        # keep cluster count fixed so pair work grows with cluster
+        # size (the documented k-grows-with-corpus deployment knob)
+        "semantic_dedup(embeddings)": lambda k: semantic_dedup(
+            replicate(emb, k, "vec_id"), threshold=0.4
         ),
     }
 
