@@ -79,6 +79,8 @@ Late-r5 aux additions (all locally oracle-gated):
   embedding_ivfadc_topk (r6: residual-encoding IVFADC — per-probed-
   cell ADC tables), embedding_semdedup (r6: SemDeDup k-means-blocked
   semantic dedup, keep-farthest-from-centroid policy),
+  docs_curated_semantic (r6: the full text curation pipeline joined
+  with the embedding-side SemDeDup gate — cross-modal, one plan),
   monthly_gapfill_orders (calendar gap-fill with carry-forward),
   docs_token_entropy / docs_bigram_surprisal (distribution-shape
   quality signals; the perplexity-filter shape), docs_stratified_
@@ -4213,6 +4215,43 @@ LEFT JOIN losers ON losers.vec_id = asg.vec_id
 EMBEDDING_SEMDEDUP_SQL = _semdedup_sql(threshold=0.4)
 
 
+def docs_curated_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL curation: the full text-side pipeline
+    (docs_curated_full: quality -> boilerplate -> exact dedup -> CC
+    survivors -> decontamination -> model score -> split -> span
+    removal) composed with the EMBEDDING-side SemDeDup gate —
+    vec_id aligns 1:1 with doc_id in the testdata, the realistic
+    layout where a curation job owns both the text and its
+    embedding. A doc survives iff it passes every text gate AND is
+    not a semantic duplicate loser. One lazy plan across two
+    tables; the embedding side reuses the trained k-means from
+    semantic_dedup (threshold 0.4 — see embedding_semdedup on why
+    the synthetic corpus gates below the 0.95 production value)."""
+    from etl_macropulse_br_spark.operators.clustering import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    keeps = (
+        semantic_dedup(emb, threshold=0.4)
+        .filter(~F.col("dropped"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return (
+        docs_curated_full(spark, sf_dir)
+        .join(keeps, "doc_id")
+        .select("doc_id", "split", "n_span_tokens_dropped", "clean_text")
+    )
+
+
+DOCS_CURATED_SEMANTIC_SQL = f"""
+WITH curated AS ({DOCS_CURATED_FULL_SQL}),
+sem AS ({EMBEDDING_SEMDEDUP_SQL})
+SELECT c.doc_id, c.split, c.n_span_tokens_dropped, c.clean_text
+FROM curated c
+JOIN sem ON sem.vec_id = c.doc_id AND NOT sem.dropped
+"""
+
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact ANN baseline: top-10 cosine neighbors of
     vec_id=0, deterministic tiebreak on id."""
@@ -5273,6 +5312,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "embedding_ivf_kmeans_topk": embedding_ivf_kmeans_topk,
     "embedding_pq_rerank_topk": embedding_pq_rerank_topk,
     "embedding_ivfadc_topk": embedding_ivfadc_topk,
+    "docs_curated_semantic": docs_curated_semantic,
     "embedding_semdedup": embedding_semdedup,
 }
 
@@ -5379,5 +5419,6 @@ AUX_ORACLES: dict[str, str] = {
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,
     "embedding_pq_rerank_topk": EMBEDDING_PQ_RERANK_SQL,
     "embedding_ivfadc_topk": EMBEDDING_IVFADC_SQL,
+    "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
     "embedding_semdedup": EMBEDDING_SEMDEDUP_SQL,
 }
