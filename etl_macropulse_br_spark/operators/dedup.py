@@ -583,10 +583,19 @@ def srp_banded(
     partial per id. The groupBy exchange ships n_bands*n_planes
     partial doubles per vector — no heavier than the vector itself.
     """
-    from etl_macropulse_br_spark.operators.util import spread
+    from etl_macropulse_br_spark.operators.util import (
+        small_input_profile,
+        spread,
+    )
 
     n_pl = n_bands * n_planes
-    elems = spread(df).select(
+    # spread() is profile-gated like props_struct_parse: under the
+    # small-input profile the repartition exchange costs more than
+    # the per-row projections it parallelizes (measured ~0.1 s on
+    # the 2k-vector bench input); at cluster scale multi-file
+    # inputs make it a no-op anyway.
+    src = df if small_input_profile(df) else spread(df)
+    elems = src.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("i", "x"),
     )
@@ -686,20 +695,23 @@ def embedding_near_dups(
         .distinct()  # a pair colliding in several bands verifies once
     )
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # the two broadcast lookup builds schedule as their own jobs
-    # under the bench profile (~2 of the query's 3 jobs) but each is
-    # a bare scan; measured alternatives lose — shuffle-hash hints
-    # re-run the banding pipeline through two extra exchanges
-    # (0.61-0.76 s -> 0.79-0.91 s at sf0.1)
-    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    # Both vector lookups join the IDENTICAL subplan `e` (no column
+    # renames), so the two builds canonicalize to one exchange and
+    # ReuseExchange shares it — one lookup build instead of two
+    # (r6, measured ~0.1 s off the query under the bench profile).
+    # No broadcast hint: the bench profile auto-broadcasts under
+    # the 16m threshold, while at corpus scale AQE/stats pick a
+    # shuffle join — hard-hinting the full embedding table would be
+    # an OOM at 100 TB.
+    j1 = cands.join(e, F.col("id_a") == e["id"]).select(
+        "id_a", "id_b", F.col("v").alias("v_a")
+    )
     return (
-        cands.join(ea, "id_a")
-        .join(eb, "id_b")
+        j1.join(e, F.col("id_b") == e["id"])
         .select(
             "id_a",
             "id_b",
-            cosine_sim(F.col("v_a"), F.col("v_b")).alias("cosine"),
+            cosine_sim(F.col("v_a"), F.col("v")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
