@@ -335,15 +335,22 @@ def ngram_jaccard_pairs(
         rows.groupBy("id")
         .agg(F.collect_set("sh_h").alias("sh"))
     )
+    # both lookups join the IDENTICAL `sh` subplan (rename AFTER the
+    # join, not before) so the two builds canonicalize to one
+    # exchange and ReuseExchange shares it — the shingle-set
+    # aggregate runs once per action instead of twice (r6; same
+    # pattern as embedding_near_dups' verify)
+    j1 = pairs.join(sh, F.col("id_a") == sh["id"]).select(
+        "id_a", "id_b", F.col("sh").alias("sh_a")
+    )
     return (
-        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        j1.join(sh, F.col("id_b") == sh["id"])
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                F.size(F.array_intersect("sh_a", "sh"))
+                / F.size(F.array_union("sh_a", "sh"))
             ).alias("jaccard"),
         )
     )
