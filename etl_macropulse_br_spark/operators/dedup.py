@@ -1301,14 +1301,17 @@ def containment_pairs(
         .distinct()
     )
     sets = rows.groupBy("id").agg(F.collect_set("sh_h").alias("sh"))
-    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # rename AFTER each join so both lookups share one canonical
+    # shingle-set build (ReuseExchange — same fix as the Jaccard and
+    # SRP verify stages)
+    j1 = cand.join(sets, F.col("id_a") == sets["id"]).select(
+        "id_a", "id_b", F.col("sh").alias("sh_a")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh"))
     c_a = inter / F.size("sh_a")
-    c_b = inter / F.size("sh_b")
+    c_b = inter / F.size("sh")
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        j1.join(sets, F.col("id_b") == sets["id"])
         .select(
             "id_a",
             "id_b",

@@ -695,3 +695,109 @@ def bigram_surprisal(
             ),
         )
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 2,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc
+    by ``log2 p_target(x) / p_raw(x)`` under bag-of-hashed-n-gram
+    unigram models with add-one smoothing — the data-selection
+    signal used to tilt a web corpus toward a target domain. This
+    emits the WEIGHT column; composing a sampler is a separate
+    stage (the repo's hash-rate / exact-k stratified samplers, or
+    Gumbel-top-k for true importance resampling).
+
+    Exactness: features are the shared affine shingle hash stream
+    (BAG counts, not the set form the dedup family uses) bucketed
+    ``pmod n_buckets``; both model's count tables are integers with
+    map-side partial combine (each <= n_buckets rows — broadcast
+    scale regardless of corpus size); the per-doc log fold runs
+    over a bucket-sorted collect_list so float accumulation order
+    is deterministic, with the constant totals term applied once
+    outside the fold; 9dp-rounded for the cross-engine gate.
+
+    Scale shape: two map-only feature streams, int-only shuffles,
+    two <=B-row broadcast joins, no driver actions.
+    """
+    from etl_macropulse_br_spark.functions.hashing import base32
+    from etl_macropulse_br_spark.operators.dedup import _SHINGLE_COEFS
+    from etl_macropulse_br_spark.operators.util import spread
+
+    B = n_buckets
+    norm = lambda c: F.regexp_replace(  # noqa: E731
+        F.lower(F.trim(F.col(c))), r"\s+", " "
+    )
+
+    def bag_buckets(d: DataFrame) -> DataFrame:
+        toks = F.split(norm(text_col), r"\s+")
+        with_th = spread(d).select(
+            F.col(id_col).alias("id"),
+            F.transform(toks, lambda t: base32(t)).alias("th"),
+        )
+        n_sh = F.greatest(
+            F.size("th") - F.lit(n_shingle - 1), F.lit(1)
+        )
+
+        def gram(i):
+            g = None
+            for j, coef in enumerate(_SHINGLE_COEFS[:n_shingle]):
+                term = F.coalesce(
+                    F.element_at(F.col("th"), i + F.lit(j)), F.lit(0)
+                ) * F.lit(coef)
+                g = term if g is None else g + term
+            return g
+
+        return with_th.select(
+            "id",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), n_sh), gram)
+            ).alias("g_h"),
+        ).select("id", F.pmod("g_h", F.lit(B)).alias("b"))
+
+    docb = bag_buckets(df).groupBy("id", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    raw_b = docb.groupBy("b").agg(F.sum("n").alias("cr"))
+    tgt_b = bag_buckets(target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = (
+        raw_b.agg(F.sum("cr").alias("tr"))
+        .crossJoin(
+            tgt_b.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+        )
+    )
+    joined = (
+        docb.join(F.broadcast(raw_b), "b")
+        .join(F.broadcast(tgt_b), "b", "left")
+        .select(
+            "id", "b", "n", F.coalesce("ct", F.lit(0)).alias("ct"), "cr"
+        )
+    )
+    per_doc = joined.groupBy("id").agg(
+        F.sum("n").alias("nf"),
+        F.array_sort(
+            F.collect_list(F.struct("b", "n", "ct", "cr"))
+        ).alias("cs"),
+    )
+    term = lambda s: s["n"].cast("double") * (  # noqa: E731
+        F.log2((s["ct"] + F.lit(1)).cast("double"))
+        - F.log2((s["cr"] + F.lit(1)).cast("double"))
+    )
+    fold = F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, s: acc + term(s))
+    w = fold + F.col("nf").cast("double") * (
+        F.log2((F.col("tr") + F.lit(B)).cast("double"))
+        - F.log2((F.col("tt") + F.lit(B)).cast("double"))
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        F.col("id").alias(id_col),
+        F.col("nf").cast("bigint").alias("n_feats"),
+        F.round(w, 9).alias("log2_weight"),
+    )

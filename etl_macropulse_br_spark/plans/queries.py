@@ -81,6 +81,8 @@ Late-r5 aux additions (all locally oracle-gated):
   semantic dedup, keep-farthest-from-centroid policy),
   docs_curated_semantic (r6: the full text curation pipeline joined
   with the embedding-side SemDeDup gate — cross-modal, one plan),
+  docs_dsir_weights (r6: DSIR importance weights — hashed-bigram
+  target/raw likelihood ratio, Xie et al. 2023),
   monthly_gapfill_orders (calendar gap-fill with carry-forward),
   docs_token_entropy / docs_bigram_surprisal (distribution-shape
   quality signals; the perplexity-filter shape), docs_stratified_
@@ -3648,6 +3650,79 @@ FROM per_doc
 DOCS_TOKEN_ENTROPY_SQL = _token_entropy_sql()
 
 
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection weights (Xie et al. 2023): log2 of the
+    target/raw likelihood ratio per doc under hashed-bigram unigram
+    models, target = the corpus' English subset
+    (operators/text.py:dsir_log_weights). Int count tables, <=B-row
+    broadcast ratio join, bucket-sorted float fold, 9dp gate."""
+    from etl_macropulse_br_spark.operators.text import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+def _dsir_sql(n_buckets: int = 1024) -> str:
+    from etl_macropulse_br_spark.functions.hashing import base32_sql
+    from etl_macropulse_br_spark.operators.dedup import _SHINGLE_COEFS
+
+    c0, c1 = _SHINGLE_COEFS[0], _SHINGLE_COEFS[1]
+    B = n_buckets
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS ntoks
+  FROM documents
+), h_t AS (
+  SELECT doc_id, lang,
+         list_transform(ntoks, tok -> {base32_sql("tok")}) AS th
+  FROM t
+), bag AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           generate_series(1, greatest(len(th) - 1, 1)),
+           i -> coalesce(th[i], 0) * {c0} + coalesce(th[i + 1], 0) * {c1}
+         )) AS g
+  FROM h_t
+), bb AS (
+  SELECT doc_id, lang, ((g % {B}) + {B}) % {B} AS b FROM bag
+), docb AS (
+  SELECT doc_id, b, count(*) AS n FROM bb GROUP BY doc_id, b
+), rawb AS (
+  SELECT b, sum(n) AS cr FROM docb GROUP BY b
+), tgtb AS (
+  SELECT b, count(*) AS ct FROM bb WHERE lang = 'en' GROUP BY b
+), tot AS (
+  SELECT (SELECT sum(cr) FROM rawb) AS tr,
+         (SELECT coalesce(sum(ct), 0) FROM tgtb) AS tt
+), per AS (
+  SELECT doc_id, sum(n) AS nf,
+         list({{'b': b, 'n': n, 'ct': ct, 'cr': cr}} ORDER BY b) AS cs
+  FROM (
+    SELECT docb.doc_id, docb.b, docb.n,
+           coalesce(tgtb.ct, 0) AS ct, rawb.cr
+    FROM docb JOIN rawb USING (b) LEFT JOIN tgtb USING (b)
+  )
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_feats,
+       round(
+         list_reduce(list_prepend(0.0, list_transform(cs,
+           s -> CAST(s.n AS DOUBLE)
+                * (log2(CAST(s.ct + 1 AS DOUBLE))
+                   - log2(CAST(s.cr + 1 AS DOUBLE))))),
+           (a, x) -> a + x)
+         + CAST(nf AS DOUBLE)
+           * (log2(CAST(tr + {B} AS DOUBLE))
+              - log2(CAST(tt + {B} AS DOUBLE))), 9) AS log2_weight
+FROM per CROSS JOIN tot
+"""
+
+
+DOCS_DSIR_SQL = _dsir_sql()
+
+
 def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-filter shape: per-doc bits-per-token under a
     corpus-trained add-one bigram LM (operators/text.py:
@@ -5313,6 +5388,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "embedding_pq_rerank_topk": embedding_pq_rerank_topk,
     "embedding_ivfadc_topk": embedding_ivfadc_topk,
     "docs_curated_semantic": docs_curated_semantic,
+    "docs_dsir_weights": docs_dsir_weights,
     "embedding_semdedup": embedding_semdedup,
 }
 
@@ -5420,5 +5496,6 @@ AUX_ORACLES: dict[str, str] = {
     "embedding_pq_rerank_topk": EMBEDDING_PQ_RERANK_SQL,
     "embedding_ivfadc_topk": EMBEDDING_IVFADC_SQL,
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
+    "docs_dsir_weights": DOCS_DSIR_SQL,
     "embedding_semdedup": EMBEDDING_SEMDEDUP_SQL,
 }

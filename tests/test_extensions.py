@@ -1273,3 +1273,33 @@ def test_containment_blocking_recall_on_planted_subdocs(spark):
     # under the df cap — the documented recall bound
     boiler_pairs = {p for p in true if 200 in p}
     assert boiler_pairs and not (boiler_pairs & found)
+
+
+def test_dsir_weights_rank_target_domain_higher(spark):
+    """DSIR sanity: docs built from the target domain's vocabulary
+    get a strictly higher log-likelihood-ratio weight than
+    off-domain docs; output is deterministic across runs."""
+    from etl_macropulse_br_spark.operators.text import dsir_log_weights
+
+    on = "alpha beta gamma delta alpha beta gamma"
+    off = "omega psi chi phi omega psi chi"
+    docs = spark.createDataFrame(
+        [
+            (1, on), (2, on + " epsilon"), (3, off), (4, off + " nu"),
+            (5, "alpha beta omega psi gamma chi"),  # mixed
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.filter(docs.doc_id.isin(1, 2))
+    out = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(docs, target).collect()
+    }
+    assert out[1]["log2_weight"] > out[5]["log2_weight"] > out[3]["log2_weight"]
+    assert out[2]["log2_weight"] > out[4]["log2_weight"]
+    assert out[1]["n_feats"] == 6  # bigrams of a 7-token doc
+    again = {
+        r["doc_id"]: r["log2_weight"]
+        for r in dsir_log_weights(docs, target).collect()
+    }
+    assert again == {k: v["log2_weight"] for k, v in out.items()}
