@@ -192,3 +192,39 @@ def exact_ntile_stats(
         "min_val",
         "max_val",
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement via the
+    Efraimidis-Spirakis (2006) one-pass reservoir key: each row
+    draws key ``u^(1/w)`` (compared in the monotone-equivalent
+    log form ``ln(u) / w``) and the k largest keys are exactly a
+    weight-proportional sample without replacement. The uniform
+    ``u`` derives from the portable md5 family over (seed, id) —
+    deterministic, engine-replayable "randomness", the same device
+    as the hash split/samplers — so the selected SET is stable and
+    oracle-checkable rather than a Monte Carlo draw.
+
+    Scale shape: one map-only projection + TakeOrderedAndProject —
+    no shuffle, no global sort, any corpus size. Weights must be
+    strictly positive doubles.
+    """
+    from etl_macropulse_br_spark.functions.hashing import md5_long
+
+    two53 = float(1 << 53)
+    u = (
+        F.pmod(md5_long(F.col(id_col).cast("string"), seed=seed),
+               F.lit(1 << 53)).cast("double") + F.lit(1.0)
+    ) / F.lit(two53 + 2.0)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -82,7 +82,9 @@ Late-r5 aux additions (all locally oracle-gated):
   docs_curated_semantic (r6: the full text curation pipeline joined
   with the embedding-side SemDeDup gate — cross-modal, one plan),
   docs_dsir_weights (r6: DSIR importance weights — hashed-bigram
-  target/raw likelihood ratio, Xie et al. 2023),
+  target/raw likelihood ratio, Xie et al. 2023), docs_dsir_sample
+  (r6: Efraimidis-Spirakis without-replacement importance
+  resampling over those weights, deterministic md5 uniforms),
   monthly_gapfill_orders (calendar gap-fill with carry-forward),
   docs_token_entropy / docs_bigram_surprisal (distribution-shape
   quality signals; the perplexity-filter shape), docs_stratified_
@@ -3723,6 +3725,44 @@ FROM per CROSS JOIN tot
 DOCS_DSIR_SQL = _dsir_sql()
 
 
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance RESAMPLING over the DSIR weights — the second half
+    of the Xie et al. 2023 pipeline: Efraimidis-Spirakis
+    without-replacement keys (deterministic md5-derived uniforms)
+    select k=100 docs with probability proportional to the
+    target/raw likelihood ratio (operators/features.py:
+    weighted_sample). Map-only key projection +
+    TakeOrderedAndProject — no shuffle at any corpus size."""
+    from etl_macropulse_br_spark.operators.features import weighted_sample
+    from etl_macropulse_br_spark.operators.text import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs, docs.filter(F.col("lang") == "en")).select(
+        "doc_id",
+        F.pow(F.lit(2.0), F.col("log2_weight")).alias("w"),
+    )
+    return weighted_sample(w, "w", k=100).select(
+        "doc_id", F.round("es_key", 9).alias("es_key")
+    )
+
+
+DOCS_DSIR_SAMPLE_SQL = f"""
+WITH dw AS ({DOCS_DSIR_SQL}),
+keyed AS (
+  SELECT doc_id,
+         ln((((({md5_long_sql("CAST(doc_id AS VARCHAR)", seed=0)}
+               % {1 << 53}) + {1 << 53}) % {1 << 53}) + 1.0)
+            / {float((1 << 53) + 2)!r})
+         / pow(2.0, log2_weight) AS es_key
+  FROM dw
+)
+SELECT doc_id, round(es_key, 9) AS es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-filter shape: per-doc bits-per-token under a
     corpus-trained add-one bigram LM (operators/text.py:
@@ -5389,6 +5429,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "embedding_ivfadc_topk": embedding_ivfadc_topk,
     "docs_curated_semantic": docs_curated_semantic,
     "docs_dsir_weights": docs_dsir_weights,
+    "docs_dsir_sample": docs_dsir_sample,
     "embedding_semdedup": embedding_semdedup,
 }
 
@@ -5497,5 +5538,6 @@ AUX_ORACLES: dict[str, str] = {
     "embedding_ivfadc_topk": EMBEDDING_IVFADC_SQL,
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,
+    "docs_dsir_sample": DOCS_DSIR_SAMPLE_SQL,
     "embedding_semdedup": EMBEDDING_SEMDEDUP_SQL,
 }

@@ -42,3 +42,37 @@ def test_zscore_pandas_matches_expr(groups):
             assert p[k] is None
         else:
             assert p[k] == pytest.approx(e[k], abs=1e-9)
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """Efraimidis-Spirakis keys replicate exactly in pure Python
+    (same md5-derived uniforms, same log-form key), so the selected
+    set and its order are verifiable, not just plausible; heavy
+    weights dominate the sample."""
+    import hashlib
+    import math
+
+    from etl_macropulse_br_spark.operators.features import weighted_sample
+
+    weights = {i: (1000.0 if i < 3 else 0.01) for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, w) for i, w in weights.items()], "doc_id long, w double"
+    )
+    got = [
+        (r["doc_id"], r["es_key"])
+        for r in weighted_sample(df, "w", k=5).collect()
+    ]
+
+    def key(i):
+        h = int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:15], 16)
+        u = ((h % (1 << 53)) + 1.0) / float((1 << 53) + 2)
+        return math.log(u) / weights[i]
+
+    expect = sorted(
+        ((i, key(i)) for i in weights), key=lambda t: (-t[1], t[0])
+    )[:5]
+    assert [i for i, _ in got] == [i for i, _ in expect]
+    for (gi, gk), (ei, ek) in zip(got, expect):
+        assert gk == ek
+    # the three heavy-weight docs must all be in the sample
+    assert {0, 1, 2} <= {i for i, _ in got}
