@@ -228,3 +228,65 @@ def weighted_sample(
         .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mixture_balance(
+    df: DataFrame,
+    group_col: str,
+    target_weights: dict[str, int],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Training-mixture balancing: deterministically downsample each
+    domain so the output matches ``target_weights`` (integer parts,
+    e.g. ``{"en": 2, "de": 1}`` = two-to-one) at the MAXIMUM total
+    size the corpus allows — the limiting domain is taken whole and
+    every other domain is cut to proportion. The per-domain take is
+    exact integer arithmetic (``N_out = min_g floor(n_g * W / w_g)``,
+    ``take_g = floor(w_g * N_out / W)``), and which rows survive is
+    a hash-ordered prefix (portable md5 over (seed, id)) — the same
+    deterministic-randomness device as the split/samplers, so the
+    selected set replays in the oracle.
+
+    Scale shape: one tiny per-domain count aggregate joined back as
+    a broadcast, then a per-domain rank filter — the rank <= take
+    predicate triggers WindowGroupLimit, which prunes map-side
+    before the window's exchange. Domains missing from
+    ``target_weights`` are dropped (weight 0).
+    """
+    from pyspark.sql import Window
+
+    from etl_macropulse_br_spark.functions.hashing import md5_long
+
+    W = sum(target_weights.values())
+    wmap = F.create_map(
+        *[F.lit(x) for kv in target_weights.items() for x in kv]
+    )
+    base = df.withColumn("__w", wmap[F.col(group_col)]).filter(
+        F.col("__w").isNotNull()
+    )
+    counts = base.groupBy(group_col, "__w").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    n_out = counts.agg(
+        F.min(F.floor(F.col("__n") * F.lit(W) / F.col("__w"))).alias(
+            "__n_out"
+        )
+    )
+    takes = counts.crossJoin(F.broadcast(n_out)).select(
+        group_col,
+        F.floor(F.col("__w") * F.col("__n_out") / F.lit(W))
+        .cast("bigint")
+        .alias("n_take"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        md5_long(F.col(id_col).cast("string"), seed=seed),
+        F.col(id_col),
+    )
+    return (
+        base.drop("__w")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(takes), group_col)
+        .filter(F.col("__rk") <= F.col("n_take"))
+        .drop("__rk")
+    )

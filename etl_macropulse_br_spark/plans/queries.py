@@ -85,6 +85,8 @@ Late-r5 aux additions (all locally oracle-gated):
   target/raw likelihood ratio, Xie et al. 2023), docs_dsir_sample
   (r6: Efraimidis-Spirakis without-replacement importance
   resampling over those weights, deterministic md5 uniforms),
+  docs_mixture_balance (r6: deterministic training-mixture
+  balancing — integer-exact per-domain takes, hash-prefix rows),
   monthly_gapfill_orders (calendar gap-fill with carry-forward),
   docs_token_entropy / docs_bigram_surprisal (distribution-shape
   quality signals; the perplexity-filter shape), docs_stratified_
@@ -3746,6 +3748,46 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-language training mixture over the documents table:
+    deterministic hash-prefix downsampling of every language to the
+    size of the rarest one (operators/features.py:mixture_balance
+    with equal weights). Output is (lang, doc_id, n_take) — the
+    balanced corpus plus the per-domain take for audit."""
+    from etl_macropulse_br_spark.operators.features import mixture_balance
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_balance(
+        docs, "lang", {la: 1 for la in ("en", "de", "es", "fr", "zh")}
+    )
+    return out.select("lang", "doc_id", "n_take")
+
+
+DOCS_MIXTURE_BALANCE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang FROM documents
+  WHERE lang IN ('en', 'de', 'es', 'fr', 'zh')
+), counts AS (
+  SELECT lang, count(*) AS n FROM base GROUP BY lang
+), n_out AS (
+  SELECT min(CAST(floor(n * 5.0 / 1) AS BIGINT)) AS v FROM counts
+), takes AS (
+  SELECT lang, CAST(floor(1 * v / 5.0) AS BIGINT) AS n_take
+  FROM counts CROSS JOIN n_out
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)", seed=0)}, doc_id
+         ) AS rk
+  FROM base
+)
+SELECT r.lang, r.doc_id, t.n_take
+FROM ranked r JOIN takes t ON t.lang = r.lang
+WHERE r.rk <= t.n_take
+"""
+
+
 DOCS_DSIR_SAMPLE_SQL = f"""
 WITH dw AS ({DOCS_DSIR_SQL}),
 keyed AS (
@@ -5430,6 +5472,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_curated_semantic": docs_curated_semantic,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_dsir_sample": docs_dsir_sample,
+    "docs_mixture_balance": docs_mixture_balance,
     "embedding_semdedup": embedding_semdedup,
 }
 
@@ -5539,5 +5582,6 @@ AUX_ORACLES: dict[str, str] = {
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,
     "docs_dsir_sample": DOCS_DSIR_SAMPLE_SQL,
+    "docs_mixture_balance": DOCS_MIXTURE_BALANCE_SQL,
     "embedding_semdedup": EMBEDDING_SEMDEDUP_SQL,
 }

@@ -76,3 +76,49 @@ def test_weighted_sample_matches_python_reference(spark):
         assert gk == ek
     # the three heavy-weight docs must all be in the sample
     assert {0, 1, 2} <= {i for i, _ in got}
+
+
+def test_mixture_balance_equalizes_domains(spark):
+    """Equal target weights cut every domain to the rarest domain's
+    size; the surviving rows are the deterministic hash-prefix of
+    each domain (stable across runs); absent-from-target domains
+    drop entirely."""
+    from etl_macropulse_br_spark.operators.features import mixture_balance
+
+    rows = (
+        [(i, "en") for i in range(20)]
+        + [(100 + i, "de") for i in range(10)]
+        + [(200 + i, "fr") for i in range(5)]
+        + [(300 + i, "xx") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_balance(
+        df, "lang", {"en": 1, "de": 1, "fr": 1}
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {len(v) for v in by_lang.values()} == {5}
+    assert set(by_lang) == {"en", "de", "fr"}
+    assert by_lang["fr"] == {200, 201, 202, 203, 204}  # limiting: whole
+    again = mixture_balance(df, "lang", {"en": 1, "de": 1, "fr": 1}).collect()
+    assert {(r["lang"], r["doc_id"]) for r in again} == {
+        (r["lang"], r["doc_id"]) for r in out
+    }
+
+
+def test_mixture_balance_weighted_ratio(spark):
+    """A 2:1 target produces a 2:1 output bounded by the limiting
+    domain (floor arithmetic, exact)."""
+    from etl_macropulse_br_spark.operators.features import mixture_balance
+
+    rows = [(i, "en") for i in range(30)] + [
+        (100 + i, "de") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_balance(df, "lang", {"en": 2, "de": 1}).collect()
+    n = {"en": 0, "de": 0}
+    for r in out:
+        n[r["lang"]] += 1
+    # de limits: N_out = min(30*3/2, 6*3/1) = 18 -> en 12, de 6
+    assert n == {"en": 12, "de": 6}
