@@ -248,11 +248,15 @@ def mixture_balance(
     deterministic-randomness device as the split/samplers, so the
     selected set replays in the oracle.
 
-    Scale shape: one tiny per-domain count aggregate joined back as
-    a broadcast, then a per-domain rank filter — the rank <= take
-    predicate triggers WindowGroupLimit, which prunes map-side
-    before the window's exchange. Domains missing from
-    ``target_weights`` are dropped (weight 0).
+    Scale shape: one tiny per-domain count aggregate (map-side
+    combined; |domains| rows) feeds the takes table, which joins
+    back as a broadcast; the per-domain rank costs one exchange +
+    sort on the domain key, and the data-dependent ``rank <=
+    n_take`` predicate evaluates inside that broadcast join (a
+    non-literal limit cannot WindowGroupLimit-prune — the window
+    ranks every surviving row, the join drops the tail). Domains
+    missing from ``target_weights`` are dropped (weight 0) at the
+    scan via the map lookup's null filter.
     """
     from pyspark.sql import Window
 

@@ -122,3 +122,70 @@ def test_mixture_balance_weighted_ratio(spark):
         n[r["lang"]] += 1
     # de limits: N_out = min(30*3/2, 6*3/1) = 18 -> en 12, de 6
     assert n == {"en": 12, "de": 6}
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """Full-formula differential: dsir_log_weights equals an
+    independent pure-Python implementation of the same spec (md5
+    token hashes, affine bigram combine, bucket counts, add-one
+    smoothing, bucket-sorted log fold) to the 9dp gate tolerance,
+    over a randomized corpus."""
+    import hashlib
+    import math
+    import random
+
+    from etl_macropulse_br_spark.operators.dedup import _SHINGLE_COEFS
+    from etl_macropulse_br_spark.operators.text import dsir_log_weights
+
+    rng = random.Random(97)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 25))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    target_ids = {i for i in range(30) if i % 3 == 0}
+    target = df.filter(df.doc_id.isin(*target_ids))
+    B = 64
+    got = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(df, target, n_buckets=B).collect()
+    }
+
+    def base32(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) & (
+            (1 << 32) - 1
+        )
+
+    c0, c1 = _SHINGLE_COEFS[:2]
+
+    def buckets(text):
+        th = [base32(t) for t in text.strip().lower().split()]
+        n = max(len(th) - 1, 1)
+        out = []
+        for i in range(n):
+            g = th[i] * c0 + (th[i + 1] if i + 1 < len(th) else 0) * c1
+            out.append(g % B)
+        return out
+
+    docb, rawb, tgtb = {}, {}, {}
+    for i, text in docs:
+        for b in buckets(text):
+            docb.setdefault(i, {}).setdefault(b, 0)
+            docb[i][b] += 1
+            rawb[b] = rawb.get(b, 0) + 1
+            if i in target_ids:
+                tgtb[b] = tgtb.get(b, 0) + 1
+    tr, tt = sum(rawb.values()), sum(tgtb.values())
+    for i, _ in docs:
+        acc = 0.0
+        nf = 0
+        for b in sorted(docb[i]):
+            n = docb[i][b]
+            nf += n
+            acc += n * (
+                math.log2(tgtb.get(b, 0) + 1) - math.log2(rawb[b] + 1)
+            )
+        w = acc + nf * (math.log2(tr + B) - math.log2(tt + B))
+        assert got[i]["n_feats"] == nf
+        assert abs(got[i]["log2_weight"] - round(w, 9)) < 2e-9, i

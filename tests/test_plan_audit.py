@@ -153,3 +153,49 @@ def test_hard_negatives_plans_window_group_limit(small_spark):
     plan = _plan(small_spark, "embedding_hard_negatives")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_weights_plan_broadcasts_count_tables(small_spark):
+    """`docs_dsir_weights`: the <=B-row raw/target count tables
+    must reach the per-doc stream as broadcast builds (never a
+    fact-side shuffle for the ratio join), and nothing is
+    cartesian."""
+    plan = _plan(small_spark, "docs_dsir_weights")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") + plan.count(
+        "ReusedExchange"
+    ) >= 2
+
+
+def test_dsir_sample_plans_take_ordered(small_spark):
+    """`docs_dsir_sample`: the Efraimidis-Spirakis top-k must be a
+    distributed TakeOrderedAndProject, never a global sort."""
+    plan = _plan(small_spark, "docs_dsir_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_balance_plan_shape(small_spark):
+    """`docs_mixture_balance`: the takes table joins as a broadcast
+    with the data-dependent rank filter evaluated inside that join
+    (a non-literal limit can't WindowGroupLimit-prune); the domain
+    filter reaches the scan; nothing is cartesian."""
+    plan = _plan(small_spark, "docs_mixture_balance")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(lang)]" in plan
+
+
+def test_ivf_pq_and_semdedup_never_cartesian(small_spark):
+    """The r6 vector-serving and semantic-dedup plans: broadcast
+    1-row crossjoins are fine (BroadcastNestedLoopJoin), an actual
+    CartesianProduct is not; SemDeDup's pair join must key on
+    cluster_id (SortMergeJoin/BroadcastHashJoin, bounded by cluster
+    size)."""
+    for name in (
+        "embedding_pq_rerank_topk",
+        "embedding_ivfadc_topk",
+        "embedding_semdedup",
+    ):
+        plan = _plan(small_spark, name)
+        assert "CartesianProduct" not in plan, name
