@@ -1303,3 +1303,56 @@ def test_dsir_weights_rank_target_domain_higher(spark):
         for r in dsir_log_weights(docs, target).collect()
     }
     assert again == {k: v["log2_weight"] for k, v in out.items()}
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_span_keep_first_one_intact_copy_survives(spark, seed):
+    """Corpus-level invariant of winner protection: EVERY
+    corpus-duplicated 10-gram still appears verbatim in at least
+    one cleaned doc (the protected corpus-first copy), on random
+    repetitive corpora designed to produce overlapping hits."""
+    import random
+
+    from etl_macropulse_br_spark.operators.dedup import (
+        span_dedup_keep_first,
+    )
+
+    rng = random.Random(seed)
+    # docs are concatenations of a few SHARED multi-token phrases
+    # plus unique filler — consecutive shared phrases produce
+    # duplicated >=10-token runs at varied offsets with overlaps
+    phrases = [
+        [f"p{j}w{i}" for i in range(rng.randrange(5, 9))]
+        for j in range(4)
+    ]
+    docs = []
+    for i in range(12):
+        toks: list[str] = []
+        for _ in range(rng.randrange(2, 5)):
+            if rng.random() < 0.75:
+                toks += rng.choice(phrases)
+            else:
+                toks += [f"u{i}x{n}" for n in range(rng.randrange(1, 4))]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cleaned = {
+        r["doc_id"]: r["clean_text"]
+        for r in span_dedup_keep_first(df).collect()
+    }
+    # duplicated grams (occurrence-counted, like the operator)
+    from collections import Counter
+
+    k = 10
+    occ = Counter()
+    for _, text in docs:
+        toks = text.lower().split()
+        for p in range(max(len(toks) - k + 1, 0)):
+            occ[" ".join(toks[p:p + k])] += 1
+    dup_grams = [g for g, c in occ.items() if c >= 2]
+    assert dup_grams, "corpus must actually contain duplicated grams"
+    for g in dup_grams:
+        assert any(
+            g in f" {c} " or c == g or c.startswith(g + " ")
+            or c.endswith(" " + g)
+            for c in cleaned.values()
+        ), f"no intact copy of duplicated gram survived: {g!r}"
