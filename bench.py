@@ -305,6 +305,11 @@ def main() -> None:
         "null_job_sec": s1["null_job_sec"],
         "jobs_per_query": s1["jobs"],
         "total_jobs": round(sum(s1["jobs"].values()), 1),
+        # 1-minute load average at measurement start — lets a reader
+        # correlate a bad worst-pass with external box load instead
+        # of guessing (the min-estimator absorbs load; the worst-pass
+        # number deliberately does not)
+        "loadavg_1m": round(os.getloadavg()[0], 2),
         "sinks": "spark: noop write (full execution, rows dropped); "
         "duckdb: execute().arrow() (full execution, native Arrow "
         "result); python-object conversion charged to neither",

@@ -68,7 +68,7 @@ Training-data extension ops: docs_exact_dedup, docs_text_stats,
   embedding_near_dups, docs_train_val_split (all oracle-gated).
 As-of family: asof_click_view (backward), asof_forward_click_view;
   nearest is pandas-differential-tested (tests/test_asof.py).
-Late-r5 aux additions (all locally oracle-gated):
+Late-r5 and r6 aux additions (all locally oracle-gated):
   docs_chunk_dedup / docs_span_dedup / docs_span_dedup_keep_first
   (exact-substring span removal: disjoint-chunk, sliding-window
   symmetric, and keep-globally-first forms), embedding_kmeans
