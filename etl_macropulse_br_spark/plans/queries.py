@@ -121,7 +121,6 @@ from etl_macropulse_br_spark.operators.dedup import (
     word_shingles,
 )
 from etl_macropulse_br_spark.operators.similarity import cosine_topk, cosine_sim, ivf_topk
-from etl_macropulse_br_spark.session import DEFAULT_SHUFFLE_PARTITIONS
 from etl_macropulse_br_spark.operators.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
