@@ -52,7 +52,13 @@ neither engine pays Python materialization in the timed region):
   auditable instead of resting on the docstring's argument.
 
 Published next to the Spark number every round so the ratio is
-reproducible — no cold-start numbers on either side.
+reproducible — no cold-start numbers on either side. Two ratios are
+emitted: the per-query min-across-passes estimator (`ratio`,
+one-sided-noise-sound but structurally favoring the noisier
+engine) and `ratio_worst_pass` (most pessimistic same-pass pairing
+of raw pass totals — the no-cherry-picking floor-to-ceiling
+check), plus `loadavg_1m` so a reader can correlate a bad
+worst-pass with external box load.
 
 Skip the baseline (e.g. in smoke runs) with SPARK_GRAFT_NO_DUCKDB=1.
 """
