@@ -280,6 +280,7 @@ def main() -> None:
     # same engine, minutes apart, to survive the min. Pass 2 uses
     # min-of-3 (engine-symmetric within each pass) to bound wall
     # clock.
+    load_start = round(os.getloadavg()[0], 2)
     s1 = _spark_phase(sf_dir, 5, "bench1", companion=True)
     d1 = {} if no_duck else duckdb_baseline(sf_dir, 5)
     s2 = _spark_phase(sf_dir, 3, "bench2", companion=False)
@@ -311,11 +312,13 @@ def main() -> None:
         "null_job_sec": s1["null_job_sec"],
         "jobs_per_query": s1["jobs"],
         "total_jobs": round(sum(s1["jobs"].values()), 1),
-        # 1-minute load average at measurement start — lets a reader
-        # correlate a bad worst-pass with external box load instead
-        # of guessing (the min-estimator absorbs load; the worst-pass
-        # number deliberately does not)
-        "loadavg_1m": round(os.getloadavg()[0], 2),
+        # 1-minute load averages at bench START (pre-s1: external
+        # load only) and END (inflated by the bench itself) — the
+        # start number is the one that correlates a bad worst-pass
+        # with external box load; the min-estimator absorbs load,
+        # the worst-pass number deliberately does not
+        "loadavg_1m_start": load_start,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
         "sinks": "spark: noop write (full execution, rows dropped); "
         "duckdb: execute().arrow() (full execution, native Arrow "
         "result); python-object conversion charged to neither",

@@ -554,7 +554,8 @@ def semantic_dedup(
     cosine is the shared sequential fold, so the whole operator
     hash-gates cross-engine.
 
-    Returns (vec_id, cluster_id, centroid_dist, n_sem_dups, keep).
+    Returns (vec_id, cluster_id, centroid_dist, n_sem_dups,
+    dropped) — ``dropped`` true marks a semantic-duplicate loser.
 
     Scale shape: training + assignment as in :mod:`clustering`
     (map-only assign, bounded update shuffles); the within-cluster

@@ -222,7 +222,20 @@ def weighted_sample(
         F.pmod(md5_long(F.col(id_col).cast("string"), seed=seed),
                F.lit(1 << 53)).cast("double") + F.lit(1.0)
     ) / F.lit(two53 + 2.0)
-    key = F.log(u) / F.col(weight_col)
+    # fail loudly on non-positive weights instead of silently
+    # corrupting the sample: ln(u) < 0 divided by a NEGATIVE weight
+    # flips positive and beats every valid key, and a zero weight
+    # yields -inf (never sampled). assert_true returns NULL on
+    # success, so the coalesce keeps it inside the key expression
+    # where column pruning cannot drop it.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col(weight_col) > 0,
+            F.lit(f"weighted_sample: {weight_col} must be > 0"),
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    key = F.log(u) / F.col(weight_col) + guard
     return (
         df.withColumn("es_key", key)
         .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
@@ -272,10 +285,19 @@ def mixture_balance(
     counts = base.groupBy(group_col, "__w").agg(
         F.count(F.lit(1)).alias("__n")
     )
+    # a requested domain with ZERO rows is the limiting domain with
+    # n=0 -> the only output honoring the mixture is EMPTY. It has
+    # no row in `counts`, so the min() alone would silently skip it
+    # and return a mixture that violates the request; the
+    # domain-count check forces N_out to 0 in that case.
     n_out = counts.agg(
-        F.min(F.floor(F.col("__n") * F.lit(W) / F.col("__w"))).alias(
-            "__n_out"
+        F.when(
+            F.count(F.lit(1)) < F.lit(len(target_weights)), F.lit(0)
         )
+        .otherwise(
+            F.min(F.floor(F.col("__n") * F.lit(W) / F.col("__w")))
+        )
+        .alias("__n_out")
     )
     takes = counts.crossJoin(F.broadcast(n_out)).select(
         group_col,

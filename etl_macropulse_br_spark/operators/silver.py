@@ -8,7 +8,7 @@ replaced with deterministic key-ordered dedup — SURVEY §4.2 trap #2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_macropulse_br_spark.functions.exprs import (
@@ -43,19 +43,25 @@ def dedup_keep_first(
     payload = [c for c in df.columns if c not in keys]
     if not payload:
         return df.dropDuplicates(keys)
+
+    # backtick-quote every name reference — a payload column named
+    # "a.b" (raw source headers pass through here before role
+    # renaming) must not be parsed as nested field access, which
+    # both F.col and df[...] would do. getField() is literal.
+    def q(name: str) -> F.Column:
+        return F.col("`" + name.replace("`", "``") + "`")
+
     first = F.min_by(
-        F.struct(*[F.col(c) for c in payload]),
-        F.struct(*[F.col(c) for c in order]),
+        F.struct(*[q(c).alias(c) for c in payload]),
+        F.struct(*[q(c) for c in order]),
     ).alias("__first")
-    return (
-        df.groupBy(*[F.col(c) for c in keys])
-        .agg(first)
-        .select(
-            *[
-                F.col(c) if c in keys else F.col(f"__first.{c}").alias(c)
-                for c in df.columns
-            ]
-        )
+    agg = df.groupBy(*[q(c) for c in keys]).agg(first)
+    return agg.select(
+        *[
+            q(c) if c in keys
+            else F.col("__first").getField(c).alias(c)
+            for c in df.columns
+        ]
     )
 
 

@@ -3769,7 +3769,10 @@ WITH base AS (
 ), counts AS (
   SELECT lang, count(*) AS n FROM base GROUP BY lang
 ), n_out AS (
-  SELECT min(CAST(floor(n * 5.0 / 1) AS BIGINT)) AS v FROM counts
+  -- a requested domain with zero rows limits the mixture to empty
+  SELECT CASE WHEN count(*) < 5 THEN 0
+         ELSE min(CAST(floor(n * 5.0 / 1) AS BIGINT)) END AS v
+  FROM counts
 ), takes AS (
   SELECT lang, CAST(floor(1 * v / 5.0) AS BIGINT) AS n_take
   FROM counts CROSS JOIN n_out
@@ -3797,9 +3800,12 @@ keyed AS (
          / pow(2.0, log2_weight) AS es_key
   FROM dw
 )
-SELECT doc_id, round(es_key, 9) AS es_key
+SELECT doc_id, round(keyed.es_key, 9) AS es_key
 FROM keyed
-ORDER BY es_key DESC, doc_id ASC
+-- qualified so ORDER BY binds the RAW key (the bare name would
+-- resolve to the rounded output alias, diverging from Spark's
+-- unrounded top-k at a 9dp near-tie on the k boundary)
+ORDER BY keyed.es_key DESC, doc_id ASC
 LIMIT 100
 """
 
@@ -4207,7 +4213,7 @@ WITH {ctes}, fin AS (
     prevp = "pcb0"
     for r in range(1, pq_rounds + 1):
         sql += f""", pqa{r} AS (
-  SELECT p.vec_id, p.s, p.qs, c.code, {subdist.replace('{prevp}', prevp)} AS dist
+  SELECT p.vec_id, p.s, p.qs, c.code, {subdist} AS dist
   FROM sp p JOIN {prevp} c ON c.s = p.s
   QUALIFY row_number() OVER (PARTITION BY p.vec_id, p.s ORDER BY dist, c.code) = 1
 ), pqe{r} AS (

@@ -189,3 +189,32 @@ def test_dsir_weights_match_python_reference(spark):
         w = acc + nf * (math.log2(tr + B) - math.log2(tt + B))
         assert got[i]["n_feats"] == nf
         assert abs(got[i]["log2_weight"] - round(w, 9)) < 2e-9, i
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """A negative weight would flip the ES key positive and dominate
+    the sample silently; the guard must fail loudly instead."""
+    import pytest
+
+    from etl_macropulse_br_spark.operators.features import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0)], "doc_id long, w double"
+    )
+    with pytest.raises(Exception) as e:
+        weighted_sample(df, "w", k=2).collect()
+    assert "must be > 0" in str(e.value)
+
+
+def test_mixture_balance_empty_when_target_domain_absent(spark):
+    """A requested domain with zero rows is the limiting domain with
+    n=0: the only output honoring the mixture is empty (previously
+    the absent domain was silently skipped and the output violated
+    the requested proportion)."""
+    from etl_macropulse_br_spark.operators.features import mixture_balance
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(10)], "doc_id long, lang string"
+    )
+    out = mixture_balance(df, "lang", {"en": 2, "de": 1}).collect()
+    assert out == []

@@ -209,3 +209,19 @@ def test_gapfill_monthly_carries_forward_and_flags(spark):
     assert rows[("A", 4)] == (40.0, False)
     assert rows[("B", 2)] == (7.0, False)   # single month: no fill
     assert len(rows) == 5
+
+
+def test_dedup_keep_first_handles_dotted_column_names(spark):
+    """Raw source headers with dots pass through dedup before role
+    renaming; name resolution must be literal, not nested-field
+    parsing (regression: the r6 min_by rewrite briefly broke
+    this)."""
+    df = spark.createDataFrame(
+        [(1, 2, "x"), (1, 1, "y"), (2, 5, "z")],
+        ["k", "o", "val.with.dots"],
+    )
+    out = {
+        r["k"]: r["val.with.dots"]
+        for r in dedup_keep_first(df, keys=["k"], order=["o"]).collect()
+    }
+    assert out == {1: "y", 2: "z"}
