@@ -561,7 +561,14 @@ def semantic_dedup(
     (map-only assign, bounded update shuffles); the within-cluster
     self-join shuffles on cluster_id and is quadratic only in
     CLUSTER size — at 100 TB you grow k with the corpus (the paper
-    uses k ~ sqrt(n)) to hold E[cluster] fixed."""
+    uses k ~ sqrt(n)) to hold E[cluster] fixed.
+
+    Recall characterization (pinned by
+    ``test_semdedup_blocking_characterization``): planted duplicate
+    pairs co-located in a cluster are always found (within-cluster
+    recall 1.0); a pair split across a cluster boundary is
+    structurally invisible — the paper's k-vs-recall knob, measured
+    and pinned rather than implied."""
     from etl_macropulse_br_spark.operators.similarity import cosine_sim
 
     pts = _points(emb, id_col, emb_col)

@@ -397,3 +397,118 @@ def test_ivfadc_residual_matches_semantics(spark):
         ).collect()
     }
     assert len({assign[r["vec_id"]] for r in out}) <= 2
+
+
+def test_ivf_pq_recall_on_planted_neighbors(spark):
+    """ANN recall characterization (the same measured-bound
+    discipline as the containment-blocking recall test): plant 10
+    true near neighbors of the query among background noise and
+    measure top-10 recall of the full IVF-PQ serving plan against
+    brute-force cosine. Planted neighbors are tight around the
+    query, so the coarse probe keeps their cell and PQ's shortlist
+    must surface them — pin full recall here, and pin that the
+    flat and residual variants agree on this corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_pq_rerank_topk,
+    )
+    from etl_macropulse_br_spark.operators.similarity import cosine_sim
+
+    rng = random.Random(53)
+    dim = 16
+    base = [rng.uniform(0.5, 1.0) for _ in range(dim)]
+    rows = [(0, base)]
+    for i in range(1, 11):  # tight planted neighbors
+        rows.append(
+            (i, [x + rng.uniform(-0.02, 0.02) for x in base])
+        )
+    for i in range(11, 80):  # background noise
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    brute = [
+        r["vec_id"]
+        for r in emb.crossJoin(
+            emb.filter(F.col("vec_id") == 0).select(
+                F.col("embedding").alias("qv")
+            )
+        )
+        .select(
+            "vec_id", cosine_sim(F.col("embedding"), F.col("qv")).alias("c")
+        )
+        .orderBy(F.col("c").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    for residual in (False, True):
+        got = [
+            r["vec_id"]
+            for r in ivf_pq_rerank_topk(
+                emb, k=4, rounds=2, n_probe=2, m=4, ks=8,
+                pq_rounds=1, shortlist=24, topk=10, sub=4,
+                residual=residual,
+            ).collect()
+        ]
+        recall = len(set(got) & set(brute)) / 10
+        assert recall == 1.0, (residual, got, brute)
+
+
+def test_semdedup_blocking_characterization(spark):
+    """SemDeDup's documented trade-off, measured: duplicate pairs
+    landing in the SAME cluster are always found (within-cluster
+    recall 1.0 on planted dups), while a pair split across a
+    cluster boundary is structurally invisible — that is the
+    blocking bound (the paper's k-vs-recall knob), pinned here the
+    same way the containment df-cap miss is pinned."""
+    import random
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        _assign,
+        _points,
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    rng = random.Random(71)
+    dim = 8
+    rows = []
+    vid = 0
+    planted = []
+    for g in range(6):  # 6 planted dup pairs spread over space
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        a, b = vid, vid + 1
+        rows.append((a, base))
+        rows.append(
+            (b, [x + rng.uniform(-0.001, 0.001) for x in base])
+        )
+        planted.append((a, b))
+        vid += 2
+    for _ in range(30):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    k = 4
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, k=k, rounds=2, threshold=0.999).collect()
+    }
+    cents = kmeans_centroids(emb, k=k, rounds=2)
+    cell = {
+        r["vec_id"]: r["cluster_id"]
+        for r in _assign(_points(emb, "vec_id", "embedding"), cents).collect()
+    }
+    co_located = [p for p in planted if cell[p[0]] == cell[p[1]]]
+    assert co_located, "seed must co-locate at least one planted pair"
+    for a, b in co_located:  # within-cluster recall 1.0
+        assert out[a]["n_sem_dups"] >= 1 and out[b]["n_sem_dups"] >= 1
+        assert out[a]["dropped"] != out[b]["dropped"] or (
+            out[a]["n_sem_dups"] > 1  # triangle case: one survivor
+        )
+    for a, b in set(planted) - set(co_located):  # the documented miss
+        assert out[a]["n_sem_dups"] == 0 and out[b]["n_sem_dups"] == 0
