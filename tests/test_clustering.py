@@ -512,3 +512,158 @@ def test_semdedup_blocking_characterization(spark):
         )
     for a, b in set(planted) - set(co_located):  # the documented miss
         assert out[a]["n_sem_dups"] == 0 and out[b]["n_sem_dups"] == 0
+
+
+def _py_ivf_pq(
+    f32, k, rounds, n_probe, m, ks, pq_rounds, shortlist, topk, sub,
+    query_id=0, residual=False, scale=1_000_000,
+):
+    """Independent pure-Python reference of the FULL IVF-PQ serving
+    pipeline (coarse train/probe, per-subspace PQ train/encode, ADC
+    scoring, shortlist, exact sequential-fold cosine re-rank) under
+    the same integer-lattice / lowest-id-tie rules."""
+    q = {v: [math.floor(x * scale) for x in xs] for v, xs in f32.items()}
+    ids = sorted(q)
+
+    def dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def floordiv(s, n):
+        return (s - ((s % n + n) % n)) // n
+
+    # coarse Lloyd (same rules as _py_kmeans)
+    cents = {c: list(q[ids[c]]) for c in range(k)}
+    for _ in range(rounds):
+        groups = {}
+        for v in ids:
+            best = min(
+                (dist(q[v], cents[c]), c) for c in sorted(cents)
+            )
+            groups.setdefault(best[1], []).append(q[v])
+        cents = {
+            c: [floordiv(sum(col), len(m_)) for col in zip(*m_)]
+            for c, m_ in groups.items()
+        }
+    assign = {
+        v: min((dist(q[v], cents[c]), c) for c in sorted(cents))[1]
+        for v in ids
+    }
+    qq = q[query_id]
+    probe = [
+        c
+        for _, c in sorted(
+            (dist(cents[c], qq), c) for c in sorted(cents)
+        )[:n_probe]
+    ]
+    cand = [v for v in ids if assign[v] in probe]
+
+    enc = (
+        {
+            v: [a - b for a, b in zip(q[v], cents[assign[v]])]
+            for v in ids
+        }
+        if residual
+        else q
+    )
+
+    def subv(vec, s):
+        return vec[s * sub:(s + 1) * sub]
+
+    # per-subspace PQ Lloyd, init from the ks smallest ids
+    cb = {
+        s: {c: list(subv(enc[ids[c]], s)) for c in range(ks)}
+        for s in range(m)
+    }
+    for _ in range(pq_rounds):
+        for s in range(m):
+            groups = {}
+            for v in ids:
+                best = min(
+                    (dist(subv(enc[v], s), cb[s][c]), c)
+                    for c in sorted(cb[s])
+                )
+                groups.setdefault(best[1], []).append(subv(enc[v], s))
+            cb[s] = {
+                c: [floordiv(sum(col), len(m_)) for col in zip(*m_)]
+                for c, m_ in groups.items()
+            }
+    codes = {
+        (v, s): min(
+            (dist(subv(enc[v], s), cb[s][c]), c) for c in sorted(cb[s])
+        )[1]
+        for v in ids
+        for s in range(m)
+    }
+
+    if residual:
+        score = {}
+        for v in cand:
+            cell = assign[v]
+            rq = [a - b for a, b in zip(qq, cents[cell])]
+            score[v] = sum(
+                dist(subv(rq, s), cb[s][codes[(v, s)]])
+                for s in range(m)
+            )
+    else:
+        score = {
+            v: sum(
+                dist(subv(qq, s), cb[s][codes[(v, s)]])
+                for s in range(m)
+            )
+            for v in cand
+        }
+    short = [
+        v for v, _ in sorted(score.items(), key=lambda t: (t[1], t[0]))
+    ][:shortlist]
+
+    def cos(v):
+        a, b = f32[v], f32[query_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    ranked = sorted(short, key=lambda v: (-cos(v), v))[:topk]
+    return [(v, cos(v)) for v in ranked]
+
+
+def test_ivf_pq_matches_python_reference(spark):
+    """Triangulation: the full IVF-PQ serving output (ids AND exact
+    float cosines) equals an independent pure-Python implementation
+    of the same spec, for both the flat and residual variants — on
+    top of the DuckDB hash gate, three independent implementations
+    now agree bit-for-bit."""
+    import random
+    import struct as _struct
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_pq_rerank_topk,
+    )
+
+    rng = random.Random(29)
+    dim, n = 8, 50
+    vecs = {
+        i: [rng.uniform(-0.5, 0.5) for _ in range(dim)]
+        for i in range(n)
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    f32 = {
+        i: [_struct.unpack("f", _struct.pack("f", x))[0] for x in v]
+        for i, v in vecs.items()
+    }
+    params = dict(
+        k=4, rounds=2, n_probe=2, m=4, ks=8, pq_rounds=2,
+        shortlist=16, topk=8, sub=2,
+    )
+    for residual in (False, True):
+        got = [
+            (r["vec_id"], r["cosine"])
+            for r in ivf_pq_rerank_topk(
+                emb, residual=residual, **params
+            ).collect()
+        ]
+        expect = _py_ivf_pq(f32, residual=residual, **params)
+        assert got == expect, (residual, got, expect)
