@@ -667,3 +667,93 @@ def test_ivf_pq_matches_python_reference(spark):
         ]
         expect = _py_ivf_pq(f32, residual=residual, **params)
         assert got == expect, (residual, got, expect)
+
+
+def test_semdedup_matches_python_reference(spark):
+    """Triangulation for SemDeDup: cluster assignment, exact lattice
+    centroid distances, within-cluster pairing at the threshold
+    (sequential-fold cosine), and the keep-farthest pair-loser
+    policy all equal an independent pure-Python implementation."""
+    import random
+    import struct as _struct
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(31)
+    dim, n, k, rounds, thr = 8, 40, 3, 2, 0.5
+    vecs = {
+        i: [rng.uniform(-0.6, 0.6) for _ in range(dim)]
+        for i in range(n)
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    f32 = {
+        i: [_struct.unpack("f", _struct.pack("f", x))[0] for x in v]
+        for i, v in vecs.items()
+    }
+    q = {
+        v: [math.floor(x * 1_000_000) for x in xs]
+        for v, xs in f32.items()
+    }
+    ids = sorted(q)
+
+    def dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cents = {c: list(q[ids[c]]) for c in range(k)}
+    for _ in range(rounds):
+        groups = {}
+        for v in ids:
+            best = min((dist(q[v], cents[c]), c) for c in sorted(cents))
+            groups.setdefault(best[1], []).append(q[v])
+        cents = {
+            c: [
+                (sum(col) - ((sum(col) % len(m_) + len(m_)) % len(m_)))
+                // len(m_)
+                for col in zip(*m_)
+            ]
+            for c, m_ in groups.items()
+        }
+    asg = {
+        v: min((dist(q[v], cents[c]), c) for c in sorted(cents))
+        for v in ids
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(f32[a], f32[b]))
+        na = math.sqrt(sum(x * x for x in f32[a]))
+        nb = math.sqrt(sum(x * x for x in f32[b]))
+        return d / (na * nb)
+
+    expect = {}
+    for v in ids:
+        dv, cv = asg[v]
+        nbrs = [
+            w
+            for w in ids
+            if w != v and asg[w][1] == cv and cos(v, w) >= thr
+        ]
+        dropped = any(
+            asg[w][0] > dv or (asg[w][0] == dv and w < v) for w in nbrs
+        )
+        expect[v] = (cv, dv, len(nbrs), dropped)
+
+    got = {
+        r["vec_id"]: (
+            r["cluster_id"],
+            r["centroid_dist"],
+            r["n_sem_dups"],
+            r["dropped"],
+        )
+        for r in semantic_dedup(
+            emb, k=k, rounds=rounds, threshold=thr
+        ).collect()
+    }
+    assert got == expect
+    # the seed must actually exercise both branches
+    assert any(t[3] for t in expect.values())
+    assert any(t[2] == 0 for t in expect.values())
