@@ -1418,3 +1418,123 @@ def span_dedup_keep_first(
         (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination — the scale path of
+    :func:`decontaminate` for when the distinct eval-shingle set
+    itself outgrows a comfortable broadcast: the eval corpus
+    compresses to an ``n_bits``-bit Bloom bitset (fixed size
+    regardless of eval size) and the training side probes it.
+    Structurally NO FALSE NEGATIVES (every truly contaminated doc is
+    flagged); false positives occur at the classic
+    ``(1 - e^(-kn/m))^k`` rate and only cost over-removal.
+
+    The Bloom filter is built from the repo's portable primitives —
+    ``n_hashes`` positions per shingle via the 2-universal family
+    over the md5-folded shingle hash, bits OR-combined per 64-bit
+    word — so unlike an engine-native bloom_filter_agg the ENTIRE
+    operator (bitset construction included) replays bit-identically
+    in the SQL oracle: OR is commutative/associative, making the
+    bitset independent of row order and partitioning.
+
+    Plan: eval -> distinct shingle hashes -> explode k (word, mask)
+    int pairs -> ``bit_or`` per word -> the <= n_bits/64-row word
+    table densifies into ONE array row (the Bloom bitset as a
+    broadcast literal, fixed size by construction); train -> shingle
+    hashes -> ALL k probes evaluate as map-side expressions over
+    the broadcast array (a shingle hits iff every probed bit is
+    set) -> a doc is contaminated iff ANY shingle hits (one
+    partial-combined groupBy(id)). Map-only probe, int-only
+    exchanges, the train text never shuffles. Returns
+    (id_col, contaminated) for every training doc.
+    """
+    from etl_macropulse_br_spark.functions.hashing import (
+        universal_hashes,
+    )
+
+    # 60 usable bits per word: shifting into bit 63 overflows in
+    # DuckDB (checked) while Spark wraps silently — 0..59 shifts are
+    # portable, same convention as the repo's 60-bit hash family
+    n_words = (n_bits + 59) // 60
+
+    def positions(sh_col):
+        base = F.pmod(sh_col, F.lit(1 << 32))
+        # Knuth multiplicative hashing: take MIDDLE bits of a*x+b
+        # (shiftright 16 before the mod). Low bits of an affine map
+        # are a bijection of the base's low bits, which correlates
+        # the k probes and measurably inflates the FP rate (17% ->
+        # 0 doc-level false positives on the sf0.01 corpus at the
+        # default sizing).
+        return [
+            F.pmod(F.shiftright(h, 16), F.lit(n_bits))
+            for h in universal_hashes(base, n_hashes)
+        ]
+
+    def word_mask(pos):
+        word = F.floor(pos / F.lit(60)).cast("int")
+        # shiftleft with a COLUMN bit count (the F.shiftleft wrapper
+        # only takes a literal)
+        mask = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(pos, F.lit(60)).cast("int"),
+        )
+        return word, mask
+
+    e_sh = (
+        shingle_hash_rows(eval_df, text_col, id_col, n_shingle)
+        .select("sh_h")
+        .distinct()
+    )
+    pairs = []
+    for i, pos in enumerate(positions(F.col("sh_h"))):
+        w, m = word_mask(pos)
+        pairs.append(F.struct(w.alias("word"), m.alias("mask")))
+    bits = (
+        e_sh.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.word", "p.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    # densify the sparse word table into the full bitset as one
+    # array row — evaluated once (single row), broadcast to every
+    # probe task
+    packed = bits.groupBy().agg(
+        F.collect_list(F.struct("word", "bits")).alias("wb")
+    )
+    dense = packed.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda w: F.coalesce(
+                F.get(
+                    F.filter(F.col("wb"), lambda x: x["word"] == w),
+                    F.lit(0),
+                )["bits"],
+                F.lit(0).cast("long"),
+            ),
+        ).alias("bf")
+    )
+
+    t_sh = shingle_hash_rows(train, text_col, id_col, n_shingle)
+    hit = None
+    for pos in positions(F.col("sh_h")):
+        w, m = word_mask(pos)
+        one = (
+            F.element_at(F.col("bf"), w + F.lit(1)).bitwiseAND(m) == m
+        )
+        hit = one if hit is None else hit & one
+    return (
+        t_sh.crossJoin(F.broadcast(dense))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.max(hit).alias("contaminated"))
+    )

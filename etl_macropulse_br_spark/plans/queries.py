@@ -87,6 +87,9 @@ Late-r5 and r6 aux additions (all locally oracle-gated):
   resampling over those weights, deterministic md5 uniforms),
   docs_mixture_balance (r6: deterministic training-mixture
   balancing — integer-exact per-domain takes, hash-prefix rows),
+  docs_decontaminate_bloom (r6: fixed-size portable Bloom bitset
+  scale path — no false negatives, full hash gate incl. the
+  bitset),
   monthly_gapfill_orders (calendar gap-fill with carry-forward),
   docs_token_entropy / docs_bigram_surprisal (distribution-shape
   quality signals; the perplexity-filter shape), docs_stratified_
@@ -2830,6 +2833,88 @@ LEFT JOIN hits h USING (doc_id)
 DOCS_DECONTAMINATE_SQL = _decontaminate_sql()
 
 
+def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the scale path for when the
+    distinct eval-shingle set outgrows a broadcast: the eval suite
+    compresses to a fixed-size portable Bloom bitset (built from the
+    repo's md5 + 2-universal family, so unlike an engine-native
+    bloom the WHOLE operator replays bit-identically in the oracle);
+    the training side probes it map-side. No false negatives by
+    construction (differential-pinned against the exact variant);
+    false positives only over-remove
+    (operators/dedup.py:decontaminate_bloom)."""
+    from etl_macropulse_br_spark.operators.dedup import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_bloom(train, eval_df)
+
+
+def _decontaminate_bloom_sql(
+    n_shingle: int = 3,
+    mod: int = 97,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> str:
+    from etl_macropulse_br_spark.functions.hashing import (
+        _lcg_constants,
+        base32_sql,
+    )
+    from etl_macropulse_br_spark.operators.dedup import (
+        token_shingle_hashes_sql,
+    )
+
+    n_words = (n_bits + 59) // 60  # 60 usable bits/word (see operator)
+    m32 = 1 << 32
+
+    def pos(i, a, b):
+        base = f"(((sh_h % {m32}) + {m32}) % {m32})"
+        h = f"(({base} * {a} + {b}) >> 16)"
+        return f"((({h} % {n_bits}) + {n_bits}) % {n_bits})"
+
+    lcg = _lcg_constants(n_hashes)
+    pair_sql = ", ".join(
+        f"({pos(i, a, b)} // 60, CAST(1 AS BIGINT) << ({pos(i, a, b)} % 60))"
+        for i, (a, b) in enumerate(lcg)
+    )
+    hit_sql = " AND ".join(
+        f"(bf[{pos(i, a, b)} // 60 + 1] & "
+        f"(CAST(1 AS BIGINT) << ({pos(i, a, b)} % 60)))"
+        f" = (CAST(1 AS BIGINT) << ({pos(i, a, b)} % 60))"
+        for i, (a, b) in enumerate(lcg)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS ntoks
+  FROM documents
+), h_t AS (
+  SELECT doc_id, list_transform(ntoks, t -> {base32_sql("t")}) AS th FROM t
+), sh_t AS (
+  SELECT doc_id, {token_shingle_hashes_sql(n_shingle)} AS sh FROM h_t
+), eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS sh_h FROM sh_t WHERE doc_id % {mod} = 0
+), wm AS (
+  SELECT p.* FROM eval_sh, LATERAL (VALUES {pair_sql}) AS p(word, mask)
+), words AS (
+  SELECT word, bit_or(mask) AS bits FROM wm GROUP BY word
+), dense AS (
+  SELECT list(coalesce(w2.bits, 0) ORDER BY g.w) AS bf
+  FROM (SELECT unnest(generate_series(0, {n_words - 1})) AS w) g
+  LEFT JOIN words w2 ON w2.word = g.w
+), tr_sh AS (
+  SELECT doc_id, unnest(sh) AS sh_h FROM sh_t WHERE doc_id % {mod} <> 0
+)
+SELECT tr.doc_id, max({hit_sql}) AS contaminated
+FROM tr_sh tr CROSS JOIN dense
+GROUP BY tr.doc_id
+"""
+
+
+DOCS_DECONTAMINATE_BLOOM_SQL = _decontaminate_bloom_sql()
+
+
 def docs_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-linear model scoring at scan speed (fasttext-quality-
     classifier shape): broadcast literal weight vector indexed by
@@ -5475,6 +5560,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "embedding_pq_rerank_topk": embedding_pq_rerank_topk,
     "embedding_ivfadc_topk": embedding_ivfadc_topk,
     "docs_curated_semantic": docs_curated_semantic,
+    "docs_decontaminate_bloom": docs_decontaminate_bloom,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_dsir_sample": docs_dsir_sample,
     "docs_mixture_balance": docs_mixture_balance,
@@ -5585,6 +5671,7 @@ AUX_ORACLES: dict[str, str] = {
     "embedding_pq_rerank_topk": EMBEDDING_PQ_RERANK_SQL,
     "embedding_ivfadc_topk": EMBEDDING_IVFADC_SQL,
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
+    "docs_decontaminate_bloom": DOCS_DECONTAMINATE_BLOOM_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,
     "docs_dsir_sample": DOCS_DSIR_SAMPLE_SQL,
     "docs_mixture_balance": DOCS_MIXTURE_BALANCE_SQL,

@@ -1403,3 +1403,53 @@ def test_srp_banding_recall_on_planted_near_dups(spark):
         na = sum(x * x for x in va) ** 0.5
         nb = sum(x * x for x in vb) ** 0.5
         assert dot / (na * nb) >= 0.99 - 1e-9
+
+
+def test_bloom_decontamination_no_false_negatives(spark):
+    """The Bloom scale path must flag a SUPERSET of the exact
+    variant (no false negatives — structural, pinned on the real
+    corpus where both run), and at the default sizing the measured
+    doc-level false-positive count on this corpus is zero."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = {
+        r["doc_id"]: r["contaminated"] for r in decontaminate(tr, ev).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_bloom(tr, ev).collect()
+    }
+    assert set(exact) == set(bloom)
+    assert sum(exact.values()) > 0  # the corpus really is contaminated
+    assert not [d for d in exact if exact[d] and not bloom[d]]  # no FN
+    fps = [d for d in exact if not exact[d] and bloom[d]]
+    assert len(fps) == 0  # measured at default 64Kbit / 4 hashes
+
+
+def test_bloom_decontamination_tiny_filter_overremoves_safely(spark):
+    """Undersized filter (256 bits): false positives appear but
+    never false negatives — the only failure mode is over-removal,
+    as the docstring contract states."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = {
+        r["doc_id"]: r["contaminated"] for r in decontaminate(tr, ev).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_bloom(tr, ev, n_bits=256).collect()
+    }
+    assert not [d for d in exact if exact[d] and not bloom[d]]  # no FN
+    assert sum(bloom.values()) > sum(exact.values())  # saturated -> FPs
