@@ -226,19 +226,79 @@ def weighted_sample(
     # corrupting the sample: ln(u) < 0 divided by a NEGATIVE weight
     # flips positive and beats every valid key, and a zero weight
     # yields -inf (never sampled). assert_true returns NULL on
-    # success, so the coalesce keeps it inside the key expression
-    # where column pruning cannot drop it.
-    guard = F.coalesce(
-        F.assert_true(
-            F.col(weight_col) > 0,
-            F.lit(f"weighted_sample: {weight_col} must be > 0"),
-        ).cast("double"),
-        F.lit(0.0),
-    )
-    key = F.log(u) / F.col(weight_col) + guard
+    # success and throws on false OR NULL condition, so a NULL
+    # weight fails loudly too. It must be the FIRST coalesce branch:
+    # appended as `key + guard`, codegen's null short-circuit would
+    # skip it exactly on the NULL-weight rows (null left operand ->
+    # right side never evaluated).
+    guard = F.assert_true(
+        F.col(weight_col) > 0,
+        F.lit(f"weighted_sample: {weight_col} must be > 0"),
+    ).cast("double")
+    key = F.coalesce(guard, F.log(u) / F.col(weight_col))
     return (
         df.withColumn("es_key", key)
         .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_log2(
+    df: DataFrame,
+    log2_weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """:func:`weighted_sample` with the weight supplied in the LOG2
+    domain — the scale-safe form for importance resampling, where a
+    long strongly-out-of-domain document can carry
+    ``log2_weight < -1074`` and ``pow(2, log2_weight)`` underflows
+    to exactly 0.0 (tripping the positive-weight guard instead of
+    sampling correctly).
+
+    Maximizing the Efraimidis-Spirakis key ``ln(u)/w`` is monotone-
+    identical to MINIMIZING ``(-ln u)/w`` (both sides positive), and
+    log2 is monotone on positives, so we select the k SMALLEST
+    values of::
+
+        es_key = log2(-ln u) - log2_weight
+
+    ``-ln u`` is bounded in (2^-53, 37) for the md5-derived uniforms,
+    so ``log2(-ln u)`` lives in roughly [-53, 5.3] and the key never
+    under- or overflows for ANY finite ``log2_weight`` — the weight
+    itself is never exponentiated. Same uniforms, same selected set
+    as the linear-domain sampler whenever both are representable
+    (pinned by test), but correct at every corpus scale.
+
+    The guard fails loudly on NULL/NaN log-weights: a NULL key would
+    sort FIRST under the ascending order and silently win the
+    sample.
+    """
+    from etl_macropulse_br_spark.functions.hashing import md5_long
+
+    two53 = float(1 << 53)
+    u = (
+        F.pmod(md5_long(F.col(id_col).cast("string"), seed=seed),
+               F.lit(1 << 53)).cast("double") + F.lit(1.0)
+    ) / F.lit(two53 + 2.0)
+    lw = F.col(log2_weight_col)
+    # the assert is the FIRST coalesce branch, so it is evaluated
+    # before the key on every row — appending `+ guard` to the key
+    # (the linear sampler's shape) would let codegen's null
+    # short-circuit skip the guard exactly on the NULL rows it exists
+    # to catch (null left operand -> right side never evaluated)
+    guard = F.assert_true(
+        lw.isNotNull() & ~F.isnan(lw),
+        F.lit(
+            f"weighted_sample_log2: {log2_weight_col} must be a"
+            " finite non-null double"
+        ),
+    ).cast("double")
+    key = F.coalesce(guard, F.log2(-F.log(u)) - lw)
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
         .limit(k)
     )
 

@@ -3817,17 +3817,21 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     without-replacement keys (deterministic md5-derived uniforms)
     select k=100 docs with probability proportional to the
     target/raw likelihood ratio (operators/features.py:
-    weighted_sample). Map-only key projection +
+    weighted_sample_log2 — the weight stays in the LOG2 domain end
+    to end, so a doc with log2_weight below -1074 selects correctly
+    instead of underflowing pow(2, .) to 0 and tripping the
+    positive-weight guard). Map-only key projection +
     TakeOrderedAndProject — no shuffle at any corpus size."""
-    from etl_macropulse_br_spark.operators.features import weighted_sample
+    from etl_macropulse_br_spark.operators.features import (
+        weighted_sample_log2,
+    )
     from etl_macropulse_br_spark.operators.text import dsir_log_weights
 
     docs = _t(spark, sf_dir, "documents")
     w = dsir_log_weights(docs, docs.filter(F.col("lang") == "en")).select(
-        "doc_id",
-        F.pow(F.lit(2.0), F.col("log2_weight")).alias("w"),
+        "doc_id", "log2_weight"
     )
-    return weighted_sample(w, "w", k=100).select(
+    return weighted_sample_log2(w, "log2_weight", k=100).select(
         "doc_id", F.round("es_key", 9).alias("es_key")
     )
 
@@ -3878,11 +3882,14 @@ WHERE r.rk <= t.n_take
 DOCS_DSIR_SAMPLE_SQL = f"""
 WITH dw AS ({DOCS_DSIR_SQL}),
 keyed AS (
+  -- log-domain E-S key: minimizing log2(-ln u) - log2_weight is
+  -- monotone-identical to maximizing ln(u)/2^log2_weight, but the
+  -- weight is never exponentiated (no underflow at any scale)
   SELECT doc_id,
-         ln((((({md5_long_sql("CAST(doc_id AS VARCHAR)", seed=0)}
+         log2(-ln((((({md5_long_sql("CAST(doc_id AS VARCHAR)", seed=0)}
                % {1 << 53}) + {1 << 53}) % {1 << 53}) + 1.0)
-            / {float((1 << 53) + 2)!r})
-         / pow(2.0, log2_weight) AS es_key
+            / {float((1 << 53) + 2)!r}))
+         - log2_weight AS es_key
   FROM dw
 )
 SELECT doc_id, round(keyed.es_key, 9) AS es_key
@@ -3890,7 +3897,7 @@ FROM keyed
 -- qualified so ORDER BY binds the RAW key (the bare name would
 -- resolve to the rounded output alias, diverging from Spark's
 -- unrounded top-k at a 9dp near-tie on the k boundary)
-ORDER BY keyed.es_key DESC, doc_id ASC
+ORDER BY keyed.es_key ASC, doc_id ASC
 LIMIT 100
 """
 

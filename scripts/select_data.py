@@ -39,7 +39,9 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from etl_macropulse_br_spark.operators.features import weighted_sample
+    from etl_macropulse_br_spark.operators.features import (
+        weighted_sample_log2,
+    )
     from etl_macropulse_br_spark.operators.text import dsir_log_weights
     from etl_macropulse_br_spark.plans.queries import _t
     from etl_macropulse_br_spark.session import get_spark
@@ -47,13 +49,14 @@ def main() -> None:
     spark = get_spark(app_name="select_data", profile=args.profile)
     docs = _t(spark, args.sf_dir, "documents")
     target = docs.filter(F.col("lang") == args.target_lang)
+    # the weight stays in the log2 domain through selection — a long
+    # strongly-out-of-domain doc (log2_weight < -1074) would underflow
+    # pow(2, .) to 0.0 and fail the linear-domain sampler's guard
     weights = dsir_log_weights(docs, target).select(
-        "doc_id",
-        "log2_weight",
-        F.pow(F.lit(2.0), F.col("log2_weight")).alias("w"),
+        "doc_id", "log2_weight"
     )
     selected = (
-        weighted_sample(weights, "w", k=args.k)
+        weighted_sample_log2(weights, "log2_weight", k=args.k)
         .join(docs, "doc_id")
         .select("doc_id", "lang", "source", "log2_weight", "text")
     )

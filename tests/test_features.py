@@ -218,3 +218,100 @@ def test_mixture_balance_empty_when_target_domain_absent(spark):
     )
     out = mixture_balance(df, "lang", {"en": 2, "de": 1}).collect()
     assert out == []
+
+
+def test_weighted_sample_log2_matches_linear_domain(spark):
+    """On moderate weights (where both forms are representable) the
+    log-domain sampler must select the SAME set as the linear-domain
+    one — the key transform is monotone, only the numeric domain
+    changes."""
+    import math
+
+    from etl_macropulse_br_spark.operators.features import (
+        weighted_sample,
+        weighted_sample_log2,
+    )
+
+    weights = {i: (1000.0 if i < 3 else 0.01) for i in range(30)}
+    lin = spark.createDataFrame(
+        [(i, w) for i, w in weights.items()], "doc_id long, w double"
+    )
+    lg = spark.createDataFrame(
+        [(i, math.log2(w)) for i, w in weights.items()],
+        "doc_id long, log2_weight double",
+    )
+    got_lin = [r["doc_id"] for r in weighted_sample(lin, "w", k=5).collect()]
+    got_log = [
+        r["doc_id"]
+        for r in weighted_sample_log2(lg, "log2_weight", k=5).collect()
+    ]
+    assert got_lin == got_log
+
+
+def test_weighted_sample_log2_survives_extreme_underflow_weight(spark):
+    """The scale bug the log-domain form exists for: a doc with
+    log2_weight <= -1100 (pow(2, .) underflows to exactly 0.0, which
+    the linear-domain guard rejects) must participate correctly —
+    ranked last, never erroring — and a doc with a huge POSITIVE
+    log-weight must win."""
+    from etl_macropulse_br_spark.operators.features import (
+        weighted_sample_log2,
+    )
+
+    rows = [(0, -1100.0), (1, 2000.0)] + [
+        (i, 0.0) for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, log2_weight double")
+    out = [
+        r["doc_id"]
+        for r in weighted_sample_log2(df, "log2_weight", k=11).collect()
+    ]
+    assert len(out) == 11
+    assert out[0] == 1          # astronomically heavy doc wins
+    assert 0 not in out         # 1 of 12 excluded: the 2^-1100 doc
+    # and with k = n the underflow doc IS selectable (last, not error)
+    full = [
+        r["doc_id"]
+        for r in weighted_sample_log2(df, "log2_weight", k=12).collect()
+    ]
+    assert full[-1] == 0
+
+
+def test_weighted_sample_log2_rejects_null_and_nan(spark):
+    """A NULL key would sort first under ascending order and silently
+    win the sample; the guard must fail loudly instead."""
+    import pytest
+
+    from etl_macropulse_br_spark.operators.features import (
+        weighted_sample_log2,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None)], "doc_id long, log2_weight double"
+    )
+    with pytest.raises(Exception) as e:
+        weighted_sample_log2(df, "log2_weight", k=2).collect()
+    assert "finite non-null" in str(e.value)
+
+    df2 = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan"))], "doc_id long, log2_weight double"
+    )
+    with pytest.raises(Exception) as e2:
+        weighted_sample_log2(df2, "log2_weight", k=2).collect()
+    assert "finite non-null" in str(e2.value)
+
+
+def test_weighted_sample_rejects_null_weight(spark):
+    """A NULL weight nulls the whole key (sorted last, silently
+    dropped) unless the guard is evaluated BEFORE the key; pin that
+    it fails loudly like the negative-weight case."""
+    import pytest as _pytest
+
+    from etl_macropulse_br_spark.operators.features import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None)], "doc_id long, w double"
+    )
+    with _pytest.raises(Exception) as e:
+        weighted_sample(df, "w", k=2).collect()
+    assert "must be > 0" in str(e.value)
