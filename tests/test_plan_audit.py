@@ -116,6 +116,18 @@ def test_lsh_pipeline_never_quadratic(small_spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_embedding_near_dups_banding_computed_once(small_spark):
+    """PLANS.md row `embedding_near_dups` (r7): the SRP banding is a
+    single map-only MapInPandas stage, and the bucket self-join is a
+    ShuffledHashJoin whose two sides share ONE exchange (ReuseExchange
+    on the identical banded subplan) — the banding is computed once
+    and never collected to the driver as a broadcast build."""
+    plan = _plan(small_spark, "embedding_near_dups")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "ShuffledHashJoin" in plan
+    assert "ReusedExchange" in plan
+
+
 def test_chunk_dedup_text_stays_map_side(small_spark):
     """PLANS.md row `docs_chunk_dedup`: only int hashes/positions
     shuffle; no cartesian; the reassembly join broadcast-resolves
