@@ -4402,6 +4402,239 @@ def embedding_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_IVFADC_SQL = _pq_rerank_sql(residual=True)
 
 
+def embedding_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH-query IVF-PQ-ADC serving — the single-query flat PQ
+    pipeline generalized to a query SET (vec_id < 4): one pass
+    trains/encodes the index and answers every query; per-query ADC
+    tables stay broadcast (|Q| x m x ks rows) and per-query
+    shortlist/top-k are WindowGroupLimit windows
+    (operators/clustering.py:ivf_pq_batch_topk). Exact integer
+    lattice end to end — the oracle replays the whole batch."""
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_pq_batch_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_batch_topk(emb, emb.filter(F.col("vec_id") < 4))
+
+
+def embedding_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-query IVF serving over the k-means codebook — train,
+    assign, per-query probe (|Q| x n_probe broadcast rows), exact
+    cosine per-query top-k via WindowGroupLimit
+    (operators/clustering.py:ivf_kmeans_batch_topk)."""
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_kmeans_batch_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_kmeans_batch_topk(emb, emb.filter(F.col("vec_id") < 4))
+
+
+def _pq_batch_sql(
+    k: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    n_probe: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    pq_rounds: int = 2,
+    shortlist: int = 32,
+    topk: int = 10,
+    sub: int = 8,
+    residual: bool = False,
+    query_pred: str = "vec_id < 4",
+) -> str:
+    """Batch twin of ``_pq_rerank_sql``: the query-scoped CTEs carry
+    a ``qid`` key and every ORDER BY ... LIMIT becomes a per-qid
+    QUALIFY row_number window."""
+    ctes, prev = _kmeans_ctes(k, rounds, dim)
+    dist = _KM_DIST.format(dim=dim)
+    qdist = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (c.c[i] - q.qq[i]) * (c.c[i] - q.qq[i])), (a, b) -> a + b)"
+    )
+    subdist = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        "i -> (p.qs[i] - c.c[i]) * (p.qs[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    adcdist = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        "i -> (c.c[i] - q.qqs[i]) * (c.c[i] - q.qqs[i])), "
+        "(a, b) -> a + b)"
+    )
+    sql = f"""
+WITH {ctes}, fin AS (
+  SELECT p.vec_id, c.cluster_id, {dist} AS dist
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cluster_id) = 1
+), qpts AS (
+  SELECT vec_id AS qid, q AS qq FROM pts WHERE {query_pred}
+), probe AS (
+  SELECT q.qid, c.cluster_id
+  FROM {prev} c CROSS JOIN qpts q
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid ORDER BY {qdist}, c.cluster_id) <= {n_probe}
+), cand AS (
+  SELECT pr.qid, f.vec_id
+  FROM fin f JOIN probe pr ON f.cluster_id = pr.cluster_id
+), g AS (
+  SELECT unnest(generate_series(0, {m - 1})) AS s
+), enc AS (
+  {"SELECT f.vec_id, list_transform(generate_series(1, %d), i -> p.q[i] - c.c[i]) AS q FROM fin f JOIN pts p ON p.vec_id = f.vec_id JOIN %s c ON c.cluster_id = f.cluster_id" % (dim, prev) if residual else "SELECT vec_id, q FROM pts"}
+), sp AS (
+  SELECT vec_id, g.s,
+         list_slice(q, g.s * {sub} + 1, g.s * {sub} + {sub}) AS qs
+  FROM enc, g
+), pcb0 AS (
+  SELECT s, CAST(rn - 1 AS INT) AS code, qs AS c FROM (
+    SELECT s, qs,
+           row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+    FROM sp
+  ) WHERE rn <= {ks}
+)"""
+    prevp = "pcb0"
+    for r in range(1, pq_rounds + 1):
+        sql += f""", pqa{r} AS (
+  SELECT p.vec_id, p.s, p.qs, c.code, {subdist} AS dist
+  FROM sp p JOIN {prevp} c ON c.s = p.s
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id, p.s ORDER BY dist, c.code) = 1
+), pqe{r} AS (
+  SELECT s, code, unnest(generate_series(1, {sub})) AS j, qs FROM pqa{r}
+), pqs{r} AS (
+  SELECT s, code, j, sum(qs[j]) AS sm, count(*) AS n
+  FROM pqe{r} GROUP BY s, code, j
+), pcb{r} AS (
+  SELECT s, code,
+         list(CAST((sm - (((sm % n) + n) % n)) / n AS BIGINT) ORDER BY j) AS c
+  FROM pqs{r} GROUP BY s, code
+)"""
+        prevp = f"pcb{r}"
+    sql += f""", codes AS (
+  SELECT p.vec_id, p.s, c.code
+  FROM sp p JOIN {prevp} c ON c.s = p.s
+  QUALIFY row_number() OVER (
+    PARTITION BY p.vec_id, p.s ORDER BY {subdist}, c.code) = 1
+)"""
+    if residual:
+        sql += f""", qres AS (
+  SELECT pr.qid, pr.cluster_id,
+         list_transform(generate_series(1, {dim}), i -> q.qq[i] - c.c[i]) AS rq
+  FROM probe pr
+  JOIN {prev} c ON c.cluster_id = pr.cluster_id
+  JOIN qpts q ON q.qid = pr.qid
+), qsub AS (
+  SELECT qid, cluster_id, g.s,
+         list_slice(rq, g.s * {sub} + 1, g.s * {sub} + {sub}) AS qqs
+  FROM qres, g
+), adc AS (
+  SELECT q.qid, q.cluster_id, c.s, c.code, {adcdist} AS qd
+  FROM {prevp} c JOIN qsub q ON q.s = c.s
+), short AS (
+  SELECT adc.qid, cd.vec_id, sum(adc.qd) AS adc_dist
+  FROM codes cd
+  JOIN fin f ON f.vec_id = cd.vec_id
+  JOIN adc ON adc.cluster_id = f.cluster_id
+          AND adc.s = cd.s AND adc.code = cd.code
+  GROUP BY adc.qid, cd.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY adc.qid ORDER BY adc_dist, cd.vec_id) <= {shortlist}
+)"""
+    else:
+        sql += f""", qsub AS (
+  SELECT vec_id AS qid, s, qs AS qqs FROM sp WHERE {query_pred}
+), adc AS (
+  SELECT q.qid, c.s, c.code, {adcdist} AS qd
+  FROM {prevp} c JOIN qsub q ON q.s = c.s
+), short AS (
+  SELECT ca.qid, cd.vec_id, sum(adc.qd) AS adc_dist
+  FROM codes cd
+  JOIN cand ca ON cd.vec_id = ca.vec_id
+  JOIN adc ON adc.qid = ca.qid AND adc.s = cd.s AND adc.code = cd.code
+  GROUP BY ca.qid, cd.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY ca.qid ORDER BY adc_dist, cd.vec_id) <= {shortlist}
+)"""
+    sql += f""", qv_t AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE {query_pred}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT sh.qid, e.vec_id,
+         {_DOT_SQL.format(a="v", b="qv")}
+         / (sqrt({_DOT_SQL.format(a="v", b="v")})
+            * sqrt({_DOT_SQL.format(a="qv", b="qv")})) AS cosine
+  FROM e
+  JOIN short sh ON e.vec_id = sh.vec_id
+  JOIN qv_t q ON q.qid = sh.qid
+)
+SELECT qid AS query_id, vec_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {topk}
+"""
+    return sql
+
+
+EMBEDDING_PQ_BATCH_SQL = _pq_batch_sql()
+
+
+def _ivf_batch_sql(
+    k: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    n_probe: int = 2,
+    topk: int = 10,
+    query_pred: str = "vec_id < 4",
+) -> str:
+    ctes, prev = _kmeans_ctes(k, rounds, dim)
+    dist = _KM_DIST.format(dim=dim)
+    qdist = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (c.c[i] - q.qq[i]) * (c.c[i] - q.qq[i])), (a, b) -> a + b)"
+    )
+    return f"""
+WITH {ctes}, fin AS (
+  SELECT p.vec_id, c.cluster_id, {dist} AS dist
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cluster_id) = 1
+), qpts AS (
+  SELECT vec_id AS qid, q AS qq FROM pts WHERE {query_pred}
+), probe AS (
+  SELECT q.qid, c.cluster_id
+  FROM {prev} c CROSS JOIN qpts q
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid ORDER BY {qdist}, c.cluster_id) <= {n_probe}
+), cand AS (
+  SELECT pr.qid, f.vec_id
+  FROM fin f JOIN probe pr ON f.cluster_id = pr.cluster_id
+), qv_t AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE {query_pred}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT ca.qid, e.vec_id,
+         {_DOT_SQL.format(a="v", b="qv")}
+         / (sqrt({_DOT_SQL.format(a="v", b="v")})
+            * sqrt({_DOT_SQL.format(a="qv", b="qv")})) AS cosine
+  FROM e
+  JOIN cand ca ON e.vec_id = ca.vec_id
+  JOIN qv_t q ON q.qid = ca.qid
+)
+SELECT qid AS query_id, vec_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {topk}
+"""
+
+
+EMBEDDING_IVF_BATCH_SQL = _ivf_batch_sql()
+
+
 def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — semantic near-duplicate
     pruning with k-means blocking: pairwise cosine only within a
@@ -5566,6 +5799,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "embedding_ivf_kmeans_topk": embedding_ivf_kmeans_topk,
     "embedding_pq_rerank_topk": embedding_pq_rerank_topk,
     "embedding_ivfadc_topk": embedding_ivfadc_topk,
+    "embedding_pq_batch_topk": embedding_pq_batch_topk,
+    "embedding_ivf_batch_topk": embedding_ivf_batch_topk,
     "docs_curated_semantic": docs_curated_semantic,
     "docs_decontaminate_bloom": docs_decontaminate_bloom,
     "docs_dsir_weights": docs_dsir_weights,
@@ -5677,6 +5912,8 @@ AUX_ORACLES: dict[str, str] = {
     "embedding_ivf_kmeans_topk": EMBEDDING_IVF_KMEANS_SQL,
     "embedding_pq_rerank_topk": EMBEDDING_PQ_RERANK_SQL,
     "embedding_ivfadc_topk": EMBEDDING_IVFADC_SQL,
+    "embedding_pq_batch_topk": EMBEDDING_PQ_BATCH_SQL,
+    "embedding_ivf_batch_topk": EMBEDDING_IVF_BATCH_SQL,
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
     "docs_decontaminate_bloom": DOCS_DECONTAMINATE_BLOOM_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,

@@ -757,3 +757,64 @@ def test_semdedup_matches_python_reference(spark):
     # the seed must actually exercise both branches
     assert any(t[3] for t in expect.values())
     assert any(t[2] == 0 for t in expect.values())
+
+
+def test_batch_ann_matches_single_query_loop(spark):
+    """The batch serving ops must return EXACTLY what a loop of
+    single-query calls returns, per query — same vectors, same
+    cosines, same order — for IVF, flat IVF-PQ, and residual IVFADC
+    (the batch generalization changes the orchestration, never the
+    answer)."""
+    import random
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_kmeans_batch_topk,
+        ivf_kmeans_topk,
+        ivf_pq_batch_topk,
+        ivf_pq_rerank_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(43)
+    dim, n, n_q = 8, 60, 3
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-0.4, 0.4) for _ in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") < n_q)
+    kw = dict(k=4, rounds=2, n_probe=2, topk=5)
+    pq_kw = dict(m=4, ks=8, pq_rounds=1, shortlist=16, sub=2, **kw)
+
+    cases = [
+        (
+            ivf_kmeans_batch_topk(emb, queries, **kw),
+            lambda q: ivf_kmeans_topk(emb, query_id=q, **kw),
+        ),
+        (
+            ivf_pq_batch_topk(emb, queries, **pq_kw),
+            lambda q: ivf_pq_rerank_topk(emb, query_id=q, **pq_kw),
+        ),
+        (
+            ivf_pq_batch_topk(emb, queries, residual=True, **pq_kw),
+            lambda q: ivf_pq_rerank_topk(
+                emb, query_id=q, residual=True, **pq_kw
+            ),
+        ),
+    ]
+    for batch_df, single_fn in cases:
+        batch = batch_df.collect()
+        for q in range(n_q):
+            got = [
+                (r["vec_id"], r["cosine"])
+                for r in sorted(
+                    (r for r in batch if r["query_id"] == q),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            want = [
+                (r["vec_id"], r["cosine"]) for r in single_fn(q).collect()
+            ]
+            assert got == want, (q, got, want)

@@ -211,3 +211,15 @@ def test_ivf_pq_and_semdedup_never_cartesian(small_spark):
     ):
         plan = _plan(small_spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_batch_ann_serving_plans(small_spark):
+    """Batch ANN serving (r7): no CartesianProduct anywhere — the
+    only nested-loop stages are the k x |Q| probe against the
+    broadcast query set (the whitelisted constant-size-build
+    pattern); per-query shortlist/top-k plan WindowGroupLimit, not a
+    global sort."""
+    for name in ("embedding_pq_batch_topk", "embedding_ivf_batch_topk"):
+        plan = _plan(small_spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "WindowGroupLimit" in plan, name
