@@ -133,15 +133,27 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """``rounds`` Lloyd iterations from the k smallest-id vectors —
-    the trained codebook as a LAZY k-row DataFrame (cluster_id, c).
-    Shared by the stats query and the IVF serving path."""
+    """``rounds`` Lloyd iterations seeded from the k vectors with
+    the smallest PORTABLE HASH of their id (md5 family, seed 0 —
+    the same device the samplers use) — the trained codebook as a
+    LAZY k-row DataFrame (cluster_id, c). Hash-ordered seeding is
+    deterministic and oracle-replayable like the old smallest-id
+    order, but decorrelated from id assignment: on an id-sorted
+    corpus (ids assigned by ingest order, which often tracks time
+    or source) the k smallest ids can all start in one region of
+    the space; the hash order is a uniform draw at zero parity
+    cost (r7). Shared by the stats query, the IVF serving paths,
+    and SemDeDup."""
+    from etl_macropulse_br_spark.functions.hashing import md5_long
+
     pts = _points(emb, id_col, emb_col)
+    skey = md5_long(F.col("vec_id").cast("string"), seed=0)
     # global window runs on <= k rows (post-limit) — the WindowExec
     # single-partition warning is expected and harmless here
-    w = Window.orderBy("vec_id")
+    w = Window.orderBy("__skey", "vec_id")
     cents = (
-        pts.orderBy("vec_id")
+        pts.withColumn("__skey", skey)
+        .orderBy("__skey", "vec_id")
         .limit(k)
         .select(
             (F.row_number().over(w) - F.lit(1)).cast("int").alias(

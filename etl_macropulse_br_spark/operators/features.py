@@ -315,8 +315,16 @@ def mixture_balance(
     e.g. ``{"en": 2, "de": 1}`` = two-to-one) at the MAXIMUM total
     size the corpus allows — the limiting domain is taken whole and
     every other domain is cut to proportion. The per-domain take is
-    exact integer arithmetic (``N_out = min_g floor(n_g * W / w_g)``,
-    ``take_g = floor(w_g * N_out / W)``), and which rows survive is
+    exact integer arithmetic with LARGEST-REMAINDER (Hamilton)
+    allocation: ``N_out = min_g floor(n_g * W / w_g)`` rows total,
+    ``take_g = floor(w_g * N_out / W)`` plus one extra row for the
+    ``N_out - sum(floors)`` domains with the largest integer
+    remainder ``(w_g * N_out) % W`` (ties to the lexicographically
+    smallest domain) — so the output size EQUALS ``N_out``, the true
+    achievable maximum, instead of losing up to |domains|-1 rows to
+    per-domain floors (r7; the extra rows are feasible because
+    ``w_g * N_out / W <= n_g`` by construction of ``N_out``, and a
+    zero remainder never draws an extra row). Which rows survive is
     a hash-ordered prefix (portable md5 over (seed, id)) — the same
     deterministic-randomness device as the split/samplers, so the
     selected set replays in the oracle.
@@ -359,11 +367,29 @@ def mixture_balance(
         )
         .alias("__n_out")
     )
-    takes = counts.crossJoin(F.broadcast(n_out)).select(
+    # largest-remainder allocation over the |domains|-row takes
+    # table (a single-task window over <= |domains| rows — driver-
+    # broadcast scale, not a data window)
+    ideal = F.col("__w") * F.col("__n_out")
+    floors = counts.crossJoin(F.broadcast(n_out)).select(
         group_col,
-        F.floor(F.col("__w") * F.col("__n_out") / F.lit(W))
-        .cast("bigint")
-        .alias("n_take"),
+        F.floor(ideal / F.lit(W)).cast("bigint").alias("__fl"),
+        F.pmod(ideal, F.lit(W)).cast("bigint").alias("__rem"),
+        F.col("__n_out"),
+    )
+    wrem = Window.orderBy(F.col("__rem").desc(), F.col(group_col).asc())
+    wall = Window.partitionBy()
+    takes = floors.select(
+        group_col,
+        (
+            F.col("__fl")
+            + F.when(
+                F.row_number().over(wrem)
+                <= F.first("__n_out").over(wall)
+                - F.sum("__fl").over(wall),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_take"),
     )
     w = Window.partitionBy(group_col).orderBy(
         md5_long(F.col(id_col).cast("string"), seed=seed),

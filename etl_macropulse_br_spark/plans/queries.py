@@ -3863,7 +3863,15 @@ WITH base AS (
          ELSE min(CAST(floor(n * 5.0 / 1) AS BIGINT)) END AS v
   FROM counts
 ), takes AS (
-  SELECT lang, CAST(floor(1 * v / 5.0) AS BIGINT) AS n_take
+  -- largest-remainder allocation: floors plus one extra row for the
+  -- (v - sum(floors)) domains with the largest remainder (all zero
+  -- here — equal weights divide v exactly — but the formulation
+  -- mirrors operators/features.py:mixture_balance)
+  SELECT lang,
+         CAST(floor(1 * v / 5.0) AS BIGINT)
+         + CASE WHEN row_number() OVER (ORDER BY (1 * v) % 5 DESC, lang ASC)
+                <= v - sum(CAST(floor(1 * v / 5.0) AS BIGINT)) OVER ()
+           THEN 1 ELSE 0 END AS n_take
   FROM counts CROSS JOIN n_out
 ), ranked AS (
   SELECT doc_id, lang,
@@ -4124,8 +4132,13 @@ def _kmeans_ctes(
          list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
   FROM embeddings
 ), c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id, q AS c
-  FROM (SELECT vec_id, q FROM pts ORDER BY vec_id LIMIT {k})
+  -- hash-ordered seeding (r7): the k smallest portable md5(id)
+  -- values — decorrelated from id assignment, same determinism
+  SELECT CAST(row_number() OVER (ORDER BY skey, vec_id) - 1 AS INT) AS cluster_id,
+         q AS c
+  FROM (SELECT vec_id, q,
+               {md5_long_sql("CAST(vec_id AS VARCHAR)", seed=0)} AS skey
+        FROM pts ORDER BY skey, vec_id LIMIT {k})
 )"""
     prev = "c0"
     for r in range(1, rounds + 1):

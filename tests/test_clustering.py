@@ -1,7 +1,20 @@
 """Integer-lattice Lloyd k-means (operators/clustering.py) vs an
 independent pure-Python reference of the same semantics."""
 
+import hashlib
 import math
+
+
+def _seed_order(ids):
+    """Replays kmeans_centroids' hash-ordered seeding: ids sorted by
+    (portable md5-60bit of "0:<id>", id)."""
+    return sorted(
+        ids,
+        key=lambda i: (
+            int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:15], 16),
+            i,
+        ),
+    )
 
 
 def _py_kmeans(vecs, k, rounds, scale=1_000_000):
@@ -11,7 +24,8 @@ def _py_kmeans(vecs, k, rounds, scale=1_000_000):
         vid: [math.floor(x * scale) for x in v] for vid, v in vecs.items()
     }
     ids = sorted(q)
-    cents = {c: list(q[ids[c]]) for c in range(k)}
+    seed_ids = _seed_order(ids)
+    cents = {c: list(q[seed_ids[c]]) for c in range(k)}
 
     def assign():
         out = {}
@@ -524,6 +538,7 @@ def _py_ivf_pq(
     the same integer-lattice / lowest-id-tie rules."""
     q = {v: [math.floor(x * scale) for x in xs] for v, xs in f32.items()}
     ids = sorted(q)
+    seed_ids = _seed_order(ids)
 
     def dist(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
@@ -531,8 +546,8 @@ def _py_ivf_pq(
     def floordiv(s, n):
         return (s - ((s % n + n) % n)) // n
 
-    # coarse Lloyd (same rules as _py_kmeans)
-    cents = {c: list(q[ids[c]]) for c in range(k)}
+    # coarse Lloyd (same rules as _py_kmeans, hash-ordered seeding)
+    cents = {c: list(q[seed_ids[c]]) for c in range(k)}
     for _ in range(rounds):
         groups = {}
         for v in ids:
@@ -700,11 +715,12 @@ def test_semdedup_matches_python_reference(spark):
         for v, xs in f32.items()
     }
     ids = sorted(q)
+    seed_ids = _seed_order(ids)
 
     def dist(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
-    cents = {c: list(q[ids[c]]) for c in range(k)}
+    cents = {c: list(q[seed_ids[c]]) for c in range(k)}
     for _ in range(rounds):
         groups = {}
         for v in ids:

@@ -315,3 +315,29 @@ def test_weighted_sample_rejects_null_weight(spark):
     with _pytest.raises(Exception) as e:
         weighted_sample(df, "w", k=2).collect()
     assert "must be > 0" in str(e.value)
+
+
+def test_mixture_balance_hits_theoretical_max(spark):
+    """Largest-remainder allocation: the output size must EQUAL
+    N_out = min_g floor(n_g * W / w_g) — the true achievable
+    maximum — for a case where plain per-domain floors lose rows.
+    n = {a: 10, b: 7}, weights {a: 2, b: 1}: N_out = min(15, 21) =
+    15, ideal shares (10, 5) -> here floors already land exact; use
+    weights {a: 3, b: 2}: N_out = min(floor(10*5/3), floor(7*5/2))
+    = min(16, 17) = 16, ideal (48/5, 32/5) = (9.6, 6.4), floors
+    (9, 6) = 15 — one short. The larger remainder (a: rem 3 vs
+    b: rem 2) draws the extra row: takes (10, 6), total 16."""
+    from etl_macropulse_br_spark.operators.features import mixture_balance
+
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_balance(df, "lang", {"a": 3, "b": 2}).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(out) == 16               # == N_out, not 15
+    assert len(by_lang["a"]) == 10      # floor 9 + largest remainder
+    assert len(by_lang["b"]) == 6
+    # mixture honored as closely as integers allow, never exceeded
+    # against the requested 3:2 proportion of the 16-row budget
+    assert len(by_lang["a"]) <= 10 and len(by_lang["b"]) <= 7
