@@ -57,8 +57,8 @@ emitted: the per-query min-across-passes estimator (`ratio`,
 one-sided-noise-sound but structurally favoring the noisier
 engine) and `ratio_worst_pass` (most pessimistic same-pass pairing
 of raw pass totals — the no-cherry-picking floor-to-ceiling
-check), plus `loadavg_1m` so a reader can correlate a bad
-worst-pass with external box load.
+check), plus `loadavg_1m_start` / `loadavg_1m_end` so a reader can
+correlate a bad worst-pass with external box load.
 
 Skip the baseline (e.g. in smoke runs) with SPARK_GRAFT_NO_DUCKDB=1.
 """

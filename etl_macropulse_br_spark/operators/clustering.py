@@ -798,7 +798,7 @@ def ivf_pq_batch_topk(
 
 def semantic_dedup(
     emb: DataFrame,
-    k: int = 8,
+    k: int | None = 8,
     rounds: int = 2,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -830,7 +830,14 @@ def semantic_dedup(
     (map-only assign, bounded update shuffles); the within-cluster
     self-join shuffles on cluster_id and is quadratic only in
     CLUSTER size — at 100 TB you grow k with the corpus (the paper
-    uses k ~ sqrt(n)) to hold E[cluster] fixed.
+    uses k ~ sqrt(n)) to hold E[cluster] fixed. ``k=None`` applies
+    that knob automatically: ``k = max(1, ceil(sqrt(n)))`` from one
+    count aggregate at PLAN-BUILD time (a deliberate driver action,
+    like the dim peek in embedding_near_dups — pass an explicit
+    ``k`` to keep plan construction action-free). Under auto-k,
+    E[cluster] = sqrt(n), so total within-cluster pair work grows
+    ~n^1.5 instead of n^2 for fixed k — the scale_smoke row
+    measures this holding as the corpus doubles.
 
     Recall characterization (pinned by
     ``test_semdedup_blocking_characterization``): planted duplicate
@@ -840,6 +847,10 @@ def semantic_dedup(
     and pinned rather than implied."""
     from etl_macropulse_br_spark.operators.similarity import cosine_sim
 
+    if k is None:
+        import math
+
+        k = max(1, math.ceil(math.sqrt(emb.count())))
     pts = _points(emb, id_col, emb_col)
     cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
     e = emb.select(

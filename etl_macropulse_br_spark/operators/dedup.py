@@ -1437,6 +1437,37 @@ def span_dedup_keep_first(
     )
 
 
+def bloom_bits_for(
+    n_shingles: int, target_fpr: float, n_hashes: int = 4
+) -> int:
+    """Bits to give :func:`decontaminate_bloom` so ~``n_shingles``
+    distinct eval shingles probe at <= ``target_fpr`` shingle-level
+    false-positive rate with its fixed ``k = n_hashes`` probes:
+    the fixed-k inversion of ``p = (1 - e^(-k n / m))^k`` is
+    ``m = -k n / ln(1 - p^(1/k))`` (at the optimal k this reduces to
+    the classic ``m = -n ln p / ln^2 2``). Rounded UP to whole
+    60-bit words (the operator's portable word width), so real
+    eval-suite sizes don't need hand-tuning of the ``n_bits=2^16``
+    default. Doc-level over-removal is lower still: a doc is
+    falsely flagged only if at least one of its shingles false-
+    positives."""
+    import math
+
+    if n_shingles <= 0:
+        raise ValueError(
+            f"bloom_bits_for: n_shingles must be > 0, got {n_shingles}"
+        )
+    if not 0.0 < target_fpr < 1.0:
+        raise ValueError(
+            f"bloom_bits_for: target_fpr must be in (0, 1), got "
+            f"{target_fpr}"
+        )
+    m = -n_hashes * n_shingles / math.log(
+        1.0 - target_fpr ** (1.0 / n_hashes)
+    )
+    return max(1, math.ceil(m / 60)) * 60
+
+
 def decontaminate_bloom(
     train: DataFrame,
     eval_df: DataFrame,

@@ -4121,11 +4121,13 @@ _KM_DIST = (
 
 
 def _kmeans_ctes(
-    k: int, rounds: int, dim: int, scale: int = 1_000_000
+    k: int | str, rounds: int, dim: int, scale: int = 1_000_000
 ) -> tuple[str, str]:
     """CTE list (no leading WITH) replaying ``kmeans_centroids``;
     returns (ctes, final_centroid_cte_name). Shared by the stats
-    oracle and the IVF-serving oracle."""
+    oracle and the IVF-serving oracle. ``k`` may be a SQL fragment
+    (e.g. a scalar subquery) so auto-k twins stay scale-generic —
+    it lands inside the seed LIMIT."""
     dist = _KM_DIST.format(dim=dim)
     sql = f"""pts AS (
   SELECT vec_id,
@@ -4662,12 +4664,18 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic embeddings have no true 0.95-cosine duplicates
     # (max pairwise cosine ~0.51), so the gate runs at 0.4 to
     # exercise pairing + keep policy; the operator default stays the
-    # paper's production threshold
-    return semantic_dedup(emb, threshold=0.4)
+    # paper's production threshold. k=None exercises the paper's
+    # auto-k knob (k = ceil(sqrt(n)) from one count aggregate); the
+    # oracle twin computes the same k via a scalar-subquery LIMIT,
+    # so ONE SQL string stays correct at every scale
+    return semantic_dedup(emb, k=None, threshold=0.4)
+
+
+AUTO_K_SQL = "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM pts)"
 
 
 def _semdedup_sql(
-    k: int = 8,
+    k: int | str = 8,
     rounds: int = 2,
     dim: int = 64,
     threshold: float = 0.95,
@@ -4712,7 +4720,7 @@ LEFT JOIN losers ON losers.vec_id = asg.vec_id
 """
 
 
-EMBEDDING_SEMDEDUP_SQL = _semdedup_sql(threshold=0.4)
+EMBEDDING_SEMDEDUP_SQL = _semdedup_sql(k=AUTO_K_SQL, threshold=0.4)
 
 
 def docs_curated_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4730,8 +4738,10 @@ def docs_curated_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_macropulse_br_spark.operators.clustering import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
+    # k=None: same auto-k (ceil(sqrt(n))) as embedding_semdedup,
+    # whose SQL this oracle embeds verbatim
     keeps = (
-        semantic_dedup(emb, threshold=0.4)
+        semantic_dedup(emb, k=None, threshold=0.4)
         .filter(~F.col("dropped"))
         .select(F.col("vec_id").alias("doc_id"))
     )

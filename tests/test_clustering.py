@@ -834,3 +834,34 @@ def test_batch_ann_matches_single_query_loop(spark):
                 (r["vec_id"], r["cosine"]) for r in single_fn(q).collect()
             ]
             assert got == want, (q, got, want)
+
+
+def test_semdedup_auto_k_equals_explicit_sqrt_k(spark):
+    """k=None must be exactly k = ceil(sqrt(n)) — one count
+    aggregate at plan-build time, nothing else different."""
+    import math
+    import random
+
+    from etl_macropulse_br_spark.operators.clustering import semantic_dedup
+
+    rng = random.Random(17)
+    dim, n = 8, 40
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-0.6, 0.6) for _ in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    auto = sorted(
+        map(tuple, semantic_dedup(emb, k=None, threshold=0.5).collect())
+    )
+    explicit = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                emb, k=math.ceil(math.sqrt(n)), threshold=0.5
+            ).collect(),
+        )
+    )
+    assert auto == explicit and len(auto) == n

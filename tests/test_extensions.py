@@ -1453,3 +1453,42 @@ def test_bloom_decontamination_tiny_filter_overremoves_safely(spark):
     }
     assert not [d for d in exact if exact[d] and not bloom[d]]  # no FN
     assert sum(bloom.values()) > sum(exact.values())  # saturated -> FPs
+
+
+def test_bloom_bits_for_sizing_meets_target_fpr(spark):
+    """`bloom_bits_for` must size the filter so the MEASURED
+    shingle-level FP rate on a seeded corpus is <= 2x the target.
+    Every doc is exactly one 3-token shingle (so doc FPR == shingle
+    FPR), train shingles are disjoint from eval shingles (every
+    contaminated=true is a false positive), and sanity-checks the
+    helper's monotonicity and guards."""
+    import pytest as _pytest
+
+    from etl_macropulse_br_spark.operators.dedup import (
+        bloom_bits_for,
+        decontaminate_bloom,
+    )
+
+    target = 0.05
+    n_eval, n_train = 1500, 3000
+    ev = spark.createDataFrame(
+        [(i, f"ev{i}a ev{i}b ev{i}c") for i in range(n_eval)],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [(i, f"tr{i}a tr{i}b tr{i}c") for i in range(n_train)],
+        "doc_id long, text string",
+    )
+    n_bits = bloom_bits_for(n_eval, target)
+    out = decontaminate_bloom(tr, ev, n_bits=n_bits).collect()
+    assert len(out) == n_train
+    fp = sum(1 for r in out if r["contaminated"]) / n_train
+    assert fp <= 2 * target, (fp, n_bits)
+    # more shingles or a tighter target must never shrink the filter
+    assert bloom_bits_for(2 * n_eval, target) > n_bits
+    assert bloom_bits_for(n_eval, target / 10) > n_bits
+    assert bloom_bits_for(1, 0.5) % 60 == 0
+    with _pytest.raises(ValueError):
+        bloom_bits_for(0, 0.1)
+    with _pytest.raises(ValueError):
+        bloom_bits_for(100, 1.5)

@@ -225,3 +225,40 @@ def test_dedup_keep_first_handles_dotted_column_names(spark):
         for r in dedup_keep_first(df, keys=["k"], order=["o"]).collect()
     }
     assert out == {1: "y", 2: "z"}
+
+
+def test_dedup_keep_first_null_order_key_matches_window_form(spark):
+    """The min_by rewrite's docstring claims struct ordering matches
+    the old row_number window incl. NULL order keys (asc = nulls
+    FIRST). Pin it: a group whose first-ordered row has a NULL order
+    value must keep that row, identical to the window formulation —
+    a Spark struct-comparison behavior change would regress
+    silently otherwise."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", None, "null-first"),   # NULL sorts first -> kept
+        ("a", 1, "one"),
+        ("a", 2, "two"),
+        ("b", 3, "three"),           # no null in group b
+        ("b", None, "null-too"),     # null still wins group b
+        ("c", 5, "five"),            # singleton
+    ]
+    df = spark.createDataFrame(rows, "k string, o int, v string")
+    got = {
+        r["k"]: (r["o"], r["v"])
+        for r in dedup_keep_first(df, keys=["k"], order=["o"]).collect()
+    }
+    w = Window.partitionBy("k").orderBy(F.col("o").asc())
+    want = {
+        r["k"]: (r["o"], r["v"])
+        for r in df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .collect()
+    }
+    assert got == want
+    assert got["a"] == (None, "null-first")
+    assert got["b"] == (None, "null-too")
+    assert got["c"] == (5, "five")

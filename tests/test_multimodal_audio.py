@@ -74,13 +74,52 @@ def _wav(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-@pytest.mark.skipif(not HAS_AUDIOOP, reason="audioop removed")
-def test_g711_tables_match_audioop():
-    import audioop
+def test_g711_tables_roundtrip_independent_encoders():
+    """Skip-free replacement for the audioop comparison (audioop is
+    removed in Python 3.13): independently implemented G.711
+    ENCODERS (segment search from the ITU companding definition —
+    the tables' inverse, not a re-derivation of the same decode
+    formula) must round-trip encode(decode(b)) == b for every byte.
+    The one exception is mu-law 0x7F, the negative-zero alias: it
+    decodes to 0 like 0xFF, and any encoder canonicalizes 0 to one
+    byte. When the stdlib audioop still exists, also cross-check the
+    tables byte-for-byte against it."""
 
-    allb = bytes(range(256))
-    assert _ULAW.tobytes() == audioop.ulaw2lin(allb, 2)
-    assert _ALAW.tobytes() == audioop.alaw2lin(allb, 2)
+    def enc_ulaw(x: int) -> int:
+        sign = 0x80 if x < 0 else 0
+        if x < 0:
+            x = -x
+        x += 0x84  # bias
+        if x > 0x7FFF:
+            x = 0x7FFF
+        exponent = max(0, x.bit_length() - 8)
+        mantissa = (x >> (exponent + 3)) & 0x0F
+        return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+    def enc_alaw(x: int) -> int:
+        # A-law sign bit (after the 0x55 toggle) set means POSITIVE
+        sign = 0x80 if x >= 0 else 0
+        if x < 0:
+            x = -x
+        if x < 256:
+            exponent, mantissa = 0, (x >> 4) & 0x0F
+        else:
+            exponent = min(7, x.bit_length() - 8)
+            mantissa = (x >> (exponent + 3)) & 0x0F
+        return (sign | (exponent << 4) | mantissa) ^ 0x55
+
+    assert int(_ULAW[0x7F]) == 0 and enc_ulaw(0) == 0xFF
+    for b in range(256):
+        if b != 0x7F:
+            assert enc_ulaw(int(_ULAW[b])) == b, b
+        assert enc_alaw(int(_ALAW[b])) == b, b
+
+    if HAS_AUDIOOP:
+        import audioop
+
+        allb = bytes(range(256))
+        assert _ULAW.tobytes() == audioop.ulaw2lin(allb, 2)
+        assert _ALAW.tobytes() == audioop.alaw2lin(allb, 2)
 
 
 def test_mulaw_wav_decodes():

@@ -154,6 +154,13 @@ def main() -> None:
         "semantic_dedup(embeddings)": lambda k: semantic_dedup(
             replicate(emb, k, "vec_id"), threshold=0.4
         ),
+        # r7: the auto-k knob APPLIED — k = ceil(sqrt(n)) grows with
+        # the corpus, holding E[cluster] = sqrt(n), so within-cluster
+        # pair work grows ~n^1.5 rather than the fixed-k n^2; the KX
+        # ratio should sit well under the fixed-k row's
+        "semantic_dedup_auto_k(embeddings)": lambda k: semantic_dedup(
+            replicate(emb, k, "vec_id"), k=None, threshold=0.4
+        ),
     }
 
     results: dict[str, dict] = {}
