@@ -198,6 +198,34 @@ def main() -> None:
         print(f"{'  k=' + str(k):26s} {t:7.2f} {pairs:9d} {per_pair_us:9.1f}")
     results["lsh_dup_heavy"] = lsh
 
+    # r7: batch-ANN amortization — the whole point of query-SET
+    # serving is that coarse/PQ training and encoding are paid once
+    # per batch, not once per query. One batch of Q queries must
+    # beat Q single-query plans by a wide margin (ideally ~Qx).
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_pq_batch_topk,
+        ivf_pq_rerank_topk,
+    )
+
+    n_q = 4
+    queries = emb.filter(F.col("vec_id") < n_q)
+    ivf_pq_batch_topk(emb, queries).count()  # warm plan shape
+    t0 = time.perf_counter()
+    for qid in range(n_q):
+        ivf_pq_rerank_topk(emb, query_id=qid).count()
+    t_loop = time.perf_counter() - t0
+    t_batch, _ = timed_count(ivf_pq_batch_topk(emb, queries))
+    results["ann_batch_amortization"] = {
+        "n_queries": n_q,
+        "t_single_loop": round(t_loop, 2),
+        "t_batch": round(t_batch, 2),
+        "speedup": round(t_loop / t_batch, 2) if t_batch else None,
+    }
+    print(
+        f"{'ivf_pq batch vs loop(4q)':26s} {t_batch:7.2f} {t_loop:7.2f}"
+        f" {t_loop / t_batch:6.2f}x"
+    )
+
     print(json.dumps({"sf_dir": sf_dir, "max_k": max_k, "results": results}))
 
 
