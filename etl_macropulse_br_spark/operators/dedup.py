@@ -1505,47 +1505,90 @@ def decontaminate_bloom(
     exchanges, the train text never shuffles. Returns
     (id_col, contaminated) for every training doc.
     """
+    dense = bloom_bitset(
+        eval_df, text_col, id_col, n_shingle, n_bits, n_hashes
+    )
+    t_sh = shingle_hash_rows(train, text_col, id_col, n_shingle)
+    hit = _bloom_hit(F.col("sh_h"), F.col("bf"), n_bits, n_hashes)
+    return (
+        t_sh.crossJoin(F.broadcast(dense))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.max(hit).alias("contaminated"))
+    )
+
+
+def _bloom_positions(sh_col: Column, n_bits: int, n_hashes: int):
+    """The k probe positions for one shingle hash. Knuth
+    multiplicative hashing: take MIDDLE bits of a*x+b (shiftright 16
+    before the mod). Low bits of an affine map are a bijection of
+    the base's low bits, which correlates the k probes and
+    measurably inflates the FP rate (17% -> 0 doc-level false
+    positives on the sf0.01 corpus at the default sizing)."""
     from etl_macropulse_br_spark.functions.hashing import (
         universal_hashes,
     )
 
-    # 60 usable bits per word: shifting into bit 63 overflows in
-    # DuckDB (checked) while Spark wraps silently — 0..59 shifts are
-    # portable, same convention as the repo's 60-bit hash family
+    base = F.pmod(sh_col, F.lit(1 << 32))
+    return [
+        F.pmod(F.shiftright(h, 16), F.lit(n_bits))
+        for h in universal_hashes(base, n_hashes)
+    ]
+
+
+def _bloom_word_mask(pos: Column):
+    """(word index, bit mask) for a probe position — 60 usable bits
+    per word: shifting into bit 63 overflows in DuckDB (checked)
+    while Spark wraps silently, so 0..59 shifts are portable, same
+    convention as the repo's 60-bit hash family."""
+    word = F.floor(pos / F.lit(60)).cast("int")
+    # shiftleft with a COLUMN bit count (the F.shiftleft wrapper
+    # only takes a literal)
+    mask = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        F.pmod(pos, F.lit(60)).cast("int"),
+    )
+    return word, mask
+
+
+def _bloom_hit(
+    sh_col: Column, bf_col: Column, n_bits: int, n_hashes: int
+) -> Column:
+    """True iff every probed bit of the shingle is set in the bitset
+    array — shared by the batch grouped probe and the streaming
+    map-only filter."""
+    hit = None
+    for pos in _bloom_positions(sh_col, n_bits, n_hashes):
+        w, m = _bloom_word_mask(pos)
+        one = F.element_at(bf_col, w + F.lit(1)).bitwiseAND(m) == m
+        hit = one if hit is None else hit & one
+    return hit
+
+
+def bloom_bitset(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """The eval corpus compressed to a ONE-row (bf: array<long>)
+    Bloom bitset DataFrame — the broadcast "model parameter" both
+    decontamination paths probe (batch ``decontaminate_bloom``,
+    streaming ``streaming/decontaminate.py``). bit_or is
+    commutative/associative, so the bitset is independent of row
+    order and partitioning and the construction replays
+    bit-identically in the SQL oracle."""
     n_words = (n_bits + 59) // 60
-
-    def positions(sh_col):
-        base = F.pmod(sh_col, F.lit(1 << 32))
-        # Knuth multiplicative hashing: take MIDDLE bits of a*x+b
-        # (shiftright 16 before the mod). Low bits of an affine map
-        # are a bijection of the base's low bits, which correlates
-        # the k probes and measurably inflates the FP rate (17% ->
-        # 0 doc-level false positives on the sf0.01 corpus at the
-        # default sizing).
-        return [
-            F.pmod(F.shiftright(h, 16), F.lit(n_bits))
-            for h in universal_hashes(base, n_hashes)
-        ]
-
-    def word_mask(pos):
-        word = F.floor(pos / F.lit(60)).cast("int")
-        # shiftleft with a COLUMN bit count (the F.shiftleft wrapper
-        # only takes a literal)
-        mask = F.call_function(
-            "shiftleft",
-            F.lit(1).cast("long"),
-            F.pmod(pos, F.lit(60)).cast("int"),
-        )
-        return word, mask
-
     e_sh = (
         shingle_hash_rows(eval_df, text_col, id_col, n_shingle)
         .select("sh_h")
         .distinct()
     )
     pairs = []
-    for i, pos in enumerate(positions(F.col("sh_h"))):
-        w, m = word_mask(pos)
+    for pos in _bloom_positions(F.col("sh_h"), n_bits, n_hashes):
+        w, m = _bloom_word_mask(pos)
         pairs.append(F.struct(w.alias("word"), m.alias("mask")))
     bits = (
         e_sh.select(F.explode(F.array(*pairs)).alias("p"))
@@ -1560,7 +1603,7 @@ def decontaminate_bloom(
     packed = bits.groupBy().agg(
         F.collect_list(F.struct("word", "bits")).alias("wb")
     )
-    dense = packed.select(
+    return packed.select(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_words - 1)),
             lambda w: F.coalesce(
@@ -1571,18 +1614,4 @@ def decontaminate_bloom(
                 F.lit(0).cast("long"),
             ),
         ).alias("bf")
-    )
-
-    t_sh = shingle_hash_rows(train, text_col, id_col, n_shingle)
-    hit = None
-    for pos in positions(F.col("sh_h")):
-        w, m = word_mask(pos)
-        one = (
-            F.element_at(F.col("bf"), w + F.lit(1)).bitwiseAND(m) == m
-        )
-        hit = one if hit is None else hit & one
-    return (
-        t_sh.crossJoin(F.broadcast(dense))
-        .groupBy(F.col("id").alias(id_col))
-        .agg(F.max(hit).alias("contaminated"))
     )
