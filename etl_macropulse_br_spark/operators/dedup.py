@@ -576,81 +576,84 @@ def srp_banded(
 ) -> DataFrame:
     """(id, band, bucket) rows of the banded sign-random-projection
     blocking — shared by the near-dup pairing and the blocked-KNN
-    path. The plane projections run as an Arrow-vectorized
-    ``mapInPandas`` matrix product (r7): NO explode, NO groupBy, and
-    therefore no exchange anywhere in the banding — it is map-only
-    at any scale, removing the shuffle the previous
-    posexplode + 24-sum hash aggregate paid (that aggregate was
-    ~70%% of the embedding_near_dups runtime at bench scale, and its
-    exchange shipped n_bands*n_planes partial doubles per vector).
+    path. The plane projections are computed by EXPLODING the
+    vectors and grouping index-ordered sums — whole-stage-codegen
+    arithmetic — instead of per-row zip_with/aggregate lambda folds,
+    which Spark executes as interpreted CodegenFallback (measured
+    ~2x the whole query at bench scale for 24 planes). Bit-equality
+    with the fold (and hence with the SQL oracle's
+    unnest+signs-matrix sums) is structural: posexplode emits one
+    vector's elements contiguously in index order inside one scan
+    partition, so the partial hash aggregate accumulates each d_p in
+    exactly the fold's sequence and the merge step sees a single
+    partial per id. The groupBy exchange ships n_bands*n_planes
+    partial doubles per vector — no heavier than the vector itself.
 
-    Bit-equality with the aggregate form (and hence with the SQL
-    oracle's unnest+signs-matrix index-ordered sums) is preserved by
-    PINNING the accumulation order: the numpy loop adds one
-    element-times-sign float64 term per vector index, left-
-    associated in index order — the exact IEEE sequence the hash
-    aggregate produced over its single in-order partial — instead of
-    calling BLAS ``@`` (whose pairwise/SIMD summation could flip a
-    bucket bit on a dot product within one ulp of 0). Alternatives
-    measured and rejected: per-row zip_with/aggregate lambda folds
-    (interpreted CodegenFallback, ~2x the whole query for 24
-    planes); fully unrolled element_at expression chains (a
-    3k-node-per-row tree that spends seconds of DRIVER time per
-    plan in Catalyst).
-
-    NULL vectors are filtered out (the explode form dropped them
-    implicitly; here they would otherwise need a ragged stack).
-    Vectors whose width differs from ``dim`` fail loudly instead of
-    silently banding a truncated projection.
+    Two r7 alternatives were built, A/B-measured warm on one box,
+    and rejected (full numbers in PLANS.md): an Arrow-vectorized
+    ``mapInPandas`` matrix product with a pinned fold order (correct
+    and exchange-free, but the Python stage's execution floor —
+    0.19 s vs 0.05 s for a JVM select on the same input — made the
+    full query slightly slower and noisier: interleaved mins
+    0.468/0.508 vs 0.446/0.481 for this form); and fully unrolled
+    per-row element_at chains (a 3k-node expression tree that
+    spends SECONDS of driver time per plan in Catalyst). The r7 win
+    that stayed is downstream: the bucket self-join reuses ONE
+    exchange (shuffle_hash), so this aggregate runs once, not
+    twice, and no broadcast-build job collects it.
     """
-    import numpy as np
-    import pandas as pd
+    from etl_macropulse_br_spark.functions.exprs import lit_double_array
+    from etl_macropulse_br_spark.operators.util import (
+        small_input_profile,
+        spread,
+    )
 
     n_pl = n_bands * n_planes
-    # (dim, n_pl) sign matrix — driver-precomputed broadcast model
-    # parameters, same portable md5-derived planes as the oracle.
-    signs = np.asarray(
-        [srp_signs(p, dim) for p in range(n_pl)], dtype=np.float64
-    ).T
-    id_field = df.schema[id_col].dataType.simpleString()
-    out_schema = f"id {id_field}, band int, bucket int"
-
-    def band_batches(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vecs = pdf[vec_col].to_numpy()
-            widths = {len(x) for x in vecs}
-            if widths and widths != {dim}:
-                raise ValueError(
-                    f"srp_banded: expected vectors of width {dim}, "
-                    f"got widths {sorted(widths)}"
+    # spread() is profile-gated like props_struct_parse: under the
+    # small-input profile the repartition exchange costs more than
+    # the per-row projections it parallelizes (measured ~0.1 s on
+    # the 2k-vector bench input); at cluster scale multi-file
+    # inputs make it a no-op anyway.
+    src = df if small_input_profile(df) else spread(df)
+    elems = src.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    dots = elems.groupBy("id").agg(
+        *[
+            F.sum(
+                F.col("x").cast("double")
+                * F.element_at(
+                    lit_double_array(srp_signs(p, dim)), F.col("i") + 1
                 )
-            mat = np.stack(vecs).astype(np.float64)  # (n, dim), exact
-            acc = np.zeros((len(pdf), n_pl), dtype=np.float64)
-            for i in range(dim):
-                # one float64 mul + add per term, index order — the
-                # hash aggregate's exact accumulation sequence
-                acc = acc + mat[:, i : i + 1] * signs[i]
-            bits = acc >= 0  # (n, n_pl)
-            weights = 1 << np.arange(n_planes)
-            frames = []
-            for b in range(n_bands):
-                block = bits[:, b * n_planes : (b + 1) * n_planes]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "id": pdf[id_col].to_numpy(),
-                            "band": np.int32(b),
-                            "bucket": (block * weights).sum(axis=1)
-                            .astype(np.int32),
-                        }
+            ).alias(f"d{p}")
+            for p in range(n_pl)
+        ]
+    )
+
+    def band_bucket(b: int) -> Column:
+        bucket = None
+        for p in range(n_planes):
+            bit = F.when(
+                F.col(f"d{b * n_planes + p}") >= 0, F.lit(2**p)
+            ).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        return bucket
+
+    return dots.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(b).alias("bucket"),
                     )
-                )
-            yield pd.concat(frames, ignore_index=True)
-
-    src = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
-    return src.mapInPandas(band_batches, schema=out_schema)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
 
 
 def embedding_near_dups(

@@ -117,13 +117,15 @@ def test_lsh_pipeline_never_quadratic(small_spark):
 
 
 def test_embedding_near_dups_banding_computed_once(small_spark):
-    """PLANS.md row `embedding_near_dups` (r7): the SRP banding is a
-    single map-only MapInPandas stage, and the bucket self-join is a
-    ShuffledHashJoin whose two sides share ONE exchange (ReuseExchange
-    on the identical banded subplan) — the banding is computed once
-    and never collected to the driver as a broadcast build."""
+    """PLANS.md row `embedding_near_dups` (r7): the bucket self-join
+    is a ShuffledHashJoin whose two sides share ONE exchange
+    (ReuseExchange on the identical banded subplan) — the banding
+    aggregate runs once and is never collected to the driver as a
+    broadcast build. Banding stays whole-stage-codegen JVM: no
+    Python stage anywhere in the plan (the mapInPandas alternative
+    was A/B-rejected — see PLANS.md)."""
     plan = _plan(small_spark, "embedding_near_dups")
-    assert plan.count("MapInPandas") == 1, plan
+    assert "MapInPandas" not in plan
     assert "ShuffledHashJoin" in plan
     assert "ReusedExchange" in plan
 
