@@ -1023,6 +1023,51 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+) -> DataFrame:
+    """The AUDIT companion to :func:`decontaminate`: for every
+    contaminated training doc, WHICH eval docs it collides with and
+    how hard — (train_id, eval_id, n_shared_shingles). A bare
+    boolean is enough to drop docs; a release review needs the
+    trace ("train doc X shares 14 trigrams with benchmark item Y")
+    to distinguish verbatim benchmark leakage from a one-shingle
+    idiom collision, and per-eval-doc totals show WHICH benchmark
+    items are compromised in the corpus.
+
+    Scale shape: the eval side keeps (eval_id, shingle) rows this
+    time — still benchmark-suite-sized, so the equi-join on the
+    shingle hash broadcast-resolves under AQE and the training side
+    is matched at scan speed; only MATCHED (train_id, eval_id,
+    shingle) rows reach the count aggregate (map-side combined),
+    which is ``|contamination|``-sized, not corpus-sized. Shingle
+    multiplicity on the train side counts once per distinct
+    (shingle, position-independent) collision pair — both sides
+    dedup (id, shingle) first, so ``n_shared_shingles`` is the size
+    of the shared DISTINCT shingle set, the standard overlap
+    measure.
+    """
+    t_sh = (
+        shingle_hash_rows(train, text_col, id_col, n_shingle)
+        .select(F.col("id").alias("train_id"), "sh_h")
+        .distinct()
+    )
+    e_sh = (
+        shingle_hash_rows(eval_df, text_col, id_col, n_shingle)
+        .select(F.col("id").alias("eval_id"), "sh_h")
+        .distinct()
+    )
+    return (
+        t_sh.join(e_sh, "sh_h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
 def chunk_dedup_clean(
     df: DataFrame,
     text_col: str = "text",

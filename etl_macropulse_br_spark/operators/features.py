@@ -249,6 +249,7 @@ def weighted_sample_log2(
     k: int,
     id_col: str = "doc_id",
     seed: int = 0,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """:func:`weighted_sample` with the weight supplied in the LOG2
     domain — the scale-safe form for importance resampling, where a
@@ -274,6 +275,14 @@ def weighted_sample_log2(
     The guard fails loudly on NULL/NaN log-weights: a NULL key would
     sort FIRST under the ascending order and silently win the
     sample.
+
+    ``group_cols`` switches to a PER-GROUP sample: k rows per group
+    (e.g. a per-language balanced importance sample), selected by
+    the same keys through a ``row_number`` window — which plans
+    WindowGroupLimit, so each map task pre-prunes to its local
+    per-group top-k before the exchange; the global form stays a
+    TakeOrderedAndProject. The per-group output carries an ``es_rk``
+    rank column (1-based within the group).
     """
     from etl_macropulse_br_spark.functions.hashing import md5_long
 
@@ -296,11 +305,20 @@ def weighted_sample_log2(
         ),
     ).cast("double")
     key = F.coalesce(guard, F.log2(-F.log(u)) - lw)
-    return (
-        df.withColumn("es_key", key)
-        .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    keyed = df.withColumn("es_key", key)
+    if group_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("es_key").asc(), F.col(id_col).asc()
+        )
+        return (
+            keyed.withColumn("es_rk", F.row_number().over(w))
+            .filter(F.col("es_rk") <= k)
+        )
+    return keyed.orderBy(
+        F.col("es_key").asc(), F.col(id_col).asc()
+    ).limit(k)
 
 
 def mixture_balance(

@@ -432,3 +432,54 @@ def knn_hard_negatives(
             "cosine",
         )
     )
+
+
+def hybrid_rrf(
+    lex: DataFrame,
+    sem: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    lex_score: str = "score",
+    sem_score: str = "cosine",
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic retrieval
+    list (Cormack et al. 2009, "Reciprocal rank fusion outperforms
+    Condorcet and individual rank learning methods") — the standard
+    hybrid-retrieval combiner: each candidate scores
+    ``sum over lists of 1 / (c + rank)``, which needs only RANKS, so
+    it fuses incomparable score scales (BM25 vs cosine) without
+    normalization. ``c = 60`` is the paper's constant.
+
+    Inputs are TOP-K RESULT LISTS (e.g. ``text.bm25_topk`` and a
+    cosine top-k), not corpora — the ranking windows here are
+    single-partition over <= |list| rows by contract, the same
+    driver-size scale-out story as every other top-k tail. A doc
+    present in one list only keeps that list's contribution (the
+    other term is 0 — full-outer join). Ranks are deterministic
+    ((score desc, id asc)), and the fused score is two exact IEEE
+    divisions added in fixed (lex, sem) order, so the whole fusion
+    hash-gates cross-engine.
+
+    Returns (id, lex_rank, sem_rank, rrf_score) top-``k`` by
+    (rrf_score desc, id asc)."""
+    from pyspark.sql import Window
+
+    wl = Window.orderBy(F.col(lex_score).desc(), F.col(id_col).asc())
+    la = lex.select(
+        F.col(id_col), F.row_number().over(wl).alias("lex_rank")
+    )
+    ws = Window.orderBy(F.col(sem_score).desc(), F.col(id_col).asc())
+    sa = sem.select(
+        F.col(id_col), F.row_number().over(ws).alias("sem_rank")
+    )
+    cc = F.lit(float(c))
+    rrf = F.coalesce(
+        F.lit(1.0) / (cc + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (cc + F.col("sem_rank")), F.lit(0.0))
+    return (
+        la.join(sa, id_col, "full_outer")
+        .select(id_col, "lex_rank", "sem_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

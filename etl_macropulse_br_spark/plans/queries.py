@@ -2383,6 +2383,44 @@ LIMIT {k}
 DOCS_BM25_TOPK_SQL = _bm25_sql()
 
 
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al.
+    2009, c=60) of the BM25 top-20 lexical list and the brute-force
+    cosine top-20 semantic list for query vec_id=0 (vec_id aligns
+    1:1 with doc_id in the testdata — the docs_curated_semantic
+    layout). Rank-only fusion, so the incomparable score scales
+    need no normalization; the fused score is two exact IEEE
+    divisions in fixed order (operators/similarity.py:hybrid_rrf)."""
+    from etl_macropulse_br_spark.operators.similarity import (
+        cosine_sim,
+        hybrid_rrf,
+    )
+    from etl_macropulse_br_spark.operators.text import bm25_topk
+    from etl_macropulse_br_spark.operators.util import small_input_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, _BM25_TERMS, k=20, persist_tf=not small_input_profile(docs)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sem = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    return hybrid_rrf(lex, sem, k=10)
+
+
+
+
+
 def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality signals (see
     operators/text.py:repetition_stats)."""
@@ -2831,6 +2869,55 @@ LEFT JOIN hits h USING (doc_id)
 
 
 DOCS_DECONTAMINATE_SQL = _decontaminate_sql()
+
+
+def docs_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit trace behind docs_decontaminate's booleans: WHICH
+    eval docs each contaminated training doc collides with and the
+    size of the shared distinct-shingle set
+    (operators/dedup.py:contamination_report) — the evidence a
+    release review reads to separate verbatim benchmark leakage
+    from one-shingle idiom collisions. Same doc_id % 97 eval
+    stand-in as docs_decontaminate."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(train, eval_df)
+
+
+def _contamination_report_sql(n_shingle: int = 3, mod: int = 97) -> str:
+    from etl_macropulse_br_spark.functions.hashing import base32_sql
+    from etl_macropulse_br_spark.operators.dedup import (
+        token_shingle_hashes_sql,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS ntoks
+  FROM documents
+), h_t AS (
+  SELECT doc_id, list_transform(ntoks, t -> {base32_sql("t")}) AS th FROM t
+), sh_t AS (
+  SELECT doc_id, {token_shingle_hashes_sql(n_shingle)} AS sh FROM h_t
+), eval_sh AS (
+  SELECT DISTINCT doc_id AS eval_id, unnest(sh) AS sh_h
+  FROM sh_t WHERE doc_id % {mod} = 0
+), tr_sh AS (
+  SELECT DISTINCT doc_id AS train_id, unnest(sh) AS sh_h
+  FROM sh_t WHERE doc_id % {mod} <> 0
+)
+SELECT tr.train_id, e.eval_id, count(*) AS n_shared_shingles
+FROM tr_sh tr JOIN eval_sh e USING (sh_h)
+GROUP BY tr.train_id, e.eval_id
+"""
+
+
+DOCS_CONTAMINATION_REPORT_SQL = _contamination_report_sql()
 
 
 def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3910,6 +3997,48 @@ LIMIT 100
 """
 
 
+def docs_dsir_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP importance resampling: the same log-domain
+    Efraimidis-Spirakis keys as docs_dsir_sample, but k=20 per
+    LANGUAGE (weighted_sample_log2 group_cols) — the balanced-
+    per-domain variant a mixture-controlled pipeline runs so one
+    dominant domain cannot crowd the sample. The per-group top-k is
+    a row_number window planning WindowGroupLimit."""
+    from etl_macropulse_br_spark.operators.features import (
+        weighted_sample_log2,
+    )
+    from etl_macropulse_br_spark.operators.text import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs, docs.filter(F.col("lang") == "en")).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return weighted_sample_log2(
+        w, "log2_weight", k=20, group_cols=["lang"]
+    ).select(
+        "lang", "doc_id", F.round("es_key", 9).alias("es_key"), "es_rk"
+    )
+
+
+DOCS_DSIR_SAMPLE_BY_LANG_SQL = f"""
+WITH dw AS ({DOCS_DSIR_SQL}),
+keyed AS (
+  SELECT d.lang, dw.doc_id,
+         log2(-ln((((({md5_long_sql("CAST(dw.doc_id AS VARCHAR)", seed=0)}
+               % {1 << 53}) + {1 << 53}) % {1 << 53}) + 1.0)
+            / {float((1 << 53) + 2)!r}))
+         - log2_weight AS es_key
+  FROM dw JOIN documents d ON d.doc_id = dw.doc_id
+)
+SELECT lang, doc_id, round(es_key, 9) AS es_key,
+       CAST(row_number() OVER (
+         PARTITION BY lang ORDER BY keyed.es_key ASC, doc_id ASC
+       ) AS INT) AS es_rk
+FROM keyed
+QUALIFY es_rk <= 20
+"""
+
+
 def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-filter shape: per-doc bits-per-token under a
     corpus-trained add-one bigram LM (operators/text.py:
@@ -4788,6 +4917,101 @@ SELECT vec_id,
 FROM e, q
 ORDER BY cosine DESC, vec_id
 LIMIT 10
+"""
+
+
+def _hybrid_rrf_sql(k: int = 10, k_in: int = 20, c: int = 60) -> str:
+    rc = f"CAST({float(c)!r} AS DOUBLE)"
+    term = lambda r: (  # noqa: E731
+        f"coalesce(CAST(1.0 AS DOUBLE) / ({rc} + {r}), "
+        "CAST(0.0 AS DOUBLE))"
+    )
+    return f"""
+WITH lex AS ({_bm25_sql(k=k_in)}
+), sem AS (
+  WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+  ), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  )
+  SELECT vec_id AS doc_id,
+         {_DOT_SQL.format(a="v", b="qv")}
+         / (sqrt({_DOT_SQL.format(a="v", b="v")})
+            * sqrt({_DOT_SQL.format(a="qv", b="qv")})) AS cosine
+  FROM e, q
+  ORDER BY cosine DESC, vec_id
+  LIMIT {k_in}
+), lr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           AS lex_rank
+  FROM lex
+), sr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT)
+           AS sem_rank
+  FROM sem
+)
+SELECT doc_id, lex_rank, sem_rank,
+       {term("lex_rank")} + {term("sem_rank")} AS rrf_score
+FROM lr FULL OUTER JOIN sr USING (doc_id)
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+DOCS_HYBRID_RRF_SQL = _hybrid_rrf_sql()
+
+
+def embedding_cosine_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-query EXACT cosine top-k — the brute-force baseline for
+    the batch ANN servers (embedding_pq_batch_topk etc.): the query
+    set (vec_id < 4) broadcasts against one corpus scan and each
+    query keeps its top-10 via a row_number window
+    (WindowGroupLimit — map tasks pre-prune their local per-query
+    top-k before the exchange). One scan serves every query; the
+    single-query form stays TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.crossJoin(F.broadcast(qs))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+EMBEDDING_COSINE_BATCH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 4
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         {_DOT_SQL.format(a="v", b="qv")}
+         / (sqrt({_DOT_SQL.format(a="v", b="v")})
+            * sqrt({_DOT_SQL.format(a="qv", b="qv")})) AS cosine
+  FROM e, q
+)
+SELECT query_id, vec_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+       ) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
 """
 
 
@@ -5824,6 +6048,10 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "embedding_ivfadc_topk": embedding_ivfadc_topk,
     "embedding_pq_batch_topk": embedding_pq_batch_topk,
     "embedding_ivf_batch_topk": embedding_ivf_batch_topk,
+    "docs_hybrid_rrf": docs_hybrid_rrf,
+    "docs_contamination_report": docs_contamination_report,
+    "docs_dsir_sample_by_lang": docs_dsir_sample_by_lang,
+    "embedding_cosine_batch_topk": embedding_cosine_batch_topk,
     "docs_curated_semantic": docs_curated_semantic,
     "docs_decontaminate_bloom": docs_decontaminate_bloom,
     "docs_dsir_weights": docs_dsir_weights,
@@ -5937,6 +6165,10 @@ AUX_ORACLES: dict[str, str] = {
     "embedding_ivfadc_topk": EMBEDDING_IVFADC_SQL,
     "embedding_pq_batch_topk": EMBEDDING_PQ_BATCH_SQL,
     "embedding_ivf_batch_topk": EMBEDDING_IVF_BATCH_SQL,
+    "docs_hybrid_rrf": DOCS_HYBRID_RRF_SQL,
+    "docs_contamination_report": DOCS_CONTAMINATION_REPORT_SQL,
+    "docs_dsir_sample_by_lang": DOCS_DSIR_SAMPLE_BY_LANG_SQL,
+    "embedding_cosine_batch_topk": EMBEDDING_COSINE_BATCH_SQL,
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
     "docs_decontaminate_bloom": DOCS_DECONTAMINATE_BLOOM_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,

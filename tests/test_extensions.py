@@ -1492,3 +1492,75 @@ def test_bloom_bits_for_sizing_meets_target_fpr(spark):
         bloom_bits_for(0, 0.1)
     with _pytest.raises(ValueError):
         bloom_bits_for(100, 1.5)
+
+
+def test_hybrid_rrf_semantics(spark):
+    """RRF fusion: a doc present in BOTH lists outranks docs present
+    in one (at comparable ranks); single-list docs keep exactly that
+    list's 1/(c+rank) contribution; ranks are deterministic."""
+    from etl_macropulse_br_spark.operators.similarity import hybrid_rrf
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, score double"
+    )
+    sem = spark.createDataFrame(
+        [(2, 0.99), (4, 0.98), (1, 0.97)], "doc_id long, cosine double"
+    )
+    out = hybrid_rrf(lex, sem, k=10, c=60).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # both-lists docs first: 2 (lex#2 + sem#1) then 1 (lex#1 + sem#3)
+    assert [r["doc_id"] for r in out[:2]] == [2, 1]
+    assert by_id[2]["rrf_score"] == 1 / 62 + 1 / 61
+    assert by_id[1]["rrf_score"] == 1 / 61 + 1 / 63
+    # single-list docs carry one term and a NULL rank for the other
+    assert by_id[3]["sem_rank"] is None
+    assert by_id[3]["rrf_score"] == 1 / 63
+    assert by_id[4]["lex_rank"] is None
+    assert by_id[4]["rrf_score"] == 1 / 62
+    assert len(out) == 4
+
+
+def test_contamination_report_consistent_with_boolean_flags(spark):
+    """The report's train_id set must equal decontaminate's
+    contaminated=true set over the same corpora, and
+    n_shared_shingles must count the shared DISTINCT shingle set
+    (a repeated shingle in the train doc counts once)."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        contamination_report,
+        decontaminate,
+    )
+
+    eval_df = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps high"),
+            (101, "entirely different benchmark content here"),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares two distinct trigrams with eval 100, one of them
+            # REPEATED (must still count once)
+            (1, "the quick brown fox the quick brown fox jumps"),
+            (2, "no overlap with anything at all"),
+            # shares with BOTH eval docs
+            (3, "different benchmark content here and the quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = contamination_report(train, eval_df).collect()
+    pairs = {
+        (r["train_id"], r["eval_id"]): r["n_shared_shingles"] for r in rep
+    }
+    flagged = {
+        r["doc_id"]
+        for r in decontaminate(train, eval_df).collect()
+        if r["contaminated"]
+    }
+    assert {t for t, _ in pairs} == flagged == {1, 3}
+    # doc 1 vs eval 100: distinct shared trigrams are
+    # "the quick brown", "quick brown fox", "brown fox jumps" (the
+    # repeat adds "fox the quick" etc. which eval lacks) -> 3
+    assert pairs[(1, 100)] == 3
+    assert (1, 101) not in pairs
+    assert pairs[(3, 101)] >= 2 and pairs[(3, 100)] >= 2

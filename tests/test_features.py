@@ -341,3 +341,40 @@ def test_mixture_balance_hits_theoretical_max(spark):
     # mixture honored as closely as integers allow, never exceeded
     # against the requested 3:2 proportion of the 16-row budget
     assert len(by_lang["a"]) <= 10 and len(by_lang["b"]) <= 7
+
+
+def test_weighted_sample_log2_per_group(spark):
+    """group_cols: k rows per group, ranked by the same log-domain
+    keys as the global sampler — the union of per-group samples at
+    k=1 must be each group's global-best row."""
+    import math
+
+    from etl_macropulse_br_spark.operators.features import (
+        weighted_sample_log2,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i % 2 == 0 else "b", math.log2(1 + i % 7 + 1))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, log2_weight double")
+    out = weighted_sample_log2(
+        df, "log2_weight", k=3, group_cols=["g"]
+    ).collect()
+    assert len(out) == 6
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["es_rk"], r["doc_id"], r["es_key"]))
+    for g, lst in by_g.items():
+        lst.sort()
+        assert [rk for rk, _, _ in lst] == [1, 2, 3]
+        # ranks follow ascending keys
+        keys = [k for _, _, k in lst]
+        assert keys == sorted(keys)
+        # the per-group winner equals a global sample restricted to
+        # that group
+        solo = weighted_sample_log2(
+            df.filter(F.col("g") == g), "log2_weight", k=1
+        ).collect()[0]
+        assert solo["doc_id"] == lst[0][1]
+

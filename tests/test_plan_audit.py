@@ -221,7 +221,12 @@ def test_batch_ann_serving_plans(small_spark):
     broadcast query set (the whitelisted constant-size-build
     pattern); per-query shortlist/top-k plan WindowGroupLimit, not a
     global sort."""
-    for name in ("embedding_pq_batch_topk", "embedding_ivf_batch_topk"):
+    for name in (
+        "embedding_pq_batch_topk",
+        "embedding_ivf_batch_topk",
+        "embedding_cosine_batch_topk",
+        "docs_dsir_sample_by_lang",
+    ):
         plan = _plan(small_spark, name)
         assert "CartesianProduct" not in plan, name
         assert "WindowGroupLimit" in plan, name
