@@ -8,13 +8,16 @@ unbiased distinct estimate is (k - 1) / U. Intuition: k uniform
 points occupying a prefix of length U of the unit interval imply
 ~k/U points overall.
 
-Why KMV here instead of HyperLogLog (`approx_count_distinct`):
-the estimator is built ENTIRELY from the portable md5 hash family
-(functions/hashing.py), so Spark and the DuckDB oracle compute
-bit-identical sketches and estimates — an *oracle-gateable*
-approximate operator, which HLL can never be across engines (each
-engine's sketch layout and bias correction differ). Swap the hash
-for ``xxhash64`` on a real cluster for raw speed; the plan shape is
+Why KMV here instead of ENGINE-NATIVE HyperLogLog
+(`approx_count_distinct`): the estimator is built ENTIRELY from the
+portable md5 hash family (functions/hashing.py), so Spark and the
+DuckDB oracle compute bit-identical sketches and estimates — an
+*oracle-gateable* approximate operator, which an engine's built-in
+HLL can never be across engines (each engine's sketch layout and
+bias correction differ). r7 adds a PORTABLE HLL below built the
+same way (relational ops over the md5 family), which gates too —
+and brings HLL's mergeable-register scale story. Swap the hash for
+``xxhash64`` on a real cluster for raw speed; the plan shapes are
 identical.
 
 Scale shape: hash projection → partial-distinct → global top-k of
@@ -87,4 +90,165 @@ SELECT n_kept, kth_hash,
                  * CAST({_HASH_SPACE!r} AS DOUBLE) / kth_hash
        END AS est_distinct
 FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007) — oracle-gateable HLL.
+#
+# The module note above explains why ENGINE-NATIVE HLL
+# (approx_count_distinct) can never hash-gate across engines: each
+# engine's sketch layout and bias correction differ. This variant
+# sidesteps that by building the sketch itself out of relational ops
+# over the portable md5 family — register index = low b bits,
+# rho = leading-zero rank of the remaining 60-b bits, registers =
+# groupBy-max — so Spark and DuckDB compute IDENTICAL registers and
+# the estimator folds them in a pinned order. Registers are the
+# standard mergeable state: sketch(A ∪ B) = elementwise max of
+# sketches — pinned by test, which is what makes HLL the at-scale
+# distinct counter (combine partial sketches, never re-scan).
+
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, col: str | Column, b: int = 10
+) -> DataFrame:
+    """(j, M) rows: register index -> max leading-zero rank. Only
+    PRESENT registers appear (missing ones are implicitly 0 — the
+    estimator accounts for them). Scale shape: one map-only hash
+    projection, one groupBy(j) max — partial combine collapses each
+    partition to <= 2^b rows before the exchange, and two register
+    tables merge with a union + groupBy-max of 2^b rows."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"hll_registers: b must be in 4..16, got {b}")
+    m = 1 << b
+    width = 60 - b
+    c = F.col(col) if isinstance(col, str) else col
+    h = md5_long(c)
+    # exact integer split: low b bits -> register, high bits -> rank
+    # source (shift/mask, never a double division — h can exceed
+    # 2^53, where float division would round)
+    rest = F.shiftright(h, b)
+    # bit_length via base-2 string length; rest = 0 -> all zeros ->
+    # rho = width + 1 (the standard convention)
+    bitlen = F.length(F.conv(rest, 10, 2))
+    rho = F.when(rest == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - bitlen + F.lit(1)
+    )
+    return (
+        df.select(
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("j"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("j")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, col: str | Column, b: int = 10
+) -> DataFrame:
+    """One-row frame
+    ``(m, n_present_registers, n_zero_registers, raw_est,
+    est_distinct)`` — the HyperLogLog estimate with the standard
+    small-range (linear-counting) correction.
+
+    Exact cross-engine parity: 2^-M_j is the exact double
+    ``1.0 / (1 << M_j)`` (M_j <= 51), the harmonic sum folds the
+    j-SORTED register list left-associated plus one exact add of the
+    (m - n_present) missing registers' 1.0 terms, and alpha_m is a
+    Python-float literal shared with the oracle. The linear-counting
+    branch uses libm ln, so ``est_distinct`` is rounded to 6 dp (the
+    repo's usual ulp-absorbing gate); ``raw_est`` is fold-exact."""
+    m = 1 << b
+    regs = hll_registers(df, col, b)
+    packed = regs.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("j", "M"))).alias("rs")
+    )
+    terms = F.transform(
+        F.col("rs"),
+        lambda r: F.lit(1.0)
+        / F.call_function(
+            "shiftleft", F.lit(1).cast("long"), r["M"].cast("int")
+        ).cast("double"),
+    )
+    s_present = F.aggregate(
+        terms, F.lit(0.0), lambda acc, x: acc + x
+    )
+    n_present = F.size("rs")
+    z = s_present + (F.lit(m) - n_present).cast("double")
+    alpha = _hll_alpha(m)
+    raw = F.lit(alpha * m * m) / z
+    v = (F.lit(m) - n_present).cast("double")  # zero registers
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return packed.select(
+        F.lit(m).alias("m"),
+        n_present.cast("bigint").alias("n_present_registers"),
+        (F.lit(m) - n_present).cast("bigint").alias("n_zero_registers"),
+        raw.alias("raw_est"),
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def hll_distinct_sql(table: str, col_expr: str, b: int = 10) -> str:
+    """DuckDB twin of :func:`hll_distinct` — identical registers,
+    identical fold order, same alpha literal."""
+    m = 1 << b
+    width = 60 - b
+    alpha = _hll_alpha(m)
+    h = md5_long_sql(col_expr)
+    return f"""
+WITH hashed AS (
+  SELECT CAST({h} & {m - 1} AS INT) AS j,
+         CAST({h} >> {b} AS BIGINT) AS rest
+  FROM {table}
+), rho_rows AS (
+  SELECT j,
+         CASE WHEN rest = 0 THEN {width + 1}
+              ELSE {width} - length(printf('%b', rest)) + 1
+         END AS rho
+  FROM hashed
+), regs AS (
+  SELECT j, CAST(max(rho) AS INT) AS M FROM rho_rows GROUP BY j
+), packed AS (
+  SELECT list(struct_pack(j := j, M := M) ORDER BY j, M) AS rs
+  FROM regs
+), folded AS (
+  SELECT len(rs) AS n_present,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(rs,
+               r -> CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << r.M AS DOUBLE))),
+           (acc, x) -> acc + x) AS s_present
+  FROM packed
+)
+SELECT {m} AS m,
+       CAST(n_present AS BIGINT) AS n_present_registers,
+       CAST({m} - n_present AS BIGINT) AS n_zero_registers,
+       CAST({alpha * m * m!r} AS DOUBLE)
+         / (s_present + CAST({m} - n_present AS DOUBLE)) AS raw_est,
+       round(
+         CASE WHEN CAST({alpha * m * m!r} AS DOUBLE)
+                   / (s_present + CAST({m} - n_present AS DOUBLE))
+                   <= CAST({2.5 * m!r} AS DOUBLE)
+               AND {m} - n_present > 0
+              THEN CAST({float(m)!r} AS DOUBLE)
+                   * ln(CAST({float(m)!r} AS DOUBLE)
+                        / CAST({m} - n_present AS DOUBLE))
+              ELSE CAST({alpha * m * m!r} AS DOUBLE)
+                   / (s_present + CAST({m} - n_present AS DOUBLE))
+         END, 6) AS est_distinct
+FROM folded
 """

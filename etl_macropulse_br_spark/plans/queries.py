@@ -1839,9 +1839,11 @@ FROM events
 
 def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) distinct-count sketch over event users — the
-    oracle-gateable approximate-distinct operator (HLL sketches can
-    never hash-match across engines; the portable-md5 KMV does,
-    bit-for-bit — see operators/sketches.py)."""
+    oracle-gateable approximate-distinct operator (ENGINE-NATIVE HLL
+    sketches can never hash-match across engines; the portable-md5
+    KMV does, bit-for-bit — see operators/sketches.py, and
+    events_hll_distinct for the r7 portable HLL that gates the same
+    way)."""
     from etl_macropulse_br_spark.operators.sketches import kmv_distinct
 
     ev = _t(spark, sf_dir, "events")
@@ -1858,6 +1860,33 @@ def _events_kmv_sql() -> str:
 
 
 EVENTS_KMV_DISTINCT_SQL = _events_kmv_sql()
+
+
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-count over event users —
+    r7 upgrade of the 'HLL can never hash-match across engines'
+    caveat on the KMV row: ENGINE-NATIVE HLL can't, but this sketch
+    is built from relational ops over the portable md5 family
+    (register = low b bits, rho = leading-zero rank, groupBy-max),
+    so registers and the pinned-fold estimator replay bit-for-bit
+    in the oracle (operators/sketches.py:hll_distinct). Registers
+    are the standard MERGEABLE state (elementwise max — pinned by
+    test), which is what makes HLL the at-scale distinct counter."""
+    from etl_macropulse_br_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", b=8)
+
+
+def _events_hll_sql() -> str:
+    from etl_macropulse_br_spark.operators.sketches import (
+        hll_distinct_sql,
+    )
+
+    return hll_distinct_sql("events", "CAST(user_id AS VARCHAR)", b=8)
+
+
+EVENTS_HLL_DISTINCT_SQL = _events_hll_sql()
 
 
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6052,6 +6081,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_contamination_report": docs_contamination_report,
     "docs_dsir_sample_by_lang": docs_dsir_sample_by_lang,
     "embedding_cosine_batch_topk": embedding_cosine_batch_topk,
+    "events_hll_distinct": events_hll_distinct,
     "docs_curated_semantic": docs_curated_semantic,
     "docs_decontaminate_bloom": docs_decontaminate_bloom,
     "docs_dsir_weights": docs_dsir_weights,
@@ -6169,6 +6199,7 @@ AUX_ORACLES: dict[str, str] = {
     "docs_contamination_report": DOCS_CONTAMINATION_REPORT_SQL,
     "docs_dsir_sample_by_lang": DOCS_DSIR_SAMPLE_BY_LANG_SQL,
     "embedding_cosine_batch_topk": EMBEDDING_COSINE_BATCH_SQL,
+    "events_hll_distinct": EVENTS_HLL_DISTINCT_SQL,
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
     "docs_decontaminate_bloom": DOCS_DECONTAMINATE_BLOOM_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,

@@ -1564,3 +1564,58 @@ def test_contamination_report_consistent_with_boolean_flags(spark):
     assert pairs[(1, 100)] == 3
     assert (1, 101) not in pairs
     assert pairs[(3, 101)] >= 2 and pairs[(3, 100)] >= 2
+
+
+def test_hll_accuracy_and_mergeability(spark):
+    """The portable HLL must (a) estimate within the standard error
+    envelope on a known-cardinality corpus, (b) produce MERGEABLE
+    registers: sketch(A union B) == elementwise-max(sketch(A),
+    sketch(B)) — the property that lets partial sketches combine at
+    any scale without re-scanning."""
+    from etl_macropulse_br_spark.operators.sketches import (
+        hll_distinct,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(f"user-{i}",) for i in range(n)] * 2, "u string"
+    )  # every value twice: HLL must count distincts, not rows
+    b = 10  # m=1024 -> rel. std error ~1.04/sqrt(1024) = 3.25%
+    est = hll_distinct(df, "u", b=b).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 0.12  # < ~3.7 sigma
+
+    a = spark.createDataFrame([(f"user-{i}",) for i in range(3000)], "u string")
+    bb = spark.createDataFrame(
+        [(f"user-{i}",) for i in range(2000, n)], "u string"
+    )
+    union_regs = {
+        (r["j"], r["M"]) for r in hll_registers(a.union(bb), "u", b=b).collect()
+    }
+    ra = {r["j"]: r["M"] for r in hll_registers(a, "u", b=b).collect()}
+    rb = {r["j"]: r["M"] for r in hll_registers(bb, "u", b=b).collect()}
+    merged = {
+        (j, max(ra.get(j, 0), rb.get(j, 0))) for j in set(ra) | set(rb)
+    }
+    assert union_regs == merged
+
+
+def test_hll_exercises_both_estimator_branches(spark):
+    """Small cardinality (zero registers present) must take the
+    linear-counting branch; near-m cardinality the raw branch —
+    both ends of the correction are live in the suite."""
+    from etl_macropulse_br_spark.operators.sketches import hll_distinct
+
+    small = spark.createDataFrame([(f"x{i}",) for i in range(20)], "u string")
+    r = hll_distinct(small, "u", b=8).collect()[0]
+    assert r["n_zero_registers"] > 0
+    assert r["est_distinct"] != round(r["raw_est"], 6)
+    assert abs(r["est_distinct"] - 20) < 6
+
+    big = spark.createDataFrame(
+        [(f"y{i}",) for i in range(60000)], "u string"
+    )
+    r2 = hll_distinct(big, "u", b=8).collect()[0]
+    # 60000 >> 2.5 * 256 -> raw estimator branch
+    assert r2["est_distinct"] == round(r2["raw_est"], 6)
+    assert abs(r2["est_distinct"] - 60000) / 60000 < 0.25
