@@ -154,6 +154,35 @@ def hll_registers(
     )
 
 
+def _hll_estimate_cols(m: int) -> list[Column]:
+    """Estimator projection over a j-sorted register-struct list
+    column ``rs`` — shared by the global and per-group forms."""
+    terms = F.transform(
+        F.col("rs"),
+        lambda r: F.lit(1.0)
+        / F.call_function(
+            "shiftleft", F.lit(1).cast("long"), r["M"].cast("int")
+        ).cast("double"),
+    )
+    s_present = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    n_present = F.size("rs")
+    z = s_present + (F.lit(m) - n_present).cast("double")
+    alpha = _hll_alpha(m)
+    raw = F.lit(alpha * m * m) / z
+    v = (F.lit(m) - n_present).cast("double")  # zero registers
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return [
+        F.lit(m).alias("m"),
+        n_present.cast("bigint").alias("n_present_registers"),
+        (F.lit(m) - n_present).cast("bigint").alias("n_zero_registers"),
+        raw.alias("raw_est"),
+        F.round(est, 6).alias("est_distinct"),
+    ]
+
+
 def hll_distinct(
     df: DataFrame, col: str | Column, b: int = 10
 ) -> DataFrame:
@@ -174,32 +203,7 @@ def hll_distinct(
     packed = regs.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("j", "M"))).alias("rs")
     )
-    terms = F.transform(
-        F.col("rs"),
-        lambda r: F.lit(1.0)
-        / F.call_function(
-            "shiftleft", F.lit(1).cast("long"), r["M"].cast("int")
-        ).cast("double"),
-    )
-    s_present = F.aggregate(
-        terms, F.lit(0.0), lambda acc, x: acc + x
-    )
-    n_present = F.size("rs")
-    z = s_present + (F.lit(m) - n_present).cast("double")
-    alpha = _hll_alpha(m)
-    raw = F.lit(alpha * m * m) / z
-    v = (F.lit(m) - n_present).cast("double")  # zero registers
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
-    ).otherwise(raw)
-    return packed.select(
-        F.lit(m).alias("m"),
-        n_present.cast("bigint").alias("n_present_registers"),
-        (F.lit(m) - n_present).cast("bigint").alias("n_zero_registers"),
-        raw.alias("raw_est"),
-        F.round(est, 6).alias("est_distinct"),
-    )
+    return packed.select(*_hll_estimate_cols(m))
 
 
 def hll_distinct_sql(table: str, col_expr: str, b: int = 10) -> str:
@@ -249,6 +253,104 @@ SELECT {m} AS m,
                         / CAST({m} - n_present AS DOUBLE))
               ELSE CAST({alpha * m * m!r} AS DOUBLE)
                    / (s_present + CAST({m} - n_present AS DOUBLE))
+         END, 6) AS est_distinct
+FROM folded
+"""
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    col: str | Column,
+    group_cols: list[str],
+    b: int = 10,
+) -> DataFrame:
+    """Per-group HyperLogLog: one estimate row PER GROUP (e.g.
+    distinct users per event type / per month) — the sketched form
+    of ``groupBy(g).agg(countDistinct(col))`` whose exchange carries
+    <= |groups| x 2^b integer register rows instead of every
+    distinct (group, value) pair. Because registers merge by
+    elementwise max, per-group sketches ALSO roll up: max-merging
+    the group rows of a partitioned corpus (by month, by shard)
+    yields exactly the global sketch — pinned by test — so a mart
+    can keep monthly register tables and answer
+    distinct-over-any-period without re-scanning events."""
+    m = 1 << b
+    c = F.col(col) if isinstance(col, str) else col
+    h = md5_long(c)
+    width = 60 - b
+    rest = F.shiftright(h, b)
+    bitlen = F.length(F.conv(rest, 10, 2))
+    rho = F.when(rest == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - bitlen + F.lit(1)
+    )
+    regs = (
+        df.select(
+            *group_cols,
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("j"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("M"))
+    )
+    packed = regs.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("j", "M"))).alias("rs")
+    )
+    return packed.select(*group_cols, *_hll_estimate_cols(m))
+
+
+def hll_distinct_by_sql(
+    table: str, col_expr: str, group_cols: list[str], b: int = 10
+) -> str:
+    """DuckDB twin of :func:`hll_distinct_by`."""
+    m = 1 << b
+    width = 60 - b
+    alpha = _hll_alpha(m)
+    h = md5_long_sql(col_expr)
+    gl = ", ".join(group_cols)
+    raw = (
+        f"CAST({alpha * m * m!r} AS DOUBLE)"
+        f" / (s_present + CAST({m} - n_present AS DOUBLE))"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {gl},
+         CAST({h} & {m - 1} AS INT) AS j,
+         CAST({h} >> {b} AS BIGINT) AS rest
+  FROM {table}
+), rho_rows AS (
+  SELECT {gl}, j,
+         CASE WHEN rest = 0 THEN {width + 1}
+              ELSE {width} - length(printf('%b', rest)) + 1
+         END AS rho
+  FROM hashed
+), regs AS (
+  SELECT {gl}, j, CAST(max(rho) AS INT) AS M
+  FROM rho_rows GROUP BY {gl}, j
+), packed AS (
+  SELECT {gl}, list(struct_pack(j := j, M := M) ORDER BY j, M) AS rs
+  FROM regs GROUP BY {gl}
+), folded AS (
+  SELECT {gl}, len(rs) AS n_present,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(rs,
+               r -> CAST(1.0 AS DOUBLE)
+                    / CAST(CAST(1 AS BIGINT) << r.M AS DOUBLE))),
+           (acc, x) -> acc + x) AS s_present
+  FROM packed
+)
+SELECT {gl},
+       {m} AS m,
+       CAST(n_present AS BIGINT) AS n_present_registers,
+       CAST({m} - n_present AS BIGINT) AS n_zero_registers,
+       {raw} AS raw_est,
+       round(
+         CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE)
+               AND {m} - n_present > 0
+              THEN CAST({float(m)!r} AS DOUBLE)
+                   * ln(CAST({float(m)!r} AS DOUBLE)
+                        / CAST({m} - n_present AS DOUBLE))
+              ELSE {raw}
          END, 6) AS est_distinct
 FROM folded
 """

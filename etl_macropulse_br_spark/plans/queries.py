@@ -1889,6 +1889,33 @@ def _events_hll_sql() -> str:
 EVENTS_HLL_DISTINCT_SQL = _events_hll_sql()
 
 
+def events_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL: distinct users per event_type — the sketched
+    countDistinct whose exchange carries <= |groups| x 2^b register
+    ints instead of every (group, user) pair, and whose group rows
+    MAX-MERGE into the global sketch (pinned), so a mart keeps
+    per-partition register tables and answers distinct-over-any-
+    slice without re-scanning (operators/sketches.py:
+    hll_distinct_by)."""
+    from etl_macropulse_br_spark.operators.sketches import hll_distinct_by
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct_by(ev, "user_id", ["event_type"], b=8)
+
+
+def _events_hll_by_type_sql() -> str:
+    from etl_macropulse_br_spark.operators.sketches import (
+        hll_distinct_by_sql,
+    )
+
+    return hll_distinct_by_sql(
+        "events", "CAST(user_id AS VARCHAR)", ["event_type"], b=8
+    )
+
+
+EVENTS_HLL_BY_TYPE_SQL = _events_hll_by_type_sql()
+
+
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy subtotals (SURVEY §2.4 'grouping sets /
     cube / rollup — not present, build anyway'; cube_lineitem covers
@@ -6082,6 +6109,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_dsir_sample_by_lang": docs_dsir_sample_by_lang,
     "embedding_cosine_batch_topk": embedding_cosine_batch_topk,
     "events_hll_distinct": events_hll_distinct,
+    "events_hll_by_type": events_hll_by_type,
     "docs_curated_semantic": docs_curated_semantic,
     "docs_decontaminate_bloom": docs_decontaminate_bloom,
     "docs_dsir_weights": docs_dsir_weights,
@@ -6200,6 +6228,7 @@ AUX_ORACLES: dict[str, str] = {
     "docs_dsir_sample_by_lang": DOCS_DSIR_SAMPLE_BY_LANG_SQL,
     "embedding_cosine_batch_topk": EMBEDDING_COSINE_BATCH_SQL,
     "events_hll_distinct": EVENTS_HLL_DISTINCT_SQL,
+    "events_hll_by_type": EVENTS_HLL_BY_TYPE_SQL,
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
     "docs_decontaminate_bloom": DOCS_DECONTAMINATE_BLOOM_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,

@@ -1619,3 +1619,37 @@ def test_hll_exercises_both_estimator_branches(spark):
     # 60000 >> 2.5 * 256 -> raw estimator branch
     assert r2["est_distinct"] == round(r2["raw_est"], 6)
     assert abs(r2["est_distinct"] - 60000) / 60000 < 0.25
+
+
+def test_hll_per_group_rolls_up_to_global_sketch(spark):
+    """hll_distinct_by's register state must roll up: max-merging
+    every group's registers yields EXACTLY the global sketch's
+    registers — the keep-monthly-tables, answer-any-period property.
+    Per-group estimates also sit in the accuracy envelope."""
+    from etl_macropulse_br_spark.operators.sketches import (
+        hll_distinct_by,
+        hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(f"u{i}", f"g{i % 3}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "u string, g string")
+    b = 8
+    per_group = hll_distinct_by(df, "u", ["g"], b=b).collect()
+    assert len(per_group) == 3
+    for r in per_group:
+        true_n = len({u for u, g in rows if g == r["g"]})
+        assert abs(r["est_distinct"] - true_n) / true_n < 0.25, r
+
+    # roll-up: rebuild per-group registers, max-merge, compare global
+    merged: dict[int, int] = {}
+    for g in ("g0", "g1", "g2"):
+        regs = hll_registers(
+            df.filter(F.col("g") == g), "u", b=b
+        ).collect()
+        for r in regs:
+            merged[r["j"]] = max(merged.get(r["j"], 0), r["M"])
+    global_regs = {
+        r["j"]: r["M"] for r in hll_registers(df, "u", b=b).collect()
+    }
+    assert merged == global_regs
