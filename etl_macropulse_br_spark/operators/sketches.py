@@ -354,3 +354,148 @@ SELECT {gl},
          END, 6) AS est_distinct
 FROM folded
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — mergeable
+# frequency estimation. Like the HLL above, the sketch is plain
+# relational state over the portable hash family, so it hash-gates:
+# d hash rows x w counters, every cell an integer SUM (order-free,
+# partition-free), two sketches merge by cell-wise addition, and a
+# point query reads min over the item's d cells — the standard
+# conservative overestimate (est >= true count, always; error
+# <= 2N/w with prob 1 - (1/2)^d). The at-scale story: token/item
+# frequencies over a 100 TB corpus in d*w integers instead of a
+# |vocabulary|-sized groupBy result.
+
+
+def _cms_positions(base: Column, w: int, d: int) -> list[Column]:
+    """The d counter positions of one value — Knuth middle bits of
+    the 2-universal affine maps (same decorrelation trick as the
+    Bloom probes: low bits of an affine map are a bijection of the
+    base's low bits, which would correlate the d rows)."""
+    from etl_macropulse_br_spark.functions.hashing import universal_hashes
+
+    return [
+        F.pmod(F.shiftright(h, 16), F.lit(w))
+        for h in universal_hashes(base, d)
+    ]
+
+
+def cms_sketch(
+    df: DataFrame, col: str | Column, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """(r, pos, cnt) counter cells of the Count-Min sketch — only
+    NON-ZERO cells appear (absent = 0). One map-only hash projection
+    exploding d int pairs per row, one groupBy — partial combine
+    collapses each partition to <= d*w rows before the exchange, so
+    the shuffle is sketch-sized at any corpus size. Merge two
+    sketches with union + groupBy-sum of <= d*w rows."""
+    from etl_macropulse_br_spark.functions.hashing import base32
+
+    c = F.col(col) if isinstance(col, str) else col
+    base = base32(c)
+    pairs = [
+        F.struct(F.lit(r).alias("r"), pos.cast("int").alias("pos"))
+        for r, pos in enumerate(_cms_positions(base, w, d))
+    ]
+    return (
+        df.select(F.explode(F.array(*pairs)).alias("p"))
+        .select(F.col("p.r").alias("r"), F.col("p.pos").alias("pos"))
+        .groupBy("r", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    df: DataFrame,
+    col: str | Column,
+    items: list[str],
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """(item, est_count) for each queried item: min over its d cells
+    (missing cell = 0). The item list is a driver-known query set
+    (literal array — broadcast model-parameter style); its d
+    positions evaluate with the same expressions the sketch used, so
+    the DuckDB oracle replays sketch AND query bit-for-bit."""
+    from etl_macropulse_br_spark.functions.hashing import base32
+
+    sketch = cms_sketch(df, col, w, d)
+    q = (
+        df.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(i) for i in items])
+            ).alias("item")
+        )
+    )
+    base = base32(F.col("item"))
+    probes = q.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), pos.cast("int").alias("pos")
+                    )
+                    for r, pos in enumerate(_cms_positions(base, w, d))
+                ]
+            )
+        ).alias("p"),
+    ).select("item", F.col("p.r").alias("r"), F.col("p.pos").alias("pos"))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "pos"], "left")
+        .groupBy("item")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+                "est_count"
+            )
+        )
+    )
+
+
+def cms_point_estimates_sql(
+    table: str,
+    col_expr: str,
+    items: list[str],
+    w: int = 1024,
+    d: int = 4,
+) -> str:
+    """DuckDB twin of :func:`cms_point_estimates`."""
+    from etl_macropulse_br_spark.functions.hashing import (
+        base32_sql,
+        universal_hashes_sql,
+    )
+
+    def positions(base: str) -> list[str]:
+        return [
+            f"((({h}) >> 16) % {w} + {w}) % {w}"
+            for h in universal_hashes_sql(base, d)
+        ]
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, CAST({p} AS INT) AS pos FROM vals"
+        for r, p in enumerate(positions("b"))
+    )
+    item_list = ", ".join(f"('{i}')" for i in items)
+    probe_rows = " UNION ALL ".join(
+        f"SELECT item, {r} AS r, CAST({p} AS INT) AS pos FROM qb"
+        for r, p in enumerate(positions("b"))
+    )
+    return f"""
+WITH vals AS (
+  SELECT {base32_sql(col_expr)} AS b FROM {table}
+), cells AS (
+  SELECT r, pos, count(*) AS cnt FROM ({cell_rows}) GROUP BY r, pos
+), q(item) AS (
+  VALUES {item_list}
+), qb AS (
+  SELECT item, {base32_sql("item")} AS b FROM q
+), probes AS (
+  {probe_rows}
+)
+SELECT p.item, min(coalesce(c.cnt, 0)) AS est_count
+FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.pos = p.pos
+GROUP BY p.item
+"""

@@ -1916,6 +1916,49 @@ def _events_hll_by_type_sql() -> str:
 EVENTS_HLL_BY_TYPE_SQL = _events_hll_by_type_sql()
 
 
+_CMS_ITEMS = ["spark", "table", "merge", "the", "zzz-absent-token"]
+
+
+def docs_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates of token frequencies over the
+    documents corpus (operators/sketches.py:cms_point_estimates) —
+    frequency lookup from d*w integer counters instead of a
+    |vocabulary|-sized groupBy; conservative overestimate by
+    construction (est >= true, pinned), cells merge by addition.
+    The query set includes a token absent from the corpus (its
+    estimate is whatever CMS collisions yield — near 0 at this
+    w/N)."""
+    from etl_macropulse_br_spark.operators.sketches import (
+        cms_point_estimates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                r"\s+",
+            )
+        ).alias("tok")
+    )
+    return cms_point_estimates(toks, "tok", _CMS_ITEMS, w=1024, d=4)
+
+
+def _cms_token_counts_sql() -> str:
+    from etl_macropulse_br_spark.operators.sketches import (
+        cms_point_estimates_sql,
+    )
+
+    table = (
+        "(SELECT unnest(string_split_regex("
+        f"{_NORM_SQL}, '\\s+')) AS tok FROM documents)"
+    )
+    return cms_point_estimates_sql(table, "tok", _CMS_ITEMS, w=1024, d=4)
+
+
+DOCS_CMS_TOKEN_COUNTS_SQL = _cms_token_counts_sql()
+
+
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy subtotals (SURVEY §2.4 'grouping sets /
     cube / rollup — not present, build anyway'; cube_lineitem covers
@@ -6110,6 +6153,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "embedding_cosine_batch_topk": embedding_cosine_batch_topk,
     "events_hll_distinct": events_hll_distinct,
     "events_hll_by_type": events_hll_by_type,
+    "docs_cms_token_counts": docs_cms_token_counts,
     "docs_curated_semantic": docs_curated_semantic,
     "docs_decontaminate_bloom": docs_decontaminate_bloom,
     "docs_dsir_weights": docs_dsir_weights,
@@ -6229,6 +6273,7 @@ AUX_ORACLES: dict[str, str] = {
     "embedding_cosine_batch_topk": EMBEDDING_COSINE_BATCH_SQL,
     "events_hll_distinct": EVENTS_HLL_DISTINCT_SQL,
     "events_hll_by_type": EVENTS_HLL_BY_TYPE_SQL,
+    "docs_cms_token_counts": DOCS_CMS_TOKEN_COUNTS_SQL,
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
     "docs_decontaminate_bloom": DOCS_DECONTAMINATE_BLOOM_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,

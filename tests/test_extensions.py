@@ -1653,3 +1653,51 @@ def test_hll_per_group_rolls_up_to_global_sketch(spark):
         r["j"]: r["M"] for r in hll_registers(df, "u", b=b).collect()
     }
     assert merged == global_regs
+
+
+def test_cms_conservative_overestimate_and_merge(spark):
+    """CMS guarantees: (a) est >= true count for EVERY item, exact
+    for heavy items at adequate width; (b) cell-wise ADDITION of two
+    sketches equals the sketch of the concatenated input."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows_a = [(rng.choice(vocab),) for _ in range(3000)] + [("hot",)] * 500
+    rows_b = [(rng.choice(vocab),) for _ in range(2000)] + [("hot",)] * 250
+    a = spark.createDataFrame(rows_a, "v string")
+    b = spark.createDataFrame(rows_b, "v string")
+    both = a.union(b)
+
+    true_counts = {}
+    for v, in rows_a + rows_b:
+        true_counts[v] = true_counts.get(v, 0) + 1
+    items = ["hot"] + vocab[:10] + ["never-seen"]
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_point_estimates(both, "v", items, w=2048, d=4).collect()
+    }
+    for it in items:
+        assert est[it] >= true_counts.get(it, 0), it
+    assert est["hot"] == 750  # heavy item exact at this width
+    assert est["never-seen"] <= 30  # collision noise only
+
+    # mergeability: sum of cells == cells of union
+    def cells(df):
+        return {
+            (r["r"], r["pos"]): r["cnt"]
+            for r in cms_sketch(df, "v", w=2048, d=4).collect()
+        }
+
+    ca, cb, cu = cells(a), cells(b), cells(both)
+    merged = {}
+    for k, v in list(ca.items()) + list(cb.items()):
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cu
