@@ -378,3 +378,37 @@ def test_weighted_sample_log2_per_group(spark):
         ).collect()[0]
         assert solo["doc_id"] == lst[0][1]
 
+
+
+def test_weighted_sample_log2_shift_invariant(spark):
+    """Importance-resampling scale-invariance: adding a CONSTANT to
+    every log2_weight (multiplying every weight by the same factor)
+    shifts every E-S key by exactly that constant, so the selected
+    set AND order must be identical — the property that makes the
+    log-domain form safe under arbitrary weight normalization."""
+    import math
+    import random
+
+    from etl_macropulse_br_spark.operators.features import (
+        weighted_sample_log2,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, math.log2(rng.uniform(0.01, 100.0))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, log2_weight double")
+    base = [
+        r["doc_id"]
+        for r in weighted_sample_log2(df, "log2_weight", k=10).collect()
+    ]
+    for shift in (-3000.0, -750.5, 1234.25):
+        shifted = spark.createDataFrame(
+            [(i, lw + shift) for i, lw in rows],
+            "doc_id long, log2_weight double",
+        )
+        got = [
+            r["doc_id"]
+            for r in weighted_sample_log2(
+                shifted, "log2_weight", k=10
+            ).collect()
+        ]
+        assert got == base, shift

@@ -74,10 +74,30 @@ def main() -> None:
         minhash_near_dups,
         span_dedup_clean,
     )
+    from etl_macropulse_br_spark.operators.sketches import (
+        cms_point_estimates,
+        hll_distinct,
+    )
     from etl_macropulse_br_spark.operators.text import (
         hashed_linear_score,
         repetition_stats,
     )
+
+    def _hll(df):
+        return hll_distinct(df, "user_id", b=10)
+
+    def _cms(df):
+        toks = df.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                    r"\s+",
+                )
+            ).alias("tok")
+        )
+        return cms_point_estimates(
+            toks, "tok", ["spark", "table", "merge", "the"], w=1024, d=4
+        )
     from etl_macropulse_br_spark.plans.queries import _scaled, _t
     from etl_macropulse_br_spark.session import get_spark
 
@@ -160,6 +180,16 @@ def main() -> None:
         # ratio should sit well under the fixed-k row's
         "semantic_dedup_auto_k(embeddings)": lambda k: semantic_dedup(
             replicate(emb, k, "vec_id"), k=None, threshold=0.4
+        ),
+        # r7 sketches: scan-speed linear passes whose EXCHANGES are
+        # sketch-sized constants (<= 2^b register rows / d*w cells
+        # after partial combine) however big the input — time grows
+        # ~K, shuffle doesn't grow at all
+        "hll_distinct(events)": lambda k: _hll(
+            replicate(ev, k, "event_id")
+        ),
+        "cms_token_counts(docs)": lambda k: _cms(
+            replicate(docs, k, "doc_id", "text")
         ),
     }
 
