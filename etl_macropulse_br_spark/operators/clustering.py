@@ -121,7 +121,22 @@ def _update(assigned: DataFrame) -> DataFrame:
 
 
 def _points(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
-    return emb.select(
+    """Quantized lattice points. NULL vectors are DROPPED here (r7):
+    passed through, a null quantizes to a null lattice point whose
+    distance folds stay null, so the broadcast-argmin keeps its init
+    sentinel and the row SILENTLY lands in a phantom
+    cluster_id = -1 at distance 2^63-1 — corrupting stats (inertia
+    blows up by ~2^63), SemDeDup keep-policies, and serving
+    candidate sets (verified empirically). Dropping matches the SRP
+    banding path, where the posexplode discards null vectors
+    implicitly. A fail-fast assert was tried and REVERTED:
+    InferFiltersFromConstraints copies the guarded projection into
+    derived isnotnull/size predicates whose conjuncts can evaluate
+    BEFORE a caller's own null-filter, so the assert fired exactly
+    for callers who had already filtered — the guard's advice was
+    self-defeating. Count-audit upstream if loud accounting is
+    needed."""
+    return emb.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), quantize(F.col(emb_col)).alias("q")
     )
 

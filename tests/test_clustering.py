@@ -865,3 +865,31 @@ def test_semdedup_auto_k_equals_explicit_sqrt_k(spark):
         )
     )
     assert auto == explicit and len(auto) == n
+
+
+def test_null_vectors_dropped_not_phantom_cluster(spark):
+    """Passed through, a NULL embedding silently landed in a phantom
+    cluster_id=-1 at sentinel distance 2^63-1, corrupting stats and
+    keep-policies (r7 finding). The lattice entry now DROPS null
+    vectors (the SRP banding's implicit behavior, documented in
+    _points — a fail-fast assert was reverted because inferred
+    filter constraints copied it above callers' own null-filters),
+    so the result equals the clean corpus exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.clustering import kmeans_stats
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(10)
+    ] + [(99, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with_null = kmeans_stats(emb, k=2, rounds=1).collect()
+    assert {r["cluster_id"] for r in with_null} == {0, 1}  # no -1
+    assert sum(r["n_members"] for r in with_null) == 10
+    clean = kmeans_stats(
+        emb.filter(F.col("embedding").isNotNull()), k=2, rounds=1
+    ).collect()
+    assert sorted(map(tuple, with_null)) == sorted(map(tuple, clean))
