@@ -38,7 +38,7 @@ training).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000
@@ -675,12 +675,27 @@ def ivf_pq_batch_topk(
     emb_col: str = "embedding",
     sub: int = 8,
     residual: bool = False,
+    filter_expr: Column | None = None,
 ) -> DataFrame:
     """Batch-query IVF-PQ-ADC serving — :func:`ivf_pq_rerank_topk`
     generalized from ONE ``query_id`` to a query-SET DataFrame (the
     r6 verdict's top missing piece: a real pipeline scores a query
     set per run, not one vector per plan). Returns
     (query_id, vec_id, cosine, rank).
+
+    ``filter_expr`` (a boolean Column over ``emb``'s columns) turns
+    this into FILTERED vector search — exact top-k among the docs
+    matching a metadata predicate ("nearest passages where
+    lang='en'"), the standard serving feature. PRE-filter semantics:
+    the index (coarse cells, PQ codebooks, encodings) trains on the
+    FULL corpus exactly as unfiltered — an index is built once and
+    must serve every predicate — while candidates are intersected
+    with the predicate's id set BEFORE the ADC scoring and
+    shortlist, so a selective filter cannot starve the shortlist the
+    way post-filtering the final top-k would (the classic filtered-
+    ANN failure mode). The predicate evaluates on the ``emb`` scan
+    and joins candidates as an id semi-join. ``filter_expr=None`` is
+    bit-identical to the unfiltered op (pinned).
 
     Everything query-independent (coarse training, cell assignment,
     PQ codebook training, encoding) is computed ONCE and amortized
@@ -705,6 +720,15 @@ def ivf_pq_batch_topk(
     pts = _points(emb, id_col, emb_col)
     cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
     assign = _assign(pts, cents).select("vec_id", "cluster_id")
+    # index state (assign/codebooks/codes) always covers the FULL
+    # corpus; the predicate narrows only the SERVING candidate set
+    if filter_expr is not None:
+        flt_ids = emb.filter(filter_expr).select(
+            F.col(id_col).alias("vec_id")
+        )
+        serving_assign = assign.join(flt_ids, "vec_id", "left_semi")
+    else:
+        serving_assign = assign
     qpts = _batch_qpts(queries, id_col, emb_col)
     probe = _batch_probe(cents, qpts, n_probe)
 
@@ -762,7 +786,7 @@ def ivf_pq_batch_topk(
         # adc only holds (qid, probed cell) combos, so the join both
         # scopes candidates to probed cells and attaches the qid
         short = (
-            codes.join(assign, "vec_id")
+            codes.join(serving_assign, "vec_id")
             .join(F.broadcast(adc), ["cluster_id", "s", "code"])
             .groupBy("qid", "vec_id")
             .agg(F.sum("qd").alias("adc_dist"))
@@ -775,9 +799,9 @@ def ivf_pq_batch_topk(
         adc = cb.join(
             F.broadcast(qsub), F.col("s") == F.col("qs_s")
         ).select("qid", "s", "code", qd.alias("qd"))
-        cand = assign.join(F.broadcast(probe), "cluster_id").select(
-            "qid", "vec_id"
-        )
+        cand = serving_assign.join(
+            F.broadcast(probe), "cluster_id"
+        ).select("qid", "vec_id")
         short = (
             codes.join(cand, "vec_id")
             .join(F.broadcast(adc), ["qid", "s", "code"])

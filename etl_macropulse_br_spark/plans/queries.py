@@ -4687,10 +4687,19 @@ def _pq_batch_sql(
     sub: int = 8,
     residual: bool = False,
     query_pred: str = "vec_id < 4",
+    filter_pred: str | None = None,
 ) -> str:
     """Batch twin of ``_pq_rerank_sql``: the query-scoped CTEs carry
     a ``qid`` key and every ORDER BY ... LIMIT becomes a per-qid
-    QUALIFY row_number window."""
+    QUALIFY row_number window. ``filter_pred`` replays the filtered-
+    search id semi-join on the candidate set (the index CTEs stay
+    full-corpus)."""
+    flt = (
+        f"SEMI JOIN (SELECT vec_id FROM embeddings WHERE {filter_pred})"
+        " flt ON flt.vec_id = f.vec_id"
+        if filter_pred
+        else ""
+    )
     ctes, prev = _kmeans_ctes(k, rounds, dim)
     dist = _KM_DIST.format(dim=dim)
     qdist = (
@@ -4721,6 +4730,7 @@ WITH {ctes}, fin AS (
 ), cand AS (
   SELECT pr.qid, f.vec_id
   FROM fin f JOIN probe pr ON f.cluster_id = pr.cluster_id
+  {flt}
 ), g AS (
   SELECT unnest(generate_series(0, {m - 1})) AS s
 ), enc AS (
@@ -4822,6 +4832,31 @@ QUALIFY rank <= {topk}
 
 
 EMBEDDING_PQ_BATCH_SQL = _pq_batch_sql()
+
+
+def embedding_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: batch IVF-PQ serving intersected with
+    a metadata predicate (label % 2 = 0) — exact top-k among
+    matching docs. PRE-filter semantics: the index (cells,
+    codebooks, encodings) stays full-corpus (an index serves every
+    predicate); the candidate set semi-joins the predicate's ids
+    BEFORE ADC scoring and shortlist, so a selective filter cannot
+    starve the shortlist the way post-filtering the final top-k
+    would (operators/clustering.py:ivf_pq_batch_topk
+    filter_expr)."""
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_pq_batch_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_batch_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 4),
+        filter_expr=F.col("label") % 2 == 0,
+    )
+
+
+EMBEDDING_PQ_FILTERED_SQL = _pq_batch_sql(filter_pred="label % 2 = 0")
 
 
 def _ivf_batch_sql(
@@ -6154,6 +6189,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "events_hll_distinct": events_hll_distinct,
     "events_hll_by_type": events_hll_by_type,
     "docs_cms_token_counts": docs_cms_token_counts,
+    "embedding_pq_filtered_topk": embedding_pq_filtered_topk,
     "docs_curated_semantic": docs_curated_semantic,
     "docs_decontaminate_bloom": docs_decontaminate_bloom,
     "docs_dsir_weights": docs_dsir_weights,
@@ -6274,6 +6310,7 @@ AUX_ORACLES: dict[str, str] = {
     "events_hll_distinct": EVENTS_HLL_DISTINCT_SQL,
     "events_hll_by_type": EVENTS_HLL_BY_TYPE_SQL,
     "docs_cms_token_counts": DOCS_CMS_TOKEN_COUNTS_SQL,
+    "embedding_pq_filtered_topk": EMBEDDING_PQ_FILTERED_SQL,
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
     "docs_decontaminate_bloom": DOCS_DECONTAMINATE_BLOOM_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,

@@ -893,3 +893,45 @@ def test_null_vectors_dropped_not_phantom_cluster(spark):
         emb.filter(F.col("embedding").isNotNull()), k=2, rounds=1
     ).collect()
     assert sorted(map(tuple, with_null)) == sorted(map(tuple, clean))
+
+
+def test_filtered_ann_prefilter_semantics(spark):
+    """filter_expr: every result matches the predicate; the index
+    stays full-corpus (pre-filter candidates, not post-filter
+    results) so a selective predicate still fills top-k from
+    matching docs; filter_expr=None is bit-identical to the
+    unfiltered op."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_pq_batch_topk,
+    )
+
+    rng = random.Random(47)
+    dim, n = 8, 80
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-0.4, 0.4) for _ in range(dim)], i % 3)
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    qs = emb.filter(F.col("vec_id") < 2)
+    kw = dict(k=4, rounds=2, n_probe=2, m=4, ks=8, pq_rounds=1,
+              shortlist=24, topk=5, sub=2)
+    base = ivf_pq_batch_topk(emb, qs, **kw).collect()
+    flt = ivf_pq_batch_topk(
+        emb, qs, filter_expr=F.col("label") == 0, **kw
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    assert flt and all(labels[r["vec_id"]] == 0 for r in flt)
+    # selective predicate (1/3 of corpus) still fills per-query top-k
+    per_q = {}
+    for r in flt:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+    none_path = ivf_pq_batch_topk(emb, qs, filter_expr=None, **kw).collect()
+    assert sorted(map(tuple, none_path)) == sorted(map(tuple, base))
