@@ -1,0 +1,124 @@
+"""Corpus health report CLI: the one-page JSON a training-data
+pipeline logs per corpus snapshot before spending GPU-hours on it —
+composed entirely from the repo's oracle-gated operators, evaluated
+as a handful of tiny-result aggregates over (at scale) one or two
+corpus passes:
+
+- volume: doc/token/char totals,
+- duplication: exact-distinct-text estimate via the portable
+  HyperLogLog sketch (operators/sketches.hll_distinct — 2^b
+  registers however big the corpus) → estimated dup rate,
+- language mix: per-lang shares (operators/text.language_id marker heuristic),
+- quality: corpus means of the Gopher-style quality features
+  (quality_features),
+- probe-token frequencies via the Count-Min sketch
+  (cms_point_estimates — d*w counters, not a vocabulary groupBy).
+
+Usage:
+    python scripts/corpus_report.py [--sf-dir DIR]
+        [--probe-tokens spark,table,merge]
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--probe-tokens", default="spark,table,merge,the"
+    )
+    ap.add_argument(
+        "--profile", default="cluster", choices=["cluster", "small-input"]
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        cms_point_estimates,
+        hll_distinct,
+    )
+    from etl_macropulse_br_spark.operators.text import (
+        language_id,
+        quality_features,
+        token_count,
+    )
+    from etl_macropulse_br_spark.plans.queries import _t
+    from etl_macropulse_br_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus_report", profile=args.profile)
+    docs = _t(spark, args.sf_dir, "documents")
+
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+
+    vol = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens_ws"),
+        F.sum(F.length("text")).alias("n_chars"),
+    ).collect()[0]
+
+    hll = hll_distinct(docs.select(norm.alias("t")), "t", b=10).collect()[0]
+    est_distinct = hll["est_distinct"]
+    dup_rate = max(0.0, 1.0 - est_distinct / vol["n_docs"])
+
+    langs = {
+        r["pred_lang"]: r["n"]
+        for r in language_id(docs)
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    q = (
+        quality_features(docs)
+        .agg(
+            F.round(F.avg("word_count"), 2).alias("avg_words"),
+            F.round(F.avg("uniq_word_ratio"), 4).alias("avg_uniq_ratio"),
+            F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stop_ratio"),
+        )
+        .collect()[0]
+    )
+
+    probes = [t for t in args.probe_tokens.split(",") if t]
+    toks = docs.select(F.explode(F.split(norm, r"\s+")).alias("tok"))
+    freqs = {
+        r["item"]: r["est_count"]
+        for r in cms_point_estimates(toks, "tok", probes).collect()
+    }
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": args.sf_dir,
+                "n_docs": vol["n_docs"],
+                "n_tokens_ws": vol["n_tokens_ws"],
+                "n_chars": vol["n_chars"],
+                "est_distinct_texts": est_distinct,
+                "est_dup_rate": round(dup_rate, 4),
+                "lang_mix": dict(sorted(langs.items())),
+                "quality_means": {
+                    "avg_words": q["avg_words"],
+                    "avg_uniq_ratio": q["avg_uniq_ratio"],
+                    "avg_punct_ratio": q["avg_punct_ratio"],
+                    "avg_stop_ratio": q["avg_stop_ratio"],
+                },
+                "probe_token_counts": freqs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
