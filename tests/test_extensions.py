@@ -1701,3 +1701,31 @@ def test_cms_conservative_overestimate_and_merge(spark):
     for k, v in list(ca.items()) + list(cb.items()):
         merged[k] = merged.get(k, 0) + v
     assert merged == cu
+
+
+def test_fuzz_oracle_subset(spark):
+    """One seed of the randomized cross-engine differential
+    (tools/fuzz_oracle.py) over a representative query subset —
+    edge-case text (empty/unicode/whitespace-runs/case-dups),
+    planted duplicate vectors, resampled events. The full sweep (83
+    queries x several seeds) runs via the tool; this keeps one seed
+    wired into CI."""
+    from tools.fuzz_oracle import run
+
+    subset = {
+        "docs_exact_dedup",
+        "docs_near_dups",
+        "docs_simhash",
+        "docs_text_stats",
+        "docs_lang_id_ngram",
+        "docs_mixture_balance",
+        "docs_dsir_sample",
+        "docs_cms_token_counts",
+        "embedding_near_dups",
+        "embedding_pq_batch_topk",
+        "events_hll_by_type",
+        "dedup_first_event",
+    }
+    passed, failed, skipped, _ = run(11, 80, 24, only=subset)
+    assert not failed, failed
+    assert len(passed) >= 10
