@@ -101,6 +101,31 @@ Late-r5 and r6 aux additions (all locally oracle-gated):
   image_dhash/image_near_dups, audio_ehash/audio_near_dups,
   streaming text_dedup_stream, transformWithStateInPandas
   running_user_stats, SeriesExplode UDTF, JSONL/ORC sources.
+r7 aux additions (all locally oracle-gated at both scales under
+  both sessions):
+  embedding_pq_batch_topk / embedding_ivf_batch_topk (batch-query
+  ANN serving — per-qid probes/ADC tables, WindowGroupLimit
+  shortlist+top-k; pinned equal to single-query loops incl.
+  residual IVFADC; 4.7x measured batch amortization),
+  embedding_pq_filtered_topk (filtered vector search — metadata
+  predicate semi-joins candidates BEFORE ADC/shortlist, index stays
+  full-corpus), embedding_cosine_batch_topk (batch brute-force
+  baseline), docs_dsir_sample_by_lang (per-group log-domain E-S
+  importance resampling), docs_hybrid_rrf (reciprocal-rank fusion
+  of BM25 + cosine lists, Cormack 2009), docs_contamination_report
+  (per (train, eval) shared-shingle audit trace),
+  docs_cms_token_counts (Count-Min point estimates — mergeable
+  d*w counters), events_hll_distinct / events_hll_by_type
+  (portable HyperLogLog, global and per-group, mergeable registers).
+  docs_dsir_sample runs the LOG-DOMAIN E-S key since r7 (no
+  pow(2, log2_weight) underflow at any scale); embedding_semdedup /
+  docs_curated_semantic run the paper's auto-k (ceil(sqrt(n)));
+  k-means seeds from hash-ordered ids. Engine-only r7:
+  streaming decontaminate_bloom_stream (map-only literal-bitset
+  filter) and running_distinct_stream (HLL registers in bounded
+  state), both stream-vs-batch differential-gated;
+  tools/fuzz_oracle.py re-runs the docs/embeddings/events registry
+  on seed-deterministic adversarial corpora (83/83 across seeds).
 """
 
 from __future__ import annotations
