@@ -256,26 +256,12 @@ def minhash_signature_table(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_shingle: int = 3,
-    k: int = 16,
-    bands: int = 4,
-    rows: DataFrame | None = None,
-) -> DataFrame:
-    """Candidate near-duplicate pairs via banded LSH.
-
-    Signature split into ``bands`` groups of ``k/bands`` hashes; docs
-    colliding on any band-hash become a candidate pair. Plan shape:
-    signature table → explode per-band hashes (b× row growth, never
-    n²) → shuffle on (band, band_hash) → within-bucket self-join →
-    distinct pairs. Band hashes use the portable md5 family so the
-    whole pipeline replays bit-identically in the SQL oracle."""
+def _minhash_banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) banding of a signature table — shared
+    by the one-corpus candidate self-join and the incremental
+    new-vs-base cross-join."""
     band_w = k // bands
-    sig = minhash_signature_table(df, text_col, id_col, n_shingle, k, rows)
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -297,6 +283,27 @@ def minhash_lsh_candidates(
             )
         ).alias("bh"),
     ).select("id", "bh.band", "bh.band_hash")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    rows: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    Signature split into ``bands`` groups of ``k/bands`` hashes; docs
+    colliding on any band-hash become a candidate pair. Plan shape:
+    signature table → explode per-band hashes (b× row growth, never
+    n²) → shuffle on (band, band_hash) → within-bucket self-join →
+    distinct pairs. Band hashes use the portable md5 family so the
+    whole pipeline replays bit-identically in the SQL oracle."""
+    sig = minhash_signature_table(df, text_col, id_col, n_shingle, k, rows)
+    banded = _minhash_banded(sig, k, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -339,14 +346,14 @@ def ngram_jaccard_pairs(
     # exchange and ReuseExchange shares it — the shingle-set
     # aggregate runs once per action instead of twice (r6; same
     # pattern as embedding_near_dups' verify)
+    pcols = list(pairs.columns)  # extra pair columns pass through
     j1 = pairs.join(sh, F.col("id_a") == sh["id"]).select(
-        "id_a", "id_b", F.col("sh").alias("sh_a")
+        *pcols, F.col("sh").alias("sh_a")
     )
     return (
         j1.join(sh, F.col("id_b") == sh["id"])
         .select(
-            "id_a",
-            "id_b",
+            *pcols,
             (
                 F.size(F.array_intersect("sh_a", "sh"))
                 / F.size(F.array_union("sh_a", "sh"))
@@ -407,6 +414,103 @@ def minhash_near_dups(
         df, cands, text_col, id_col, n_shingle, rows=rows
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection — the production daily-crawl
+    shape: dedup a NEW batch against the EXISTING corpus plus itself
+    in one pass, instead of re-running LSH over base ∪ new (which
+    re-pays the whole base corpus every increment). Returns
+    (new_id, match_id, from_base, jaccard) — one row per verified
+    duplicate relationship: ``from_base`` matches hit the existing
+    corpus; intra-increment matches point to the SMALLER new id
+    (keep-first within the batch). Ids must be disjoint across the
+    two inputs (they share one id namespace in a real store).
+
+    Scale shape: the base side contributes only its SIGNATURE →
+    banding stream to candidate generation (k integers per doc — in
+    a real deployment this is the persisted signature index, not a
+    recompute); base TEXT is shingled for the exact-Jaccard verify
+    only for docs that actually COLLIDE (an id semi-join prunes the
+    base shingle stream before the verify's set aggregate), so per
+    increment the base corpus is touched at signature granularity
+    and only candidate-matched base docs pay the text pass. Both
+    candidate families ride the same banding exchange; the verify
+    reuses one shared shingle-set aggregate (ReuseExchange)."""
+    rows_new = shingle_hash_rows(new_df, text_col, id_col, n_shingle)
+    sig_new = minhash_signature_table(
+        new_df, text_col, id_col, n_shingle, k, rows_new
+    )
+    bn = _minhash_banded(sig_new, k, bands)
+    sig_base = minhash_signature_table(
+        base_df, text_col, id_col, n_shingle, k
+    )
+    bb = _minhash_banded(sig_base, k, bands)
+
+    cross = (
+        bn.alias("l")
+        .join(
+            bb.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        )
+        .distinct()
+        .withColumn("from_base", F.lit(True))
+    )
+    intra = (
+        bn.alias("l")
+        .join(
+            bn.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.id") > F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        )
+        .distinct()
+        .withColumn("from_base", F.lit(False))
+    )
+    cands = cross.unionByName(intra)
+
+    matched_base = (
+        cands.filter(F.col("from_base"))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    rows_base = shingle_hash_rows(
+        base_df, text_col, id_col, n_shingle
+    ).join(matched_base, "id", "left_semi")
+    scored = ngram_jaccard_pairs(
+        new_df,
+        cands,
+        text_col,
+        id_col,
+        n_shingle,
+        rows=rows_new.unionByName(rows_base),
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("match_id"),
+        "from_base",
+        "jaccard",
+    )
 
 
 def simhash(

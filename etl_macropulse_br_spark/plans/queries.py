@@ -2812,6 +2812,102 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 DOCS_NEAR_DUPS_SQL = _near_dups_sql()
 
 
+def docs_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection — a NEW batch (doc_id % 10 >=
+    8) deduped against the EXISTING corpus (the other 80%) plus
+    itself in one pass (operators/dedup.py:incremental_near_dups):
+    the daily-crawl shape where the base corpus is touched at
+    signature granularity and only candidate-matched base docs pay
+    the text verify."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        incremental_near_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new_df = docs.filter(F.col("doc_id") % 10 >= 8)
+    base_df = docs.filter(F.col("doc_id") % 10 < 8)
+    return incremental_near_dups(new_df, base_df, threshold=0.5)
+
+
+def _incremental_near_dups_sql(
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    new_pred: str = "doc_id % 10 >= 8",
+    base_pred: str = "doc_id % 10 < 8",
+) -> str:
+    from etl_macropulse_br_spark.functions.hashing import (
+        _MASK32,
+        _lcg_constants,
+        base32_sql,
+        md5_long_sql,
+    )
+    from etl_macropulse_br_spark.operators.dedup import (
+        token_shingle_hashes_sql,
+    )
+
+    consts = _lcg_constants(k)
+    m_cols = ",\n         ".join(
+        f"list_min(list_transform(bases, h -> (h * {a} + {b}))) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    rows = k // bands
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + md5_long_sql(
+            "concat_ws(',', "
+            + ", ".join(f"m{b * rows + j}" for j in range(rows))
+            + ")"
+        )
+        + " AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ntoks
+  FROM documents
+), h_t AS (
+  SELECT doc_id, list_transform(ntoks, t -> {base32_sql('t')}) AS th FROM t
+), sh_t AS (
+  SELECT doc_id, {token_shingle_hashes_sql(3)} AS sh FROM h_t
+), b_t AS (
+  SELECT doc_id, sh, list_transform(sh, x -> (x & {_MASK32})) AS bases
+  FROM sh_t
+), sig AS (
+  SELECT doc_id, sh,
+         {m_cols}
+  FROM b_t
+), banded AS (
+{band_selects}
+), bn AS (
+  SELECT * FROM banded WHERE {new_pred}
+), bb AS (
+  SELECT * FROM banded WHERE {base_pred}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, TRUE AS from_base
+  FROM bn l JOIN bb r
+    ON l.band = r.band AND l.band_hash = r.band_hash
+  UNION ALL
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, FALSE AS from_base
+  FROM bn l JOIN bn r
+    ON l.band = r.band AND l.band_hash = r.band_hash
+   AND l.doc_id > r.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b, c.from_base,
+         len(list_intersect(sa.sh, sb.sh))
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN sh_t sa ON sa.doc_id = c.id_a
+  JOIN sh_t sb ON sb.doc_id = c.id_b
+)
+SELECT id_a AS new_id, id_b AS match_id, from_base, jaccard
+FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+DOCS_INCREMENTAL_NEAR_DUPS_SQL = _incremental_near_dups_sql()
+
+
 def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pairs:
     A~B, B~C collapse to one min-id survivor per component even
@@ -6215,6 +6311,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "events_hll_by_type": events_hll_by_type,
     "docs_cms_token_counts": docs_cms_token_counts,
     "embedding_pq_filtered_topk": embedding_pq_filtered_topk,
+    "docs_incremental_near_dups": docs_incremental_near_dups,
     "docs_curated_semantic": docs_curated_semantic,
     "docs_decontaminate_bloom": docs_decontaminate_bloom,
     "docs_dsir_weights": docs_dsir_weights,
@@ -6336,6 +6433,7 @@ AUX_ORACLES: dict[str, str] = {
     "events_hll_by_type": EVENTS_HLL_BY_TYPE_SQL,
     "docs_cms_token_counts": DOCS_CMS_TOKEN_COUNTS_SQL,
     "embedding_pq_filtered_topk": EMBEDDING_PQ_FILTERED_SQL,
+    "docs_incremental_near_dups": DOCS_INCREMENTAL_NEAR_DUPS_SQL,
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
     "docs_decontaminate_bloom": DOCS_DECONTAMINATE_BLOOM_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,

@@ -1729,3 +1729,49 @@ def test_fuzz_oracle_subset(spark):
     passed, failed, skipped, _ = run(11, 80, 24, only=subset)
     assert not failed, failed
     assert len(passed) >= 10
+
+
+def test_incremental_near_dups_equals_full_corpus_pass(spark):
+    """The incremental result must be consistent with a full-corpus
+    near-dup pass: every (new, match) pair it reports appears in
+    minhash_near_dups(base ∪ new) with the same jaccard, and every
+    full-pass pair touching a new doc appears incrementally (with
+    intra-increment pairs pointing at the smaller id)."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_near_dups,
+    )
+    from pyspark.sql import functions as F
+
+    base_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated text about macro economics here"),
+        (3, "another distinct base document with its own words"),
+    ]
+    new_rows = [
+        (11, "the quick brown fox jumps over the lazy dog today"),   # dup of base 1
+        (12, "fresh unique content that matches nothing at all"),
+        (13, "fresh unique content that matches nothing at all"),    # intra dup of 12
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    inc = {
+        (r["new_id"], r["match_id"]): (r["from_base"], r["jaccard"])
+        for r in incremental_near_dups(new, base, threshold=0.5).collect()
+    }
+    assert inc[(11, 1)][0] is True and inc[(11, 1)][1] == 1.0
+    assert inc[(13, 12)][0] is False and inc[(13, 12)][1] == 1.0
+    assert all(k in {(11, 1), (13, 12)} for k in inc)
+
+    full = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["jaccard"]
+        for r in minhash_near_dups(
+            base.union(new), threshold=0.5, persist_candidates=False
+        ).collect()
+    }
+    new_ids = {11, 12, 13}
+    full_touching_new = {
+        k: v for k, v in full.items() if k[0] in new_ids
+    }
+    assert {k: v[1] for k, v in inc.items()} == full_touching_new
