@@ -1,0 +1,152 @@
+"""Windowed streaming distinct-count: HLL registers per
+(group, tumbling event-time window) with watermark-driven FINAL
+emission — the "distinct users per hour per event type" feed, in
+bounded state.
+
+Complements the other two streaming sketch/filter ops:
+``streaming/distinct.py`` keeps LIFETIME registers (NoTimeout,
+running updates); this one keys state by (group, window_start) and
+uses ``EventTimeTimeout`` so each window's registers are emitted
+EXACTLY ONCE as a final row when the watermark passes the window end
+(plus slack), then the state row is removed — state is
+O(active windows x groups) x 2^b bytes, evicted by event time, and
+late events inside the watermark still merge (register max is
+associative/commutative, so arrival order and micro-batch slicing
+cannot change a final sketch).
+
+The per-window estimate is the SAME register construction and
+estimator float sequence as the batch ``hll_distinct_by`` grouped by
+(group, window_start) — pinned by the stream-vs-batch differential.
+
+The tumbling window is computed map-side as
+``timestamp_micros(floor(us / win_us) * win_us)`` — a plain column,
+so the stateful groupBy key is (group, window_start) and no window
+struct plumbing is needed.
+
+Reference scope: the reference is strictly batch (SURVEY.md §2.11);
+streaming extension surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_present_registers", T.LongType()),
+        T.StructField("n_zero_registers", T.LongType()),
+        T.StructField("est_distinct", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("regs", T.BinaryType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+)
+
+
+def _update_window(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    value_col: str,
+    b: int,
+    window_s: int,
+    slack_s: int,
+) -> Iterator[pd.DataFrame]:
+    from etl_macropulse_br_spark.streaming.distinct import (
+        _estimate,
+        _hash60,
+    )
+
+    group_key, window_start = key
+    m = 1 << b
+    width = 60 - b
+
+    if state.hasTimedOut:
+        regs_bytes, n_rows = state.get
+        state.remove()
+        n_present, n_zero, est = _estimate(regs_bytes, b)
+        yield pd.DataFrame(
+            {
+                "group_key": [group_key],
+                "window_start": [window_start],
+                "n_rows": [n_rows],
+                "n_present_registers": [n_present],
+                "n_zero_registers": [n_zero],
+                "est_distinct": [est],
+            }
+        )
+        return
+
+    if state.exists:
+        regs_bytes, n_rows = state.get
+        regs = bytearray(regs_bytes)
+    else:
+        regs, n_rows = bytearray(m), 0
+    for pdf in pdfs:
+        for v in pdf[value_col]:
+            h = _hash60(str(v))
+            j = h & (m - 1)
+            rest = h >> b
+            rho = width + 1 if rest == 0 else width - rest.bit_length() + 1
+            if rho > regs[j]:
+                regs[j] = rho
+            n_rows += 1
+    state.update((bytes(regs), n_rows))
+    # final fires when the EVENT-TIME watermark passes window end +
+    # slack; late rows inside the watermark keep merging until then.
+    # Clamped above the current watermark: a late-but-admitted row
+    # for a window already behind the watermark would otherwise set
+    # a timeout in the past, which the engine rejects.
+    end_ms = int(window_start.timestamp() * 1000) + (window_s + slack_s) * 1000
+    state.setTimeoutTimestamp(
+        max(end_ms, state.getCurrentWatermarkMs() + 1)
+    )
+
+
+def windowed_distinct_stream(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    window_s: int = 3600,
+    watermark: str = "2 hours",
+    slack_s: int = 0,
+    b: int = 8,
+) -> DataFrame:
+    """stream(group_col, value_col, ts_col, ...) → one FINAL row per
+    (group, tumbling window) once the watermark passes the window
+    end. Finals equal the batch
+    ``hll_distinct_by(df, value_col, [group_col, window_start], b)``
+    on the same rows (pinned)."""
+    win_us = window_s * 1_000_000
+    wstart = F.timestamp_micros(
+        (
+            F.floor(F.unix_micros(F.col(ts_col)) / F.lit(win_us))
+            * F.lit(win_us)
+        ).cast("long")
+    )
+    keyed = stream.withColumn("window_start", wstart).withWatermark(
+        ts_col, watermark
+    )
+    return keyed.groupBy(group_col, "window_start").applyInPandasWithState(
+        lambda key, pdfs, state: _update_window(
+            key, pdfs, state, value_col, b, window_s, slack_s
+        ),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
