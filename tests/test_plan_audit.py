@@ -230,3 +230,33 @@ def test_batch_ann_serving_plans(small_spark):
         plan = _plan(small_spark, name)
         assert "CartesianProduct" not in plan, name
         assert "WindowGroupLimit" in plan, name
+
+
+def test_r7_aux_queries_never_cartesian(small_spark):
+    """Every r7 aux query plans without a CartesianProduct; the only
+    nested-loop stages are the whitelisted constant-size broadcast
+    builds (1-row scalar ride-alongs, k-row centroid/codebook packs,
+    |Q|-row query sets). Sketch queries stay exchange-lean (their
+    exchanges are sketch-sized after partial combine)."""
+    for name in (
+        "docs_hybrid_rrf",
+        "docs_incremental_near_dups",
+        "events_hll_distinct",
+        "events_hll_by_type",
+        "docs_cms_token_counts",
+        "docs_contamination_report",
+        "docs_dsir_sample_by_lang",
+        "embedding_cosine_batch_topk",
+        "embedding_pq_filtered_topk",
+    ):
+        plan = _plan(small_spark, name)
+        assert "CartesianProduct" not in plan, name
+    # sketch plans: bounded exchange counts (1 for global HLL,
+    # 2 for per-group HLL and CMS — registers/cells + final pack)
+    assert _plan(small_spark, "events_hll_distinct").count(
+        "Exchange hashpartitioning"
+    ) <= 1
+    for name in ("events_hll_by_type", "docs_cms_token_counts"):
+        assert _plan(small_spark, name).count(
+            "Exchange hashpartitioning"
+        ) <= 2, name
