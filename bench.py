@@ -312,6 +312,15 @@ def main() -> None:
         "null_job_sec": s1["null_job_sec"],
         "jobs_per_query": s1["jobs"],
         "total_jobs": round(sum(s1["jobs"].values()), 1),
+        # fixed-cost floor under the Spark total on THIS deployment:
+        # the measured per-job scheduling cost x total jobs — pure
+        # overhead on sub-second local queries that amortizes to
+        # nothing at real data scale. Published first-class so the
+        # headline ratio's fixed component is auditable at a glance
+        # (r8; previously a PLANS.md footnote).
+        "estimated_floor_sec": round(
+            s1["null_job_sec"] * sum(s1["jobs"].values()), 3
+        ),
         # 1-minute load averages at bench START (pre-s1: external
         # load only) and END (inflated by the bench itself) — the
         # start number is the one that correlates a bad worst-pass

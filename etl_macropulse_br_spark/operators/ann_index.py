@@ -1,0 +1,187 @@
+"""Persisted ANN index — train ONCE, serve MANY (r8).
+
+The r7 serving operators (`clustering.ivf_kmeans_batch_topk`,
+`clustering.ivf_pq_batch_topk`) compose training + serving into one
+lazy plan: the right shape per run, but a daily 100 TB pipeline
+retrained coarse centroids and PQ codebooks inside EVERY invocation.
+This module converts them to the across-runs shape: the trained
+index state — coarse centroids, cell assignments, PQ codebooks,
+encoded codes — persists as four plain parquet tables plus a JSON
+meta sidecar, and the serving ops accept the loaded index and answer
+query batches WITHOUT retraining.
+
+Why this round-trips bit-for-bit: every persisted column is integer
+(the exact quantized lattice the whole clustering module lives on —
+cluster ids, lattice centroids, subspace codes), and parquet
+preserves int64 exactly, so load-then-serve equals train-then-serve
+bit-identically (pinned by tests/test_clustering.py).
+
+Save is STAGED: each artifact is written, then read back, and every
+downstream artifact derives from the READ-BACK frame — so (a) the
+bounded-Lloyd training runs once, not once per dependent write, and
+(b) what later runs load is by construction exactly what this run's
+downstream artifacts were computed from.
+
+Layout under ``path``::
+
+    centroids/   (cluster_id int, c array<bigint>)      k rows
+    assign/      (vec_id long, cluster_id int)          n rows
+    codebooks/   (s int, code int, c array<bigint>)     m*ks rows  [PQ]
+    codes/       (vec_id long, s int, code int)         n*m rows   [PQ]
+    meta.json    training params + layout version
+
+Scale shape: centroids/codebooks are broadcast-sized (k and m*ks
+rows); assign/codes are the n-row index state a serving cluster
+holds partitioned — loading them is a parquet scan, no shuffle.
+Paths use Spark's writers, so any Hadoop-compatible filesystem
+(hdfs://, s3a://) works for the parquet tables; the JSON sidecar is
+written driver-side and assumes a driver-reachable path (local/NFS
+here; swap for a FileSystem call on object stores).
+
+Reference scope: the reference (470-line pandas ETL) has no vector
+serving at all — extension surface, same family as
+operators/clustering.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META_NAME = "meta.json"
+_VERSION = 1
+
+# training params frozen into the index; serving must reuse them
+_TRAIN_PARAMS = (
+    "k",
+    "rounds",
+    "m",
+    "ks",
+    "pq_rounds",
+    "sub",
+    "residual",
+    "with_pq",
+    "id_col",
+    "emb_col",
+)
+
+
+@dataclass
+class AnnIndex:
+    """Loaded/trained index state. ``cb``/``codes`` are None for a
+    coarse-only (IVF, ``with_pq=False``) index."""
+
+    cents: DataFrame
+    assign: DataFrame
+    cb: DataFrame | None
+    codes: DataFrame | None
+    params: dict
+
+    @property
+    def residual(self) -> bool:
+        return bool(self.params["residual"])
+
+
+def save_ann_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 8,
+    rounds: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    pq_rounds: int = 2,
+    sub: int = 8,
+    residual: bool = False,
+    with_pq: bool = True,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> AnnIndex:
+    """Train the IVF(-PQ) index on ``emb`` and persist it under
+    ``path`` (overwriting). Returns the index backed by the WRITTEN
+    parquet, ready to serve."""
+    from etl_macropulse_br_spark.operators.clustering import (
+        _assign,
+        _pq_assign,
+        _points,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+
+    spark = emb.sparkSession
+    pts = _points(emb, id_col, emb_col)
+
+    cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = spark.read.parquet(f"{path}/centroids")
+
+    assign = _assign(pts, cents).select("vec_id", "cluster_id")
+    assign.write.mode("overwrite").parquet(f"{path}/assign")
+    assign = spark.read.parquet(f"{path}/assign")
+
+    cb = codes = None
+    if with_pq:
+        if residual:
+            ctab = cents.select("cluster_id", F.col("c").alias("cc"))
+            enc_pts = (
+                pts.join(assign, "vec_id")
+                .join(F.broadcast(ctab), "cluster_id")
+                .select(
+                    "vec_id",
+                    F.zip_with("q", "cc", lambda a, b: a - b).alias("q"),
+                )
+            )
+        else:
+            enc_pts = pts
+        subpts, cb = pq_codebooks(enc_pts, m, ks, pq_rounds, sub)
+        cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+        cb = spark.read.parquet(f"{path}/codebooks")
+
+        codes = _pq_assign(subpts, cb).select("vec_id", "s", "code")
+        codes.write.mode("overwrite").parquet(f"{path}/codes")
+        codes = spark.read.parquet(f"{path}/codes")
+
+    params = {
+        "k": k,
+        "rounds": rounds,
+        "m": m,
+        "ks": ks,
+        "pq_rounds": pq_rounds,
+        "sub": sub,
+        "residual": residual,
+        "with_pq": with_pq,
+        "id_col": id_col,
+        "emb_col": emb_col,
+        "version": _VERSION,
+    }
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(params, f, indent=2, sort_keys=True)
+    return AnnIndex(cents, assign, cb, codes, params)
+
+
+def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    """Load a persisted index. Raises FileNotFoundError on a missing
+    meta sidecar and ValueError on a future layout version."""
+    meta_path = os.path.join(path, _META_NAME)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"load_ann_index: no {_META_NAME} under {path!r} — not an "
+            "ANN index directory (see operators/ann_index.py layout)"
+        )
+    with open(meta_path) as f:
+        params = json.load(f)
+    if params.get("version", 0) > _VERSION:
+        raise ValueError(
+            f"load_ann_index: index version {params['version']} is "
+            f"newer than this engine's {_VERSION}"
+        )
+    cents = spark.read.parquet(f"{path}/centroids")
+    assign = spark.read.parquet(f"{path}/assign")
+    cb = codes = None
+    if params.get("with_pq", True):
+        cb = spark.read.parquet(f"{path}/codebooks")
+        codes = spark.read.parquet(f"{path}/codes")
+    return AnnIndex(cents, assign, cb, codes, params)

@@ -189,9 +189,10 @@ def kmeans_stats(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """``rounds`` Lloyd iterations from the k smallest-id vectors,
-    then per-cluster stats under the final centroids. Fully lazy —
-    one composed plan, no driver actions.
+    """``rounds`` Lloyd iterations seeded hash-ordered (see
+    :func:`kmeans_centroids`), then per-cluster stats under the
+    final centroids. Fully lazy — one composed plan, no driver
+    actions.
 
     Returns (cluster_id, n_members, min_vec_id, inertia) where
     inertia is the exact integer sum of squared lattice distances,
@@ -612,6 +613,7 @@ def ivf_kmeans_batch_topk(
     topk: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    index=None,
 ) -> DataFrame:
     """Batch-query IVF serving — :func:`ivf_kmeans_topk` generalized
     from ONE ``query_id`` to a query-SET DataFrame, the shape a real
@@ -626,12 +628,26 @@ def ivf_kmeans_batch_topk(
     come from ONE broadcast join of the assignment table against it
     (each vector fans out only to the queries probing its cell,
     ~|Q| x n_probe/k expected); per-query top-k is a row_number
-    window planning WindowGroupLimit, never a global sort."""
+    window planning WindowGroupLimit, never a global sort.
+
+    ``index`` (an :class:`~etl_macropulse_br_spark.operators.\
+ann_index.AnnIndex`, r8): serve from a PERSISTED index instead of
+    training inline — centroids and assignments come from the loaded
+    parquet and ``k``/``rounds``/``id_col``/``emb_col`` are taken
+    from the index's frozen training params (the call's values for
+    those args are ignored; ``n_probe``/``topk`` stay serve-time
+    knobs). Load-then-serve is pinned bit-identical to
+    train-then-serve."""
     from etl_macropulse_br_spark.operators.similarity import cosine_sim
 
-    pts = _points(emb, id_col, emb_col)
-    cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
-    assign = _assign(pts, cents).select("vec_id", "cluster_id")
+    if index is not None:
+        id_col = index.params["id_col"]
+        emb_col = index.params["emb_col"]
+        cents, assign = index.cents, index.assign
+    else:
+        pts = _points(emb, id_col, emb_col)
+        cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
+        assign = _assign(pts, cents).select("vec_id", "cluster_id")
     qpts = _batch_qpts(queries, id_col, emb_col)
     probe = _batch_probe(cents, qpts, n_probe)
     cand = assign.join(F.broadcast(probe), "cluster_id").select(
@@ -676,6 +692,7 @@ def ivf_pq_batch_topk(
     sub: int = 8,
     residual: bool = False,
     filter_expr: Column | None = None,
+    index=None,
 ) -> DataFrame:
     """Batch-query IVF-PQ-ADC serving — :func:`ivf_pq_rerank_topk`
     generalized from ONE ``query_id`` to a query-SET DataFrame (the
@@ -714,12 +731,40 @@ def ivf_pq_batch_topk(
     IVFADC (codebooks on per-cell residuals; each query's ADC table
     is built per probed cell from ITS residual against that cell's
     centroid, scores joined on (qid via adc, cell, subspace, code)).
+
+    ``index`` (an :class:`~etl_macropulse_br_spark.operators.\
+ann_index.AnnIndex`, r8): serve from a PERSISTED index — centroids,
+    assignments, codebooks, and codes come from the loaded parquet;
+    every training-bound arg (``k``/``rounds``/``m``/``ks``/
+    ``pq_rounds``/``sub``/``residual``/``id_col``/``emb_col``) is
+    taken from the index's frozen params (the call's values are
+    ignored — an index can only serve in the mode it was built);
+    ``n_probe``/``shortlist``/``topk``/``filter_expr`` stay
+    serve-time knobs. Requires a PQ-bearing index (``with_pq``).
+    Load-then-serve is pinned bit-identical to train-then-serve.
     """
     from etl_macropulse_br_spark.operators.similarity import cosine_sim
 
-    pts = _points(emb, id_col, emb_col)
-    cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
-    assign = _assign(pts, cents).select("vec_id", "cluster_id")
+    if index is not None:
+        if index.cb is None or index.codes is None:
+            raise ValueError(
+                "ivf_pq_batch_topk: index has no PQ state (built "
+                "with_pq=False) — use ivf_kmeans_batch_topk or "
+                "rebuild with with_pq=True"
+            )
+        id_col = index.params["id_col"]
+        emb_col = index.params["emb_col"]
+        m, ks, sub = (
+            index.params["m"],
+            index.params["ks"],
+            index.params["sub"],
+        )
+        residual = index.residual
+        cents, assign = index.cents, index.assign
+    else:
+        pts = _points(emb, id_col, emb_col)
+        cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
+        assign = _assign(pts, cents).select("vec_id", "cluster_id")
     # index state (assign/codebooks/codes) always covers the FULL
     # corpus; the predicate narrows only the SERVING candidate set
     if filter_expr is not None:
@@ -733,19 +778,22 @@ def ivf_pq_batch_topk(
     probe = _batch_probe(cents, qpts, n_probe)
 
     ctab = cents.select("cluster_id", F.col("c").alias("cc"))
-    if residual:
-        enc_pts = (
-            pts.join(assign, "vec_id")
-            .join(F.broadcast(ctab), "cluster_id")
-            .select(
-                "vec_id",
-                F.zip_with("q", "cc", lambda a, b: a - b).alias("q"),
-            )
-        )
+    if index is not None:
+        cb, codes = index.cb, index.codes
     else:
-        enc_pts = pts
-    subpts, cb = pq_codebooks(enc_pts, m, ks, pq_rounds, sub)
-    codes = _pq_assign(subpts, cb).select("vec_id", "s", "code")
+        if residual:
+            enc_pts = (
+                pts.join(assign, "vec_id")
+                .join(F.broadcast(ctab), "cluster_id")
+                .select(
+                    "vec_id",
+                    F.zip_with("q", "cc", lambda a, b: a - b).alias("q"),
+                )
+            )
+        else:
+            enc_pts = pts
+        subpts, cb = pq_codebooks(enc_pts, m, ks, pq_rounds, sub)
+        codes = _pq_assign(subpts, cb).select("vec_id", "s", "code")
 
     def sub_explode(src: DataFrame, vcol: str, keys: list[str]) -> DataFrame:
         return src.select(
@@ -889,7 +937,11 @@ def semantic_dedup(
     if k is None:
         import math
 
-        k = max(1, math.ceil(math.sqrt(emb.count())))
+        # count the non-null vectors (= the rows the operator actually
+        # clusters — _points drops nulls); the oracle's AUTO_K_SQL
+        # scalar subquery counts the same null-filtered pts CTE
+        n = emb.filter(F.col(emb_col).isNotNull()).count()
+        k = max(1, math.ceil(math.sqrt(n)))
     pts = _points(emb, id_col, emb_col)
     cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
     e = emb.select(

@@ -425,6 +425,7 @@ def incremental_near_dups(
     n_shingle: int = 3,
     k: int = 16,
     bands: int = 4,
+    base_sig: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection — the production daily-crawl
     shape: dedup a NEW batch against the EXISTING corpus plus itself
@@ -437,24 +438,45 @@ def incremental_near_dups(
     two inputs (they share one id namespace in a real store).
 
     Scale shape: the base side contributes only its SIGNATURE →
-    banding stream to candidate generation (k integers per doc — in
-    a real deployment this is the persisted signature index, not a
-    recompute); base TEXT is shingled for the exact-Jaccard verify
+    banding stream to candidate generation (k integers per doc);
+    base TEXT is shingled for the exact-Jaccard verify
     only for docs that actually COLLIDE (an id semi-join prunes the
     base shingle stream before the verify's set aggregate), so per
     increment the base corpus is touched at signature granularity
     and only candidate-matched base docs pay the text pass. Both
     candidate families ride the same banding exchange; the verify
-    reuses one shared shingle-set aggregate (ReuseExchange)."""
+    reuses one shared shingle-set aggregate (ReuseExchange).
+
+    ``base_sig`` (r8) is the PERSISTED signature index: a
+    (id, m0..m{k-1}) frame — exactly what
+    :func:`minhash_signature_table` emits and what
+    ``scripts/ingest_increment.py`` persists as parquet. When given,
+    the base corpus contributes candidates from the stored k-int
+    signatures WITHOUT re-hashing base text (previously every
+    increment re-paid one md5 per shingle over the entire base — the
+    cost this operator exists to avoid); ``base_df`` is then touched
+    only for the semi-join-pruned verify of colliding docs. The
+    precomputed-sig path is pinned row-identical to the recompute
+    path (tests/test_extensions.py)."""
     rows_new = shingle_hash_rows(new_df, text_col, id_col, n_shingle)
     sig_new = minhash_signature_table(
         new_df, text_col, id_col, n_shingle, k, rows_new
     )
     bn = _minhash_banded(sig_new, k, bands)
-    sig_base = minhash_signature_table(
-        base_df, text_col, id_col, n_shingle, k
-    )
-    bb = _minhash_banded(sig_base, k, bands)
+    if base_sig is None:
+        base_sig = minhash_signature_table(
+            base_df, text_col, id_col, n_shingle, k
+        )
+    else:
+        expected = ["id"] + [f"m{i}" for i in range(k)]
+        missing = [c for c in expected if c not in base_sig.columns]
+        if missing:
+            raise ValueError(
+                "incremental_near_dups: base_sig must carry columns "
+                f"{expected} (a minhash_signature_table frame); "
+                f"missing {missing}"
+            )
+    bb = _minhash_banded(base_sig, k, bands)
 
     cross = (
         bn.alias("l")

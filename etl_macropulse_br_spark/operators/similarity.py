@@ -125,11 +125,27 @@ def cosine_topk_pandas(
 
     def score(batches):
         for pdf in batches:
-            m = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            # null vectors -> NULL cosine (nullable Float64 — a NaN
+            # would sort FIRST under Spark's desc, where NaN > any
+            # double, while the expression path's null sorts last);
+            # matches cosine_sim(null) = null row-for-row (r8)
+            vals = [None] * len(pdf)
+            vecs, idxs = [], []
+            for i, v in enumerate(pdf[vec_col]):
+                if v is not None:
+                    vecs.append(np.asarray(v, dtype=np.float64))
+                    idxs.append(i)
+            if vecs:
+                m = np.asarray(vecs)
+                sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+                for i, s in zip(idxs, sims):
+                    vals[i] = float(s)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "cosine": pd.array(vals, dtype="Float64"),
+                }
             )
-            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
-            yield pd.DataFrame({"vec_id": pdf[id_col], "cosine": sims})
 
     # NB: no spread() here — for Python-side operators, extra tiny
     # partitions each pay an Arrow round-trip + worker dispatch,

@@ -133,6 +133,10 @@ def hll_registers(
     m = 1 << b
     width = 60 - b
     c = F.col(col) if isinstance(col, str) else col
+    # NULL values are ignored (r8) — engine-native approx_count_distinct
+    # does the same. Unfiltered, md5 of a null value yields a null
+    # register row that poisons the estimator (est_distinct = None).
+    df = df.filter(c.isNotNull())
     h = md5_long(c)
     # exact integer split: low b bits -> register, high bits -> rank
     # source (shift/mask, never a double division — h can exceed
@@ -218,6 +222,7 @@ WITH hashed AS (
   SELECT CAST({h} & {m - 1} AS INT) AS j,
          CAST({h} >> {b} AS BIGINT) AS rest
   FROM {table}
+  WHERE ({col_expr}) IS NOT NULL
 ), rho_rows AS (
   SELECT j,
          CASE WHEN rest = 0 THEN {width + 1}
@@ -276,6 +281,11 @@ def hll_distinct_by(
     distinct-over-any-period without re-scanning events."""
     m = 1 << b
     c = F.col(col) if isinstance(col, str) else col
+    # NULL values ignored, as in hll_registers (r8). A group whose
+    # values are ALL null contributes no register rows and therefore
+    # no output row — the sketched analogue of a group countDistinct
+    # of 0 (callers needing the empty group outer-join it back).
+    df = df.filter(c.isNotNull())
     h = md5_long(c)
     width = 60 - b
     rest = F.shiftright(h, b)
@@ -317,6 +327,7 @@ WITH hashed AS (
          CAST({h} & {m - 1} AS INT) AS j,
          CAST({h} >> {b} AS BIGINT) AS rest
   FROM {table}
+  WHERE ({col_expr}) IS NOT NULL
 ), rho_rows AS (
   SELECT {gl}, j,
          CASE WHEN rest = 0 THEN {width + 1}
@@ -421,6 +432,11 @@ def cms_point_estimates(
     the DuckDB oracle replays sketch AND query bit-for-bit."""
     from etl_macropulse_br_spark.functions.hashing import base32
 
+    if not items:
+        raise ValueError(
+            "cms_point_estimates: items must be non-empty (the SQL "
+            "twin's VALUES clause has no empty form)"
+        )
     sketch = cms_sketch(df, col, w, d)
     q = (
         df.sparkSession.range(1)
@@ -468,6 +484,12 @@ def cms_point_estimates_sql(
         universal_hashes_sql,
     )
 
+    if not items:
+        raise ValueError(
+            "cms_point_estimates_sql: items must be non-empty (an "
+            "empty VALUES clause is invalid SQL)"
+        )
+
     def positions(base: str) -> list[str]:
         return [
             f"((({h}) >> 16) % {w} + {w}) % {w}"
@@ -478,7 +500,11 @@ def cms_point_estimates_sql(
         f"SELECT {r} AS r, CAST({p} AS INT) AS pos FROM vals"
         for r, p in enumerate(positions("b"))
     )
-    item_list = ", ".join(f"('{i}')" for i in items)
+    # single quotes doubled — an item containing ' would otherwise
+    # break out of the VALUES literal
+    item_list = ", ".join(
+        "('{}')".format(i.replace("'", "''")) for i in items
+    )
     probe_rows = " UNION ALL ".join(
         f"SELECT item, {r} AS r, CAST({p} AS INT) AS pos FROM qb"
         for r, p in enumerate(positions("b"))

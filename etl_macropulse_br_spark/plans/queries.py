@@ -4479,9 +4479,14 @@ def _kmeans_ctes(
     it lands inside the seed LIMIT."""
     dist = _KM_DIST.format(dim=dim)
     sql = f"""pts AS (
+  -- NULL vectors dropped to mirror clustering._points (r8): without
+  -- the filter a null row survives to the assignment QUALIFY via
+  -- NULLS-LAST tie-break and lands in cluster 0 — divergent from
+  -- the Spark side, which never sees the row
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
   FROM embeddings
+  WHERE embedding IS NOT NULL
 ), c0 AS (
   -- hash-ordered seeding (r7): the k smallest portable md5(id)
   -- values — decorrelated from id assignment, same determinism

@@ -101,8 +101,14 @@ def _update_group(
     else:
         regs, n_rows = bytearray(m), 0
     for pdf in pdfs:
+        # values arrive pre-cast to Spark-string (see
+        # running_distinct_stream) so the rendering matches the batch
+        # twin's md5_long(cast('string')); nulls are skipped — the
+        # batch op ignores them too (sketches.hll_registers, r8)
         for v in pdf[value_col]:
-            h = _hash60(str(v))
+            if v is None:
+                continue
+            h = _hash60(v)
             j = h & (m - 1)
             rest = h >> b
             rho = width + 1 if rest == 0 else width - rest.bit_length() + 1
@@ -131,7 +137,19 @@ def running_distinct_stream(
     """stream(group_col, value_col, ...) → one running-estimate row
     per group per micro-batch. After the full input, each group's
     latest row (max n_rows) equals the batch
-    ``hll_distinct_by(df, value_col, [group_col], b)`` estimate."""
+    ``hll_distinct_by(df, value_col, [group_col], b)`` estimate.
+
+    The value column is cast to string IN THE SPARK PLAN (below), so
+    non-string types render exactly as the batch twin's
+    ``md5_long(cast('string'))`` does — Python ``str()`` renders
+    doubles/booleans differently (``1e-07`` vs Spark's ``1.0E-7``,
+    ``True`` vs ``true``), which would silently break the pinned
+    batch equality. Null values are ignored on both sides."""
+    from pyspark.sql import functions as F
+
+    stream = stream.withColumn(
+        value_col, F.col(value_col).cast("string")
+    )
     return (
         stream.groupBy(group_col)
         .applyInPandasWithState(

@@ -73,7 +73,13 @@ class RunningUserStats(StatefulProcessor):
         )
 
     def close(self) -> None:  # noqa: D102
-        pass
+        # no resources to release — ValueState is engine-owned; log
+        # so the intentional no-op is visible in debug traces
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "RunningUserStats.close(): no-op (state is engine-owned)"
+        )
 
 
 def running_user_stats(stream: DataFrame) -> DataFrame:

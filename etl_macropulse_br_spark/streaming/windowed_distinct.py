@@ -62,15 +62,22 @@ def _update_window(
     state: GroupState,
     value_col: str,
     b: int,
-    window_s: int,
-    slack_s: int,
 ) -> Iterator[pd.DataFrame]:
     from etl_macropulse_br_spark.streaming.distinct import (
         _estimate,
         _hash60,
     )
 
-    group_key, window_start = key
+    # window_end_ms rides the grouping key (a function of
+    # window_start, so grouping granularity is unchanged): the
+    # timeout must be epoch-UTC millis, and deriving it from the
+    # Arrow-converted tz-NAIVE pandas timestamp via .timestamp()
+    # silently assumed a UTC session — under any other session
+    # timezone finals would fire early/late by the tz offset (r8)
+    group_key, window_start, window_end_ms = key
+    # Arrow hands the long key element over as numpy int64; the state
+    # protocol JSON-serializes the timeout, so plain int is required
+    window_end_ms = int(window_end_ms)
     m = 1 << b
     width = 60 - b
 
@@ -96,8 +103,12 @@ def _update_window(
     else:
         regs, n_rows = bytearray(m), 0
     for pdf in pdfs:
+        # values pre-cast to Spark-string in the plan (rendering
+        # parity with the batch twin); nulls skipped on both sides
         for v in pdf[value_col]:
-            h = _hash60(str(v))
+            if v is None:
+                continue
+            h = _hash60(v)
             j = h & (m - 1)
             rest = h >> b
             rho = width + 1 if rest == 0 else width - rest.bit_length() + 1
@@ -110,9 +121,8 @@ def _update_window(
     # Clamped above the current watermark: a late-but-admitted row
     # for a window already behind the watermark would otherwise set
     # a timeout in the past, which the engine rejects.
-    end_ms = int(window_start.timestamp() * 1000) + (window_s + slack_s) * 1000
     state.setTimeoutTimestamp(
-        max(end_ms, state.getCurrentWatermarkMs() + 1)
+        max(window_end_ms, state.getCurrentWatermarkMs() + 1)
     )
 
 
@@ -130,20 +140,39 @@ def windowed_distinct_stream(
     (group, tumbling window) once the watermark passes the window
     end. Finals equal the batch
     ``hll_distinct_by(df, value_col, [group_col, window_start], b)``
-    on the same rows (pinned)."""
+    on the same rows (pinned).
+
+    The value column is cast to string in the plan (rendering parity
+    with the batch twin's ``md5_long(cast('string'))`` — see
+    ``running_distinct_stream``); nulls are ignored on both sides."""
+    stream = stream.withColumn(
+        value_col, F.col(value_col).cast("string")
+    )
     win_us = window_s * 1_000_000
-    wstart = F.timestamp_micros(
-        (
-            F.floor(F.unix_micros(F.col(ts_col)) / F.lit(win_us))
-            * F.lit(win_us)
-        ).cast("long")
+    floor_us = (
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(win_us))
+        * F.lit(win_us)
+    ).cast("long")
+    wstart = F.timestamp_micros(floor_us)
+    # epoch-UTC window end (+ slack) in millis, computed from the
+    # SAME floor as window_start so adding it to the grouping key
+    # does not change grouping granularity — this is what the
+    # timeout uses; unix_micros is timezone-independent, unlike
+    # deriving the end from the Arrow-converted naive timestamp
+    wend_ms = (
+        (floor_us + F.lit(win_us)) / F.lit(1000)
+        + F.lit(slack_s * 1000)
+    ).cast("long")
+    keyed = (
+        stream.withColumn("window_start", wstart)
+        .withColumn("window_end_ms", wend_ms)
+        .withWatermark(ts_col, watermark)
     )
-    keyed = stream.withColumn("window_start", wstart).withWatermark(
-        ts_col, watermark
-    )
-    return keyed.groupBy(group_col, "window_start").applyInPandasWithState(
+    return keyed.groupBy(
+        group_col, "window_start", "window_end_ms"
+    ).applyInPandasWithState(
         lambda key, pdfs, state: _update_window(
-            key, pdfs, state, value_col, b, window_s, slack_s
+            key, pdfs, state, value_col, b
         ),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,

@@ -935,3 +935,105 @@ def test_filtered_ann_prefilter_semantics(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
     none_path = ivf_pq_batch_topk(emb, qs, filter_expr=None, **kw).collect()
     assert sorted(map(tuple, none_path)) == sorted(map(tuple, base))
+
+
+def test_semdedup_auto_k_counts_non_null_vectors(spark):
+    """k=None derives k from the count of vectors the operator
+    actually clusters (nulls dropped by _points) — matching the
+    oracle's AUTO_K_SQL scalar subquery over the null-filtered pts
+    CTE (r8). With 16 real vectors + 9 nulls, k must be
+    ceil(sqrt(16)) = 4, not ceil(sqrt(25)) = 5."""
+    import random
+
+    from etl_macropulse_br_spark.operators.clustering import semantic_dedup
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(16)
+    ] + [(100 + i, None) for i in range(9)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, k=None, rounds=1, threshold=0.99).collect()
+    assert len(out) == 16  # null rows never surface
+    assert max(r["cluster_id"] for r in out) <= 3  # k = 4, ids 0..3
+
+
+def test_ann_index_load_then_serve_equals_train_then_serve(spark, tmp_path):
+    """Persisted-index serving (r8, the r7 verdict's top item): save
+    the trained IVF-PQ index as parquet, load it, and serve — the
+    result must be BIT-IDENTICAL to the train-inline op for flat PQ,
+    residual IVFADC, and coarse IVF, because every persisted column
+    is an exact integer (lattice centroids, cells, codes) and
+    training is deterministic. Also pins that serving from the index
+    ignores the call's training args (an index serves only in the
+    mode it was built) and that a coarse-only index refuses PQ
+    serving."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        load_ann_index,
+        save_ann_index,
+    )
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_kmeans_batch_topk,
+        ivf_pq_batch_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], i % 3)
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    for residual in (False, True):
+        path = str(tmp_path / f"ivfpq_res{residual}")
+        save_ann_index(
+            emb, path, k=4, rounds=1, m=4, ks=8, pq_rounds=1, sub=4,
+            residual=residual,
+        )
+        ix = load_ann_index(spark, path)
+        trained = ivf_pq_batch_topk(
+            emb, queries, k=4, rounds=1, m=4, ks=8, pq_rounds=1,
+            sub=4, residual=residual, topk=5,
+        ).collect()
+        served = ivf_pq_batch_topk(
+            # training args deliberately WRONG here — frozen params
+            # from the index must win
+            emb, queries, k=99, m=99, residual=not residual,
+            topk=5, index=ix,
+        ).collect()
+        assert sorted(map(tuple, trained)) == sorted(map(tuple, served))
+
+    # filtered serving from the index
+    fx = load_ann_index(spark, str(tmp_path / "ivfpq_resFalse"))
+    flt_trained = ivf_pq_batch_topk(
+        emb, queries, k=4, rounds=1, m=4, ks=8, pq_rounds=1, sub=4,
+        topk=5, filter_expr=F.col("label") == 0,
+    ).collect()
+    flt_served = ivf_pq_batch_topk(
+        emb, queries, topk=5, filter_expr=F.col("label") == 0, index=fx
+    ).collect()
+    assert sorted(map(tuple, flt_trained)) == sorted(map(tuple, flt_served))
+
+    # coarse-only index: IVF serving matches; PQ serving refuses
+    cpath = str(tmp_path / "ivf_only")
+    save_ann_index(emb, cpath, k=4, rounds=1, with_pq=False)
+    cix = load_ann_index(spark, cpath)
+    ivf_trained = ivf_kmeans_batch_topk(
+        emb, queries, k=4, rounds=1, topk=5
+    ).collect()
+    ivf_served = ivf_kmeans_batch_topk(
+        emb, queries, k=99, topk=5, index=cix
+    ).collect()
+    assert sorted(map(tuple, ivf_trained)) == sorted(map(tuple, ivf_served))
+    with pytest.raises(ValueError, match="no PQ state"):
+        ivf_pq_batch_topk(emb, queries, index=cix)
+
+    with pytest.raises(FileNotFoundError):
+        load_ann_index(spark, str(tmp_path / "nope"))

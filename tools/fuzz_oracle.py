@@ -81,6 +81,13 @@ def gen_embeddings(seed: int, n: int, dim: int = 64):
     rng = random.Random(seed + 1)
     rows = []
     for i in range(n):
+        if i == 9 and n > 9:
+            # planted NULL vector (r8): every embedding operator must
+            # agree with its oracle on how null vectors are dropped
+            # (clustering._points vs the pts CTE's IS NOT NULL) — the
+            # r7 gate could never catch a divergence here
+            rows.append((i, None, i % 3))
+            continue
         if i == 5 and n > 5:
             vec = list(rows[4][1])  # exact duplicate vector
         elif i == 7 and n > 7:
