@@ -9,11 +9,20 @@ Usage:
     python scripts/ann_serve.py [--sf-dir DIR] [--out DIR]
         [--query-ids 0,1,2,3] [--topk 10]
         [--mode pq|ivfadc|ivf] [--filter "label % 2 = 0"]
+        [--save-index DIR | --index-dir DIR]
 
 Modes: pq = flat IVF-PQ-ADC re-ranking (default), ivfadc =
 residual-encoded IVFADC, ivf = coarse-only IVF with exact cosine.
 --filter applies PRE-filter semantics (exact top-k among matching
 docs; the index stays full-corpus).
+
+Persisted-index serving (r8): ``--save-index DIR`` trains the index
+ONCE, persists it (operators/ann_index.py parquet layout), and
+serves from the just-written artifacts; ``--index-dir DIR`` loads a
+previously saved index and serves WITHOUT retraining — the daily
+train-once/serve-many loop. With an index, --mode must agree with
+how the index was built (flat vs residual vs coarse-only); the
+serve-time knobs (--query-ids/--topk/--filter) stay free.
 """
 
 from __future__ import annotations
@@ -37,10 +46,26 @@ def main() -> None:
     ap.add_argument(
         "--profile", default="cluster", choices=["cluster", "small-input"]
     )
+    ap.add_argument(
+        "--save-index",
+        default=None,
+        help="train + persist the index here, then serve from it",
+    )
+    ap.add_argument(
+        "--index-dir",
+        default=None,
+        help="serve from a previously saved index (no retraining)",
+    )
     args = ap.parse_args()
+    if args.save_index and args.index_dir:
+        raise SystemExit("--save-index and --index-dir are exclusive")
 
     from pyspark.sql import functions as F
 
+    from etl_macropulse_br_spark.operators.ann_index import (
+        load_ann_index,
+        save_ann_index,
+    )
     from etl_macropulse_br_spark.operators.clustering import (
         ivf_kmeans_batch_topk,
         ivf_pq_batch_topk,
@@ -54,10 +79,34 @@ def main() -> None:
     queries = emb.filter(F.col("vec_id").isin(qids))
     flt = F.expr(args.filter) if args.filter else None
 
+    index = None
+    if args.save_index:
+        index = save_ann_index(
+            emb,
+            args.save_index,
+            residual=(args.mode == "ivfadc"),
+            with_pq=(args.mode != "ivf"),
+        )
+    elif args.index_dir:
+        index = load_ann_index(spark, args.index_dir)
+        # an index serves only in the mode it was built — fail loudly
+        # rather than silently serving the wrong encoding
+        built = (
+            "ivf"
+            if not index.params.get("with_pq", True)
+            else ("ivfadc" if index.residual else "pq")
+        )
+        if built != args.mode:
+            raise SystemExit(
+                f"--mode {args.mode} but index was built as {built}"
+            )
+
     if args.mode == "ivf":
         if flt is not None:
             raise SystemExit("--filter is a pq/ivfadc feature")
-        res = ivf_kmeans_batch_topk(emb, queries, topk=args.topk)
+        res = ivf_kmeans_batch_topk(
+            emb, queries, topk=args.topk, index=index
+        )
     else:
         res = ivf_pq_batch_topk(
             emb,
@@ -65,6 +114,7 @@ def main() -> None:
             topk=args.topk,
             residual=(args.mode == "ivfadc"),
             filter_expr=flt,
+            index=index,
         )
 
     out_dir = args.out or os.path.join(os.getcwd(), "ann_results")
@@ -83,6 +133,8 @@ def main() -> None:
                 "out": out_dir,
                 "mode": args.mode,
                 "filter": args.filter,
+                "index_dir": args.index_dir or args.save_index,
+                "index_trained": args.index_dir is None,
                 "n_queries": len(qids),
                 "n_result_rows": n,
                 "top1": dict(sorted(top1.items())),

@@ -1,0 +1,187 @@
+"""Incremental-dedup ingest CLI — the daily-crawl loop closed (r8).
+
+Each run takes a NEW batch of documents plus a persistent STATE
+directory (the MinHash signature index + pointers to previously
+ingested batches) and emits:
+
+- ``matches/``   (new_id, match_id, from_base, jaccard) — every
+  verified near-duplicate relationship the new batch has against the
+  existing corpus (``from_base=true``) or within itself
+  (``from_base=false``, pointing at the smaller new id);
+- ``survivors/`` — the new-batch docs with no match (the rows a
+  training pipeline keeps);
+- an updated state: the new batch's signatures are APPENDED to the
+  index and the batch path recorded, so the next increment's
+  candidate generation reads k ints/doc from parquet instead of
+  re-hashing the whole corpus text
+  (operators/dedup.py:incremental_near_dups ``base_sig=``).
+
+ALL new docs' signatures enter the index — including dropped
+duplicates — because a future doc duplicating a DROPPED doc must
+still be flagged; this is exactly what makes the union of N
+incremental runs consistent with one full-corpus
+``minhash_near_dups`` pass (pinned by
+tests/test_extensions.py::test_ingest_increment_cli_equals_full_pass).
+
+Base TEXT is read only through the recorded batch paths and only for
+docs that actually collide (the operator's semi-join pruning), so a
+steady-state increment touches: new text once, the int-only
+signature index, and the colliding slice of old batches.
+
+State layout under ``--state-dir``::
+
+    signatures/   (id, m0..m{k-1}) parquet — appended per run
+    meta.json     {params, batches: [paths], n_docs}
+
+Write order per run is: outputs, then signature append, then
+meta.json last — a crash before meta leaves stray signature files
+for ids meta doesn't know about; rerunning the same batch overwrites
+them idempotently (same ids -> same signatures).
+
+Usage:
+    python scripts/ingest_increment.py --new-batch B.parquet \
+        --state-dir STATE [--out OUT] [--threshold 0.8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_META = "meta.json"
+_DEFAULTS = {"n_shingle": 3, "k": 16, "bands": 4}
+
+
+def run(
+    spark,
+    new_batch: str,
+    state_dir: str,
+    out_dir: str,
+    threshold: float = 0.8,
+) -> dict:
+    """One increment. Returns the manifest dict (also what main()
+    prints). Separated from main() so tests drive it on a shared
+    session."""
+    import functools
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_near_dups,
+        minhash_signature_table,
+    )
+
+    meta_path = os.path.join(state_dir, _META)
+    sig_dir = os.path.join(state_dir, "signatures")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    else:
+        meta = {"params": dict(_DEFAULTS), "batches": [], "n_docs": 0}
+    p = meta["params"]
+
+    new_df = spark.read.parquet(new_batch).select("doc_id", "text")
+
+    if meta["batches"]:
+        base_df = functools.reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(b).select("doc_id", "text")
+                for b in meta["batches"]
+            ],
+        )
+        base_sig = spark.read.parquet(sig_dir)
+        matches = incremental_near_dups(
+            new_df,
+            base_df,
+            threshold=threshold,
+            n_shingle=p["n_shingle"],
+            k=p["k"],
+            bands=p["bands"],
+            base_sig=base_sig,
+        )
+    else:
+        # bootstrap: no base yet — a within-batch pass, reoriented to
+        # the incremental contract (loser = larger id, keep-first)
+        pairs = minhash_near_dups(
+            new_df,
+            threshold=threshold,
+            n_shingle=p["n_shingle"],
+            k=p["k"],
+            bands=p["bands"],
+            persist_candidates=False,
+        )
+        matches = pairs.select(
+            F.greatest("id_a", "id_b").alias("new_id"),
+            F.least("id_a", "id_b").alias("match_id"),
+            F.lit(False).alias("from_base"),
+            "jaccard",
+        )
+
+    matches.write.mode("overwrite").parquet(f"{out_dir}/matches")
+    matches = spark.read.parquet(f"{out_dir}/matches")
+    survivors = new_df.join(
+        matches.select(F.col("new_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    survivors.write.mode("overwrite").parquet(f"{out_dir}/survivors")
+
+    # state update: ALL new docs' signatures enter the index (see
+    # module docstring), then meta last
+    minhash_signature_table(
+        new_df, n_shingle=p["n_shingle"], k=p["k"]
+    ).write.mode("append").parquet(sig_dir)
+    n_new = new_df.count()
+    n_matches = matches.count()
+    n_survivors = spark.read.parquet(f"{out_dir}/survivors").count()
+    meta["batches"].append(os.path.abspath(new_batch))
+    meta["n_docs"] += n_new
+    os.makedirs(state_dir, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+
+    return {
+        "new_batch": new_batch,
+        "state_dir": state_dir,
+        "out": out_dir,
+        "threshold": threshold,
+        "n_new_docs": n_new,
+        "n_matches": n_matches,
+        "n_survivors": n_survivors,
+        "n_corpus_docs": meta["n_docs"],
+        "n_prior_batches": len(meta["batches"]) - 1,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--new-batch", required=True)
+    ap.add_argument("--state-dir", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--profile", default="cluster", choices=["cluster", "small-input"]
+    )
+    args = ap.parse_args()
+
+    from etl_macropulse_br_spark.session import get_spark
+
+    spark = get_spark(app_name="ingest_increment", profile=args.profile)
+    out_dir = args.out or os.path.join(os.getcwd(), "ingest_out")
+    print(
+        json.dumps(
+            run(spark, args.new_batch, args.state_dir, out_dir, args.threshold)
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1928,3 +1928,59 @@ def test_incremental_near_dups_precomputed_sig_identical(spark, tmp_path):
         incremental_near_dups(
             new, base, base_sig=loaded.drop("m0")
         )
+
+
+def test_ingest_increment_cli_equals_full_pass(spark, tmp_path):
+    """The daily-crawl loop closed (r8): sf0.001 documents split into
+    two halves, ingested as two increments through the CLI's run()
+    (bootstrap run, then a run whose candidate generation reads the
+    PERSISTED signature index) — the union of the two runs' match
+    sets must equal one full-corpus minhash_near_dups pass
+    (normalized to (larger, smaller)), and every surviving doc is
+    exactly a doc with no match."""
+    from scripts.ingest_increment import run
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half1 = docs.filter("doc_id < 250").select("doc_id", "text")
+    half2 = docs.filter("doc_id >= 250").select("doc_id", "text")
+    b1 = str(tmp_path / "b1.parquet")
+    b2 = str(tmp_path / "b2.parquet")
+    half1.write.parquet(b1)
+    half2.write.parquet(b2)
+
+    state = str(tmp_path / "state")
+    m1 = run(spark, b1, state, str(tmp_path / "out1"), threshold=0.5)
+    m2 = run(spark, b2, state, str(tmp_path / "out2"), threshold=0.5)
+    assert m1["n_prior_batches"] == 0 and m2["n_prior_batches"] == 1
+    assert m2["n_corpus_docs"] == 500
+
+    inc_pairs = {}
+    for out in ("out1", "out2"):
+        for r in spark.read.parquet(
+            str(tmp_path / out / "matches")
+        ).collect():
+            inc_pairs[(r["new_id"], r["match_id"])] = r["jaccard"]
+
+    from etl_macropulse_br_spark.operators.dedup import minhash_near_dups
+
+    full = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["jaccard"]
+        for r in minhash_near_dups(
+            docs.select("doc_id", "text"),
+            threshold=0.5,
+            persist_candidates=False,
+        ).collect()
+    }
+    assert full, "corpus should contain near-dup pairs at 0.5"
+    assert inc_pairs == full
+
+    surv = set()
+    for out in ("out1", "out2"):
+        surv |= {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / out / "survivors")
+            ).collect()
+        }
+    dropped = {a for a, _ in inc_pairs}
+    assert surv == {r["doc_id"] for r in docs.collect()} - dropped

@@ -256,6 +256,37 @@ def main() -> None:
         f" {t_loop / t_batch:6.2f}x"
     )
 
+    # r8: persisted-index serving — the across-runs amortization.
+    # Train+save once (the daily index build), then serve from the
+    # loaded parquet: serve-only latency must exclude training, i.e.
+    # come in well under the train-inline batch time.
+    import tempfile
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="scale_smoke_ann_idx_")
+    t0 = time.perf_counter()
+    save_ann_index(emb, idx_dir)
+    t_train_save = time.perf_counter() - t0
+    ix = load_ann_index(spark, idx_dir)
+    ivf_pq_batch_topk(emb, queries, index=ix).count()  # warm plan shape
+    t_serve, _ = timed_count(ivf_pq_batch_topk(emb, queries, index=ix))
+    results["ann_index_serve_only"] = {
+        "t_train_save": round(t_train_save, 2),
+        "t_serve_from_index": round(t_serve, 2),
+        "t_train_inline_batch": round(t_batch, 2),
+        "serve_vs_inline": (
+            round(t_batch / t_serve, 2) if t_serve else None
+        ),
+    }
+    print(
+        f"{'ivf_pq serve-from-index':26s} {t_serve:7.2f} {t_batch:7.2f}"
+        f" {t_batch / t_serve:6.2f}x (train+save {t_train_save:.2f}s, paid once)"
+    )
+
     print(json.dumps({"sf_dir": sf_dir, "max_k": max_k, "results": results}))
 
 
