@@ -1984,3 +1984,39 @@ def test_ingest_increment_cli_equals_full_pass(spark, tmp_path):
         }
     dropped = {a for a, _ in inc_pairs}
     assert surv == {r["doc_id"] for r in docs.collect()} - dropped
+
+
+def test_sketch_error_bounds_measured(spark):
+    """The sketches' ESTIMATOR quality bounds, measured rather than
+    cited (r8 stretch; the hash gate pins exactness, not accuracy):
+    HLL relative error within 3x the theoretical 1.04/sqrt(m) on a
+    seeded known-cardinality corpus, and CMS overestimates in
+    [0, 2N/w] for every queried item (the Cormode-Muthukrishnan
+    per-item bound; deterministic here because the md5 family makes
+    the whole sketch reproducible)."""
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        cms_point_estimates,
+        hll_distinct,
+    )
+
+    b = 10
+    sigma = 1.04 / ((1 << b) ** 0.5)
+    n_true = 20_000
+    vals = spark.range(3 * n_true).select(
+        F.concat(F.lit("u"), (F.col("id") % n_true)).alias("v")
+    )
+    est = hll_distinct(vals, "v", b=b).collect()[0]["est_distinct"]
+    assert abs(est - n_true) / n_true <= 3 * sigma
+
+    w, d, vocab, n_tok = 1024, 4, 800, 60_000
+    toks = spark.range(n_tok).select(
+        F.concat(F.lit("t"), (F.col("id") % vocab)).alias("tok")
+    )
+    items = [f"t{i}" for i in range(20)] + ["never-seen"]
+    per_item = n_tok // vocab
+    for r in cms_point_estimates(toks, "tok", items, w=w, d=d).collect():
+        true = per_item if r["item"] != "never-seen" else 0
+        over = r["est_count"] - true
+        assert 0 <= over <= 2 * n_tok / w, (r["item"], over)

@@ -287,6 +287,62 @@ def main() -> None:
         f" {t_batch / t_serve:6.2f}x (train+save {t_train_save:.2f}s, paid once)"
     )
 
+    # r8 stretch: sketch ERROR-BOUND characterization — the sketches
+    # are hash-gated for cross-engine EXACTNESS, but their ESTIMATOR
+    # quality bounds were only cited; measure them on seeded corpora
+    # (md5 family -> fully deterministic, so these are stable rows).
+    # HLL: relative error vs the theoretical std err 1.04/sqrt(m).
+    b_hll = 10
+    m_hll = 1 << b_hll
+    sigma = 1.04 / (m_hll ** 0.5)
+    hll_rows = {}
+    for n_true in (1_000, 20_000, 200_000):
+        vals = spark.range(3 * n_true).select(
+            F.concat(F.lit("u"), (F.col("id") % n_true)).alias("v")
+        )
+        est = hll_distinct(vals, "v", b=b_hll).collect()[0]["est_distinct"]
+        rel = abs(est - n_true) / n_true
+        hll_rows[f"n{n_true}"] = {
+            "est": round(est, 1),
+            "rel_err": round(rel, 4),
+            "sigmas": round(rel / sigma, 2),
+            "within_3sigma": rel <= 3 * sigma,
+        }
+        print(
+            f"{'hll_err n=' + str(n_true):26s} {est:10.0f}"
+            f" rel={rel:7.4f} ({rel / sigma:4.2f} sigma, bound {sigma:.4f})"
+        )
+    hll_rows["theoretical_sigma"] = round(sigma, 5)
+    results["hll_error_bound"] = hll_rows
+
+    # CMS: overestimate <= 2N/w per item with prob 1-(1/2)^d
+    # (Cormode & Muthukrishnan 2005, pairwise-independent rows).
+    w_cms, d_cms, vocab, n_tok = 1024, 4, 800, 60_000
+    toks = spark.range(n_tok).select(
+        F.concat(F.lit("t"), (F.col("id") % vocab)).alias("tok")
+    )
+    probe_items = [f"t{i}" for i in range(20)] + ["never-seen"]
+    est_rows = cms_point_estimates(
+        toks, "tok", probe_items, w=w_cms, d=d_cms
+    ).collect()
+    per_item = n_tok // vocab
+    truth = {it: (per_item if it != "never-seen" else 0) for it in probe_items}
+    overs = {r["item"]: r["est_count"] - truth[r["item"]] for r in est_rows}
+    bound = 2 * n_tok / w_cms
+    n_within = sum(1 for v in overs.values() if 0 <= v <= bound)
+    results["cms_error_bound"] = {
+        "n_tokens": n_tok,
+        "bound_2N_over_w": round(bound, 1),
+        "max_overestimate": max(overs.values()),
+        "min_overestimate": min(overs.values()),
+        "n_items": len(overs),
+        "n_within_bound": n_within,
+    }
+    print(
+        f"{'cms_overestimate':26s} max={max(overs.values()):6d}"
+        f" bound={bound:7.1f} within={n_within}/{len(overs)}"
+    )
+
     print(json.dumps({"sf_dir": sf_dir, "max_k": max_k, "results": results}))
 
 
