@@ -162,6 +162,77 @@ def save_ann_index(
     return AnnIndex(cents, assign, cb, codes, params)
 
 
+def append_ann_index(new_emb: DataFrame, path: str) -> AnnIndex:
+    """Encode a NEW batch of vectors against the FROZEN index under
+    ``path`` — no retraining — and append the encodings to the
+    persisted state. The embeddings analog of the MinHash
+    signature-index append in ``scripts/ingest_increment.py``: a
+    daily pipeline trains centroids/codebooks once, then each
+    increment pays only map-only assignment + PQ encoding of the
+    new rows (one parquet append to ``assign/``, one to ``codes/``
+    — never a rewrite of the n-row base state, never a shuffle of
+    it). Returns the reloaded index covering base ∪ new.
+
+    Contract: new ``vec_id``s must be DISJOINT from those already in
+    the index (one id namespace, same rule as the signature index);
+    re-appending an id duplicates its rows. Serving an appended
+    index pairs it with the UNIONED corpus frame (the serving ops
+    read vectors from ``emb``, encodings from the index). NULL
+    embeddings are dropped, matching training's ``_points``.
+
+    Why append equals bulk encode bit-for-bit: assignment and PQ
+    encoding are deterministic map-only folds over the frozen
+    integer centroids/codebooks — no state depends on what else is
+    in the batch — so split-append ≡ bulk-append ≡ training-time
+    encode of the same rows (pinned by tests/test_clustering.py).
+    Drift caveat (standard IVF practice): appended vectors get
+    optimal assignments under the FROZEN centroids; after heavy
+    growth or distribution shift, retrain with
+    :func:`save_ann_index` — the sidecar's params make retraining
+    reproducible."""
+    from etl_macropulse_br_spark.operators.clustering import (
+        _assign,
+        _pq_assign,
+        _points,
+        _subvectors,
+    )
+
+    spark = new_emb.sparkSession
+    idx = load_ann_index(spark, path)
+    p = idx.params
+    pts = _points(new_emb, p["id_col"], p["emb_col"])
+
+    assign_new = _assign(pts, idx.cents).select("vec_id", "cluster_id")
+    assign_new.write.mode("append").parquet(f"{path}/assign")
+
+    if p.get("with_pq", True):
+        if p["residual"]:
+            ctab = idx.cents.select(
+                "cluster_id", F.col("c").alias("cc")
+            )
+            # assignment is a deterministic map-only fold over the
+            # broadcast frozen centroids, so recomputing the lazy
+            # assign_new frame here is bit-identical to the rows
+            # just appended
+            enc_pts = (
+                pts.join(assign_new, "vec_id")
+                .join(F.broadcast(ctab), "cluster_id")
+                .select(
+                    "vec_id",
+                    F.zip_with("q", "cc", lambda a, b: a - b).alias("q"),
+                )
+            )
+        else:
+            enc_pts = pts
+        subpts = _subvectors(enc_pts, p["m"], p["sub"])
+        codes_new = _pq_assign(subpts, idx.cb).select(
+            "vec_id", "s", "code"
+        )
+        codes_new.write.mode("append").parquet(f"{path}/codes")
+
+    return load_ann_index(spark, path)
+
+
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     """Load a persisted index. Raises FileNotFoundError on a missing
     meta sidecar and ValueError on a future layout version."""

@@ -272,6 +272,42 @@ def ivf_kmeans_topk(
     )
 
 
+def _subvectors(pts: DataFrame, m: int, sub: int) -> DataFrame:
+    """Split quantized (vec_id, q) rows into the exploded
+    (vec_id, s, qs) subvector table — the encode-side half of PQ,
+    shared by codebook TRAINING (:func:`pq_codebooks`) and
+    train-free ENCODING of new vectors against frozen codebooks
+    (operators/ann_index.py:append_ann_index, r8). Map-only: m small
+    structs per row, no shuffle. Carries the width fail-fast guard
+    (see pq_codebooks docstring) so both paths refuse a vector whose
+    width disagrees with m * sub."""
+    width_guard = F.assert_true(
+        F.size("q") == m * sub,
+        F.concat(
+            F.lit(
+                f"pq subvectors: m * sub = {m} * {sub} = {m * sub} must "
+                "equal the vector width; got width "
+            ),
+            F.size("q").cast("string"),
+        ),
+    ).cast("array<bigint>")
+    pts = pts.withColumn("q", F.coalesce(width_guard, F.col("q")))
+    return pts.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("q", s * sub + 1, sub).alias("qs"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.s", "e.qs")
+
+
 def pq_codebooks(
     pts: DataFrame, m: int = 8, ks: int = 16, rounds: int = 2, sub: int = 8
 ) -> tuple[DataFrame, DataFrame]:
@@ -299,31 +335,7 @@ def pq_codebooks(
     per-row assert on ``size(q)`` evaluated BEFORE any slice (first
     coalesce branch, so it cannot be pruned or short-circuited),
     mirroring the span_tokens/banding fail-fast guards."""
-    width_guard = F.assert_true(
-        F.size("q") == m * sub,
-        F.concat(
-            F.lit(
-                f"pq_codebooks: m * sub = {m} * {sub} = {m * sub} must "
-                "equal the vector width; got width "
-            ),
-            F.size("q").cast("string"),
-        ),
-    ).cast("array<bigint>")
-    pts = pts.withColumn("q", F.coalesce(width_guard, F.col("q")))
-    subpts = pts.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("q", s * sub + 1, sub).alias("qs"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", "e.s", "e.qs")
+    subpts = _subvectors(pts, m, sub)
     w = Window.partitionBy("s").orderBy("vec_id")
     cb = (
         subpts.withColumn("rn", F.row_number().over(w))

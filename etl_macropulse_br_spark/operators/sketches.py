@@ -53,7 +53,12 @@ def kmv_distinct(
     """
     c = F.col(col) if isinstance(col, str) else col
     bottom = (
+        # nulls dropped BEFORE hashing (r8, same rule as HLL): a null
+        # value hashes to a null h, which Spark's ascending sort puts
+        # FIRST but DuckDB's NULLS LAST keeps out of the LIMIT —
+        # divergent sketches. Distinct-count semantics ignore nulls.
         df.select(md5_long(c).alias("h"))
+        .filter(F.col("h").isNotNull())
         .distinct()
         .orderBy(F.col("h").asc())
         .limit(k)
@@ -79,6 +84,7 @@ def kmv_distinct_sql(
 WITH bottom AS (
   SELECT DISTINCT {md5_long_sql(col_expr)} AS h
   FROM {table}
+  WHERE ({col_expr}) IS NOT NULL
   ORDER BY h ASC
   LIMIT {k}
 ), agg AS (
@@ -90,6 +96,166 @@ SELECT n_kept, kth_hash,
                  * CAST({_HASH_SPACE!r} AS DOUBLE) / kth_hash
        END AS est_distinct
 FROM agg
+"""
+
+
+def _kmv_est(n_col: str, kth_col: str, k: int) -> Column:
+    """The (k-1)/U estimator with the exact small-cardinality
+    short-circuit, as ONE reusable expression (see
+    :func:`kmv_distinct`)."""
+    return F.when(
+        F.col(n_col) < k, F.col(n_col).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col(kth_col)
+    )
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str | Column,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-count SET ALGEBRA from two KMV sketches (Beyer et
+    al. 2007, "On synopses for distinct-value estimation under
+    multiset operations") — the capability HLL structurally lacks:
+    HLL registers merge to a UNION sketch only, but bottom-k
+    sketches support union AND intersection, because the k smallest
+    hashes of A ∪ B are a uniform sample of the union on which
+    membership in A and B is observable. One-row frame::
+
+        (n_a_kept, n_b_kept, n_union_kept, n_both,
+         est_distinct_a, est_distinct_b,
+         est_union, jaccard_kmv, est_intersection)
+
+    ``jaccard_kmv`` = |L ∩ A-sketch ∩ B-sketch| / |L| over the
+    combined bottom-k L; ``est_intersection`` = jaccard × est_union
+    (the Beyer unbiased composition). When the combined sketch holds
+    fewer than k hashes BOTH input sketches were complete, so every
+    output degenerates to the EXACT count — one formula covers both
+    regimes because est_union itself degenerates.
+
+    Portability: hashes, sorts, and the final double arithmetic are
+    the same exact-integer operations as :func:`kmv_distinct`, so
+    the DuckDB twin (:func:`kmv_set_ops_sql`) is bit-identical —
+    an oracle-gateable approximate intersection.
+
+    Scale shape: three distinct-bottom-k's (TakeOrderedAndProject —
+    shuffle carries ≤ k hashes per partition); membership joins and
+    the final cross of three one-row aggregates are all ≤ k-row
+    broadcasts. Nulls are dropped before hashing (distinct-count
+    semantics; see :func:`kmv_distinct`)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def bottom(df: DataFrame) -> DataFrame:
+        return (
+            df.select(md5_long(c).alias("h"))
+            .filter(F.col("h").isNotNull())
+            .distinct()
+            .orderBy(F.col("h").asc())
+            .limit(k)
+        )
+
+    la, lb = bottom(df_a), bottom(df_b)
+    comb = la.union(lb).distinct().orderBy(F.col("h").asc()).limit(k)
+    flagged = comb.join(
+        la.withColumn("ia", F.lit(1)), "h", "left"
+    ).join(lb.withColumn("ib", F.lit(1)), "h", "left")
+
+    agg_u = flagged.agg(
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.max("h").alias("kth_union"),
+        F.sum(
+            F.when(
+                F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_both"),
+    )
+    agg_a = la.agg(
+        F.count(F.lit(1)).alias("n_a_kept"), F.max("h").alias("kth_a")
+    )
+    agg_b = lb.agg(
+        F.count(F.lit(1)).alias("n_b_kept"), F.max("h").alias("kth_b")
+    )
+
+    jac = F.col("n_both") / F.col("n_union_kept")
+    est_union = _kmv_est("n_union_kept", "kth_union", k)
+    return (
+        agg_u.crossJoin(F.broadcast(agg_a))
+        .crossJoin(F.broadcast(agg_b))
+        .select(
+            "n_a_kept",
+            "n_b_kept",
+            "n_union_kept",
+            "n_both",
+            _kmv_est("n_a_kept", "kth_a", k).alias("est_distinct_a"),
+            _kmv_est("n_b_kept", "kth_b", k).alias("est_distinct_b"),
+            est_union.alias("est_union"),
+            jac.alias("jaccard_kmv"),
+            (jac * est_union).alias("est_intersection"),
+        )
+    )
+
+
+def kmv_set_ops_sql(
+    table_a: str, table_b: str, col_expr: str, k: int = 64
+) -> str:
+    """DuckDB twin of :func:`kmv_set_ops` — same hashes, same
+    bottom-k's, same membership flags, same double arithmetic.
+    ``table_a``/``table_b`` may be any table expressions (including
+    parenthesized subqueries)."""
+    est = (
+        "CASE WHEN {n} < "
+        + str(k)
+        + " THEN CAST({n} AS DOUBLE) ELSE "
+        + f"CAST({float(k - 1)!r} AS DOUBLE) * "
+        + f"CAST({_HASH_SPACE!r} AS DOUBLE) / {{u}} END"
+    )
+    return f"""
+WITH la AS (
+  SELECT DISTINCT {md5_long_sql(col_expr)} AS h
+  FROM {table_a}
+  WHERE ({col_expr}) IS NOT NULL
+  ORDER BY h ASC
+  LIMIT {k}
+), lb AS (
+  SELECT DISTINCT {md5_long_sql(col_expr)} AS h
+  FROM {table_b}
+  WHERE ({col_expr}) IS NOT NULL
+  ORDER BY h ASC
+  LIMIT {k}
+), comb AS (
+  SELECT DISTINCT h
+  FROM (SELECT h FROM la UNION ALL SELECT h FROM lb)
+  ORDER BY h ASC
+  LIMIT {k}
+), flagged AS (
+  SELECT comb.h,
+         (la.h IS NOT NULL) AS ia,
+         (lb.h IS NOT NULL) AS ib
+  FROM comb
+  LEFT JOIN la ON comb.h = la.h
+  LEFT JOIN lb ON comb.h = lb.h
+), agg_u AS (
+  SELECT count(*) AS n_union_kept, max(h) AS kth_union,
+         -- DuckDB sums integers into HUGEINT; pin the cross-engine type
+         CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both
+  FROM flagged
+), agg_a AS (
+  SELECT count(*) AS n_a_kept, max(h) AS kth_a FROM la
+), agg_b AS (
+  SELECT count(*) AS n_b_kept, max(h) AS kth_b FROM lb
+)
+SELECT n_a_kept, n_b_kept, n_union_kept, n_both,
+       {est.format(n='n_a_kept', u='kth_a')} AS est_distinct_a,
+       {est.format(n='n_b_kept', u='kth_b')} AS est_distinct_b,
+       {est.format(n='n_union_kept', u='kth_union')} AS est_union,
+       CAST(n_both AS DOUBLE) / n_union_kept AS jaccard_kmv,
+       (CAST(n_both AS DOUBLE) / n_union_kept)
+         * {est.format(n='n_union_kept', u='kth_union')}
+         AS est_intersection
+FROM agg_u, agg_a, agg_b
 """
 
 

@@ -1887,6 +1887,54 @@ def _events_kmv_sql() -> str:
 EVENTS_KMV_DISTINCT_SQL = _events_kmv_sql()
 
 
+def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra (r8): estimated distinct user-DAYS of the
+    click slice vs the purchase slice, plus their UNION,
+    INTERSECTION, and Jaccard — the set operations HLL structurally
+    cannot answer (registers merge to union only; the bottom-k
+    sketch is a uniform union sample on which A/B membership is
+    observable — Beyer et al. 2007). Portable-md5 construction, so
+    the approximate intersection itself is oracle-gated bit-for-bit
+    (operators/sketches.py:kmv_set_ops)."""
+    from etl_macropulse_br_spark.operators.sketches import kmv_set_ops
+
+    ev = _t(spark, sf_dir, "events")
+    item = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.to_date("ts").cast("string"),
+    )
+    return kmv_set_ops(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        item,
+        k=256,
+    )
+
+
+def _events_kmv_set_ops_sql() -> str:
+    from etl_macropulse_br_spark.operators.sketches import (
+        kmv_set_ops_sql,
+    )
+
+    # '||' (NULL-propagating, matching Spark's F.concat), not
+    # concat() (DuckDB's treats NULL as ''); date cast renders
+    # ISO yyyy-MM-dd on both engines
+    item = (
+        "(CAST(user_id AS VARCHAR) || '@' "
+        "|| CAST(CAST(ts AS DATE) AS VARCHAR))"
+    )
+    return kmv_set_ops_sql(
+        "(SELECT * FROM events WHERE event_type = 'click') ta",
+        "(SELECT * FROM events WHERE event_type = 'purchase') tb",
+        item,
+        k=256,
+    )
+
+
+EVENTS_KMV_SET_OPS_SQL = _events_kmv_set_ops_sql()
+
+
 def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-count over event users —
     r7 upgrade of the 'HLL can never hash-match across engines'
@@ -6323,6 +6371,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_dsir_sample": docs_dsir_sample,
     "docs_mixture_balance": docs_mixture_balance,
     "embedding_semdedup": embedding_semdedup,
+    # r8: KMV set algebra — oracle-gated approximate union /
+    # intersection / Jaccard (the set ops HLL cannot answer)
+    "events_kmv_set_ops": events_kmv_set_ops,
 }
 
 ORACLES: dict[str, str] = {
@@ -6445,4 +6496,5 @@ AUX_ORACLES: dict[str, str] = {
     "docs_dsir_sample": DOCS_DSIR_SAMPLE_SQL,
     "docs_mixture_balance": DOCS_MIXTURE_BALANCE_SQL,
     "embedding_semdedup": EMBEDDING_SEMDEDUP_SQL,
+    "events_kmv_set_ops": EVENTS_KMV_SET_OPS_SQL,
 }

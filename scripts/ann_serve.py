@@ -23,6 +23,13 @@ previously saved index and serves WITHOUT retraining — the daily
 train-once/serve-many loop. With an index, --mode must agree with
 how the index was built (flat vs residual vs coarse-only); the
 serve-time knobs (--query-ids/--topk/--filter) stay free.
+
+``--append-batch B.parquet`` (with --index-dir) closes the
+embeddings side of the daily-ingest loop: the batch's vectors are
+encoded against the FROZEN centroids/codebooks
+(operators/ann_index.py:append_ann_index — map-only, no retrain,
+one parquet append), then the batch joins the served corpus; batch
+vec_ids must be new to the index.
 """
 
 from __future__ import annotations
@@ -56,13 +63,23 @@ def main() -> None:
         default=None,
         help="serve from a previously saved index (no retraining)",
     )
+    ap.add_argument(
+        "--append-batch",
+        default=None,
+        help="parquet of NEW embeddings: encode against the frozen "
+        "--index-dir index, append to it, serve over the union "
+        "(ids must be new to the index)",
+    )
     args = ap.parse_args()
     if args.save_index and args.index_dir:
         raise SystemExit("--save-index and --index-dir are exclusive")
+    if args.append_batch and not args.index_dir:
+        raise SystemExit("--append-batch requires --index-dir")
 
     from pyspark.sql import functions as F
 
     from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
         load_ann_index,
         save_ann_index,
     )
@@ -80,6 +97,7 @@ def main() -> None:
     flt = F.expr(args.filter) if args.filter else None
 
     index = None
+    n_appended = 0
     if args.save_index:
         index = save_ann_index(
             emb,
@@ -88,7 +106,14 @@ def main() -> None:
             with_pq=(args.mode != "ivf"),
         )
     elif args.index_dir:
-        index = load_ann_index(spark, args.index_dir)
+        if args.append_batch:
+            batch = spark.read.parquet(args.append_batch)
+            index = append_ann_index(batch, args.index_dir)
+            n_appended = batch.count()
+            emb = emb.unionByName(batch, allowMissingColumns=True)
+            queries = emb.filter(F.col("vec_id").isin(qids))
+        else:
+            index = load_ann_index(spark, args.index_dir)
         # an index serves only in the mode it was built — fail loudly
         # rather than silently serving the wrong encoding
         built = (
@@ -135,6 +160,7 @@ def main() -> None:
                 "filter": args.filter,
                 "index_dir": args.index_dir or args.save_index,
                 "index_trained": args.index_dir is None,
+                "n_appended": n_appended,
                 "n_queries": len(qids),
                 "n_result_rows": n,
                 "top1": dict(sorted(top1.items())),

@@ -1037,3 +1037,129 @@ def test_ann_index_load_then_serve_equals_train_then_serve(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_ann_index(spark, str(tmp_path / "nope"))
+
+
+def test_ann_index_append_encodes_like_training(spark, tmp_path):
+    """append_ann_index (r8): encoding NEW vectors against the
+    frozen index must equal what TRAINING-time encode produced for
+    the same vectors — appending a shifted-id copy of the training
+    corpus must reproduce every cluster assignment and PQ code
+    row-for-row (two different code paths: save_ann_index's staged
+    encode vs append's train-free encode), for both flat and
+    residual encodings. A coarse-only index appends assignments
+    only."""
+    import random
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    rng = random.Random(13)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(60)]
+    schema = "vec_id long, embedding array<float>"
+    a = spark.createDataFrame(list(enumerate(vecs)), schema)
+    b = spark.createDataFrame(
+        [(1000 + i, v) for i, v in enumerate(vecs)], schema
+    )
+
+    for residual in (False, True):
+        path = str(tmp_path / f"ix_res{residual}")
+        save_ann_index(
+            a, path, k=4, rounds=1, m=4, ks=8, pq_rounds=1, sub=2,
+            residual=residual,
+        )
+        base = load_ann_index(spark, path)
+        base_assign = {
+            r["vec_id"]: r["cluster_id"] for r in base.assign.collect()
+        }
+        base_codes = {
+            (r["vec_id"], r["s"]): r["code"]
+            for r in base.codes.collect()
+        }
+
+        ix2 = append_ann_index(b, path)
+        got_assign = {
+            r["vec_id"]: r["cluster_id"] for r in ix2.assign.collect()
+        }
+        assert len(got_assign) == 120
+        for i in range(60):
+            assert got_assign[1000 + i] == base_assign[i]
+        got_codes = {
+            (r["vec_id"], r["s"]): r["code"]
+            for r in ix2.codes.collect()
+        }
+        assert len(got_codes) == 2 * len(base_codes)
+        for (vid, s), code in base_codes.items():
+            assert got_codes[(1000 + vid, s)] == code
+
+    # coarse-only: assignments append, no PQ state materializes
+    cpath = str(tmp_path / "ix_ivf")
+    save_ann_index(a, cpath, k=4, rounds=1, with_pq=False)
+    cix = append_ann_index(b, cpath)
+    assert cix.cb is None and cix.codes is None
+    assert cix.assign.count() == 120
+
+
+def test_ann_index_split_append_equals_bulk_and_serves(spark, tmp_path):
+    """Split-append ≡ bulk-append (encoding each row depends only on
+    the frozen index, never on batch-mates), and an appended index
+    actually SERVES: a query whose exact duplicate was planted in
+    the appended batch returns that new vector at full cosine, over
+    the unioned corpus, without any retraining."""
+    import random
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_pq_batch_topk,
+    )
+
+    rng = random.Random(29)
+    schema = "vec_id long, embedding array<float>"
+    a_rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)
+    ]
+    a = spark.createDataFrame(a_rows, schema)
+    # appended batch: 19 random rows + an exact copy of vector 5
+    b_rows = [
+        (200 + i, [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(19)
+    ] + [(999, a_rows[5][1])]
+    b = spark.createDataFrame(b_rows, schema)
+
+    bulk = str(tmp_path / "bulk")
+    save_ann_index(
+        a, bulk, k=4, rounds=1, m=4, ks=8, pq_rounds=1, sub=2
+    )
+    split = str(tmp_path / "split")
+    shutil.copytree(bulk, split)
+
+    append_ann_index(b, bulk)
+    append_ann_index(b.filter(F.col("vec_id") < 210), split)
+    append_ann_index(b.filter(F.col("vec_id") >= 210), split)
+
+    for sub_dir in ("assign", "codes"):
+        lhs = sorted(
+            map(tuple, spark.read.parquet(f"{bulk}/{sub_dir}").collect())
+        )
+        rhs = sorted(
+            map(tuple, spark.read.parquet(f"{split}/{sub_dir}").collect())
+        )
+        assert lhs == rhs
+
+    corpus = a.unionByName(b)
+    queries = a.filter(F.col("vec_id") == 5)
+    res = ivf_pq_batch_topk(
+        corpus, queries, topk=3, index=load_ann_index(spark, bulk)
+    ).collect()
+    got = {r["vec_id"]: r["cosine"] for r in res}
+    # the planted duplicate is found through the appended encodings
+    assert 999 in got and got[999] == max(got.values())

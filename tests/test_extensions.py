@@ -2020,3 +2020,53 @@ def test_sketch_error_bounds_measured(spark):
         true = per_item if r["item"] != "never-seen" else 0
         over = r["est_count"] - true
         assert 0 <= over <= 2 * n_tok / w, (r["item"], over)
+
+
+def test_kmv_set_ops_exact_and_estimated(spark):
+    """kmv_set_ops (r8): (a) below k everything degenerates to the
+    EXACT counts through the one shared formula — disjoint and
+    overlapping small sets give exact union/intersection/Jaccard;
+    (b) at scale (5k ∪ 5k, 50% overlap, k=256) every estimate lands
+    within 5 standard errors (1/sqrt(k)) of truth — the measured
+    Beyer et al. accuracy claim, deterministic under the md5 family;
+    (c) nulls are ignored (distinct-count semantics, same rule as
+    HLL/KMV after the r8 hardening)."""
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.sketches import kmv_set_ops
+
+    # (a) exact regime: A = {a0..a9}, B = {a5..a14} -> inter 5, union 15
+    a = spark.range(10).select(
+        F.concat(F.lit("a"), F.col("id")).alias("v")
+    )
+    b = spark.range(5, 15).select(
+        F.concat(F.lit("a"), F.col("id")).alias("v")
+    )
+    r = kmv_set_ops(a, b, "v", k=64).collect()[0]
+    assert (r["n_a_kept"], r["n_b_kept"]) == (10, 10)
+    assert r["est_union"] == 15.0
+    assert r["est_intersection"] == 5.0
+    assert abs(r["jaccard_kmv"] - 5 / 15) < 1e-12
+
+    # nulls ignored on both sides
+    an = a.unionByName(
+        spark.range(3).select(F.lit(None).cast("string").alias("v"))
+    )
+    rn = kmv_set_ops(an, b, "v", k=64).collect()[0]
+    assert (rn["n_a_kept"], rn["est_union"]) == (10, 15.0)
+
+    # (b) estimator regime: |A|=5000, |B|=5000, |A∩B|=2500
+    big_a = spark.range(5000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    big_b = spark.range(2500, 7500).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    k = 256
+    se = 1.0 / (k**0.5)
+    e = kmv_set_ops(big_a, big_b, "v", k=k).collect()[0]
+    assert abs(e["est_distinct_a"] - 5000) <= 5 * se * 5000
+    assert abs(e["est_distinct_b"] - 5000) <= 5 * se * 5000
+    assert abs(e["est_union"] - 7500) <= 5 * se * 7500
+    assert abs(e["est_intersection"] - 2500) <= 8 * se * 2500
+    assert abs(e["jaccard_kmv"] - 2500 / 7500) <= 5 * se
