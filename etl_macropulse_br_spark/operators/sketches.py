@@ -691,3 +691,211 @@ SELECT p.item, min(coalesce(c.cnt, 0)) AS est_count
 FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.pos = p.pos
 GROUP BY p.item
 """
+
+
+# ---------------------------------------------------------------------------
+# HDR-style log-bucket quantile sketch (r8) — the MERGEABLE
+# approximate-quantile state the sketch family was missing: KMV/HLL
+# answer distinct-count, CMS answers frequency, this answers
+# percentiles. price_percentiles (operators/features.py) computes
+# EXACT quantiles via two-pass histogram-refine; this is the ONE-PASS
+# bounded-state alternative whose buckets are integers a mart can
+# store per partition and SUM to merge (sketch(A ∪ B) = bucket-wise
+# addition — pinned by test), then answer any quantile of any slice
+# union without re-scanning. Bucketing follows the HdrHistogram /
+# DDSketch log-bucket idea (Gil Tene's HdrHistogram; Masson et al.
+# 2019 VLDB "DDSketch") but is built ONLY from exact integer ops —
+# e = floor(log2 v) via length(bin(v)) - 1, sub-bucket via bit
+# shifts — so Spark and the DuckDB oracle compute IDENTICAL buckets
+# and the sketch is hash-gateable like the rest of the family
+# (a float log2 would diverge at powers of two).
+#
+# Guarantee: value v >= 2^s lands in a bucket whose [lo, hi] bracket
+# satisfies (hi - lo) / lo < 2^-s, so the midpoint estimate has
+# relative error < 2^-(s+1); values < 2^s are EXACT (one bucket per
+# integer). State: <= (64 - s) * 2^s + 2^s integer cells.
+
+
+
+
+def hdr_histogram(
+    df: DataFrame, col: str | Column, s: int = 6
+) -> DataFrame:
+    """The mergeable sketch state: ``(bucket, lo, hi, cnt)`` — one
+    integer row per occupied log-bucket of a NON-NEGATIVE bigint
+    column (negative values fail the plan loudly; nulls are dropped,
+    matching the family's distinct/frequency sketches).
+
+    Bucket index (contiguous, monotonic): v < 2^s maps to itself
+    (exact region); otherwise with e = floor(log2 v) — computed
+    EXACTLY as length(bin(v)) - 1, never a float log —
+    ``bucket = (e - s) * 2^s + (v >> (e - s))``, bracket
+    ``lo = (v >> (e - s)) << (e - s)``, ``hi = lo + 2^(e-s) - 1``.
+
+    Merge rule: sketch(A ∪ B) = bucket-wise cnt ADDITION (lo/hi are
+    functions of bucket) — pinned by test. Scale shape: map-only
+    bucketing, one hash aggregate whose partial combine bounds the
+    exchange at <= occupied-buckets rows per partition
+    (<= (64-s)*2^s + 2^s total cells)."""
+    c = F.col(col) if isinstance(col, str) else col
+    guarded = (
+        df.select(c.cast("bigint").alias("v"))
+        .filter(F.col("v").isNotNull())
+        # fail-fast guard (first coalesce branch — cannot be pruned):
+        # a negative value would alias positive buckets silently
+        .withColumn(
+            "v",
+            F.coalesce(
+                F.assert_true(
+                    F.col("v") >= 0,
+                    F.concat(
+                        F.lit("hdr_histogram: negative value "),
+                        F.col("v").cast("string"),
+                    ),
+                ).cast("bigint"),
+                F.col("v"),
+            ),
+        )
+        .withColumn(
+            "e", (F.length(F.bin(F.col("v"))) - F.lit(1)).cast("int")
+        )
+    )
+    small = F.col("v") < F.lit(1 << s)
+    top = F.expr(f"shiftright(v, e - {s})")
+    bucket = F.when(small, F.col("v")).otherwise(
+        (F.col("e") - F.lit(s)).cast("bigint") * F.lit(1 << s) + top
+    )
+    lo = F.when(small, F.col("v")).otherwise(
+        F.expr(f"shiftleft(shiftright(v, e - {s}), e - {s})")
+    )
+    hi = F.when(small, F.col("v")).otherwise(
+        lo + F.expr(f"shiftleft(cast(1 as bigint), e - {s})") - F.lit(1)
+    )
+    return (
+        guarded.select(
+            bucket.alias("bucket"), lo.alias("lo"), hi.alias("hi")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    col: str | Column,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    s: int = 6,
+) -> DataFrame:
+    """Approximate quantiles from the one-pass mergeable sketch:
+    one row per requested quantile,
+    ``(q, rank, n, lo, hi, est)`` — ``rank`` = max(1, ceil(q*n)),
+    [lo, hi] the bracket GUARANTEED to contain the rank-th smallest
+    value, ``est`` the midpoint (relative error < 2^-(s+1) for
+    values >= 2^s; exact below). Rank selection is relational: the
+    first bucket whose cumulative count reaches the rank — a window
+    cumsum over the <= few-hundred-row bucket table, then a min per
+    quantile; nothing heavier than the sketch itself ever shuffles.
+
+    Portability: buckets, counts, and ranks are exact integers on
+    both engines; ceil(q*n) and the midpoint divide are the same
+    IEEE doubles — so the DuckDB twin (:func:`hdr_quantiles_sql`)
+    hash-gates, estimator and all."""
+    from pyspark.sql import Window
+
+    hist = hdr_histogram(df, col, s)
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    ranks = tot.select(
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in qs])
+        ).alias("q"),
+        "n",
+    ).select(
+        "q",
+        "n",
+        F.greatest(
+            F.lit(1).cast("bigint"), F.ceil(F.col("q") * F.col("n"))
+        ).alias("rank"),
+    )
+    sel = (
+        cum.join(
+            F.broadcast(ranks), F.col("cum") >= F.col("rank"), "inner"
+        )
+        .groupBy("q", "rank", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return (
+        sel.join(hist, "bucket")
+        .select(
+            "q",
+            "rank",
+            "n",
+            "lo",
+            "hi",
+            ((F.col("lo") + F.col("hi")) / F.lit(2.0)).alias("est"),
+        )
+        .orderBy("q")
+    )
+
+
+def hdr_quantiles_sql(
+    table: str,
+    col_expr: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    s: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hdr_quantiles` — same integer buckets
+    (length(bin(v)) - 1 and bit shifts exist on both engines), same
+    cumsum/rank selection, same double midpoint."""
+    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+WITH vals AS (
+  SELECT CAST({col_expr} AS BIGINT) AS v
+  FROM {table}
+  WHERE ({col_expr}) IS NOT NULL
+), ebits AS (
+  SELECT v, CAST(length(bin(v)) - 1 AS INT) AS e FROM vals
+), bucketed AS (
+  SELECT CASE WHEN v < {1 << s} THEN v
+              ELSE CAST(e - {s} AS BIGINT) * {1 << s} + (v >> (e - {s}))
+         END AS bucket,
+         CASE WHEN v < {1 << s} THEN v
+              ELSE (v >> (e - {s})) << (e - {s})
+         END AS lo,
+         CASE WHEN v < {1 << s} THEN v
+              ELSE ((v >> (e - {s})) << (e - {s}))
+                   + (CAST(1 AS BIGINT) << (e - {s})) - 1
+         END AS hi
+  FROM ebits
+), hist AS (
+  SELECT bucket, min(lo) AS lo, min(hi) AS hi, count(*) AS cnt
+  FROM bucketed GROUP BY bucket
+), cum AS (
+  SELECT bucket, lo, hi, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+  FROM hist
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist
+), ranks AS (
+  SELECT q, n,
+         greatest(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT))
+           AS rank
+  FROM (VALUES {qvals}) AS qt(q), tot
+), sel AS (
+  SELECT r.q, r.rank, r.n, min(c.bucket) AS bucket
+  FROM ranks r JOIN cum c ON c.cum >= r.rank
+  GROUP BY r.q, r.rank, r.n
+)
+SELECT s.q, s.rank, s.n, h.lo, h.hi,
+       (h.lo + h.hi) / CAST(2 AS DOUBLE) AS est
+FROM sel s JOIN hist h USING (bucket)
+ORDER BY s.q
+"""

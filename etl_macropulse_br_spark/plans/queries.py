@@ -1935,6 +1935,44 @@ def _events_kmv_set_ops_sql() -> str:
 EVENTS_KMV_SET_OPS_SQL = _events_kmv_set_ops_sql()
 
 
+def price_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR log-bucket quantile SKETCH over lineitem prices (in
+    integer cents) — the one-pass MERGEABLE twin of the exact
+    two-pass price_percentiles: bounded integer bucket state a mart
+    can store per partition and SUM to merge, answering any
+    quantile of any slice union without re-scanning; bracket
+    guaranteed to contain the true rank value, midpoint relative
+    error < 2^-(s+1) (operators/sketches.py:hdr_quantiles —
+    integer-exact bucketing via length(bin(v))-1 and bit shifts, so
+    the approximate estimator itself hash-gates against the
+    oracle)."""
+    from etl_macropulse_br_spark.operators.sketches import hdr_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * F.lit(100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return hdr_quantiles(cents, "cents", (0.25, 0.5, 0.9, 0.99), s=6)
+
+
+def _price_hdr_sql() -> str:
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_quantiles_sql,
+    )
+
+    return hdr_quantiles_sql(
+        "lineitem",
+        "CAST(floor(l_extendedprice * 100) AS BIGINT)",
+        (0.25, 0.5, 0.9, 0.99),
+        s=6,
+    )
+
+
+PRICE_HDR_QUANTILES_SQL = _price_hdr_sql()
+
+
 def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-count over event users —
     r7 upgrade of the 'HLL can never hash-match across engines'
@@ -6374,6 +6412,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r8: KMV set algebra — oracle-gated approximate union /
     # intersection / Jaccard (the set ops HLL cannot answer)
     "events_kmv_set_ops": events_kmv_set_ops,
+    # r8: mergeable HDR log-bucket quantile sketch (one-pass twin
+    # of the exact histogram-refine price_percentiles)
+    "price_hdr_quantiles": price_hdr_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -6497,4 +6538,5 @@ AUX_ORACLES: dict[str, str] = {
     "docs_mixture_balance": DOCS_MIXTURE_BALANCE_SQL,
     "embedding_semdedup": EMBEDDING_SEMDEDUP_SQL,
     "events_kmv_set_ops": EVENTS_KMV_SET_OPS_SQL,
+    "price_hdr_quantiles": PRICE_HDR_QUANTILES_SQL,
 }

@@ -2070,3 +2070,69 @@ def test_kmv_set_ops_exact_and_estimated(spark):
     assert abs(e["est_union"] - 7500) <= 5 * se * 7500
     assert abs(e["est_intersection"] - 2500) <= 8 * se * 2500
     assert abs(e["jaccard_kmv"] - 2500 / 7500) <= 5 * se
+
+
+def test_hdr_quantile_sketch_properties(spark):
+    """hdr_histogram / hdr_quantiles (r8): (a) MERGEABILITY — the
+    sketch of A ∪ B equals bucket-wise ADDITION of the two sketches
+    (what makes it the at-scale percentile state: per-partition
+    bucket tables sum, no re-scan); (b) the [lo, hi] bracket of
+    every returned quantile CONTAINS the true rank value and the
+    midpoint is within the 2^-(s+1) relative-error guarantee;
+    (c) values below 2^s are answered EXACTLY; (d) a negative value
+    fails the plan loudly instead of aliasing a positive bucket."""
+    import math
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_quantiles,
+    )
+
+    rng = random.Random(17)
+    va = [int(rng.lognormvariate(7, 2.5)) for _ in range(4000)]
+    vb = [int(rng.lognormvariate(10, 1.5)) for _ in range(4000)]
+    s = 6
+    da = spark.createDataFrame([(v,) for v in va], "v long")
+    db = spark.createDataFrame([(v,) for v in vb], "v long")
+
+    # (a) merge = bucket-wise addition
+    ha = {r["bucket"]: (r["lo"], r["hi"], r["cnt"])
+          for r in hdr_histogram(da, "v", s).collect()}
+    hb = {r["bucket"]: (r["lo"], r["hi"], r["cnt"])
+          for r in hdr_histogram(db, "v", s).collect()}
+    merged = {}
+    for src in (ha, hb):
+        for b, (lo, hi, cnt) in src.items():
+            if b in merged:
+                assert merged[b][:2] == (lo, hi)  # lo/hi functional
+                merged[b] = (lo, hi, merged[b][2] + cnt)
+            else:
+                merged[b] = (lo, hi, cnt)
+    hu = {r["bucket"]: (r["lo"], r["hi"], r["cnt"])
+          for r in hdr_histogram(da.unionByName(db), "v", s).collect()}
+    assert hu == merged
+
+    # (b) bracket + error bound on the union
+    allv = sorted(va + vb)
+    qs = (0.1, 0.5, 0.9, 0.99)
+    for r in hdr_quantiles(
+        da.unionByName(db), "v", qs, s
+    ).collect():
+        true = allv[max(1, math.ceil(r["q"] * len(allv))) - 1]
+        assert r["lo"] <= true <= r["hi"]
+        if true >= (1 << s):
+            assert abs(r["est"] - true) / true < 2 ** -(s + 1) + 1e-12
+
+    # (c) exact below 2^s
+    small = spark.createDataFrame([(v,) for v in range(1, 33)], "v long")
+    got = {r["q"]: r for r in hdr_quantiles(small, "v", (0.5,), s).collect()}
+    assert got[0.5]["lo"] == got[0.5]["hi"] == got[0.5]["est"] == 16
+
+    # (d) negative values refuse loudly
+    neg = spark.createDataFrame([(5,), (-3,)], "v long")
+    with pytest.raises(Exception, match="negative value"):
+        hdr_histogram(neg, "v", s).collect()

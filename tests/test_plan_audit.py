@@ -260,3 +260,22 @@ def test_r7_aux_queries_never_cartesian(small_spark):
         assert _plan(small_spark, name).count(
             "Exchange hashpartitioning"
         ) <= 2, name
+
+
+def test_r8_aux_queries_plan_shapes(small_spark):
+    """r8 aux queries: no CartesianProduct beyond the whitelisted
+    constant-size broadcast builds (KMV's three one-row aggregate
+    ride-alongs; HDR's <=|qs|-row rank spec), and the sketch
+    discipline holds — every bottom-k in the KMV plan is a
+    TakeOrderedAndProject (distributed bottom-k, never a global
+    sort), and the HDR plan's hash exchange carries bucket rows
+    only (<= (64-s)*2^s cells after partial combine)."""
+    kmv = _plan(small_spark, "events_kmv_set_ops")
+    assert "CartesianProduct" not in kmv
+    assert "TakeOrderedAndProject" in kmv
+
+    hdr = _plan(small_spark, "price_hdr_quantiles")
+    assert "CartesianProduct" not in hdr
+    # bucketing aggregate + the tiny cumsum/rank stages; the
+    # full-fact table never re-exchanges
+    assert hdr.count("Exchange hashpartitioning") <= 3
