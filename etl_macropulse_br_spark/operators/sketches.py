@@ -784,6 +784,7 @@ def hdr_histogram(
     )
 
 
+
 def hdr_quantiles(
     df: DataFrame,
     col: str | Column,
@@ -795,15 +796,22 @@ def hdr_quantiles(
     ``(q, rank, n, lo, hi, est)`` — ``rank`` = max(1, ceil(q*n)),
     [lo, hi] the bracket GUARANTEED to contain the rank-th smallest
     value, ``est`` the midpoint (relative error < 2^-(s+1) for
-    values >= 2^s; exact below). Rank selection is relational: the
-    first bucket whose cumulative count reaches the rank — a window
-    cumsum over the <= few-hundred-row bucket table, then a min per
-    quantile; nothing heavier than the sketch itself ever shuffles.
+    values >= 2^s; exact below).
+
+    SINGLE-SCAN shape (the fact table is read exactly once — plan
+    pinned): the cumulative count AND the total n ride the same
+    one-partition window over the <= few-hundred-row bucket table,
+    the quantile spec explodes against those sketch rows, and the
+    first bucket reaching each rank is selected with min/min_by —
+    no second reference to the histogram subtree, so no second
+    scan of the input (the join-back formulation Spark could only
+    partially dedup via ReusedExchange).
 
     Portability: buckets, counts, and ranks are exact integers on
     both engines; ceil(q*n) and the midpoint divide are the same
     IEEE doubles — so the DuckDB twin (:func:`hdr_quantiles_sql`)
-    hash-gates, estimator and all."""
+    hash-gates, estimator and all; min_by pairs with DuckDB's
+    arg_min (bucket is unique per group — no tie ambiguity)."""
     from pyspark.sql import Window
 
     hist = hdr_histogram(df, col, s)
@@ -811,29 +819,28 @@ def hdr_quantiles(
         Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
-    tot = hist.agg(F.sum("cnt").alias("n"))
-    ranks = tot.select(
-        F.explode(
-            F.array(*[F.lit(float(q)) for q in qs])
-        ).alias("q"),
-        "n",
-    ).select(
-        "q",
-        "n",
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    expanded = cum.select(
+        "*",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn(
+        "rank",
         F.greatest(
             F.lit(1).cast("bigint"), F.ceil(F.col("q") * F.col("n"))
-        ).alias("rank"),
-    )
-    sel = (
-        cum.join(
-            F.broadcast(ranks), F.col("cum") >= F.col("rank"), "inner"
-        )
-        .groupBy("q", "rank", "n")
-        .agg(F.min("bucket").alias("bucket"))
+        ),
     )
     return (
-        sel.join(hist, "bucket")
+        expanded.filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q", "rank", "n")
+        .agg(
+            F.min_by("lo", "bucket").alias("lo"),
+            F.min_by("hi", "bucket").alias("hi"),
+        )
         .select(
             "q",
             "rank",
@@ -854,7 +861,7 @@ def hdr_quantiles_sql(
 ) -> str:
     """DuckDB twin of :func:`hdr_quantiles` — same integer buckets
     (length(bin(v)) - 1 and bit shifts exist on both engines), same
-    cumsum/rank selection, same double midpoint."""
+    windowed cumsum/total, same rank selection via arg_min."""
     qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
     return f"""
 WITH vals AS (
@@ -880,22 +887,182 @@ WITH vals AS (
   FROM bucketed GROUP BY bucket
 ), cum AS (
   SELECT bucket, lo, hi, cnt,
-         CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+         CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
   FROM hist
-), tot AS (
-  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist
-), ranks AS (
-  SELECT q, n,
-         greatest(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT))
+), expanded AS (
+  SELECT c.*, qt.q,
+         greatest(CAST(1 AS BIGINT), CAST(ceil(qt.q * c.n) AS BIGINT))
            AS rank
-  FROM (VALUES {qvals}) AS qt(q), tot
-), sel AS (
-  SELECT r.q, r.rank, r.n, min(c.bucket) AS bucket
-  FROM ranks r JOIN cum c ON c.cum >= r.rank
-  GROUP BY r.q, r.rank, r.n
+  FROM cum c, (VALUES {qvals}) AS qt(q)
 )
-SELECT s.q, s.rank, s.n, h.lo, h.hi,
-       (h.lo + h.hi) / CAST(2 AS DOUBLE) AS est
-FROM sel s JOIN hist h USING (bucket)
-ORDER BY s.q
+SELECT q, rank, n,
+       arg_min(lo, bucket) AS lo,
+       arg_min(hi, bucket) AS hi,
+       (arg_min(lo, bucket) + arg_min(hi, bucket))
+         / CAST(2 AS DOUBLE) AS est
+FROM expanded
+WHERE cum >= rank
+GROUP BY q, rank, n
+ORDER BY q
+"""
+
+
+def hdr_quantiles_by(
+    df: DataFrame,
+    col: str | Column,
+    by: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    s: int = 6,
+) -> DataFrame:
+    """Per-group quantiles from per-group HDR sketches — the shape a
+    mart serves (p50/p95 per tenant / per event type) without ever
+    sorting the fact table: one hash aggregate to per-(group,
+    bucket) counts (partial combine bounds the exchange at
+    groups × occupied-buckets integer rows), then the same
+    SINGLE-SCAN windowed selection as :func:`hdr_quantiles`, with
+    every window partitioned by the group keys. One row per
+    (group, q): ``(*by, q, rank, n, lo, hi, est)`` — same bracket
+    and error guarantees. All-null or empty groups emit no row
+    (same rule as hll_distinct_by)."""
+    from pyspark.sql import Window
+
+    c = F.col(col) if isinstance(col, str) else col
+    guarded = (
+        df.select(*by, c.cast("bigint").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn(
+            "v",
+            F.coalesce(
+                F.assert_true(
+                    F.col("v") >= 0,
+                    F.concat(
+                        F.lit("hdr_quantiles_by: negative value "),
+                        F.col("v").cast("string"),
+                    ),
+                ).cast("bigint"),
+                F.col("v"),
+            ),
+        )
+        .withColumn(
+            "e", (F.length(F.bin(F.col("v"))) - F.lit(1)).cast("int")
+        )
+    )
+    small = F.col("v") < F.lit(1 << s)
+    top = F.expr(f"shiftright(v, e - {s})")
+    bucket = F.when(small, F.col("v")).otherwise(
+        (F.col("e") - F.lit(s)).cast("bigint") * F.lit(1 << s) + top
+    )
+    lo = F.when(small, F.col("v")).otherwise(
+        F.expr(f"shiftleft(shiftright(v, e - {s}), e - {s})")
+    )
+    hi = F.when(small, F.col("v")).otherwise(
+        lo + F.expr(f"shiftleft(cast(1 as bigint), e - {s})") - F.lit(1)
+    )
+    hist = (
+        guarded.select(
+            *by, bucket.alias("bucket"), lo.alias("lo"), hi.alias("hi")
+        )
+        .groupBy(*by, "bucket")
+        .agg(
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    expanded = cum.select(
+        "*",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn(
+        "rank",
+        F.greatest(
+            F.lit(1).cast("bigint"), F.ceil(F.col("q") * F.col("n"))
+        ),
+    )
+    return (
+        expanded.filter(F.col("cum") >= F.col("rank"))
+        .groupBy(*by, "q", "rank", "n")
+        .agg(
+            F.min_by("lo", "bucket").alias("lo"),
+            F.min_by("hi", "bucket").alias("hi"),
+        )
+        .select(
+            *by,
+            "q",
+            "rank",
+            "n",
+            "lo",
+            "hi",
+            ((F.col("lo") + F.col("hi")) / F.lit(2.0)).alias("est"),
+        )
+        .orderBy(*by, "q")
+    )
+
+
+def hdr_quantiles_by_sql(
+    table: str,
+    col_expr: str,
+    by: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    s: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hdr_quantiles_by`."""
+    g = ", ".join(by)
+    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+WITH vals AS (
+  SELECT {g}, CAST({col_expr} AS BIGINT) AS v
+  FROM {table}
+  WHERE ({col_expr}) IS NOT NULL
+), ebits AS (
+  SELECT {g}, v, CAST(length(bin(v)) - 1 AS INT) AS e FROM vals
+), bucketed AS (
+  SELECT {g},
+         CASE WHEN v < {1 << s} THEN v
+              ELSE CAST(e - {s} AS BIGINT) * {1 << s} + (v >> (e - {s}))
+         END AS bucket,
+         CASE WHEN v < {1 << s} THEN v
+              ELSE (v >> (e - {s})) << (e - {s})
+         END AS lo,
+         CASE WHEN v < {1 << s} THEN v
+              ELSE ((v >> (e - {s})) << (e - {s}))
+                   + (CAST(1 AS BIGINT) << (e - {s})) - 1
+         END AS hi
+  FROM ebits
+), hist AS (
+  SELECT {g}, bucket, min(lo) AS lo, min(hi) AS hi, count(*) AS cnt
+  FROM bucketed GROUP BY {g}, bucket
+), cum AS (
+  SELECT {g}, bucket, lo, hi, cnt,
+         CAST(sum(cnt) OVER (
+           PARTITION BY {g} ORDER BY bucket
+         ) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY {g}) AS BIGINT) AS n
+  FROM hist
+), expanded AS (
+  SELECT c.*, qt.q,
+         greatest(CAST(1 AS BIGINT), CAST(ceil(qt.q * c.n) AS BIGINT))
+           AS rank
+  FROM cum c, (VALUES {qvals}) AS qt(q)
+)
+SELECT {g}, q, rank, n,
+       arg_min(lo, bucket) AS lo,
+       arg_min(hi, bucket) AS hi,
+       (arg_min(lo, bucket) + arg_min(hi, bucket))
+         / CAST(2 AS DOUBLE) AS est
+FROM expanded
+WHERE cum >= rank
+GROUP BY {g}, q, rank, n
+ORDER BY {g}, q
 """

@@ -1973,6 +1973,47 @@ def _price_hdr_sql() -> str:
 PRICE_HDR_QUANTILES_SQL = _price_hdr_sql()
 
 
+def events_hdr_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group HDR quantile sketch: p50/p95 of event value (integer
+    cents) PER event_type — the grouped-percentiles shape a mart
+    serves, computed without ever sorting the fact table: one hash
+    aggregate to per-(type, bucket) integer counts, rank selection
+    over sketch-sized state (operators/sketches.py:
+    hdr_quantiles_by; same bracket / error guarantees, hash-gated
+    estimator)."""
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_quantiles_by,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100)).cast("bigint").alias("cents"),
+    )
+    return hdr_quantiles_by(
+        cents, "cents", ["event_type"], (0.5, 0.95), s=6
+    )
+
+
+def _events_hdr_by_type_sql() -> str:
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_quantiles_by_sql,
+    )
+
+    return hdr_quantiles_by_sql(
+        "events",
+        "CAST(floor(value * 100) AS BIGINT)",
+        ["event_type"],
+        (0.5, 0.95),
+        s=6,
+    )
+
+
+EVENTS_HDR_VALUE_BY_TYPE_SQL = _events_hdr_by_type_sql()
+
+
 def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-count over event users —
     r7 upgrade of the 'HLL can never hash-match across engines'
@@ -6415,6 +6456,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # r8: mergeable HDR log-bucket quantile sketch (one-pass twin
     # of the exact histogram-refine price_percentiles)
     "price_hdr_quantiles": price_hdr_quantiles,
+    "events_hdr_value_by_type": events_hdr_value_by_type,
 }
 
 ORACLES: dict[str, str] = {
@@ -6539,4 +6581,5 @@ AUX_ORACLES: dict[str, str] = {
     "embedding_semdedup": EMBEDDING_SEMDEDUP_SQL,
     "events_kmv_set_ops": EVENTS_KMV_SET_OPS_SQL,
     "price_hdr_quantiles": PRICE_HDR_QUANTILES_SQL,
+    "events_hdr_value_by_type": EVENTS_HDR_VALUE_BY_TYPE_SQL,
 }

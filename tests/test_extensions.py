@@ -2136,3 +2136,43 @@ def test_hdr_quantile_sketch_properties(spark):
     neg = spark.createDataFrame([(5,), (-3,)], "v long")
     with pytest.raises(Exception, match="negative value"):
         hdr_histogram(neg, "v", s).collect()
+
+
+def test_hdr_quantiles_by_group_isolation(spark):
+    """hdr_quantiles_by (r8): per-group sketches are computed in
+    isolation — each group's brackets contain that group's OWN true
+    rank values (two groups with disjoint magnitude ranges would
+    expose any cross-group bucket bleed), output is one row per
+    (group, q), and a group whose values are all null emits no
+    row."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_quantiles_by,
+    )
+
+    rng = random.Random(23)
+    rows = [("lo_grp", rng.randrange(1, 2_000)) for _ in range(3000)]
+    rows += [("hi_grp", rng.randrange(1_000_000, 9_000_000))
+             for _ in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v long").unionByName(
+        spark.createDataFrame(
+            [("null_grp", None)] * 5, "g string, v long"
+        )
+    )
+    qs = (0.5, 0.95)
+    out = hdr_quantiles_by(df, "v", ["g"], qs, s=6).collect()
+    assert {r["g"] for r in out} == {"lo_grp", "hi_grp"}
+    assert len(out) == 4
+    truth = {
+        g: sorted(v for gg, v in rows if gg == g)
+        for g in ("lo_grp", "hi_grp")
+    }
+    for r in out:
+        vals = truth[r["g"]]
+        true = vals[max(1, math.ceil(r["q"] * len(vals))) - 1]
+        assert r["lo"] <= true <= r["hi"], (r["g"], r["q"])
+        assert r["n"] == 3000

@@ -274,8 +274,17 @@ def test_r8_aux_queries_plan_shapes(small_spark):
     assert "CartesianProduct" not in kmv
     assert "TakeOrderedAndProject" in kmv
 
+    # HDR sketches: SINGLE scan of the fact table (the selection
+    # rides windows over the bucket table instead of joining back
+    # to the histogram subtree — a second reference would re-scan
+    # the input, the 100 TB bottleneck), and the only hash
+    # exchanges carry bucket rows (1 global / 2 grouped)
     hdr = _plan(small_spark, "price_hdr_quantiles")
     assert "CartesianProduct" not in hdr
-    # bucketing aggregate + the tiny cumsum/rank stages; the
-    # full-fact table never re-exchanges
-    assert hdr.count("Exchange hashpartitioning") <= 3
+    assert hdr.count("Scan parquet") == 1
+    assert hdr.count("Exchange hashpartitioning") <= 1
+
+    hdr_by = _plan(small_spark, "events_hdr_value_by_type")
+    assert "CartesianProduct" not in hdr_by
+    assert hdr_by.count("Scan parquet") == 1
+    assert hdr_by.count("Exchange hashpartitioning") <= 2
