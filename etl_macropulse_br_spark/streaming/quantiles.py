@@ -1,0 +1,169 @@
+"""Streaming running quantiles via HDR log-bucket counts in state —
+bounded-memory percentiles over an unbounded stream: an exact
+streaming quantile needs every value ever seen (unbounded state),
+while the HDR state is <= (64-s)*2^s + 2^s integer bucket counts
+per group, forever, with the bracket/error guarantees of the batch
+sketch (operators/sketches.py:hdr_quantiles_by).
+
+The batch twin computes the SAME buckets (Python ``int.bit_length``
+here is exactly the batch side's ``length(bin(v)) - 1``), and bucket
+counts merge by ADDITION — associative and commutative — so
+micro-batch slicing cannot change the final sketch: after consuming
+the whole input, each group's latest rows EQUAL the batch
+``hdr_quantiles_by`` rows bit-for-bit (rank, bracket, and midpoint
+estimate). Pinned by the stream-vs-batch differential test.
+
+Emits one (group, q) row per requested quantile per group per
+micro-batch — a running latency/price dashboard feed ("p50/p95 per
+event type so far"). Values must be non-negative (negatives raise,
+matching the batch guard — a corrupt feed should kill the query,
+not silently alias a positive bucket); nulls are skipped on both
+sides. No watermark/timeout — lifetime quantiles are monotone
+state by design (window upstream for "p95 per hour").
+
+Reference scope: the reference is strictly batch (SURVEY.md §2.11);
+streaming extension surface.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("q", T.DoubleType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("lo", T.LongType()),
+        T.StructField("hi", T.LongType()),
+        T.StructField("est", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.LongType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _bucket_of(v: int, s: int) -> int:
+    """Python twin of the batch bucketing: exact-integer HDR index
+    (``bit_length() - 1`` == ``length(bin(v)) - 1``)."""
+    if v < (1 << s):
+        return v
+    e = v.bit_length() - 1
+    return ((e - s) << s) + (v >> (e - s))
+
+
+def _bracket_of(bucket: int, s: int) -> tuple[int, int]:
+    """Invert a bucket index to its [lo, hi] bracket (buckets below
+    2^s are exact single values; above, bucket >> s == e - s + 1)."""
+    if bucket < (1 << s):
+        return bucket, bucket
+    e = (bucket >> s) + s - 1
+    t = bucket - ((e - s) << s)
+    lo = t << (e - s)
+    return lo, lo + (1 << (e - s)) - 1
+
+
+def _quantile_rows(
+    group_key: str, counts: dict[int, int], qs: tuple[float, ...], s: int
+) -> pd.DataFrame:
+    """The batch selection, replayed over the in-state sketch: rank
+    = max(1, ceil(q*n)); first bucket whose cumsum reaches it; same
+    float product/ceil/midpoint sequence as the Spark/DuckDB twins."""
+    n = sum(counts.values())
+    out = {k: [] for k in ("group_key", "q", "rank", "n", "lo", "hi", "est")}
+    ordered = sorted(counts)
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        cum = 0
+        for b in ordered:
+            cum += counts[b]
+            if cum >= rank:
+                lo, hi = _bracket_of(b, s)
+                out["group_key"].append(group_key)
+                out["q"].append(float(q))
+                out["rank"].append(rank)
+                out["n"].append(n)
+                out["lo"].append(lo)
+                out["hi"].append(hi)
+                out["est"].append((lo + hi) / 2.0)
+                break
+    return pd.DataFrame(out)
+
+
+def _update_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    value_col: str,
+    qs: tuple[float, ...],
+    s: int,
+) -> Iterator[pd.DataFrame]:
+    (group_key,) = key
+    if state.exists:
+        buckets, cnts = state.get
+        counts = dict(zip(buckets, cnts))
+    else:
+        counts = {}
+    for pdf in pdfs:
+        for v in pdf[value_col]:
+            if v is None or pd.isna(v):
+                continue
+            v = int(v)
+            if v < 0:
+                raise ValueError(
+                    f"running_quantiles_stream: negative value {v} "
+                    "(the batch twin's guard raises too)"
+                )
+            b = _bucket_of(v, s)
+            counts[b] = counts.get(b, 0) + 1
+    items = sorted(counts.items())
+    state.update(([b for b, _ in items], [c for _, c in items]))
+    if counts:
+        yield _quantile_rows(group_key, counts, qs, s)
+
+
+def running_quantiles_stream(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    s: int = 6,
+) -> DataFrame:
+    """stream(group_col, value_col, ...) → one running row per
+    (group, q) per micro-batch. After the full input, each group's
+    latest rows (max n) equal the batch
+    ``hdr_quantiles_by(df, value_col, [group_col], qs, s)`` rows.
+
+    The value column is cast to bigint IN THE SPARK PLAN so the
+    Arrow transfer hands Python the same integers the batch twin
+    buckets (a double value column would arrive as float64 — same
+    ints after the cast here, but pinned upstream for clarity)."""
+    from pyspark.sql import functions as F
+
+    stream = stream.withColumn(
+        value_col, F.col(value_col).cast("bigint")
+    )
+    return (
+        stream.groupBy(group_col)
+        .applyInPandasWithState(
+            lambda key, pdfs, state: _update_group(
+                key, pdfs, state, value_col, qs, s
+            ),
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
