@@ -35,8 +35,15 @@ State layout under ``--state-dir``::
 
 Write order per run is: outputs, then signature append, then
 meta.json last — a crash before meta leaves stray signature files
-for ids meta doesn't know about; rerunning the same batch overwrites
-them idempotently (same ids -> same signatures).
+for ids meta doesn't know about. Rerunning the crashed batch APPENDS
+a second copy of those signatures (parquet append never rewrites),
+which is harmless: duplicate signature rows produce duplicate
+banding rows, and candidate generation collapses them behind its
+``.distinct()`` (operators/dedup.py:incremental_near_dups), while
+the colliding docs' text is read from the batch paths meta records
+exactly once — so the rerun's OUTPUTS are identical to a clean run
+(effective idempotence), at the cost of dead rows in ``signatures/``
+until a rewrite compacts them.
 
 Usage:
     python scripts/ingest_increment.py --new-batch B.parquet \

@@ -343,6 +343,76 @@ def main() -> None:
         f" bound={bound:7.1f} within={n_within}/{len(overs)}"
     )
 
+    # r8: frozen-index APPEND vs retrain — the daily-ingest
+    # amortization: encoding a new batch against the frozen
+    # centroids/codebooks is map-only + one parquet append, vs
+    # re-paying bounded-Lloyd + PQ training on the grown corpus.
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+    )
+
+    new_batch = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        "embedding",
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    t0 = time.perf_counter()
+    append_ann_index(new_batch, idx_dir)
+    t_append = time.perf_counter() - t0
+    retrain_dir = tempfile.mkdtemp(prefix="scale_smoke_ann_retrain_")
+    t0 = time.perf_counter()
+    save_ann_index(emb.unionByName(new_batch), retrain_dir)
+    t_retrain = time.perf_counter() - t0
+    results["ann_index_append_vs_retrain"] = {
+        "t_append_batch": round(t_append, 2),
+        "t_retrain_union": round(t_retrain, 2),
+        "speedup": round(t_retrain / t_append, 2) if t_append else None,
+    }
+    print(
+        f"{'ann append vs retrain':26s} {t_append:7.2f} {t_retrain:7.2f}"
+        f" {t_retrain / t_append:6.2f}x"
+    )
+
+    # r8: HDR quantile sketch — state bound + error bound, measured.
+    # v = (id+1)^2 gives an exact closed-form truth (rank r -> r^2),
+    # spans ~2*log2(n) octaves of log-buckets, and lets both claims
+    # be asserted: occupied buckets stay under the (64-s+1)*2^s cap
+    # (growing only logarithmically with n), and every midpoint
+    # estimate lands within the 2^-(s+1) relative-error guarantee.
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_quantiles,
+    )
+
+    s_hdr = 6
+    cap = (64 - s_hdr + 1) * (1 << s_hdr)
+    hdr_rows = {}
+    for n in (10_000, 100_000, 1_000_000):
+        sq = spark.range(n).select(
+            ((F.col("id") + 1) * (F.col("id") + 1)).alias("v")
+        )
+        n_buckets = hdr_histogram(sq, "v", s_hdr).count()
+        worst = 0.0
+        for r in hdr_quantiles(
+            sq, "v", (0.5, 0.9, 0.99), s_hdr
+        ).collect():
+            true = r["rank"] * r["rank"]
+            assert r["lo"] <= true <= r["hi"], (n, r["q"])
+            worst = max(worst, abs(r["est"] - true) / true)
+        assert worst < 2 ** -(s_hdr + 1), worst
+        assert n_buckets <= cap
+        hdr_rows[str(n)] = {
+            "occupied_buckets": n_buckets,
+            "bucket_cap": cap,
+            "worst_rel_err": round(worst, 6),
+            "err_guarantee": round(2 ** -(s_hdr + 1), 6),
+        }
+        print(
+            f"{'hdr n=' + str(n):26s} buckets={n_buckets:5d}/{cap}"
+            f" rel_err={worst:.4%} (cap {2 ** -(s_hdr + 1):.4%})"
+        )
+    results["hdr_state_and_error"] = hdr_rows
+
     print(json.dumps({"sf_dir": sf_dir, "max_k": max_k, "results": results}))
 
 
