@@ -189,7 +189,24 @@ def append_ann_index(new_emb: DataFrame, path: str) -> AnnIndex:
     optimal assignments under the FROZEN centroids; after heavy
     growth or distribution shift, retrain with
     :func:`save_ann_index` — the sidecar's params make retraining
-    reproducible."""
+    reproducible.
+
+    Crash safety: the two parquet appends (assign, then codes) are
+    NOT transactional — plain parquet has no atomic multi-table
+    commit (that is what table formats like Delta exist for). Two
+    guards keep every failure LOUD instead of silently corrupting
+    search results: (a) a batch whose ids already exist in the
+    index is REJECTED up front — a blind retry of a completed
+    append would otherwise duplicate codes rows, and the serving
+    join would sum each duplicated vector's adc_dist twice (wrong
+    top-k, no error); (b) after appending, the PQ count invariant
+    ``|codes| == m x |assign|`` is re-checked (also at
+    :func:`load_ann_index`), so a crash that landed assign without
+    codes is detected at the next append/load rather than leaving
+    those vectors silently unsearchable. Recovery from a detected
+    inconsistency is a rebuild via :func:`save_ann_index` (the
+    corpus parquet is the source of truth; meta makes training
+    reproducible)."""
     from etl_macropulse_br_spark.operators.clustering import (
         _assign,
         _pq_assign,
@@ -201,6 +218,18 @@ def append_ann_index(new_emb: DataFrame, path: str) -> AnnIndex:
     idx = load_ann_index(spark, path)
     p = idx.params
     pts = _points(new_emb, p["id_col"], p["emb_col"])
+
+    n_dup = idx.assign.join(
+        pts.select("vec_id"), "vec_id", "left_semi"
+    ).count()
+    if n_dup:
+        raise ValueError(
+            f"append_ann_index: {n_dup} batch vec_id(s) already exist "
+            "in the index — appending would duplicate their encoding "
+            "rows and double their ADC distances at serve time. If "
+            "this is a retry of a COMPLETED append, the work is done; "
+            "otherwise rebuild with save_ann_index."
+        )
 
     assign_new = _assign(pts, idx.cents).select("vec_id", "cluster_id")
     assign_new.write.mode("append").parquet(f"{path}/assign")
@@ -233,9 +262,34 @@ def append_ann_index(new_emb: DataFrame, path: str) -> AnnIndex:
     return load_ann_index(spark, path)
 
 
-def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+def _check_pq_invariant(
+    assign: DataFrame, codes: DataFrame, m: int, path: str
+) -> None:
+    """|codes| must be exactly m x |assign| — the invariant a crash
+    between append_ann_index's two parquet appends breaks. Two
+    count jobs over int-only tables; detection beats silently
+    unsearchable vectors."""
+    n_assign, n_codes = assign.count(), codes.count()
+    if n_codes != m * n_assign:
+        raise ValueError(
+            f"ANN index at {path!r} is inconsistent: {n_codes} codes "
+            f"rows != m({m}) x {n_assign} assign rows — likely a "
+            "crash between the assign and codes appends. Rebuild "
+            "with save_ann_index (meta.json holds the training "
+            "params; the corpus parquet is the source of truth)."
+        )
+
+
+def load_ann_index(
+    spark: SparkSession, path: str, validate: bool = True
+) -> AnnIndex:
     """Load a persisted index. Raises FileNotFoundError on a missing
-    meta sidecar and ValueError on a future layout version."""
+    meta sidecar, ValueError on a future layout version, and (for a
+    PQ index, unless ``validate=False``) ValueError when the
+    ``|codes| == m x |assign|`` invariant is broken — the signature
+    of a crash between append_ann_index's two parquet appends (two
+    int-table count jobs; skip for latency-critical paths that
+    validated recently)."""
     meta_path = os.path.join(path, _META_NAME)
     if not os.path.exists(meta_path):
         raise FileNotFoundError(
@@ -255,4 +309,6 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     if params.get("with_pq", True):
         cb = spark.read.parquet(f"{path}/codebooks")
         codes = spark.read.parquet(f"{path}/codes")
+        if validate:
+            _check_pq_invariant(assign, codes, params["m"], path)
     return AnnIndex(cents, assign, cb, codes, params)

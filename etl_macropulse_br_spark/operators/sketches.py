@@ -67,12 +67,11 @@ def kmv_distinct(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("h").alias("kth_hash"),
     )
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("kth_hash")
+    return agg.select(
+        "n_kept",
+        "kth_hash",
+        _kmv_est("n_kept", "kth_hash", k).alias("est_distinct"),
     )
-    return agg.select("n_kept", "kth_hash", est.alias("est_distinct"))
 
 
 def kmv_distinct_sql(
@@ -719,12 +718,16 @@ GROUP BY p.item
 
 
 def hdr_histogram(
-    df: DataFrame, col: str | Column, s: int = 6
+    df: DataFrame,
+    col: str | Column,
+    s: int = 6,
+    by: list[str] | None = None,
 ) -> DataFrame:
-    """The mergeable sketch state: ``(bucket, lo, hi, cnt)`` — one
-    integer row per occupied log-bucket of a NON-NEGATIVE bigint
-    column (negative values fail the plan loudly; nulls are dropped,
-    matching the family's distinct/frequency sketches).
+    """The mergeable sketch state: ``(*by, bucket, lo, hi, cnt)`` —
+    one integer row per occupied log-bucket of a NON-NEGATIVE bigint
+    column, per group when ``by`` is given (negative values fail the
+    plan loudly; nulls are dropped, matching the family's
+    distinct/frequency sketches; all-null groups emit no row).
 
     Bucket index (contiguous, monotonic): v < 2^s maps to itself
     (exact region); otherwise with e = floor(log2 v) — computed
@@ -735,11 +738,12 @@ def hdr_histogram(
     Merge rule: sketch(A ∪ B) = bucket-wise cnt ADDITION (lo/hi are
     functions of bucket) — pinned by test. Scale shape: map-only
     bucketing, one hash aggregate whose partial combine bounds the
-    exchange at <= occupied-buckets rows per partition
-    (<= (64-s)*2^s + 2^s total cells)."""
+    exchange at <= occupied-buckets rows per partition per group
+    (<= (64-s)*2^s + 2^s total cells each)."""
+    by = by or []
     c = F.col(col) if isinstance(col, str) else col
     guarded = (
-        df.select(c.cast("bigint").alias("v"))
+        df.select(*by, c.cast("bigint").alias("v"))
         .filter(F.col("v").isNotNull())
         # fail-fast guard (first coalesce branch — cannot be pruned):
         # a negative value would alias positive buckets silently
@@ -773,194 +777,6 @@ def hdr_histogram(
     )
     return (
         guarded.select(
-            bucket.alias("bucket"), lo.alias("lo"), hi.alias("hi")
-        )
-        .groupBy("bucket")
-        .agg(
-            F.min("lo").alias("lo"),
-            F.min("hi").alias("hi"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-    )
-
-
-
-def hdr_quantiles(
-    df: DataFrame,
-    col: str | Column,
-    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-    s: int = 6,
-) -> DataFrame:
-    """Approximate quantiles from the one-pass mergeable sketch:
-    one row per requested quantile,
-    ``(q, rank, n, lo, hi, est)`` — ``rank`` = max(1, ceil(q*n)),
-    [lo, hi] the bracket GUARANTEED to contain the rank-th smallest
-    value, ``est`` the midpoint (relative error < 2^-(s+1) for
-    values >= 2^s; exact below).
-
-    SINGLE-SCAN shape (the fact table is read exactly once — plan
-    pinned): the cumulative count AND the total n ride the same
-    one-partition window over the <= few-hundred-row bucket table,
-    the quantile spec explodes against those sketch rows, and the
-    first bucket reaching each rank is selected with min/min_by —
-    no second reference to the histogram subtree, so no second
-    scan of the input (the join-back formulation Spark could only
-    partially dedup via ReusedExchange).
-
-    Portability: buckets, counts, and ranks are exact integers on
-    both engines; ceil(q*n) and the midpoint divide are the same
-    IEEE doubles — so the DuckDB twin (:func:`hdr_quantiles_sql`)
-    hash-gates, estimator and all; min_by pairs with DuckDB's
-    arg_min (bucket is unique per group — no tie ambiguity)."""
-    from pyspark.sql import Window
-
-    hist = hdr_histogram(df, col, s)
-    w = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "n", F.sum("cnt").over(wall)
-    )
-    expanded = cum.select(
-        "*",
-        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
-    ).withColumn(
-        "rank",
-        F.greatest(
-            F.lit(1).cast("bigint"), F.ceil(F.col("q") * F.col("n"))
-        ),
-    )
-    return (
-        expanded.filter(F.col("cum") >= F.col("rank"))
-        .groupBy("q", "rank", "n")
-        .agg(
-            F.min_by("lo", "bucket").alias("lo"),
-            F.min_by("hi", "bucket").alias("hi"),
-        )
-        .select(
-            "q",
-            "rank",
-            "n",
-            "lo",
-            "hi",
-            ((F.col("lo") + F.col("hi")) / F.lit(2.0)).alias("est"),
-        )
-        .orderBy("q")
-    )
-
-
-def hdr_quantiles_sql(
-    table: str,
-    col_expr: str,
-    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-    s: int = 6,
-) -> str:
-    """DuckDB twin of :func:`hdr_quantiles` — same integer buckets
-    (length(bin(v)) - 1 and bit shifts exist on both engines), same
-    windowed cumsum/total, same rank selection via arg_min."""
-    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
-    return f"""
-WITH vals AS (
-  SELECT CAST({col_expr} AS BIGINT) AS v
-  FROM {table}
-  WHERE ({col_expr}) IS NOT NULL
-), ebits AS (
-  SELECT v, CAST(length(bin(v)) - 1 AS INT) AS e FROM vals
-), bucketed AS (
-  SELECT CASE WHEN v < {1 << s} THEN v
-              ELSE CAST(e - {s} AS BIGINT) * {1 << s} + (v >> (e - {s}))
-         END AS bucket,
-         CASE WHEN v < {1 << s} THEN v
-              ELSE (v >> (e - {s})) << (e - {s})
-         END AS lo,
-         CASE WHEN v < {1 << s} THEN v
-              ELSE ((v >> (e - {s})) << (e - {s}))
-                   + (CAST(1 AS BIGINT) << (e - {s})) - 1
-         END AS hi
-  FROM ebits
-), hist AS (
-  SELECT bucket, min(lo) AS lo, min(hi) AS hi, count(*) AS cnt
-  FROM bucketed GROUP BY bucket
-), cum AS (
-  SELECT bucket, lo, hi, cnt,
-         CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
-         CAST(sum(cnt) OVER () AS BIGINT) AS n
-  FROM hist
-), expanded AS (
-  SELECT c.*, qt.q,
-         greatest(CAST(1 AS BIGINT), CAST(ceil(qt.q * c.n) AS BIGINT))
-           AS rank
-  FROM cum c, (VALUES {qvals}) AS qt(q)
-)
-SELECT q, rank, n,
-       arg_min(lo, bucket) AS lo,
-       arg_min(hi, bucket) AS hi,
-       (arg_min(lo, bucket) + arg_min(hi, bucket))
-         / CAST(2 AS DOUBLE) AS est
-FROM expanded
-WHERE cum >= rank
-GROUP BY q, rank, n
-ORDER BY q
-"""
-
-
-def hdr_quantiles_by(
-    df: DataFrame,
-    col: str | Column,
-    by: list[str],
-    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-    s: int = 6,
-) -> DataFrame:
-    """Per-group quantiles from per-group HDR sketches — the shape a
-    mart serves (p50/p95 per tenant / per event type) without ever
-    sorting the fact table: one hash aggregate to per-(group,
-    bucket) counts (partial combine bounds the exchange at
-    groups × occupied-buckets integer rows), then the same
-    SINGLE-SCAN windowed selection as :func:`hdr_quantiles`, with
-    every window partitioned by the group keys. One row per
-    (group, q): ``(*by, q, rank, n, lo, hi, est)`` — same bracket
-    and error guarantees. All-null or empty groups emit no row
-    (same rule as hll_distinct_by)."""
-    from pyspark.sql import Window
-
-    c = F.col(col) if isinstance(col, str) else col
-    guarded = (
-        df.select(*by, c.cast("bigint").alias("v"))
-        .filter(F.col("v").isNotNull())
-        .withColumn(
-            "v",
-            F.coalesce(
-                F.assert_true(
-                    F.col("v") >= 0,
-                    F.concat(
-                        F.lit("hdr_quantiles_by: negative value "),
-                        F.col("v").cast("string"),
-                    ),
-                ).cast("bigint"),
-                F.col("v"),
-            ),
-        )
-        .withColumn(
-            "e", (F.length(F.bin(F.col("v"))) - F.lit(1)).cast("int")
-        )
-    )
-    small = F.col("v") < F.lit(1 << s)
-    top = F.expr(f"shiftright(v, e - {s})")
-    bucket = F.when(small, F.col("v")).otherwise(
-        (F.col("e") - F.lit(s)).cast("bigint") * F.lit(1 << s) + top
-    )
-    lo = F.when(small, F.col("v")).otherwise(
-        F.expr(f"shiftleft(shiftright(v, e - {s}), e - {s})")
-    )
-    hi = F.when(small, F.col("v")).otherwise(
-        lo + F.expr(f"shiftleft(cast(1 as bigint), e - {s})") - F.lit(1)
-    )
-    hist = (
-        guarded.select(
             *by, bucket.alias("bucket"), lo.alias("lo"), hi.alias("hi")
         )
         .groupBy(*by, "bucket")
@@ -970,6 +786,22 @@ def hdr_quantiles_by(
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+def _hdr_select(
+    hist: DataFrame, by: list[str], qs: tuple[float, ...]
+) -> DataFrame:
+    """The SINGLE-SCAN rank selection shared by global and per-group
+    quantiles (``by = []`` is the global case): cumulative count AND
+    total n ride windows over the bucket table, the quantile spec
+    explodes against those sketch rows, and the first bucket
+    reaching each rank is picked with min_by — no second reference
+    to the histogram subtree, so the fact table is never re-scanned
+    (the join-back formulation re-scanned it; ReusedExchange only
+    partially dedups). Windows and the final aggregate act on
+    <= (64-s+1)*2^s rows per group."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy(*by)
         .orderBy("bucket")
@@ -1010,6 +842,48 @@ def hdr_quantiles_by(
     )
 
 
+def hdr_quantiles(
+    df: DataFrame,
+    col: str | Column,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    s: int = 6,
+) -> DataFrame:
+    """Approximate quantiles from the one-pass mergeable sketch:
+    one row per requested quantile,
+    ``(q, rank, n, lo, hi, est)`` — ``rank`` = max(1, ceil(q*n)),
+    [lo, hi] the bracket GUARANTEED to contain the rank-th smallest
+    value, ``est`` the midpoint (relative error < 2^-(s+1) for
+    values >= 2^s; exact below). Plan shape: see
+    :func:`hdr_histogram` (one scan, one bucket-sized exchange) and
+    :func:`_hdr_select` (sketch-sized windows; pinned).
+
+    Portability: buckets, counts, and ranks are exact integers on
+    both engines; ceil(q*n) and the midpoint divide are the same
+    IEEE doubles — so the DuckDB twin (:func:`hdr_quantiles_sql`)
+    hash-gates, estimator and all; min_by pairs with DuckDB's
+    arg_min (bucket is unique per group — no tie ambiguity)."""
+    return _hdr_select(hdr_histogram(df, col, s), [], qs)
+
+
+def hdr_quantiles_by(
+    df: DataFrame,
+    col: str | Column,
+    by: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    s: int = 6,
+) -> DataFrame:
+    """Per-group quantiles from per-group HDR sketches — the shape a
+    mart serves (p50/p95 per tenant / per event type) without ever
+    sorting the fact table: one hash aggregate to per-(group,
+    bucket) counts, then the same single-scan windowed selection as
+    :func:`hdr_quantiles` partitioned by the group keys (one shared
+    implementation — ``by=[]`` IS the global case). One row per
+    (group, q): ``(*by, q, rank, n, lo, hi, est)`` — same bracket
+    and error guarantees. All-null or empty groups emit no row
+    (same rule as hll_distinct_by)."""
+    return _hdr_select(hdr_histogram(df, col, s, by), by, qs)
+
+
 def hdr_quantiles_by_sql(
     table: str,
     col_expr: str,
@@ -1017,18 +891,24 @@ def hdr_quantiles_by_sql(
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     s: int = 6,
 ) -> str:
-    """DuckDB twin of :func:`hdr_quantiles_by`."""
+    """DuckDB twin of :func:`hdr_quantiles_by` / (with ``by=[]``)
+    :func:`hdr_quantiles` — same integer buckets (length(bin(v)) - 1
+    and bit shifts exist on both engines), same windowed
+    cumsum/total, same rank selection via arg_min."""
     g = ", ".join(by)
+    gp = f"{g}, " if by else ""  # "g1, g2, " prefix or nothing
+    part = f"PARTITION BY {g} " if by else ""
     qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    order = f"ORDER BY {gp}q"
     return f"""
 WITH vals AS (
-  SELECT {g}, CAST({col_expr} AS BIGINT) AS v
+  SELECT {gp}CAST({col_expr} AS BIGINT) AS v
   FROM {table}
   WHERE ({col_expr}) IS NOT NULL
 ), ebits AS (
-  SELECT {g}, v, CAST(length(bin(v)) - 1 AS INT) AS e FROM vals
+  SELECT {gp}v, CAST(length(bin(v)) - 1 AS INT) AS e FROM vals
 ), bucketed AS (
-  SELECT {g},
+  SELECT {gp}
          CASE WHEN v < {1 << s} THEN v
               ELSE CAST(e - {s} AS BIGINT) * {1 << s} + (v >> (e - {s}))
          END AS bucket,
@@ -1041,14 +921,12 @@ WITH vals AS (
          END AS hi
   FROM ebits
 ), hist AS (
-  SELECT {g}, bucket, min(lo) AS lo, min(hi) AS hi, count(*) AS cnt
-  FROM bucketed GROUP BY {g}, bucket
+  SELECT {gp}bucket, min(lo) AS lo, min(hi) AS hi, count(*) AS cnt
+  FROM bucketed GROUP BY {gp}bucket
 ), cum AS (
-  SELECT {g}, bucket, lo, hi, cnt,
-         CAST(sum(cnt) OVER (
-           PARTITION BY {g} ORDER BY bucket
-         ) AS BIGINT) AS cum,
-         CAST(sum(cnt) OVER (PARTITION BY {g}) AS BIGINT) AS n
+  SELECT {gp}bucket, lo, hi, cnt,
+         CAST(sum(cnt) OVER ({part}ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER ({part.strip() or ''}) AS BIGINT) AS n
   FROM hist
 ), expanded AS (
   SELECT c.*, qt.q,
@@ -1056,13 +934,24 @@ WITH vals AS (
            AS rank
   FROM cum c, (VALUES {qvals}) AS qt(q)
 )
-SELECT {g}, q, rank, n,
+SELECT {gp}q, rank, n,
        arg_min(lo, bucket) AS lo,
        arg_min(hi, bucket) AS hi,
        (arg_min(lo, bucket) + arg_min(hi, bucket))
          / CAST(2 AS DOUBLE) AS est
 FROM expanded
 WHERE cum >= rank
-GROUP BY {g}, q, rank, n
-ORDER BY {g}, q
+GROUP BY {gp}q, rank, n
+{order}
 """
+
+
+def hdr_quantiles_sql(
+    table: str,
+    col_expr: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    s: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hdr_quantiles` (the ``by=[]`` case of
+    one shared template — see :func:`hdr_quantiles_by_sql`)."""
+    return hdr_quantiles_by_sql(table, col_expr, [], qs, s)

@@ -151,9 +151,21 @@ def write_zorder_layout(
     input schema."""
     from pyspark.sql import functions as F
 
+    # stats are taken on the SAME bigint cast the scaler uses, so
+    # the degenerate-span guard sees exactly the divisor: raw
+    # doubles with mn != mx can truncate to int(mx) == int(mn)
+    # (span 0 -> null keys -> one giant file), and timestamps/dates
+    # aren't int()-convertible driver-side at all — the cast makes
+    # both well-defined (timestamp -> epoch seconds)
     stats = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in zorder_cols],
-        *[F.max(c).alias(f"mx_{c}") for c in zorder_cols],
+        *[
+            F.min(F.col(c).cast("bigint")).alias(f"mn_{c}")
+            for c in zorder_cols
+        ],
+        *[
+            F.max(F.col(c).cast("bigint")).alias(f"mx_{c}")
+            for c in zorder_cols
+        ],
     ).first()
     top = (1 << bits) - 1
     scaled = []
@@ -162,12 +174,11 @@ def write_zorder_layout(
         if mn is None or mx is None or mx == mn:
             scaled.append(F.lit(0).cast("bigint"))
             continue
-        span = int(mx) - int(mn)
         scaled.append(
             (
-                (F.col(c).cast("bigint") - F.lit(int(mn)))
+                (F.col(c).cast("bigint") - F.lit(mn))
                 * F.lit(top)
-                / F.lit(span)
+                / F.lit(mx - mn)
             ).cast("bigint")
         )
     n = target_files or df.sparkSession.sparkContext.defaultParallelism

@@ -116,6 +116,12 @@ def _update_group(
                 regs[j] = rho
             n_rows += 1
     state.update((bytes(regs), n_rows))
+    # a group that has seen ONLY nulls so far emits no row — the
+    # batch twin (hll_distinct_by) filters nulls before grouping, so
+    # it has no row for such a group, and the pinned batch equality
+    # must not invent a phantom (group, est=0) on the stream side
+    if n_rows == 0:
+        return
     n_present, n_zero, est = _estimate(bytes(regs), b)
     yield pd.DataFrame(
         {

@@ -146,12 +146,21 @@ def neardup_stream(
     )
 
     band_w = k // bands
-    sigs = _signature_cols(
-        token_shingle_hashes(text_col, n_shingle), k
-    )
-    banded = stream.select(
+    # materialize the shingle-hash array in ITS OWN projection and
+    # build the k signature mins from the column REFERENCE: inlining
+    # token_shingle_hashes into each signature expression would make
+    # Catalyst re-evaluate the per-token md5 transform k+1 times per
+    # row (the repo-documented re-inlining trap — see
+    # shingle_hash_rows / simhash); as a non-cheap alias referenced
+    # k+1 times it survives CollapseProject, so the md5 runs once
+    hashed = stream.select(
         F.col(id_col).alias("id"),
         token_shingle_hashes(text_col, n_shingle).alias("sh"),
+    )
+    sigs = _signature_cols(F.col("sh"), k)
+    banded = hashed.select(
+        "id",
+        "sh",
         F.explode(
             F.array(
                 *[

@@ -84,6 +84,12 @@ def _update_window(
     if state.hasTimedOut:
         regs_bytes, n_rows = state.get
         state.remove()
+        if n_rows == 0:
+            # all-null window: the batch twin filters nulls before
+            # grouping, so it has no row for this (group, window) —
+            # don't invent a phantom final (same rule as
+            # running_distinct_stream, r8)
+            return
         n_present, n_zero, est = _estimate(regs_bytes, b)
         yield pd.DataFrame(
             {

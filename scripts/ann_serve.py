@@ -106,16 +106,11 @@ def main() -> None:
             with_pq=(args.mode != "ivf"),
         )
     elif args.index_dir:
-        if args.append_batch:
-            batch = spark.read.parquet(args.append_batch)
-            index = append_ann_index(batch, args.index_dir)
-            n_appended = batch.count()
-            emb = emb.unionByName(batch, allowMissingColumns=True)
-            queries = emb.filter(F.col("vec_id").isin(qids))
-        else:
-            index = load_ann_index(spark, args.index_dir)
+        index = load_ann_index(spark, args.index_dir)
         # an index serves only in the mode it was built — fail loudly
-        # rather than silently serving the wrong encoding
+        # rather than silently serving the wrong encoding; checked
+        # BEFORE any append so a doomed invocation never mutates the
+        # persisted state
         built = (
             "ivf"
             if not index.params.get("with_pq", True)
@@ -125,6 +120,12 @@ def main() -> None:
             raise SystemExit(
                 f"--mode {args.mode} but index was built as {built}"
             )
+        if args.append_batch:
+            batch = spark.read.parquet(args.append_batch)
+            index = append_ann_index(batch, args.index_dir)
+            n_appended = batch.count()
+            emb = emb.unionByName(batch, allowMissingColumns=True)
+            queries = emb.filter(F.col("vec_id").isin(qids))
 
     if args.mode == "ivf":
         if flt is not None:

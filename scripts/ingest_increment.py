@@ -35,15 +35,19 @@ State layout under ``--state-dir``::
 
 Write order per run is: outputs, then signature append, then
 meta.json last — a crash before meta leaves stray signature files
-for ids meta doesn't know about. Rerunning the crashed batch APPENDS
-a second copy of those signatures (parquet append never rewrites),
-which is harmless: duplicate signature rows produce duplicate
-banding rows, and candidate generation collapses them behind its
-``.distinct()`` (operators/dedup.py:incremental_near_dups), while
-the colliding docs' text is read from the batch paths meta records
-exactly once — so the rerun's OUTPUTS are identical to a clean run
-(effective idempotence), at the cost of dead rows in ``signatures/``
-until a rewrite compacts them.
+for ids meta doesn't know about. Rerunning the crashed batch is
+SAFE, by two mechanisms: (a) the stray copies of the batch's OWN
+signatures are anti-joined out of ``base_sig`` before candidate
+generation (without this every new doc would pair with its stray
+self at jaccard 1.0 and the survivors output would be empty); (b)
+stray duplicates of OTHER ids (multiple crashes) only produce
+duplicate banding rows, which candidate generation collapses behind
+its ``.distinct()`` (operators/dedup.py:incremental_near_dups).
+Colliding docs' text is read from the batch paths meta records, so
+the rerun's OUTPUTS equal a clean run's (effective idempotence), at
+the cost of dead rows in ``signatures/`` until a rewrite compacts
+them; the rerun appends its own second signature copy, which future
+increments tolerate by (b).
 
 Usage:
     python scripts/ingest_increment.py --new-batch B.parquet \
@@ -103,7 +107,17 @@ def run(
                 for b in meta["batches"]
             ],
         )
-        base_sig = spark.read.parquet(sig_dir)
+        # crash recovery: a run that died between the signature
+        # append and the meta write left THIS batch's signatures in
+        # the index; treating them as base would pair every new doc
+        # with itself (jaccard 1.0 — survivors emptied). The base is
+        # by definition "ids not in the new batch": anti-join them
+        # out (int-only, semi-join-sized).
+        base_sig = spark.read.parquet(sig_dir).join(
+            new_df.select(F.col("doc_id").alias("id")),
+            "id",
+            "left_anti",
+        )
         matches = incremental_near_dups(
             new_df,
             base_df,

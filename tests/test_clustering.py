@@ -1163,3 +1163,60 @@ def test_ann_index_split_append_equals_bulk_and_serves(spark, tmp_path):
     got = {r["vec_id"]: r["cosine"] for r in res}
     # the planted duplicate is found through the appended encodings
     assert 999 in got and got[999] == max(got.values())
+
+
+def test_ann_index_append_guards_and_crash_detection(spark, tmp_path):
+    """Crash-safety guards (r8): (a) re-appending ids already in the
+    index raises instead of silently doubling their ADC distances;
+    (b) a crash between the assign and codes appends breaks the
+    |codes| == m x |assign| invariant, which the next load (and the
+    next append, via its initial load) detects loudly;
+    (c) validate=False skips the check for paths that just
+    validated."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    rng = random.Random(41)
+    schema = "vec_id long, embedding array<float>"
+    a = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [
+            (100 + i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(10)
+        ],
+        schema,
+    )
+    path = str(tmp_path / "ix")
+    save_ann_index(a, path, k=4, rounds=1, m=4, ks=8, pq_rounds=1, sub=2)
+
+    append_ann_index(b, path)
+    with pytest.raises(ValueError, match="already exist"):
+        append_ann_index(b, path)  # blind retry of a COMPLETED append
+
+    # simulated crash: assign rows land, codes never do
+    orphan = spark.createDataFrame(
+        [(500, 0), (501, 1)], "vec_id long, cluster_id int"
+    )
+    orphan.write.mode("append").parquet(f"{path}/assign")
+    with pytest.raises(ValueError, match="inconsistent"):
+        load_ann_index(spark, path)
+    with pytest.raises(ValueError, match="inconsistent"):
+        append_ann_index(
+            spark.createDataFrame(
+                [(600, [0.1] * 8)], schema
+            ),
+            path,
+        )
+    ix = load_ann_index(spark, path, validate=False)
+    assert ix.assign.count() == 52

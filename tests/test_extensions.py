@@ -2176,3 +2176,60 @@ def test_hdr_quantiles_by_group_isolation(spark):
         true = vals[max(1, math.ceil(r["q"] * len(vals))) - 1]
         assert r["lo"] <= true <= r["hi"], (r["g"], r["q"])
         assert r["n"] == 3000
+
+
+def test_ingest_increment_crash_rerun_is_idempotent(spark, tmp_path):
+    """Crash-recovery pin for the ingest loop: a run that died AFTER
+    appending its signatures but BEFORE writing meta leaves stray
+    copies of the batch's own signatures in the index. The rerun
+    must produce EXACTLY the clean run's outputs — without the
+    base_sig anti-join every new doc would match its stray self at
+    jaccard 1.0 and survivors would come out empty."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        minhash_signature_table,
+    )
+    from scripts.ingest_increment import run
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    b1 = str(tmp_path / "b1.parquet")
+    b2 = str(tmp_path / "b2.parquet")
+    docs.filter("doc_id < 250").write.parquet(b1)
+    docs.filter("doc_id >= 250").write.parquet(b2)
+
+    # clean reference run
+    clean = str(tmp_path / "clean_state")
+    run(spark, b1, clean, str(tmp_path / "c_out1"), threshold=0.5)
+    run(spark, b2, clean, str(tmp_path / "c_out2"), threshold=0.5)
+
+    # crashed run: batch 1 ingests, then batch 2's signatures land
+    # WITHOUT a meta update (the crash window), then the rerun
+    crashed = str(tmp_path / "crash_state")
+    run(spark, b1, crashed, str(tmp_path / "x_out1"), threshold=0.5)
+    minhash_signature_table(
+        spark.read.parquet(b2).select("doc_id", "text"),
+        n_shingle=3,
+        k=16,
+    ).write.mode("append").parquet(f"{crashed}/signatures")
+    m = run(spark, b2, crashed, str(tmp_path / "x_out2"), threshold=0.5)
+    assert m["n_survivors"] > 0
+
+    for sub in ("matches", "survivors"):
+        want = sorted(
+            map(
+                tuple,
+                spark.read.parquet(
+                    str(tmp_path / "c_out2" / sub)
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(
+                    str(tmp_path / "x_out2" / sub)
+                ).collect(),
+            )
+        )
+        assert got == want, sub

@@ -145,3 +145,35 @@ def test_write_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         back.agg(F.sum("x"), F.sum("y")).first()
         == df.agg(F.sum("x"), F.sum("y")).first()
     )
+
+
+def test_write_zorder_layout_degenerate_and_typed_columns(spark, tmp_path):
+    """Guard pins for the z-order scaler: (a) a double column whose
+    values differ but truncate to ONE bigint (span would be 0 — a
+    null key sends everything to a single file) degenerates to a
+    constant rank instead of nulling the key, so the OTHER column
+    still tiles; (b) a timestamp z-column works (epoch-seconds cast
+    — driver-side int(min) would raise on datetime)."""
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.sinks.writers import write_zorder_layout
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("x"),
+        (F.lit(2.1) + F.col("id") / F.lit(10 * n)).alias("flat"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 60).alias(
+            "ts"
+        ),
+    )
+    out = str(tmp_path / "degenerate")
+    write_zorder_layout(df, out, ["x", "flat"], target_files=8)
+    ranges = _file_ranges(out, "x")
+    assert len(ranges) >= 4
+    # flat column contributed a constant rank; x still partitions
+    assert sum(hi - lo for lo, hi in ranges) / len(ranges) < n * 0.6
+    assert spark.read.parquet(out).count() == n
+
+    out_ts = str(tmp_path / "ts_z")
+    write_zorder_layout(df, out_ts, ["x", "ts"], target_files=8)
+    assert spark.read.parquet(out_ts).count() == n

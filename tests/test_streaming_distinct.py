@@ -81,3 +81,33 @@ def test_stream_running_distinct_matches_batch_hll(spark, tmp_path):
     assert abs(final["purchase"]["est_distinct"] - 7) < 2
     assert abs(final["view"]["est_distinct"] - 25) < 6
     assert abs(final["click"]["est_distinct"] - 60) < 15
+
+
+def test_stream_running_distinct_all_null_group_emits_no_row(
+    spark, tmp_path
+):
+    """A group whose values are all NULL must emit NO row (the batch
+    twin filters nulls before grouping, so it has no row for the
+    group — a phantom (group, est=0) row would break the pinned
+    batch equality; r8)."""
+    from etl_macropulse_br_spark.streaming.distinct import (
+        running_distinct_stream,
+    )
+
+    src = str(tmp_path / "null_stream")
+    spark.createDataFrame(
+        [("real", 1), ("real", 2)] + [("ghost", None)] * 4, SCHEMA
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        running_distinct_stream(stream, "event_type", "user_id", b=8)
+        .writeStream.format("memory")
+        .queryName("null_grp_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from null_grp_out").collect()
+    assert {r["group_key"] for r in rows} == {"real"}
