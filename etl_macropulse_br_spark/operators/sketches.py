@@ -144,18 +144,41 @@ def kmv_set_ops(
     the final cross of three one-row aggregates are all ≤ k-row
     broadcasts. Nulls are dropped before hashing (distinct-count
     semantics; see :func:`kmv_distinct`)."""
+    la = kmv_sketch(df_a, col, k)
+    lb = kmv_sketch(df_b, col, k)
+    return kmv_set_ops_from_sketches(la, lb, k)
+
+
+def kmv_sketch(
+    df: DataFrame, col: str | Column, k: int = 64
+) -> DataFrame:
+    """The persistable KMV sketch itself: the k smallest distinct
+    md5 hashes of ``col`` as a one-column ``(h)`` frame (k bigints —
+    write it as parquet and every later run answers distinct /
+    union / intersection / Jaccard against it WITHOUT re-scanning
+    the corpus, via :func:`kmv_set_ops_from_sketches` — the same
+    train-once/serve-many shape as the ANN index and the MinHash
+    signature index). Nulls dropped before hashing (see
+    :func:`kmv_distinct`)."""
     c = F.col(col) if isinstance(col, str) else col
+    return (
+        df.select(md5_long(c).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(k)
+    )
 
-    def bottom(df: DataFrame) -> DataFrame:
-        return (
-            df.select(md5_long(c).alias("h"))
-            .filter(F.col("h").isNotNull())
-            .distinct()
-            .orderBy(F.col("h").asc())
-            .limit(k)
-        )
 
-    la, lb = bottom(df_a), bottom(df_b)
+def kmv_set_ops_from_sketches(
+    la: DataFrame, lb: DataFrame, k: int = 64
+) -> DataFrame:
+    """:func:`kmv_set_ops` served from two STORED sketches
+    (``(h)`` frames from :func:`kmv_sketch`, e.g. read back from
+    parquet) — set algebra over corpora that are never re-scanned.
+    Both sketches must have been built with the same ``k`` and the
+    same hash (a sketch is only comparable to sketches from its own
+    hash family)."""
     comb = la.union(lb).distinct().orderBy(F.col("h").asc()).limit(k)
     flagged = comb.join(
         la.withColumn("ia", F.lit(1)), "h", "left"
@@ -882,6 +905,43 @@ def hdr_quantiles_by(
     and error guarantees. All-null or empty groups emit no row
     (same rule as hll_distinct_by)."""
     return _hdr_select(hdr_histogram(df, col, s, by), by, qs)
+
+
+def hdr_merge(
+    hists: list[DataFrame], by: list[str] | None = None
+) -> DataFrame:
+    """Merge stored HDR sketches (``(*by, bucket, lo, hi, cnt)``
+    frames from :func:`hdr_histogram`, e.g. one per day/partition
+    read back from parquet) into one: bucket-wise count ADDITION —
+    the sketch's defining property, here as the serve-many API (a
+    mart stores per-slice bucket tables and answers quantiles over
+    ANY slice union without re-scanning a single fact row; same
+    across-runs shape as the ANN index / signature index / KMV
+    sketch). lo/hi are functions of bucket, so min() just picks the
+    shared value. All inputs must share the same ``s``."""
+    import functools
+
+    by = by or []
+    merged = functools.reduce(DataFrame.unionByName, hists)
+    return merged.groupBy(*by, "bucket").agg(
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.sum("cnt").alias("cnt"),
+    )
+
+
+def hdr_quantiles_from_histogram(
+    hist: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Quantiles served from a STORED (or merged) HDR sketch — the
+    :func:`_hdr_select` rank selection without touching the fact
+    table at all: the input is the bucket table itself, so the whole
+    query runs over <= (64-s+1)*2^s rows per group. Output matches
+    :func:`hdr_quantiles` / :func:`hdr_quantiles_by` row-for-row
+    when the sketch covers the same data (pinned)."""
+    return _hdr_select(hist, by or [], qs)
 
 
 def hdr_quantiles_by_sql(

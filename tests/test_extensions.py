@@ -2233,3 +2233,64 @@ def test_ingest_increment_crash_rerun_is_idempotent(spark, tmp_path):
             )
         )
         assert got == want, sub
+
+
+def test_sketches_serve_from_stored_state(spark, tmp_path):
+    """Train-once/serve-many for the sketch family (r8): (a) KMV
+    sketches persisted as parquet answer set algebra via
+    kmv_set_ops_from_sketches with output IDENTICAL to the direct
+    corpus-scanning call; (b) per-slice HDR histograms persisted,
+    read back, and hdr_merge'd answer quantiles via
+    hdr_quantiles_from_histogram IDENTICAL to one full-corpus
+    hdr_quantiles_by pass — no fact row is re-scanned in either
+    serve path."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_merge,
+        hdr_quantiles_by,
+        hdr_quantiles_from_histogram,
+        kmv_set_ops,
+        kmv_set_ops_from_sketches,
+        kmv_sketch,
+    )
+
+    rng = random.Random(43)
+    a = spark.createDataFrame(
+        [(f"u{rng.randrange(3000)}",) for _ in range(8000)], "v string"
+    )
+    b = spark.createDataFrame(
+        [(f"u{rng.randrange(1500, 4500)}",) for _ in range(8000)],
+        "v string",
+    )
+    k = 128
+    pa, pb = str(tmp_path / "ska"), str(tmp_path / "skb")
+    kmv_sketch(a, "v", k).write.parquet(pa)
+    kmv_sketch(b, "v", k).write.parquet(pb)
+    served = kmv_set_ops_from_sketches(
+        spark.read.parquet(pa), spark.read.parquet(pb), k
+    ).collect()
+    direct = kmv_set_ops(a, b, "v", k).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, direct))
+
+    rows = [
+        ("g1", int(rng.lognormvariate(7, 2))) for _ in range(3000)
+    ] + [("g2", rng.randrange(0, 500)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    thirds = [
+        df.filter(F.pmod(F.col("v"), F.lit(3)) == i) for i in range(3)
+    ]
+    paths = []
+    for i, part in enumerate(thirds):
+        p = str(tmp_path / f"hist{i}")
+        hdr_histogram(part, "v", s=6, by=["g"]).write.parquet(p)
+        paths.append(p)
+    merged = hdr_merge([spark.read.parquet(p) for p in paths], by=["g"])
+    served_q = hdr_quantiles_from_histogram(
+        merged, (0.5, 0.95), by=["g"]
+    ).collect()
+    direct_q = hdr_quantiles_by(df, "v", ["g"], (0.5, 0.95), s=6).collect()
+    assert sorted(map(tuple, served_q)) == sorted(map(tuple, direct_q))
