@@ -12,7 +12,13 @@ corpus passes:
 - quality: corpus means of the Gopher-style quality features
   (quality_features),
 - probe-token frequencies via the Count-Min sketch
-  (cms_point_estimates — d*w counters, not a vocabulary groupBy).
+  (cms_point_estimates — d*w counters, not a vocabulary groupBy),
+- doc-length (whitespace-token) percentiles via the HDR quantile
+  sketch (r8: one-pass mergeable bucket counts, never a sort),
+- vocabulary overlap between the two largest sources via KMV set
+  algebra (r8: estimated vocab sizes, shared-vocab count, Jaccard
+  — the corpus-drift / source-redundancy signal, from two bottom-k
+  sketches instead of a vocabulary-sized join).
 
 Usage:
     python scripts/corpus_report.py [--sf-dir DIR]
@@ -46,7 +52,9 @@ def main() -> None:
 
     from etl_macropulse_br_spark.operators.sketches import (
         cms_point_estimates,
+        hdr_quantiles,
         hll_distinct,
+        kmv_set_ops,
     )
     from etl_macropulse_br_spark.operators.text import (
         language_id,
@@ -91,11 +99,56 @@ def main() -> None:
     )
 
     probes = [t for t in args.probe_tokens.split(",") if t]
-    toks = docs.select(F.explode(F.split(norm, r"\s+")).alias("tok"))
+    toks = docs.select(
+        "source", F.explode(F.split(norm, r"\s+")).alias("tok")
+    )
     freqs = {
         r["item"]: r["est_count"]
         for r in cms_point_estimates(toks, "tok", probes).collect()
     }
+
+    # doc-length distribution: HDR quantile sketch over per-doc
+    # whitespace-token counts (one pass, bucket-table state)
+    len_q = {
+        f"p{int(r['q'] * 100)}": {
+            "lo": r["lo"], "hi": r["hi"], "est": r["est"]
+        }
+        for r in hdr_quantiles(
+            docs.select(token_count("text").alias("n")),
+            "n",
+            (0.25, 0.5, 0.9, 0.99),
+            s=6,
+        ).collect()
+    }
+
+    # vocabulary overlap between the two largest sources: KMV set
+    # algebra over their token streams — estimated vocab sizes,
+    # shared-vocab estimate, Jaccard (source-redundancy / drift)
+    top_sources = [
+        r["source"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("source").asc())
+        .limit(2)
+        .collect()
+    ]
+    vocab_overlap = None
+    if len(top_sources) == 2:
+        sa, sb = top_sources
+        ov = kmv_set_ops(
+            toks.filter(F.col("source") == sa),
+            toks.filter(F.col("source") == sb),
+            "tok",
+            k=256,
+        ).collect()[0]
+        vocab_overlap = {
+            "source_a": sa,
+            "source_b": sb,
+            "est_vocab_a": round(ov["est_distinct_a"], 1),
+            "est_vocab_b": round(ov["est_distinct_b"], 1),
+            "est_shared_vocab": round(ov["est_intersection"], 1),
+            "jaccard": round(ov["jaccard_kmv"], 4),
+        }
 
     print(
         json.dumps(
@@ -114,6 +167,8 @@ def main() -> None:
                     "avg_stop_ratio": q["avg_stop_ratio"],
                 },
                 "probe_token_counts": freqs,
+                "token_len_percentiles": len_q,
+                "source_vocab_overlap": vocab_overlap,
             }
         )
     )
