@@ -468,6 +468,8 @@ def incremental_near_dups(
             base_df, text_col, id_col, n_shingle, k
         )
     else:
+        import re
+
         expected = ["id"] + [f"m{i}" for i in range(k)]
         missing = [c for c in expected if c not in base_sig.columns]
         if missing:
@@ -475,6 +477,26 @@ def incremental_near_dups(
                 "incremental_near_dups: base_sig must carry columns "
                 f"{expected} (a minhash_signature_table frame); "
                 f"missing {missing}"
+            )
+        # r9 guard (ADVICE r8 #4): a signature table persisted with a
+        # LARGER k carries extra m-columns; silently ignoring them
+        # would band a k-prefix of a different signature family and
+        # produce wrong candidates. Column-shape is the only
+        # build-param visible on the frame — n_shingle consistency
+        # remains the CALLER's contract (ingest_increment pins it via
+        # the params persisted in its meta.json sidecar).
+        extra = [
+            c
+            for c in base_sig.columns
+            if re.fullmatch(r"m\d+", c) and c not in expected
+        ]
+        if extra:
+            raise ValueError(
+                "incremental_near_dups: base_sig carries signature "
+                f"columns beyond k={k} ({extra}) — it was built with "
+                "a different k and its signatures belong to a "
+                "different hash family; pass the k it was built "
+                "with, or rebuild the index."
             )
     bb = _minhash_banded(base_sig, k, bands)
 

@@ -170,6 +170,65 @@ def kmv_sketch(
     )
 
 
+def save_kmv_sketch(
+    sketch: DataFrame, path: str, k: int
+) -> None:
+    """Persist a :func:`kmv_sketch` frame as parquet WITH its build
+    parameter: ``k`` goes into a ``_kmv_meta.json`` sidecar next to
+    the parquet files (r9, ADVICE r8 #5). A stored sketch served
+    with a DIFFERENT k silently degenerates — smaller build-k makes
+    ``n_kept < serve-k`` fire the exact-count short-circuit, turning
+    every estimate into |sketch| — so the sidecar makes the
+    parameter travel with the data and :func:`load_kmv_sketch`
+    return it authoritatively."""
+    import json
+    import os
+
+    sketch.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_kmv_meta.json"), "w") as f:
+        json.dump({"k": int(k)}, f)
+
+
+def load_kmv_sketch(spark, path: str) -> tuple[DataFrame, int]:
+    """Load a sketch persisted by :func:`save_kmv_sketch`, returning
+    ``(frame, k)`` with k read from the sidecar — pass that k (never
+    a guessed one) to :func:`kmv_set_ops_from_sketches`. Raises
+    FileNotFoundError on a sketch directory without the sidecar
+    (plain ``df.write.parquet`` of a sketch — re-save with
+    :func:`save_kmv_sketch`)."""
+    import json
+    import os
+
+    meta = os.path.join(path, "_kmv_meta.json")
+    if not os.path.exists(meta):
+        raise FileNotFoundError(
+            f"load_kmv_sketch: no _kmv_meta.json under {path!r} — "
+            "the sketch was persisted without its build k; re-save "
+            "with save_kmv_sketch so serving cannot mis-parameterize"
+        )
+    with open(meta) as f:
+        k = int(json.load(f)["k"])
+    return spark.read.parquet(path), k
+
+
+def kmv_set_ops_from_stored(
+    spark, path_a: str, path_b: str
+) -> DataFrame:
+    """Set algebra over two sketches persisted by
+    :func:`save_kmv_sketch` — the loud-by-construction serve path:
+    k comes from each sidecar, and sketches from different k (hence
+    different effective sampling thresholds) are REJECTED instead of
+    silently under-estimating."""
+    la, ka = load_kmv_sketch(spark, path_a)
+    lb, kb = load_kmv_sketch(spark, path_b)
+    if ka != kb:
+        raise ValueError(
+            f"kmv_set_ops_from_stored: sketches built with different "
+            f"k ({ka} vs {kb}) are not comparable — rebuild one"
+        )
+    return kmv_set_ops_from_sketches(la, lb, ka)
+
+
 def kmv_set_ops_from_sketches(
     la: DataFrame, lb: DataFrame, k: int = 64
 ) -> DataFrame:
@@ -178,7 +237,18 @@ def kmv_set_ops_from_sketches(
     parquet) — set algebra over corpora that are never re-scanned.
     Both sketches must have been built with the same ``k`` and the
     same hash (a sketch is only comparable to sketches from its own
-    hash family)."""
+    hash family). Prefer :func:`kmv_set_ops_from_stored` /
+    :func:`load_kmv_sketch` for persisted sketches — the sidecar
+    carries the authoritative k. A sketch LARGER than ``k`` is
+    caught in-plan (the guard below); a sketch built with a smaller
+    k is indistinguishable from a complete small corpus from the
+    frame alone, which is exactly why the sidecar exists.
+
+    The overflow guard rides the existing one-row aggregates as a
+    ``raise_error`` branch on the published counts — no extra job,
+    and the count expressions are never null (count(*) of a
+    non-empty limit), so the branch cannot be short-circuit-skipped.
+    """
     comb = la.union(lb).distinct().orderBy(F.col("h").asc()).limit(k)
     flagged = comb.join(
         la.withColumn("ia", F.lit(1)), "h", "left"
@@ -202,12 +272,30 @@ def kmv_set_ops_from_sketches(
 
     jac = F.col("n_both") / F.col("n_union_kept")
     est_union = _kmv_est("n_union_kept", "kth_union", k)
+
+    def checked(n_col: str, side: str):
+        # in-plan k-overflow guard (r9, ADVICE r8 #5): a sketch with
+        # MORE than k rows was built with a larger k — its kth-min is
+        # not the serve-k threshold and every estimate would be
+        # plausible garbage. count(*) is never null, so the branch
+        # always evaluates.
+        return F.when(F.col(n_col) <= k, F.col(n_col)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"kmv_set_ops_from_sketches: {side} sketch "
+                    f"exceeds k={k} rows — it was built with a "
+                    "larger k; pass its build k (see "
+                    "save_kmv_sketch/load_kmv_sketch)"
+                )
+            )
+        ).alias(n_col)
+
     return (
         agg_u.crossJoin(F.broadcast(agg_a))
         .crossJoin(F.broadcast(agg_b))
         .select(
-            "n_a_kept",
-            "n_b_kept",
+            checked("n_a_kept", "left"),
+            checked("n_b_kept", "right"),
             "n_union_kept",
             "n_both",
             _kmv_est("n_a_kept", "kth_a", k).alias("est_distinct_a"),

@@ -49,9 +49,24 @@ def upsert_by_partition(
 ) -> None:
     """Dynamic partition overwrite: only the partitions present in
     ``df`` are replaced. The caller must supply the FULL desired
-    contents of those partitions (merge-before-overwrite)."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(sink_path)
+    contents of those partitions (merge-before-overwrite).
+
+    The overwrite mode is set as a PER-WRITE option, never on the
+    shared session: a session-wide
+    ``spark.conf.set("...partitionOverwriteMode", "dynamic")`` would
+    leak into every later writer on the session and silently convert
+    ``sinks.writers.write_parquet_partitioned``'s full-replace
+    contract (the reference's ``load.py:12-15`` gold sink) into a
+    partial overwrite — a shrinking gold frame would leave stale
+    partitions on disk with no error. Pinned by
+    tests/test_pipeline.py::test_incremental_load_does_not_leak_overwrite_mode.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(sink_path)
+    )
 
 
 def incremental_load(

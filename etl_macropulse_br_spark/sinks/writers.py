@@ -142,10 +142,11 @@ def write_zorder_layout(
     Each column min-max-scales to a ``bits``-wide integer rank
     first (one 2m-value aggregate at plan-build time — the
     documented driver-side-parameter pattern; constant or all-null
-    columns scale to 0). The scale divide runs in doubles — above
-    2^53 of (v-min)*(2^bits-1) the low rank bits blur, which only
-    nudges tile boundaries (a LAYOUT choice, not a gated result; no
-    row is lost or changed). NULLs in any z-column null the key and
+    columns scale to 0). The scaler runs in doubles from the offset
+    on — above 2^53 of (v-min)*(2^bits-1) the low rank bits blur,
+    which only nudges tile boundaries (a LAYOUT choice, not a gated
+    result; no row is lost or changed); long arithmetic would
+    instead silently WRAP for spans past ~2^47 (r9 fix). NULLs in any z-column null the key and
     sort together at the key's null end (kept, not dropped). The
     key column is internal — the written files carry exactly the
     input schema."""
@@ -174,11 +175,18 @@ def write_zorder_layout(
         if mn is None or mx is None or mx == mn:
             scaled.append(F.lit(0).cast("bigint"))
             continue
+        # the (v - min) offset is cast to DOUBLE before the * top
+        # multiply: in bigint arithmetic (v - mn) * top overflows a
+        # long once the column span exceeds ~2^47 (epoch-micros over
+        # a few years, wide id domains) — silent wraparound under the
+        # non-ANSI session, garbage Morton keys for the upper domain.
+        # Doubles instead blur ranks above ~2^53 of the PRODUCT,
+        # which only nudges tile boundaries (layout, not results).
         scaled.append(
             (
-                (F.col(c).cast("bigint") - F.lit(mn))
-                * F.lit(top)
-                / F.lit(mx - mn)
+                (F.col(c).cast("bigint") - F.lit(mn)).cast("double")
+                * F.lit(float(top))
+                / F.lit(float(mx - mn))
             ).cast("bigint")
         )
     n = target_files or df.sparkSession.sparkContext.defaultParallelism

@@ -146,15 +146,19 @@ def running_quantiles_stream(
     latest rows (max n) equal the batch
     ``hdr_quantiles_by(df, value_col, [group_col], qs, s)`` rows.
 
-    The value column is cast to bigint IN THE SPARK PLAN so the
-    Arrow transfer hands Python the same integers the batch twin
-    buckets (a double value column would arrive as float64 — same
-    ints after the cast here, but pinned upstream for clarity)."""
+    The value column is cast to bigint AND null-filtered IN THE
+    SPARK PLAN: the cast keeps the Arrow transfer integer-typed, and
+    the null drop (r9, ADVICE r8 #2) keeps it int64 — pandas turns a
+    nullable int64 chunk into float64, where ``int(v)`` loses
+    precision for values >= 2^53 and the bucket could diverge from
+    the batch ``hdr_quantiles_by`` twin. Nulls are skipped on both
+    sides anyway (batch twin filters them too), so dropping them
+    upstream changes no semantics."""
     from pyspark.sql import functions as F
 
     stream = stream.withColumn(
         value_col, F.col(value_col).cast("bigint")
-    )
+    ).filter(F.col(value_col).isNotNull())
     return (
         stream.groupBy(group_col)
         .applyInPandasWithState(

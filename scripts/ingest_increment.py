@@ -35,8 +35,10 @@ State layout under ``--state-dir``::
 
 Write order per run is: outputs, then signature append, then
 meta.json last — a crash before meta leaves stray signature files
-for ids meta doesn't know about. Rerunning the crashed batch is
-SAFE, by two mechanisms: (a) the stray copies of the batch's OWN
+for ids meta doesn't know about. Rerunning an already-COMPLETED
+batch (its path recorded in meta) is REJECTED up front (r9) —
+it would double-record the path and double-count the corpus.
+Rerunning the crashed batch is SAFE, by two mechanisms: (a) the stray copies of the batch's OWN
 signatures are anti-joined out of ``base_sig`` before candidate
 generation (without this every new doc would pair with its stray
 self at jaccard 1.0 and the survivors output would be empty); (b)
@@ -96,6 +98,21 @@ def run(
     else:
         meta = {"params": dict(_DEFAULTS), "batches": [], "n_docs": 0}
     p = meta["params"]
+
+    # r9 guard (ADVICE r8 #3), mirroring append_ann_index's
+    # duplicate-id rejection: a rerun of an already-COMPLETED batch
+    # (meta written) would record the path twice, double-count
+    # n_docs, and union duplicate base text into every later
+    # increment. Only the crashed-before-meta rerun (handled by the
+    # stray-self anti-join below) is a legitimate retry.
+    if os.path.abspath(new_batch) in meta["batches"]:
+        raise ValueError(
+            f"ingest_increment: batch {new_batch!r} is already "
+            "recorded in meta.json — this increment COMPLETED; "
+            "rerunning it would duplicate its corpus rows. If the "
+            "prior run crashed before writing meta, the path would "
+            "not be recorded and the rerun would be safe."
+        )
 
     new_df = spark.read.parquet(new_batch).select("doc_id", "text")
 

@@ -1929,6 +1929,13 @@ def test_incremental_near_dups_precomputed_sig_identical(spark, tmp_path):
             new, base, base_sig=loaded.drop("m0")
         )
 
+    # r9 guard (ADVICE r8 #4): a signature table built with a LARGER
+    # k (extra m-columns) belongs to a different hash family — must
+    # be rejected, not silently prefix-banded
+    bigger = minhash_signature_table(base, k=24)
+    with pytest.raises(ValueError, match="different k"):
+        incremental_near_dups(new, base, base_sig=bigger)
+
 
 def test_ingest_increment_cli_equals_full_pass(spark, tmp_path):
     """The daily-crawl loop closed (r8): sf0.001 documents split into
@@ -1953,6 +1960,14 @@ def test_ingest_increment_cli_equals_full_pass(spark, tmp_path):
     m2 = run(spark, b2, state, str(tmp_path / "out2"), threshold=0.5)
     assert m1["n_prior_batches"] == 0 and m2["n_prior_batches"] == 1
     assert m2["n_corpus_docs"] == 500
+
+    # r9 guard (ADVICE r8 #3): rerunning a COMPLETED batch is
+    # rejected — it would double-record the path and double-count
+    # the corpus
+    import pytest
+
+    with pytest.raises(ValueError, match="already"):
+        run(spark, b2, state, str(tmp_path / "out2_again"), threshold=0.5)
 
     inc_pairs = {}
     for out in ("out1", "out2"):
@@ -2255,7 +2270,10 @@ def test_sketches_serve_from_stored_state(spark, tmp_path):
         hdr_quantiles_from_histogram,
         kmv_set_ops,
         kmv_set_ops_from_sketches,
+        kmv_set_ops_from_stored,
         kmv_sketch,
+        load_kmv_sketch,
+        save_kmv_sketch,
     )
 
     rng = random.Random(43)
@@ -2268,13 +2286,35 @@ def test_sketches_serve_from_stored_state(spark, tmp_path):
     )
     k = 128
     pa, pb = str(tmp_path / "ska"), str(tmp_path / "skb")
-    kmv_sketch(a, "v", k).write.parquet(pa)
-    kmv_sketch(b, "v", k).write.parquet(pb)
-    served = kmv_set_ops_from_sketches(
-        spark.read.parquet(pa), spark.read.parquet(pb), k
-    ).collect()
+    save_kmv_sketch(kmv_sketch(a, "v", k), pa, k)
+    save_kmv_sketch(kmv_sketch(b, "v", k), pb, k)
+    # sidecar round-trip: load returns the authoritative build k
+    _, ka = load_kmv_sketch(spark, pa)
+    assert ka == k
+    served = kmv_set_ops_from_stored(spark, pa, pb).collect()
     direct = kmv_set_ops(a, b, "v", k).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, direct))
+
+    # r9 guards (ADVICE r8 #5): (a) mismatched stored k's are
+    # rejected; (b) a plain-parquet sketch without the sidecar is
+    # rejected; (c) serving a sketch LARGER than the passed k fails
+    # loudly in-plan instead of returning plausible garbage
+    import pytest
+
+    pc = str(tmp_path / "skc")
+    save_kmv_sketch(kmv_sketch(b, "v", 64), pc, 64)
+    with pytest.raises(ValueError, match="different k"):
+        kmv_set_ops_from_stored(spark, pa, pc)
+    bare = str(tmp_path / "bare")
+    kmv_sketch(a, "v", k).write.parquet(bare)
+    with pytest.raises(FileNotFoundError, match="_kmv_meta"):
+        load_kmv_sketch(spark, bare)
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="exceeds k=32"):
+        kmv_set_ops_from_sketches(
+            spark.read.parquet(pa), spark.read.parquet(pb), 32
+        ).collect()
 
     rows = [
         ("g1", int(rng.lognormvariate(7, 2))) for _ in range(3000)

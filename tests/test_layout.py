@@ -177,3 +177,36 @@ def test_write_zorder_layout_degenerate_and_typed_columns(spark, tmp_path):
     out_ts = str(tmp_path / "ts_z")
     write_zorder_layout(df, out_ts, ["x", "ts"], target_files=8)
     assert spark.read.parquet(out_ts).count() == n
+
+
+def test_write_zorder_layout_wide_bigint_span_no_overflow(spark, tmp_path):
+    """r9 pin (ADVICE r8 #1): a z-column spanning > 2^47 (epoch-micros
+    over years, wide id domains) must still produce a monotone layout.
+    The pre-fix scaler computed (v - min) * 65535 in LONG arithmetic —
+    silent wraparound for the upper domain, garbage Morton keys, files
+    whose ranges span everything. Post-fix (double offset) every
+    file's range of the wide column is narrow and ordered."""
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.sinks.writers import write_zorder_layout
+
+    n = 4096
+    # span = n * 2^41 ≈ 2^53: (span * 65535) overflows int64 by ~2^16
+    df = spark.range(n).select(
+        (F.col("id") * F.lit(1 << 41)).alias("wide"),
+        F.col("id").alias("x"),
+    )
+    out = str(tmp_path / "wide_z")
+    write_zorder_layout(df, out, ["wide", "x"], target_files=8)
+    ranges = _file_ranges(out, "wide")
+    assert len(ranges) >= 4
+    span = (n - 1) * (1 << 41)
+    # every file narrow — overflow produced full-span files
+    assert all(hi - lo < span * 0.6 for lo, hi in ranges)
+    # and consecutive file ranges are ordered (wide dominates the
+    # interleave's high bits only jointly with x, so allow overlap,
+    # but the aggregate width must shrink)
+    assert sum(hi - lo for lo, hi in ranges) / len(ranges) < span * 0.55
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.agg(F.sum("wide")).first()[0] == df.agg(F.sum("wide")).first()[0]

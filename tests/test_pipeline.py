@@ -137,6 +137,55 @@ def test_incremental_load(spark, tmp_path):
     assert out.count() == 3
 
 
+def test_incremental_load_does_not_leak_overwrite_mode(spark, tmp_path):
+    """r9 pin (VERDICT r8 What's wrong #1): incremental_load must NOT
+    mutate the session's partitionOverwriteMode — the dynamic mode is
+    a per-write option. After an incremental_load, a gold full-replace
+    via write_parquet_partitioned whose frame carries FEWER partitions
+    than on disk must actually drop the stale partition directory."""
+    import datetime
+    import os
+
+    from etl_macropulse_br_spark.plans.incremental import incremental_load
+    from etl_macropulse_br_spark.sinks.writers import (
+        write_parquet_partitioned,
+    )
+
+    before = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    )
+
+    inc_sink = str(tmp_path / "gold_inc")
+    df = spark.createDataFrame(
+        [(11, datetime.date(2026, 1, 2), 13.15)],
+        ["series_id", "date", "value"],
+    )
+    assert incremental_load(spark, df, inc_sink, "date", ["series_id"]) == 1
+
+    # the session conf must be untouched by the incremental path
+    after = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    )
+    assert after.upper() == before.upper() == "STATIC"
+
+    # and the gold sink's full-replace contract must hold: write two
+    # partitions, then overwrite with one — the other must be GONE
+    gold = str(tmp_path / "gold_full")
+    two = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], ["series_id", "value"]
+    )
+    write_parquet_partitioned(two, gold, ["series_id"])
+    assert os.path.isdir(os.path.join(gold, "series_id=b"))
+
+    one = spark.createDataFrame([("a", 9.0)], ["series_id", "value"])
+    write_parquet_partitioned(one, gold, ["series_id"])
+    assert not os.path.isdir(os.path.join(gold, "series_id=b"))
+    got = spark.read.parquet(gold)
+    assert [(r["series_id"], r["value"]) for r in got.collect()] == [
+        ("a", 9.0)
+    ]
+
+
 def test_streaming_gold_matches_batch(spark, tmp_path):
     """Stream-batch consistency: replaying silver files through the
     streaming monthly aggregation converges to the batch gold."""

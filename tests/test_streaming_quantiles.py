@@ -18,6 +18,12 @@ SCHEMA = T.StructType(
 )
 
 
+def _bucket(v: int, s: int) -> int:
+    from etl_macropulse_br_spark.streaming.quantiles import _bucket_of
+
+    return _bucket_of(v, s)
+
+
 def test_stream_running_quantiles_matches_batch_hdr(spark, tmp_path):
     from etl_macropulse_br_spark.operators.sketches import (
         hdr_quantiles_by,
@@ -81,3 +87,53 @@ def test_stream_running_quantiles_matches_batch_hdr(spark, tmp_path):
         br = batch[k]
         for c in ("rank", "n", "lo", "hi", "est"):
             assert fr[c] == br[c], (k, c, fr[c], br[c])
+
+
+def test_stream_quantiles_large_values_with_nulls_stay_exact(spark, tmp_path):
+    """r9 pin (ADVICE r8 #2): a micro-batch chunk mixing NULLs with
+    values >= 2^53 must still bucket exactly — pre-fix, pandas turned
+    the nullable int64 Arrow column into float64 and int(v) lost the
+    low bits, diverging from the batch twin. The null drop now lives
+    in the Spark plan, so the Arrow column stays int64."""
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_quantiles_by,
+    )
+    from etl_macropulse_br_spark.streaming.quantiles import (
+        running_quantiles_stream,
+    )
+
+    qs, s = (0.5,), 6
+    # values ONE BELOW an HDR bucket boundary at magnitude 2^60:
+    # float64 rounds them UP across the boundary (int(float(v)) lands
+    # in the next bucket), so a lossy int64→float64 Arrow chunk
+    # shifts lo/hi — the planted divergence this pin watches
+    big = [(1 << 60) + j * (1 << 54) - 1 for j in range(1, 9)]
+    assert all(int(float(v)) != v for v in big)
+    assert all(
+        _bucket(int(float(v)), s) != _bucket(v, s) for v in big
+    )
+    src = str(tmp_path / "big_stream")
+    spark.createDataFrame(
+        [("g", v) for v in big] + [("g", None)] * 3,
+        SCHEMA,
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        running_quantiles_stream(stream, "event_type", "v", qs, s)
+        .writeStream.format("memory")
+        .queryName("big_quant_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_big"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from big_quant_out").collect()
+    assert len(rows) == 1
+    batch = hdr_quantiles_by(
+        spark.read.parquet(src), "v", ["event_type"], qs, s
+    ).collect()
+    assert len(batch) == 1
+    for c in ("rank", "n", "lo", "hi", "est"):
+        assert rows[0][c] == batch[0][c], (c, rows[0][c], batch[0][c])
