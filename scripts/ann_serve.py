@@ -28,8 +28,15 @@ serve-time knobs (--query-ids/--topk/--filter) stay free.
 embeddings side of the daily-ingest loop: the batch's vectors are
 encoded against the FROZEN centroids/codebooks
 (operators/ann_index.py:append_ann_index — map-only, no retrain,
-one parquet append), then the batch joins the served corpus; batch
-vec_ids must be new to the index.
+one atomically-committed segment), then the batch joins the served
+corpus; batch vec_ids must be new to the index.
+
+``--compact`` (r9, with --index-dir) rewrites the accumulated
+append segments into one bounded-file-count segment before serving
+(operators/ann_index.py:compact_ann_index) — run it every N daily
+appends to keep the small-files count down. The manifest JSON also
+reports ``adc_history`` (per-batch mean ADC residual): a rising
+value on appends is the retrain-on-drift signal.
 """
 
 from __future__ import annotations
@@ -70,7 +77,15 @@ def main() -> None:
         "--index-dir index, append to it, serve over the union "
         "(ids must be new to the index)",
     )
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="compact accumulated append segments into one before "
+        "serving (requires --index-dir)",
+    )
     args = ap.parse_args()
+    if args.compact and not args.index_dir:
+        raise SystemExit("--compact requires --index-dir")
     if args.save_index and args.index_dir:
         raise SystemExit("--save-index and --index-dir are exclusive")
     if args.append_batch and not args.index_dir:
@@ -80,6 +95,7 @@ def main() -> None:
 
     from etl_macropulse_br_spark.operators.ann_index import (
         append_ann_index,
+        compact_ann_index,
         load_ann_index,
         save_ann_index,
     )
@@ -126,6 +142,8 @@ def main() -> None:
             n_appended = batch.count()
             emb = emb.unionByName(batch, allowMissingColumns=True)
             queries = emb.filter(F.col("vec_id").isin(qids))
+        if args.compact:
+            index = compact_ann_index(spark, args.index_dir)
 
     if args.mode == "ivf":
         if flt is not None:
@@ -164,6 +182,14 @@ def main() -> None:
                 "n_appended": n_appended,
                 "n_queries": len(qids),
                 "n_result_rows": n,
+                "n_segments": (
+                    len(index.manifest.get("segments", []))
+                    if index is not None
+                    else None
+                ),
+                "adc_history": (
+                    index.adc_history if index is not None else None
+                ),
                 "top1": dict(sorted(top1.items())),
             }
         )

@@ -1146,14 +1146,15 @@ def test_ann_index_split_append_equals_bulk_and_serves(spark, tmp_path):
     append_ann_index(b.filter(F.col("vec_id") < 210), split)
     append_ann_index(b.filter(F.col("vec_id") >= 210), split)
 
-    for sub_dir in ("assign", "codes"):
-        lhs = sorted(
-            map(tuple, spark.read.parquet(f"{bulk}/{sub_dir}").collect())
-        )
-        rhs = sorted(
-            map(tuple, spark.read.parquet(f"{split}/{sub_dir}").collect())
-        )
-        assert lhs == rhs
+    # compare the COMMITTED index views (r9: appended rows live in
+    # manifest-listed segments, not the base directories)
+    bix, six = load_ann_index(spark, bulk), load_ann_index(spark, split)
+    assert sorted(map(tuple, bix.assign.collect())) == sorted(
+        map(tuple, six.assign.collect())
+    )
+    assert sorted(map(tuple, bix.codes.collect())) == sorted(
+        map(tuple, six.codes.collect())
+    )
 
     corpus = a.unionByName(b)
     queries = a.filter(F.col("vec_id") == 5)
@@ -1220,3 +1221,199 @@ def test_ann_index_append_guards_and_crash_detection(spark, tmp_path):
         )
     ix = load_ann_index(spark, path, validate=False)
     assert ix.assign.count() == 52
+
+
+def test_ann_index_append_commit_is_atomic(spark, tmp_path, monkeypatch):
+    """r9 (VERDICT r8 Next #6): the manifest replace is the single
+    commit point. Inject a crash AFTER both segment writes but
+    BEFORE the manifest commit — the load must serve the PRE-append
+    state (not raise, not a torn view), and the retry must succeed
+    (the crashed batch's ids never entered the committed index, so
+    the duplicate-id guard passes) and converge to the bulk result."""
+    import random
+
+    import pytest
+
+    import etl_macropulse_br_spark.operators.ann_index as AIX
+
+    rng = random.Random(53)
+    schema = "vec_id long, embedding array<float>"
+    a = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(10)],
+        schema,
+    )
+    path = str(tmp_path / "ix")
+    AIX.save_ann_index(a, path, k=4, rounds=1, m=4, ks=8, pq_rounds=1, sub=2)
+    before_assign = sorted(
+        map(tuple, AIX.load_ann_index(spark, path).assign.collect())
+    )
+    before_manifest = AIX._read_manifest(path)
+
+    real_commit = AIX._commit_manifest
+
+    def crash_commit(p, manifest):
+        raise RuntimeError("injected crash before manifest replace")
+
+    monkeypatch.setattr(AIX, "_commit_manifest", crash_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        AIX.append_ann_index(b, path)
+    monkeypatch.setattr(AIX, "_commit_manifest", real_commit)
+
+    # pre-append state serves: same manifest, same rows, no error
+    ix = AIX.load_ann_index(spark, path)
+    assert AIX._read_manifest(path) == before_manifest
+    assert sorted(map(tuple, ix.assign.collect())) == before_assign
+
+    # the orphan segment exists on disk but is unreferenced
+    seg_root = tmp_path / "ix" / "segments"
+    orphans = list(seg_root.iterdir()) if seg_root.is_dir() else []
+    assert len(orphans) == 1
+
+    # retry commits cleanly and equals a bulk append on a fresh copy
+    ix2 = AIX.append_ann_index(b, path)
+    assert ix2.assign.count() == 50
+    assert ix2.codes.select("vec_id").distinct().count() == 50
+    # compaction prune reclaims the orphan
+    AIX.compact_ann_index(spark, path, target_files=2)
+    live = {p.name for p in seg_root.iterdir()}
+    assert len(live) == 1 and next(iter(live)).startswith("seg-compact-")
+
+
+def test_ann_index_compaction_bit_identical_and_bounds_files(
+    spark, tmp_path
+):
+    """r9 (VERDICT r8 Next #3a): after N appends the index holds N+1
+    segment directories; compact_ann_index rewrites them into ONE
+    segment with a bounded file count, serving stays bit-identical,
+    the drift history survives, and further appends keep working."""
+    import glob
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        compact_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+    from etl_macropulse_br_spark.operators.clustering import (
+        ivf_pq_batch_topk,
+    )
+
+    rng = random.Random(59)
+    schema = "vec_id long, embedding array<float>"
+    a = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        schema,
+    )
+    path = str(tmp_path / "ix")
+    save_ann_index(a, path, k=4, rounds=1, m=4, ks=8, pq_rounds=1, sub=2)
+    for j in range(3):
+        batch = spark.createDataFrame(
+            [
+                (1000 + 100 * j + i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(10)
+            ],
+            schema,
+        )
+        append_ann_index(batch, path)
+
+    pre = load_ann_index(spark, path)
+    assert len(pre.manifest["segments"]) == 4
+    pre_assign = sorted(map(tuple, pre.assign.collect()))
+    pre_codes = sorted(map(tuple, pre.codes.collect()))
+    pre_hist = pre.adc_history
+    n_files_pre = len(
+        glob.glob(f"{path}/**/*.parquet", recursive=True)
+    )
+    # serve from the PRE index before compaction prunes its files
+    # (prune's documented contract: in-flight readers finish first)
+    corpus = a
+    queries = a.filter(F.col("vec_id") < 2)
+    lhs = sorted(
+        map(
+            tuple,
+            ivf_pq_batch_topk(corpus, queries, topk=5, index=pre).collect(),
+        )
+    )
+
+    post = compact_ann_index(spark, path, target_files=2)
+    assert len(post.manifest["segments"]) == 1
+    assert sorted(map(tuple, post.assign.collect())) == pre_assign
+    assert sorted(map(tuple, post.codes.collect())) == pre_codes
+    assert post.adc_history == pre_hist
+    n_files_post = len(
+        glob.glob(f"{path}/**/*.parquet", recursive=True)
+    )
+    assert n_files_post < n_files_pre
+
+    # serving pinned identical pre/post-compaction
+    rhs = sorted(
+        map(
+            tuple,
+            ivf_pq_batch_topk(corpus, queries, topk=5, index=post).collect(),
+        )
+    )
+    assert lhs == rhs
+
+    # lifecycle continues: append after compaction
+    more = spark.createDataFrame(
+        [(5000 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(5)],
+        schema,
+    )
+    ix = append_ann_index(more, path)
+    assert ix.assign.count() == 95
+
+
+def test_ann_index_adc_drift_metric_rises_under_shift(spark, tmp_path):
+    """r9 (VERDICT r8 Next #3b): the manifest's adc_history makes
+    codebook staleness measurable — an appended batch drawn from the
+    TRAINING distribution lands near the training residual, while a
+    planted distribution shift (scaled domain the frozen codebooks
+    never saw) lands far above it."""
+    import random
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        save_ann_index,
+    )
+
+    rng = random.Random(61)
+    schema = "vec_id long, embedding array<float>"
+    train = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        schema,
+    )
+    in_dist = spark.createDataFrame(
+        [
+            (1000 + i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(50)
+        ],
+        schema,
+    )
+    shifted = spark.createDataFrame(
+        [
+            (2000 + i, [8 + 4 * rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(50)
+        ],
+        schema,
+    )
+    path = str(tmp_path / "ix")
+    save_ann_index(train, path, k=4, rounds=2, m=4, ks=8, pq_rounds=2, sub=2)
+    append_ann_index(in_dist, path)
+    ix = append_ann_index(shifted, path)
+
+    hist = ix.adc_history
+    assert [h["segment"] == "base" for h in hist][0]
+    assert len(hist) == 3
+    base_r, in_r, shift_r = (h["adc_residual_mean"] for h in hist)
+    assert base_r is not None and base_r > 0
+    # in-distribution append: same ballpark as training
+    assert in_r < 3 * base_r
+    # planted shift: far above — the "retrain now" signal
+    assert shift_r > 5 * base_r, (base_r, in_r, shift_r)

@@ -373,6 +373,37 @@ def main() -> None:
         f" {t_retrain / t_append:6.2f}x"
     )
 
+    # r9: ADC-residual drift signal — the manifest's adc_history
+    # makes "retrain on distribution shift" measurable. The appended
+    # copy above is in-distribution (identical vectors: residual ==
+    # training residual); a planted shift (scaled + offset domain the
+    # frozen codebooks never saw) must push the metric far above it.
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(3.0) + F.lit(8.0)
+        ).alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    ix_drift = append_ann_index(shifted, idx_dir)
+    hist = ix_drift.adc_history
+    base_r = hist[0]["adc_residual_mean"]
+    in_r = hist[1]["adc_residual_mean"]
+    shift_r = hist[2]["adc_residual_mean"]
+    results["ann_index_adc_drift"] = {
+        "train_residual_mean": round(base_r, 1),
+        "in_dist_append_residual_mean": round(in_r, 1),
+        "shifted_append_residual_mean": round(shift_r, 1),
+        "shift_over_train_ratio": (
+            round(shift_r / base_r, 2) if base_r else None
+        ),
+        "shift_detected": bool(base_r and shift_r > 5 * base_r),
+    }
+    print(
+        f"{'ann adc drift':26s} train={base_r:10.1f} in={in_r:10.1f}"
+        f" shifted={shift_r:12.1f} ({shift_r / base_r:6.1f}x)"
+    )
+
     # r8: HDR quantile sketch — state bound + error bound, measured.
     # v = (id+1)^2 gives an exact closed-form truth (rank r -> r^2),
     # spans ~2*log2(n) octaves of log-buckets, and lets both claims
