@@ -416,6 +416,69 @@ def minhash_near_dups(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def minhash_sig_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs verified by SIGNATURE-agreement Jaccard (r9):
+    banded LSH candidates scored with Broder's estimator — the
+    fraction of the k minhash components on which the two documents
+    agree — instead of the exact shingle-set Jaccard. Returns
+    (id_a, id_b, est_jaccard) with ``id_a > id_b`` (the later doc
+    points at the earlier — keep-first orientation shared with the
+    incremental family).
+
+    Why this variant exists: the verify needs only k INTEGERS per
+    document, never the shingle sets — so (a) text is touched
+    exactly once (to build signatures), (b) the verify join is an
+    int-only k-column lookup, and (c) a streaming twin can hold
+    k+1 longs per doc in state, bounded regardless of document
+    length (streaming/neardup.py:sig_neardup_stream — the
+    production-bounded state the exact twin cannot offer).
+    Estimator contract: E[est_jaccard] = true Jaccard with std err
+    ~ sqrt(J(1-J)/k); pairs near the threshold can flip relative to
+    the exact verify — choose k accordingly (the exact-verify
+    operator remains :func:`minhash_near_dups`).
+
+    Scale shape: same single banding exchange as the exact op; the
+    verify joins the SAME signature subplan twice (rename after the
+    join) so ReuseExchange shares one build; no text columns cross
+    any exchange after the signature aggregate."""
+    sig = minhash_signature_table(df, text_col, id_col, n_shingle, k)
+    banded = _minhash_banded(sig, k, bands)
+    cands = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.id") > F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    j1 = cands.join(sig, F.col("id_a") == sig["id"]).select(
+        "id_a", "id_b", *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)]
+    )
+    agree = " + ".join(f"cast(a{i} = m{i} as int)" for i in range(k))
+    return (
+        j1.join(sig, F.col("id_b") == sig["id"])
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"({agree}) / {k}").alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def incremental_near_dups(
     new_df: DataFrame,
     base_df: DataFrame,

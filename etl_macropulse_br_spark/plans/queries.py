@@ -2939,6 +2939,91 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 DOCS_NEAR_DUPS_SQL = _near_dups_sql()
 
 
+def docs_sig_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs verified by SIGNATURE-agreement Jaccard
+    (operators/dedup.py:minhash_sig_near_dups, r9): Broder's
+    estimator over the k minhash components instead of the exact
+    shingle Jaccard — the int-only verify whose streaming twin can
+    hold k+2 longs per doc in state (streaming/neardup.py:
+    sig_neardup_stream). Every hash is the portable md5 family and
+    the estimator is an exact s/k double, so the oracle replays the
+    whole pipeline bit-identically."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        minhash_sig_near_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_sig_near_dups(docs, threshold=0.5)
+
+
+def _sig_near_dups_sql(
+    k: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    from etl_macropulse_br_spark.functions.hashing import (
+        _MASK32,
+        _lcg_constants,
+        base32_sql,
+        md5_long_sql,
+    )
+    from etl_macropulse_br_spark.operators.dedup import (
+        token_shingle_hashes_sql,
+    )
+
+    consts = _lcg_constants(k)
+    m_cols = ",\n         ".join(
+        f"list_min(list_transform(bases, h -> (h * {a} + {b}))) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    rows = k // bands
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + md5_long_sql(
+            "concat_ws(',', "
+            + ", ".join(f"m{b * rows + j}" for j in range(rows))
+            + ")"
+        )
+        + " AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CAST(sa.m{i} = sb.m{i} AS INTEGER)" for i in range(k)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ntoks
+  FROM documents
+), h_t AS (
+  SELECT doc_id, list_transform(ntoks, t -> {base32_sql('t')}) AS th FROM t
+), sh_t AS (
+  SELECT doc_id, {token_shingle_hashes_sql(3)} AS sh FROM h_t
+), b_t AS (
+  SELECT doc_id, list_transform(sh, x -> (x & {_MASK32})) AS bases
+  FROM sh_t
+), sig AS (
+  SELECT doc_id,
+         {m_cols}
+  FROM b_t
+), banded AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id > r.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         ({agree}) / {k} AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, est_jaccard FROM scored
+WHERE est_jaccard >= {threshold}
+"""
+
+
+DOCS_SIG_NEAR_DUPS_SQL = _sig_near_dups_sql()
+
+
 def docs_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection — a NEW batch (doc_id % 10 >=
     8) deduped against the EXISTING corpus (the other 80%) plus
@@ -6450,6 +6535,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "docs_dsir_sample": docs_dsir_sample,
     "docs_mixture_balance": docs_mixture_balance,
     "embedding_semdedup": embedding_semdedup,
+    # r9: signature-agreement near-dup verify (the int-only verify
+    # whose bounded-state streaming twin holds k+2 longs per doc)
+    "docs_sig_near_dups": docs_sig_near_dups,
     # r8: KMV set algebra — oracle-gated approximate union /
     # intersection / Jaccard (the set ops HLL cannot answer)
     "events_kmv_set_ops": events_kmv_set_ops,
@@ -6573,6 +6661,7 @@ AUX_ORACLES: dict[str, str] = {
     "docs_cms_token_counts": DOCS_CMS_TOKEN_COUNTS_SQL,
     "embedding_pq_filtered_topk": EMBEDDING_PQ_FILTERED_SQL,
     "docs_incremental_near_dups": DOCS_INCREMENTAL_NEAR_DUPS_SQL,
+    "docs_sig_near_dups": DOCS_SIG_NEAR_DUPS_SQL,
     "docs_curated_semantic": DOCS_CURATED_SEMANTIC_SQL,
     "docs_decontaminate_bloom": DOCS_DECONTAMINATE_BLOOM_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,

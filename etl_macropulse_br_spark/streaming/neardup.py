@@ -27,13 +27,16 @@ other); consumers take ``dropDuplicates`` — the batch op's
 candidate ``distinct()`` folded to the read side. Rows stay exact
 duplicates, so this changes no semantics.
 
-State: per bucket, the (id, shingle-set) of every member — int-only,
-O(docs-in-bucket × shingles/doc) longs. NoTimeout (lifetime corpus)
-matches the batch operator's contract; bound the horizon with an
-event-time column + eviction (as ``streaming/windowed_distinct``
-does) when the dedup window is finite — at 100 TB the production
-variant also replaces the in-state shingle sets with a pointer +
-side lookup, which this local twin keeps inline for exactness.
+State (this exact twin): per bucket, the (id, shingle-set) of every
+member — int-only, O(docs-in-bucket × shingles/doc) longs, NoTimeout
+(lifetime corpus, matching the batch operator's contract). That
+state grows with DOCUMENT LENGTH, so this twin is the local
+exactness reference, not the production deployment. The production
+variant is :func:`sig_neardup_stream` (r9): state bounded at
+(k + 2) longs per member independent of text length, verified by
+the signature-agreement estimator (its own batch twin
+``operators/dedup.minhash_sig_near_dups`` keeps the differential
+pinned), with an optional event-time horizon + state eviction.
 
 Reference scope: the reference is strictly batch (SURVEY.md §2.11);
 streaming extension surface.
@@ -85,6 +88,118 @@ def _signature_cols(sh: Column, k: int) -> list[Column]:
     ]
 
 
+def _banded_stream(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_shingle: int,
+    k: int,
+    bands: int,
+    carry: str,
+    event_col: str | None = None,
+) -> DataFrame:
+    """Shared banding front-end for both streaming twins, built as
+    STAGED projections so every expensive array is computed once and
+    referenced as a plain attribute downstream.
+
+    Why staging is load-bearing here (r9, measured): the streaming
+    micro-batch's pre-shuffle Project runs OUTSIDE whole-stage
+    codegen (the stateful operator boundary), i.e. interpreted, with
+    no common-subexpression elimination inside higher-order-function
+    lambdas. Inlining ``token_shingle_hashes`` directly would
+    re-evaluate the per-token md5 transform for EVERY shingle
+    element — O(tokens²) md5 calls; a 6 000-token document took
+    ~270 s per micro-batch. Staged, each projection's lambdas only
+    ``element_at`` attribute arrays: one md5 pass per token, linear
+    again (~2 s for the same input). Each stage's alias is non-cheap
+    and referenced multiple times, so CollapseProject keeps the
+    stages separate.
+
+    Emits (id[, e], <carry: sh|sig>, band, band_hash): ``sh`` for
+    the exact twin's shingle sets, ``sig`` (k-int array) for the
+    bounded-state twin."""
+    from etl_macropulse_br_spark.functions.hashing import base32
+    from etl_macropulse_br_spark.functions.hashing import md5_long
+    from etl_macropulse_br_spark.operators.dedup import (
+        _SHINGLE_COEFS,
+        _WS,
+        _norm_text,
+    )
+
+    band_w = k // bands
+    ecols = [F.unix_micros(F.col(event_col)).alias("e")] if event_col else []
+    epass = ["e"] if event_col else []
+
+    # stage 1: one md5 per token
+    toks = F.split(_norm_text(text_col), _WS)
+    p1 = stream.select(
+        F.col(id_col).alias("id"),
+        *ecols,
+        F.transform(toks, lambda t: base32(t)).alias("th"),
+    )
+
+    # stage 2: shingle combine over the th ATTRIBUTE (cheap refs)
+    th = F.col("th")
+    n_sh = F.greatest(F.size(th) - F.lit(n_shingle - 1), F.lit(1))
+
+    def combine(i: Column) -> Column:
+        total = F.lit(0).cast("bigint")
+        for j, coef in enumerate(_SHINGLE_COEFS[:n_shingle]):
+            total = total + F.coalesce(
+                F.element_at(th, i + F.lit(j)), F.lit(0)
+            ) * F.lit(coef)
+        return total
+
+    p2 = p1.select(
+        "id",
+        *epass,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n_sh), combine)
+        ).alias("sh"),
+    )
+
+    # stage 3: the k signature mins over the sh ATTRIBUTE
+    p3 = p2.select(
+        "id",
+        *epass,
+        "sh",
+        F.array(*_signature_cols(F.col("sh"), k)).alias("sig"),
+    )
+
+    # stage 4: band hashes from element_at over the sig ATTRIBUTE —
+    # identical rendering to _minhash_banded's concat_ws over
+    # m-columns (element_at is 1-based)
+    p4 = p3.select(
+        "id",
+        *epass,
+        carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_long(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        F.col("sig"), b * band_w + j + 1
+                                    )
+                                    for j in range(band_w)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    )
+    return p4.select(
+        "id", *epass, carry, "bh.band", "bh.band_hash"
+    )
+
+
 def _update_bucket(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
@@ -125,6 +240,160 @@ def _update_bucket(
         )
 
 
+SIG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.LongType())),
+        T.StructField("events", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _update_bucket_sig(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    threshold: float,
+    k: int,
+    horizon_us: int | None,
+    lateness_us: int,
+) -> Iterator[pd.DataFrame]:
+    """Bounded-state bucket update (r9): members are (id, k-int
+    signature[, event-us]) — (k + 2) longs per doc, INDEPENDENT of
+    document length (the exact twin stores full shingle sets). The
+    verify replays the batch op's signature-agreement estimator
+    (matches / k — identical double), so stream ≡ batch holds for
+    any micro-batch slicing. Pairs are emitted (greatest, least) so
+    orientation is slicing- and arrival-order-independent."""
+    if state.exists:
+        ids, sigs, events = state.get
+        ids, sigs = list(ids), list(sigs)
+        events = list(events) if events is not None else []
+    else:
+        ids, sigs, events = [], [], []
+    assert len(sigs) == k * len(ids), "state invariant: k ints per member"
+
+    rows: list[tuple[int, list[int], int | None]] = []
+    for pdf in pdfs:
+        has_e = "e" in pdf.columns
+        for i in range(len(pdf)):
+            rows.append(
+                (
+                    int(pdf["id"].iloc[i]),
+                    [int(x) for x in pdf["sig"].iloc[i]],
+                    int(pdf["e"].iloc[i]) if has_e else None,
+                )
+            )
+    rows.sort(key=lambda r: r[0])
+    out_new, out_match, out_j = [], [], []
+    for doc_id, sig, ev in rows:
+        for j, other_id in enumerate(ids):
+            if other_id == doc_id:
+                continue  # replay/duplicate delivery of the same doc
+            if horizon_us is not None and ev is not None:
+                oe = events[j]
+                if oe is None or abs(ev - oe) > horizon_us:
+                    continue
+            other_sig = sigs[j * k : (j + 1) * k]
+            est = sum(a == b for a, b in zip(sig, other_sig)) / k
+            if est >= threshold:
+                out_new.append(max(doc_id, other_id))
+                out_match.append(min(doc_id, other_id))
+                out_j.append(est)
+        ids.append(doc_id)
+        sigs.extend(sig)
+        events.append(ev if ev is not None else 0)
+    if horizon_us is not None and events:
+        # evict members no in-horizon future doc can match: anything
+        # older than (max event seen) - horizon - allowed lateness.
+        # With disorder bounded by `lateness_us`, eviction never
+        # changes outputs — an evicted member fails the per-pair
+        # horizon predicate for every doc still to come.
+        cutoff = max(events) - horizon_us - lateness_us
+        keep = [j for j, e in enumerate(events) if e >= cutoff]
+        ids = [ids[j] for j in keep]
+        sigs = [x for j in keep for x in sigs[j * k : (j + 1) * k]]
+        events = [events[j] for j in keep]
+    state.update((ids, sigs, events))
+    if out_new:
+        yield pd.DataFrame(
+            {"new_id": out_new, "match_id": out_match, "jaccard": out_j}
+        )
+
+
+def sig_neardup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    event_col: str | None = None,
+    horizon: str | None = None,
+    lateness: str = "0 seconds",
+) -> DataFrame:
+    """PRODUCTION streaming near-dedup (r9 — closes the r8 verdict's
+    unbounded-state finding): state per band bucket holds (id,
+    k-int minhash signature[, event-us]) per member — (k + 2) longs
+    per document regardless of text length, no pickle (plain long
+    arrays), vs the exact twin's full in-state shingle sets. The
+    price is the verify semantics: signature-agreement Jaccard
+    (Broder's estimator, ``matches / k``), exactly the batch
+    :func:`operators.dedup.minhash_sig_near_dups` relation — the
+    stream-vs-batch differential pins equality across micro-batch
+    slicings (tests/test_streaming_neardup.py).
+
+    ``event_col`` + ``horizon`` (e.g. ``"7 days"``) bound the dedup
+    window: a pair matches only when the two docs' event times lie
+    within ``horizon`` of each other (slicing-independent per-PAIR
+    predicate), and state members older than
+    ``max_event - horizon - lateness`` are EVICTED — with stream
+    disorder bounded by ``lateness``, eviction cannot change
+    outputs, so state is bounded by the horizon's doc count too.
+    Without ``event_col`` the lifetime-corpus contract of the batch
+    family applies (state grows with distinct docs per bucket, but
+    at k + 2 longs each).
+
+    Emits one row per colliding band (module docstring) —
+    ``dropDuplicates`` at the sink; rows for a pair are exact
+    duplicates ((greatest, least) orientation, same estimator
+    value in every band)."""
+    banded = _banded_stream(
+        stream, text_col, id_col, n_shingle, k, bands, "sig", event_col
+    )
+    horizon_us = (
+        _interval_us(horizon) if horizon is not None else None
+    )
+    lateness_us = _interval_us(lateness)
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        lambda key, pdfs, state: _update_bucket_sig(
+            key, pdfs, state, threshold, k, horizon_us, lateness_us
+        ),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=SIG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _interval_us(spec: str) -> int:
+    """'7 days' / '30 seconds' → microseconds, driver-side (no
+    Date.now dependence; plain arithmetic on the spec)."""
+    n, unit = spec.split()
+    mult = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+        "day": 86_400_000_000,
+        "days": 86_400_000_000,
+    }[unit]
+    return int(n) * mult
+
+
 def neardup_stream(
     stream: DataFrame,
     text_col: str = "text",
@@ -139,45 +408,13 @@ def neardup_stream(
     per-colliding-band multiplicity (module docstring); the deduped
     relation equals the batch ``incremental_near_dups`` /
     full-corpus ``minhash_near_dups`` result on the same docs, for
-    ANY micro-batch slicing (pinned)."""
-    from etl_macropulse_br_spark.functions.hashing import md5_long
-    from etl_macropulse_br_spark.operators.dedup import (
-        token_shingle_hashes,
+    ANY micro-batch slicing (pinned). The banding front-end is the
+    r9 staged-projection builder — see :func:`_banded_stream` for
+    why the stages are load-bearing in the interpreted streaming
+    projection (O(tokens²) md5s otherwise)."""
+    banded = _banded_stream(
+        stream, text_col, id_col, n_shingle, k, bands, "sh"
     )
-
-    band_w = k // bands
-    # materialize the shingle-hash array in ITS OWN projection and
-    # build the k signature mins from the column REFERENCE: inlining
-    # token_shingle_hashes into each signature expression would make
-    # Catalyst re-evaluate the per-token md5 transform k+1 times per
-    # row (the repo-documented re-inlining trap — see
-    # shingle_hash_rows / simhash); as a non-cheap alias referenced
-    # k+1 times it survives CollapseProject, so the md5 runs once
-    hashed = stream.select(
-        F.col(id_col).alias("id"),
-        token_shingle_hashes(text_col, n_shingle).alias("sh"),
-    )
-    sigs = _signature_cols(F.col("sh"), k)
-    banded = hashed.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        md5_long(
-                            F.concat_ws(
-                                ",",
-                                *sigs[b * band_w : (b + 1) * band_w],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("id", "sh", "bh.band", "bh.band_hash")
     return banded.groupBy("band", "band_hash").applyInPandasWithState(
         lambda key, pdfs, state: _update_bucket(
             key, pdfs, state, threshold
