@@ -2014,6 +2014,83 @@ def _events_hdr_by_type_sql() -> str:
 EVENTS_HDR_VALUE_BY_TYPE_SQL = _events_hdr_by_type_sql()
 
 
+def price_hdr_signed_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNED-domain HDR quantile sketch (r9 — the double/negative
+    coverage the unsigned family refuses): quantiles of the price
+    DELTA around a reference level (a signed double), via the
+    fixed-point floor gateway + mirrored log buckets
+    (operators/sketches.py:hdr_signed_quantiles — DDSketch-shaped,
+    merge-by-addition, hash-gated estimator: floor(v*scale) is the
+    same exact IEEE value on both engines, unlike any float-log
+    bucketing)."""
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_signed_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    delta = li.select(
+        (F.col("l_extendedprice") - F.lit(36000.0)).alias("delta")
+    )
+    return hdr_signed_quantiles(
+        delta, "delta", (0.1, 0.5, 0.9), scale=100.0, s=6
+    )
+
+
+def _price_hdr_signed_sql() -> str:
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_signed_quantiles_sql,
+    )
+
+    return hdr_signed_quantiles_sql(
+        "lineitem",
+        "l_extendedprice - 36000.0",
+        (0.1, 0.5, 0.9),
+        scale=100.0,
+        s=6,
+    )
+
+
+PRICE_HDR_SIGNED_DELTA_SQL = _price_hdr_signed_sql()
+
+
+def events_hdr_signed_delta_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group SIGNED HDR sketch: p50/p95 of the centered event
+    value (signed double) PER event_type — the grouped shape for
+    model-score / loss / delta distributions, never sorting the
+    fact (operators/sketches.py:hdr_signed_quantiles_by)."""
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_signed_quantiles_by,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    centered = ev.select(
+        "event_type", (F.col("value") - F.lit(500.0)).alias("delta")
+    )
+    return hdr_signed_quantiles_by(
+        centered, "delta", ["event_type"], (0.5, 0.95), scale=100.0, s=6
+    )
+
+
+def _events_hdr_signed_by_type_sql() -> str:
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_signed_quantiles_by_sql,
+    )
+
+    return hdr_signed_quantiles_by_sql(
+        "events",
+        "value - 500.0",
+        ["event_type"],
+        (0.5, 0.95),
+        scale=100.0,
+        s=6,
+    )
+
+
+EVENTS_HDR_SIGNED_DELTA_BY_TYPE_SQL = _events_hdr_signed_by_type_sql()
+
+
 def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-count over event users —
     r7 upgrade of the 'HLL can never hash-match across engines'
@@ -6545,6 +6622,10 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # of the exact histogram-refine price_percentiles)
     "price_hdr_quantiles": price_hdr_quantiles,
     "events_hdr_value_by_type": events_hdr_value_by_type,
+    # r9: signed/double-domain HDR sketch (mirrored log buckets +
+    # fixed-point floor gateway — closes the non-negative-only gap)
+    "price_hdr_signed_delta": price_hdr_signed_delta,
+    "events_hdr_signed_delta_by_type": events_hdr_signed_delta_by_type,
 }
 
 ORACLES: dict[str, str] = {
@@ -6671,4 +6752,6 @@ AUX_ORACLES: dict[str, str] = {
     "events_kmv_set_ops": EVENTS_KMV_SET_OPS_SQL,
     "price_hdr_quantiles": PRICE_HDR_QUANTILES_SQL,
     "events_hdr_value_by_type": EVENTS_HDR_VALUE_BY_TYPE_SQL,
+    "price_hdr_signed_delta": PRICE_HDR_SIGNED_DELTA_SQL,
+    "events_hdr_signed_delta_by_type": EVENTS_HDR_SIGNED_DELTA_BY_TYPE_SQL,
 }

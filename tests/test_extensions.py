@@ -2153,6 +2153,89 @@ def test_hdr_quantile_sketch_properties(spark):
         hdr_histogram(neg, "v", s).collect()
 
 
+def test_hdr_signed_sketch_properties(spark, tmp_path):
+    """hdr_signed_* (r9 — the double/negative-domain member of the
+    HDR family): (a) MERGE — per-slice sketches persisted as
+    parquet, read back, hdr_merge'd and served equal the direct
+    pass (the unsigned merge is sign-agnostic); (b) every bracket
+    contains the true fixed-point rank value, midpoint within the
+    2^-(s+1) relative guarantee on |a| (plus the 1/scale quantum);
+    (c) bucket order is value order across the sign boundary (a
+    negative-heavy distribution's p10 lands negative, p90
+    positive); (d) NaN and fixed-point overflow fail the plan
+    loudly (Spark's non-ANSI floor would otherwise silently bucket
+    NaN at zero / saturate infinities)."""
+    import math
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_merge,
+        hdr_signed_histogram,
+        hdr_signed_quantiles,
+        hdr_signed_quantiles_from_histogram,
+    )
+
+    rng = random.Random(23)
+    vals = [rng.gauss(0.0, 40.0) for _ in range(6000)] + [
+        0.0,
+        -0.004,
+        123456.75,
+        -98765.25,
+    ]
+    scale, s = 1000.0, 6
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qs = (0.1, 0.5, 0.9)
+
+    direct = sorted(
+        map(tuple, hdr_signed_quantiles(df, "v", qs, scale, s).collect())
+    )
+
+    # (a) per-slice parquet round-trip + merge + serve
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"shist{i}")
+        part = df.filter(F.pmod(F.abs(F.hash("v")), F.lit(3)) == i)
+        hdr_signed_histogram(part, "v", scale, s).write.parquet(p)
+        paths.append(p)
+    merged = hdr_merge([spark.read.parquet(p) for p in paths])
+    served = sorted(
+        map(
+            tuple,
+            hdr_signed_quantiles_from_histogram(
+                merged, qs, scale
+            ).collect(),
+        )
+    )
+    assert served == direct
+
+    # (b) bracket + error bound against the true fixed-point ranks
+    fixed = sorted(math.floor(v * scale) for v in vals)
+    found_neg = found_pos = False
+    for q, rank, n, lo, hi, est in direct:
+        true = fixed[rank - 1]
+        assert lo <= true <= hi, (q, lo, true, hi)
+        if abs(true) >= (1 << s):
+            assert abs(est * scale - true) / abs(true) < 2 ** -(s + 1) + 1e-9
+        found_neg |= hi < 0
+        found_pos |= lo > 0
+    # (c) the gaussian-around-zero input must exercise BOTH stores
+    assert found_neg and found_pos
+
+    # (d) loud guards
+    with pytest.raises(Exception, match="NaN"):
+        hdr_signed_quantiles(
+            spark.createDataFrame([(1.0,), (float("nan"),)], "v double"),
+            "v",
+        ).collect()
+    with pytest.raises(Exception, match="2\\^62"):
+        hdr_signed_quantiles(
+            spark.createDataFrame([(1e30,)], "v double"), "v"
+        ).collect()
+
+
 def test_hdr_quantiles_by_group_isolation(spark):
     """hdr_quantiles_by (r8): per-group sketches are computed in
     isolation — each group's brackets contain that group's OWN true
@@ -2248,6 +2331,106 @@ def test_ingest_increment_crash_rerun_is_idempotent(spark, tmp_path):
             )
         )
         assert got == want, sub
+
+
+def test_ingest_increment_multi_chain_with_crash_and_ann(spark, tmp_path):
+    """r9 (VERDICT r8 Next #5): the WHOLE daily loop exercised N
+    times — a 3-increment chain with a mid-chain crash-rerun, pinned
+    consistent with one full-corpus minhash_near_dups pass, with the
+    embeddings side (append_ann_index's split-append ≡ bulk-append
+    property) composed into the same loop: each text increment is
+    accompanied by an ANN append of that increment's embeddings, and
+    after the chain the ANN index equals a one-shot bulk append."""
+    import shutil
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+    from etl_macropulse_br_spark.operators.dedup import (
+        minhash_near_dups,
+        minhash_signature_table,
+    )
+    from scripts.ingest_increment import run
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cuts = [(0, 170), (170, 340), (340, 10**9)]
+    bpaths = []
+    for i, (lo, hi) in enumerate(cuts):
+        p = str(tmp_path / f"b{i}.parquet")
+        docs.filter(f"doc_id >= {lo} and doc_id < {hi}").write.parquet(p)
+        bpaths.append(p)
+
+    # embeddings side: bulk reference index (train on slice 0, bulk
+    # append slices 1+2) vs the chained per-increment appends
+    esl = [
+        emb.filter(f"vec_id >= {lo} and vec_id < {hi}") for lo, hi in cuts
+    ]
+    bulk_dir = str(tmp_path / "ann_bulk")
+    save_ann_index(esl[0], bulk_dir, k=4, rounds=1, m=8, ks=8,
+                   pq_rounds=1, sub=8)  # 64-dim corpus embeddings
+    chain_dir = str(tmp_path / "ann_chain")
+    shutil.copytree(bulk_dir, chain_dir)
+    append_ann_index(esl[1].unionByName(esl[2]), bulk_dir)
+
+    state = str(tmp_path / "chain_state")
+    outs = []
+    for i, bp in enumerate(bpaths):
+        out = str(tmp_path / f"chain_out{i}")
+        if i == 1:
+            # mid-chain crash: batch 1's signatures land WITHOUT the
+            # meta update, then the rerun proceeds (the legitimate
+            # retry path — the completed-batch guard only rejects
+            # reruns whose meta write committed)
+            minhash_signature_table(
+                spark.read.parquet(bp).select("doc_id", "text"),
+                n_shingle=3,
+                k=16,
+            ).write.mode("append").parquet(f"{state}/signatures")
+        m = run(spark, bp, state, out, threshold=0.5)
+        outs.append(out)
+        if i > 0:
+            append_ann_index(esl[i], chain_dir)
+    assert m["n_corpus_docs"] == docs.count()
+    assert m["n_prior_batches"] == 2
+
+    # chain == one full-corpus pass
+    inc_pairs = {}
+    for out in outs:
+        for r in spark.read.parquet(f"{out}/matches").collect():
+            inc_pairs[(r["new_id"], r["match_id"])] = r["jaccard"]
+    full = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["jaccard"]
+        for r in minhash_near_dups(
+            docs, threshold=0.5, persist_candidates=False
+        ).collect()
+    }
+    assert full and inc_pairs == full
+
+    # survivors across the chain = docs with no match anywhere
+    surv = set()
+    for out in outs:
+        surv |= {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/survivors").collect()
+        }
+    assert surv == {r["doc_id"] for r in docs.collect()} - {
+        a for a, _ in inc_pairs
+    }
+
+    # embeddings side: chained appends == bulk append, row-for-row
+    bix = load_ann_index(spark, bulk_dir)
+    cix = load_ann_index(spark, chain_dir)
+    assert sorted(map(tuple, bix.assign.collect())) == sorted(
+        map(tuple, cix.assign.collect())
+    )
+    assert sorted(map(tuple, bix.codes.collect())) == sorted(
+        map(tuple, cix.codes.collect())
+    )
 
 
 def test_sketches_serve_from_stored_state(spark, tmp_path):

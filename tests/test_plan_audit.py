@@ -288,3 +288,19 @@ def test_r8_aux_queries_plan_shapes(small_spark):
     assert "CartesianProduct" not in hdr_by
     assert hdr_by.count("Scan parquet") == 1
     assert hdr_by.count("Exchange hashpartitioning") <= 2
+
+
+def test_r9_signed_hdr_plan_shapes(small_spark):
+    """r9 signed HDR sketch: same discipline as the unsigned family
+    — single scan of the fact (the rank selection rides windows
+    over the bucket table), bucket-row-only hash exchanges, no
+    cartesian beyond the <=|qs|-row rank-spec ride-along."""
+    sg = _plan(small_spark, "price_hdr_signed_delta")
+    assert "CartesianProduct" not in sg
+    assert sg.count("Scan parquet") == 1
+    assert sg.count("Exchange hashpartitioning") <= 1
+
+    sg_by = _plan(small_spark, "events_hdr_signed_delta_by_type")
+    assert "CartesianProduct" not in sg_by
+    assert sg_by.count("Scan parquet") == 1
+    assert sg_by.count("Exchange hashpartitioning") <= 2

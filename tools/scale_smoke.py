@@ -444,6 +444,50 @@ def main() -> None:
         )
     results["hdr_state_and_error"] = hdr_rows
 
+    # r9: SIGNED HDR sketch — same two claims on a mirrored domain
+    # {±r^2}: state stays under the doubled cap (two mirrored
+    # stores), and every bracket contains the closed-form true rank
+    # value with the midpoint inside the relative guarantee on |v|.
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_signed_histogram,
+        hdr_signed_quantiles,
+    )
+
+    cap_signed = 2 * cap + 1
+    signed_rows = {}
+    for n in (10_000, 100_000):
+        sq_pos = spark.range(n).select(
+            (((F.col("id") + 1) * (F.col("id") + 1)).cast("double")).alias(
+                "v"
+            )
+        )
+        sq = sq_pos.unionAll(sq_pos.select((-F.col("v")).alias("v")))
+        n_buckets = hdr_signed_histogram(sq, "v", 1.0, s_hdr).count()
+        worst = 0.0
+        for r in hdr_signed_quantiles(
+            sq, "v", (0.1, 0.5, 0.99), 1.0, s_hdr
+        ).collect():
+            rk = r["rank"]
+            true = (
+                -((n - rk + 1) ** 2) if rk <= n else (rk - n) ** 2
+            )
+            assert r["lo"] <= true <= r["hi"], (n, r["q"])
+            worst = max(worst, abs(r["est"] - true) / abs(true))
+        assert worst < 2 ** -(s_hdr + 1), worst
+        assert n_buckets <= cap_signed
+        signed_rows[str(2 * n)] = {
+            "occupied_buckets": n_buckets,
+            "bucket_cap": cap_signed,
+            "worst_rel_err": round(worst, 6),
+            "err_guarantee": round(2 ** -(s_hdr + 1), 6),
+        }
+        print(
+            f"{'hdr_signed n=' + str(2 * n):26s} buckets={n_buckets:5d}"
+            f"/{cap_signed} rel_err={worst:.4%}"
+            f" (cap {2 ** -(s_hdr + 1):.4%})"
+        )
+    results["hdr_signed_state_and_error"] = signed_rows
+
     print(json.dumps({"sf_dir": sf_dir, "max_k": max_k, "results": results}))
 
 
