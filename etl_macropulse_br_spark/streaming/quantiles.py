@@ -21,6 +21,12 @@ not silently alias a positive bucket); nulls are skipped on both
 sides. No watermark/timeout — lifetime quantiles are monotone
 state by design (window upstream for "p95 per hour").
 
+r9 adds :func:`running_signed_quantiles_stream` — the signed/
+double-domain twin (fixed-point floor gateway + mirrored buckets,
+batch twin ``hdr_signed_quantiles_by``) for running model-score /
+loss / delta percentiles; NaN and fixed-point overflow kill the
+query loudly via the batch family's plan guards.
+
 Reference scope: the reference is strictly batch (SURVEY.md §2.11);
 streaming extension surface.
 """
@@ -75,12 +81,37 @@ def _bracket_of(bucket: int, s: int) -> tuple[int, int]:
     return lo, lo + (1 << (e - s)) - 1
 
 
+def _bucket_signed_of(a: int, s: int) -> int:
+    """Python twin of the batch SIGNED bucketing
+    (operators/sketches.py:hdr_signed_histogram): mirror the
+    unsigned bucket below zero."""
+    if a >= 0:
+        return _bucket_of(a, s)
+    return -1 - _bucket_of(-a, s)
+
+
+def _bracket_signed_of(bucket: int, s: int) -> tuple[int, int]:
+    if bucket >= 0:
+        return _bracket_of(bucket, s)
+    lo_m, hi_m = _bracket_of(-1 - bucket, s)
+    return -hi_m, -lo_m
+
+
 def _quantile_rows(
-    group_key: str, counts: dict[int, int], qs: tuple[float, ...], s: int
+    group_key: str,
+    counts: dict[int, int],
+    qs: tuple[float, ...],
+    s: int,
+    bracket_fn=None,
+    scale: float = 1.0,
 ) -> pd.DataFrame:
     """The batch selection, replayed over the in-state sketch: rank
     = max(1, ceil(q*n)); first bucket whose cumsum reaches it; same
-    float product/ceil/midpoint sequence as the Spark/DuckDB twins."""
+    float product/ceil/midpoint sequence as the Spark/DuckDB twins.
+    ``bracket_fn``/``scale`` switch between the unsigned family
+    (midpoint estimate) and the signed fixed-point family
+    (((lo + hi) / 2) / scale — the exact batch op order)."""
+    bracket_fn = bracket_fn or _bracket_of
     n = sum(counts.values())
     out = {k: [] for k in ("group_key", "q", "rank", "n", "lo", "hi", "est")}
     ordered = sorted(counts)
@@ -90,14 +121,14 @@ def _quantile_rows(
         for b in ordered:
             cum += counts[b]
             if cum >= rank:
-                lo, hi = _bracket_of(b, s)
+                lo, hi = bracket_fn(b, s)
                 out["group_key"].append(group_key)
                 out["q"].append(float(q))
                 out["rank"].append(rank)
                 out["n"].append(n)
                 out["lo"].append(lo)
                 out["hi"].append(hi)
-                out["est"].append((lo + hi) / 2.0)
+                out["est"].append((lo + hi) / 2.0 / scale)
                 break
     return pd.DataFrame(out)
 
@@ -109,6 +140,8 @@ def _update_group(
     value_col: str,
     qs: tuple[float, ...],
     s: int,
+    signed: bool = False,
+    scale: float = 1.0,
 ) -> Iterator[pd.DataFrame]:
     (group_key,) = key
     if state.exists:
@@ -121,17 +154,24 @@ def _update_group(
             if v is None or pd.isna(v):
                 continue
             v = int(v)
-            if v < 0:
+            if not signed and v < 0:
                 raise ValueError(
                     f"running_quantiles_stream: negative value {v} "
                     "(the batch twin's guard raises too)"
                 )
-            b = _bucket_of(v, s)
+            b = _bucket_signed_of(v, s) if signed else _bucket_of(v, s)
             counts[b] = counts.get(b, 0) + 1
     items = sorted(counts.items())
     state.update(([b for b, _ in items], [c for _, c in items]))
     if counts:
-        yield _quantile_rows(group_key, counts, qs, s)
+        yield _quantile_rows(
+            group_key,
+            counts,
+            qs,
+            s,
+            _bracket_signed_of if signed else _bracket_of,
+            scale if signed else 1.0,
+        )
 
 
 def running_quantiles_stream(
@@ -164,6 +204,74 @@ def running_quantiles_stream(
         .applyInPandasWithState(
             lambda key, pdfs, state: _update_group(
                 key, pdfs, state, value_col, qs, s
+            ),
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_signed_quantiles_stream(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: float = 1e6,
+    s: int = 6,
+) -> DataFrame:
+    """SIGNED/double-domain running quantiles (r9) — the streaming
+    twin of ``operators/sketches.hdr_signed_quantiles_by``: model
+    scores / losses / deltas over an unbounded stream with bounded
+    state (<= 2*((64-s)*2^s + 2^s) + 1 bucket counts per group).
+    The fixed-point floor gateway and both fail-fast guards (NaN,
+    |v*scale| >= 2^62) run IN THE SPARK PLAN with the exact batch
+    expressions, so Python only ever sees valid int64 fixed-point
+    values (and nulls are dropped upstream, keeping the Arrow chunk
+    int64 — the r9 precision rule). After consuming the whole
+    input, each group's latest rows equal the batch twin's
+    bit-for-bit (rank, fixed-point bracket, and value-domain
+    midpoint estimate). Pinned by the stream-vs-batch
+    differential."""
+    from pyspark.sql import functions as F
+
+    lim = float(1 << 62)
+    a = "__fp"
+    stream = (
+        stream.withColumn("__v0", F.col(value_col).cast("double"))
+        .filter(F.col("__v0").isNotNull())
+        .withColumn(
+            "__v0",
+            F.coalesce(
+                F.assert_true(
+                    ~F.isnan(F.col("__v0")),
+                    F.lit("running_signed_quantiles_stream: NaN value"),
+                ).cast("double"),
+                F.col("__v0"),
+            ),
+        )
+        .withColumn(a, F.floor(F.col("__v0") * F.lit(float(scale))))
+        .withColumn(
+            a,
+            F.coalesce(
+                F.assert_true(
+                    (F.col(a) < F.lit(lim)) & (F.col(a) > F.lit(-lim)),
+                    F.lit(
+                        "running_signed_quantiles_stream: |value * "
+                        "scale| exceeds 2^62"
+                    ),
+                ).cast("bigint"),
+                F.col(a),
+            ),
+        )
+        .drop("__v0")
+    )
+    return (
+        stream.groupBy(group_col)
+        .applyInPandasWithState(
+            lambda key, pdfs, state: _update_group(
+                key, pdfs, state, a, qs, s, signed=True, scale=scale
             ),
             outputStructType=OUT_SCHEMA,
             stateStructType=STATE_SCHEMA,

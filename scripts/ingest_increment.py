@@ -47,9 +47,11 @@ duplicate banding rows, which candidate generation collapses behind
 its ``.distinct()`` (operators/dedup.py:incremental_near_dups).
 Colliding docs' text is read from the batch paths meta records, so
 the rerun's OUTPUTS equal a clean run's (effective idempotence), at
-the cost of dead rows in ``signatures/`` until a rewrite compacts
-them; the rerun appends its own second signature copy, which future
-increments tolerate by (b).
+the cost of dead rows in ``signatures/`` until
+:func:`compact_signature_index` rewrites them away (r9 — also
+bounds the one-file-set-per-increment small-files growth;
+``--compact``); the rerun appends its own second signature copy,
+which future increments tolerate by (b).
 
 Usage:
     python scripts/ingest_increment.py --new-batch B.parquet \
@@ -198,26 +200,98 @@ def run(
     }
 
 
+def compact_signature_index(
+    spark, state_dir: str, target_files: int | None = None
+) -> dict:
+    """Rewrite ``signatures/`` into a bounded file count and drop the
+    dead rows crash-reruns leave behind (r9 — the module docstring's
+    "until a rewrite compacts them"): per-run appends accumulate one
+    parquet file set per increment (the small-files trap at scale),
+    and a rerun after a crash appends a second identical copy of the
+    batch's signatures. Signatures are DETERMINISTIC per id (same
+    text, same family), so ``dropDuplicates(id)`` is exact — every
+    surviving row is bit-identical to what candidate generation read
+    before.
+
+    Swap protocol (plain directories have no atomic rename-over):
+    write the compacted table to a uniquely-named sibling, rename
+    ``signatures`` away, rename the sibling in, delete the old. A
+    crash between the renames leaves NO ``signatures/`` directory —
+    the next increment fails LOUDLY on the missing path (never a
+    silent partial index); recovery is renaming the stranded
+    ``signatures.old-*`` / ``signatures.compact-*`` directory back.
+    Single-writer contract, same as the ANN index's prune."""
+    import glob
+    import shutil
+    import uuid
+
+    sig_dir = os.path.join(state_dir, "signatures")
+    n = target_files or 1
+    before_files = len(
+        glob.glob(os.path.join(sig_dir, "**", "*.parquet"), recursive=True)
+    )
+    before_rows = spark.read.parquet(sig_dir).count()
+
+    tmp = os.path.join(state_dir, f"signatures.compact-{uuid.uuid4().hex[:8]}")
+    (
+        spark.read.parquet(sig_dir)
+        .dropDuplicates(["id"])
+        .repartition(n)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    after_rows = spark.read.parquet(tmp).count()
+    old = os.path.join(state_dir, f"signatures.old-{uuid.uuid4().hex[:8]}")
+    os.rename(sig_dir, old)
+    os.rename(tmp, sig_dir)
+    shutil.rmtree(old)
+    after_files = len(
+        glob.glob(os.path.join(sig_dir, "**", "*.parquet"), recursive=True)
+    )
+    return {
+        "state_dir": state_dir,
+        "files_before": before_files,
+        "files_after": after_files,
+        "rows_before": before_rows,
+        "rows_after": after_rows,
+        "dead_rows_removed": before_rows - after_rows,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--new-batch", required=True)
+    ap.add_argument("--new-batch", default=None)
     ap.add_argument("--state-dir", required=True)
     ap.add_argument("--out", default=None)
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="compact the signature index (drop crash-rerun dead "
+        "rows, bound the file count); runs after the increment, or "
+        "standalone when --new-batch is omitted",
+    )
+    ap.add_argument(
         "--profile", default="cluster", choices=["cluster", "small-input"]
     )
     args = ap.parse_args()
+    if not args.new_batch and not args.compact:
+        raise SystemExit("nothing to do: pass --new-batch and/or --compact")
 
     from etl_macropulse_br_spark.session import get_spark
 
     spark = get_spark(app_name="ingest_increment", profile=args.profile)
-    out_dir = args.out or os.path.join(os.getcwd(), "ingest_out")
-    print(
-        json.dumps(
-            run(spark, args.new_batch, args.state_dir, out_dir, args.threshold)
+    manifest = {}
+    if args.new_batch:
+        out_dir = args.out or os.path.join(os.getcwd(), "ingest_out")
+        manifest = run(
+            spark, args.new_batch, args.state_dir, out_dir, args.threshold
         )
-    )
+    if args.compact:
+        manifest["compaction"] = compact_signature_index(
+            spark, args.state_dir
+        )
+    print(json.dumps(manifest))
     spark.stop()
 
 

@@ -2393,6 +2393,19 @@ def test_ingest_increment_multi_chain_with_crash_and_ann(spark, tmp_path):
             ).write.mode("append").parquet(f"{state}/signatures")
         m = run(spark, bp, state, out, threshold=0.5)
         outs.append(out)
+        if i == 1:
+            # r9: mid-chain signature-index compaction — must drop
+            # the crash-rerun's dead rows and leave the next
+            # increment's outputs unchanged (signatures are
+            # deterministic per id, so dropDuplicates(id) is exact)
+            from scripts.ingest_increment import (
+                compact_signature_index,
+            )
+
+            c = compact_signature_index(spark, state, target_files=1)
+            assert c["dead_rows_removed"] > 0
+            assert c["rows_after"] == 340  # ids 0..339 ingested so far
+            assert c["files_after"] <= c["files_before"]
         if i > 0:
             append_ann_index(esl[i], chain_dir)
     assert m["n_corpus_docs"] == docs.count()

@@ -137,3 +137,80 @@ def test_stream_quantiles_large_values_with_nulls_stay_exact(spark, tmp_path):
     assert len(batch) == 1
     for c in ("rank", "n", "lo", "hi", "est"):
         assert rows[0][c] == batch[0][c], (c, rows[0][c], batch[0][c])
+
+
+def test_stream_signed_running_quantiles_matches_batch(spark, tmp_path):
+    """r9: the SIGNED streaming twin — running percentiles of a
+    signed double column across micro-batches must converge to the
+    batch hdr_signed_quantiles_by rows bit-for-bit (rank,
+    fixed-point bracket, value-domain midpoint), including a group
+    whose distribution straddles zero."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_signed_quantiles_by,
+    )
+    from etl_macropulse_br_spark.streaming.quantiles import (
+        running_signed_quantiles_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    rng = random.Random(37)
+    qs, scale, s = (0.1, 0.5, 0.9), 1000.0, 6
+    src = str(tmp_path / "sq_stream")
+    spark.createDataFrame(
+        [("score", rng.gauss(0, 2)) for _ in range(400)]
+        + [("loss", abs(rng.gauss(5, 3))) for _ in range(200)]
+        + [("score", None)] * 3,
+        schema,
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("score", rng.gauss(-3, 1)) for _ in range(300)]
+        + [("delta", rng.uniform(-1e4, 1e4)) for _ in range(50)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_signed_quantiles_stream(
+            stream, "event_type", "v", qs, scale, s
+        )
+        .writeStream.format("memory")
+        .queryName("signed_quant_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from signed_quant_out").collect()
+    final = {}
+    for r in rows:
+        k = (r["group_key"], r["q"])
+        if k not in final or r["n"] > final[k]["n"]:
+            final[k] = r
+    batch = {
+        (r["event_type"], r["q"]): r
+        for r in hdr_signed_quantiles_by(
+            spark.read.parquet(src), "v", ["event_type"], qs, scale, s
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    # the straddling group must exercise both sides of zero
+    score_lo = [final[k]["lo"] for k in final if k[0] == "score"]
+    assert min(score_lo) < 0
+    for k, fr in final.items():
+        br = batch[k]
+        for c in ("rank", "n", "lo", "hi", "est"):
+            assert fr[c] == br[c], (k, c, fr[c], br[c])
