@@ -1370,6 +1370,57 @@ def test_ann_index_compaction_bit_identical_and_bounds_files(
     assert ix.assign.count() == 95
 
 
+def test_ann_index_legacy_layout_loads_and_appends(spark, tmp_path):
+    """Pre-r9 indexes carry no MANIFEST.json — loading must
+    synthesize the implicit base-segment listing, and an append must
+    upgrade the index in place (write its segment + commit a
+    manifest including the legacy base), with the result equal to an
+    append on the manifest-ful copy."""
+    import os
+    import random
+    import shutil
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    rng = random.Random(67)
+    schema = "vec_id long, embedding array<float>"
+    a = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(10)],
+        schema,
+    )
+    modern = str(tmp_path / "modern")
+    save_ann_index(a, modern, k=4, rounds=1, m=4, ks=8, pq_rounds=1, sub=2)
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(modern, legacy)
+    os.remove(os.path.join(legacy, "MANIFEST.json"))
+
+    # manifest-less load serves identically
+    lx = load_ann_index(spark, legacy)
+    mx = load_ann_index(spark, modern)
+    assert sorted(map(tuple, lx.assign.collect())) == sorted(
+        map(tuple, mx.assign.collect())
+    )
+
+    # append upgrades in place; result equals the modern append
+    append_ann_index(b, legacy)
+    append_ann_index(b, modern)
+    assert os.path.exists(os.path.join(legacy, "MANIFEST.json"))
+    lx2 = load_ann_index(spark, legacy)
+    mx2 = load_ann_index(spark, modern)
+    assert sorted(map(tuple, lx2.codes.collect())) == sorted(
+        map(tuple, mx2.codes.collect())
+    )
+    assert lx2.assign.count() == 50
+
+
 def test_ann_index_adc_drift_metric_rises_under_shift(spark, tmp_path):
     """r9 (VERDICT r8 Next #3b): the manifest's adc_history makes
     codebook staleness measurable — an appended batch drawn from the
