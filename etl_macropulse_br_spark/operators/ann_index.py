@@ -225,6 +225,24 @@ def save_ann_index(
     )
 
     spark = emb.sparkSession
+
+    # invalidate any PREVIOUS index at this path BEFORE the first
+    # base-table overwrite (r9 review fix): a retrain that crashed
+    # after overwriting assign/ but before the final manifest commit
+    # would otherwise leave the OLD manifest listing appended
+    # segments whose vec_ids are now also in the new base — a
+    # consistent-looking torn view (the PQ invariant still holds)
+    # that silently double-counts those vectors' ADC distances at
+    # serve time. With the manifest and segments gone first, a
+    # mid-save crash leaves a legacy-shaped partial index whose next
+    # load fails the loud count invariant instead.
+    mpath = os.path.join(path, _MANIFEST_NAME)
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    seg_root = os.path.join(path, "segments")
+    if os.path.isdir(seg_root):
+        shutil.rmtree(seg_root)
+
     pts = _points(emb, id_col, emb_col)
 
     cents = kmeans_centroids(emb, k, rounds, id_col, emb_col)
@@ -278,12 +296,6 @@ def save_ann_index(
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(params, f, indent=2, sort_keys=True)
 
-    # a fresh save owns the whole directory: stale appended segments
-    # from any previous index at this path are dead — remove them so
-    # the new manifest's listing is also the physical truth
-    seg_root = os.path.join(path, "segments")
-    if os.path.isdir(seg_root):
-        shutil.rmtree(seg_root)
     manifest = _legacy_manifest(with_pq)
     if with_pq:
         r = _mean_adc_residual(codes)
@@ -513,7 +525,11 @@ def compact_ann_index(
     readers that loaded the old manifest before the swap should
     finish before pruning in a concurrent deployment (local/driver
     use here is single-writer)."""
-    idx = load_ann_index(spark, path)
+    # entry load skips the PQ count validation — the rewrite is a
+    # straight re-materialization and the post-commit load below
+    # validates; validating twice would pay four n-row count jobs
+    # per routine compaction (r9 review fix)
+    idx = load_ann_index(spark, path, validate=False)
     p = idx.params
     with_pq = p.get("with_pq", True)
     n = target_files or spark.sparkContext.defaultParallelism

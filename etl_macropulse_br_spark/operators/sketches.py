@@ -273,12 +273,15 @@ def kmv_set_ops_from_sketches(
     jac = F.col("n_both") / F.col("n_union_kept")
     est_union = _kmv_est("n_union_kept", "kth_union", k)
 
-    def checked(n_col: str, side: str):
+    def checked(n_col: str, side: str) -> Column:
         # in-plan k-overflow guard (r9, ADVICE r8 #5): a sketch with
         # MORE than k rows was built with a larger k — its kth-min is
         # not the serve-k threshold and every estimate would be
         # plausible garbage. count(*) is never null, so the branch
-        # always evaluates.
+        # always evaluates. The guard expression is embedded in
+        # EVERY consumer below (the published count AND the
+        # estimator built from it), so column pruning of the count
+        # column cannot silently disable it (r9 review fix).
         return F.when(F.col(n_col) <= k, F.col(n_col)).otherwise(
             F.raise_error(
                 F.lit(
@@ -288,18 +291,25 @@ def kmv_set_ops_from_sketches(
                     "save_kmv_sketch/load_kmv_sketch)"
                 )
             )
-        ).alias(n_col)
+        )
 
+    def est_from(n: Column, kth_col: str) -> Column:
+        return F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col(kth_col)
+        )
+
+    na = checked("n_a_kept", "left")
+    nb = checked("n_b_kept", "right")
     return (
         agg_u.crossJoin(F.broadcast(agg_a))
         .crossJoin(F.broadcast(agg_b))
         .select(
-            checked("n_a_kept", "left"),
-            checked("n_b_kept", "right"),
+            na.alias("n_a_kept"),
+            nb.alias("n_b_kept"),
             "n_union_kept",
             "n_both",
-            _kmv_est("n_a_kept", "kth_a", k).alias("est_distinct_a"),
-            _kmv_est("n_b_kept", "kth_b", k).alias("est_distinct_b"),
+            est_from(na, "kth_a").alias("est_distinct_a"),
+            est_from(nb, "kth_b").alias("est_distinct_b"),
             est_union.alias("est_union"),
             jac.alias("jaccard_kmv"),
             (jac * est_union).alias("est_intersection"),
@@ -1141,6 +1151,62 @@ def hdr_quantiles_sql(
 # ---------------------------------------------------------------------------
 
 
+def _signed_fixed_point_gateway(
+    df: DataFrame,
+    col: str | Column,
+    scale: float,
+    err_prefix: str,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """THE fixed-point gateway, shared verbatim by the batch sketch
+    and the streaming twin (r9 review fix — a hand-copied gateway
+    would let the two sides' bit-parity drift apart): v (double) →
+    ``a = floor(v * scale)`` bigint, with nulls dropped BEFORE the
+    guards (a null condition can short-circuit-skip an appended
+    guard — the repo-documented assert trap), a fail-fast NaN guard
+    (Spark's non-ANSI floor silently maps NaN to fixed-point 0),
+    and a fail-fast |a| < 2^62 overflow guard compared against LONG
+    literals — a double 2^62 literal would round 2^62 - 1 up across
+    the boundary (ulp 512 there) and spuriously reject legal
+    values. floor saturates ±Inf to LONG_MIN/MAX, so infinities hit
+    the overflow guard loudly. Returns ``(*extra_cols, a)``."""
+    extra = extra_cols or []
+    c = F.col(col) if isinstance(col, str) else col
+    lim = 1 << 62
+    return (
+        df.select(*extra, c.cast("double").alias("__v0"))
+        .filter(F.col("__v0").isNotNull())
+        .withColumn(
+            "__v0",
+            F.coalesce(
+                F.assert_true(
+                    ~F.isnan(F.col("__v0")),
+                    F.lit(f"{err_prefix}: NaN value"),
+                ).cast("double"),
+                F.col("__v0"),
+            ),
+        )
+        .withColumn("a", F.floor(F.col("__v0") * F.lit(float(scale))))
+        .withColumn(
+            "a",
+            F.coalesce(
+                F.assert_true(
+                    (F.col("a") < F.lit(lim)) & (F.col("a") > F.lit(-lim)),
+                    F.concat(
+                        F.lit(
+                            f"{err_prefix}: |value * scale| exceeds "
+                            "2^62 at fixed-point value "
+                        ),
+                        F.col("a").cast("string"),
+                    ),
+                ).cast("bigint"),
+                F.col("a"),
+            ),
+        )
+        .drop("__v0")
+    )
+
+
 def hdr_signed_histogram(
     df: DataFrame,
     col: str | Column,
@@ -1157,52 +1223,13 @@ def hdr_signed_histogram(
     guard). Map-only bucketing + one partial-combined hash
     aggregate, exactly :func:`hdr_histogram`'s scale shape."""
     by = by or []
-    c = F.col(col) if isinstance(col, str) else col
-    lim = float(1 << 62)
     guarded = (
-        df.select(*by, c.cast("double").alias("v0"))
-        # nulls dropped BEFORE the guards so the assert conditions
-        # are never null (a null condition can short-circuit-skip an
-        # appended guard — the repo-documented assert trap)
-        .filter(F.col("v0").isNotNull())
-        # fail-fast NaN guard: Spark's non-ANSI floor silently maps
-        # NaN to fixed-point 0 — a corrupt feed would contaminate the
-        # zero bucket with no error (DuckDB raises, so the oracle
-        # contract is loud on both engines)
-        .withColumn(
-            "v0",
-            F.coalesce(
-                F.assert_true(
-                    ~F.isnan(F.col("v0")),
-                    F.lit("hdr_signed_histogram: NaN value"),
-                ).cast("double"),
-                F.col("v0"),
-            ),
+        _signed_fixed_point_gateway(
+            df, col, scale, "hdr_signed_histogram", by
         )
         .withColumn(
-            "a", F.floor(F.col("v0") * F.lit(float(scale)))
+            "m", F.when(F.col("a") >= 0, F.col("a")).otherwise(-F.col("a"))
         )
-        # fail-fast overflow guard: past 2^62 the mirror negation -a
-        # and the bucket shifts would wrap; Spark's floor SATURATES
-        # +-Inf / huge doubles to LONG_MIN/MAX, so this also catches
-        # infinities loudly
-        .withColumn(
-            "a",
-            F.coalesce(
-                F.assert_true(
-                    (F.col("a") < F.lit(lim)) & (F.col("a") > F.lit(-lim)),
-                    F.concat(
-                        F.lit(
-                            "hdr_signed_histogram: |value * scale| "
-                            "exceeds 2^62 at fixed-point value "
-                        ),
-                        F.col("a").cast("string"),
-                    ),
-                ).cast("bigint"),
-                F.col("a"),
-            ),
-        )
-        .withColumn("m", F.when(F.col("a") >= 0, F.col("a")).otherwise(-F.col("a")))
         .withColumn(
             "e", (F.length(F.bin(F.col("m"))) - F.lit(1)).cast("int")
         )

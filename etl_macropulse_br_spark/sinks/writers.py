@@ -175,19 +175,31 @@ def write_zorder_layout(
         if mn is None or mx is None or mx == mn:
             scaled.append(F.lit(0).cast("bigint"))
             continue
-        # the (v - min) offset is cast to DOUBLE before the * top
-        # multiply: in bigint arithmetic (v - mn) * top overflows a
-        # long once the column span exceeds ~2^47 (epoch-micros over
-        # a few years, wide id domains) — silent wraparound under the
-        # non-ANSI session, garbage Morton keys for the upper domain.
-        # Doubles instead blur ranks above ~2^53 of the PRODUCT,
-        # which only nudges tile boundaries (layout, not results).
+        # the offset runs ENTIRELY in doubles: long arithmetic
+        # (v - mn) wraps once the column span reaches 2^63 (a large
+        # negative sentinel + large positives), and (v - mn) * top
+        # wrapped already past ~2^47 (epoch-micros over a few years)
+        # — silent garbage Morton keys under the non-ANSI session.
+        # Doubles instead blur ranks above ~2^53, which only nudges
+        # tile boundaries (layout, not results).
+        # clamped to [0, top]: double rounding at the domain edges
+        # can land one past the end, and a rank of top+1 carries a
+        # 17th bit the interleave would silently drop
         scaled.append(
-            (
-                (F.col(c).cast("bigint") - F.lit(mn)).cast("double")
-                * F.lit(float(top))
-                / F.lit(float(mx - mn))
-            ).cast("bigint")
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(
+                    F.lit(top).cast("bigint"),
+                    (
+                        (
+                            F.col(c).cast("bigint").cast("double")
+                            - F.lit(float(mn))
+                        )
+                        * F.lit(float(top))
+                        / F.lit(float(mx - mn))
+                    ).cast("bigint"),
+                ),
+            )
         )
     n = target_files or df.sparkSession.sparkContext.defaultParallelism
     key = "__zorder"

@@ -137,6 +137,11 @@ def _banded_stream(
         *ecols,
         F.transform(toks, lambda t: base32(t)).alias("th"),
     )
+    if event_col:
+        # null event drop IN THE PLAN (r9 review fix): a null 'e'
+        # would turn the Arrow chunk float64 and int(NaN) kills the
+        # query with an opaque pandas error
+        p1 = p1.filter(F.col("e").isNotNull())
 
     # stage 2: shingle combine over the th ATTRIBUTE (cheap refs)
     th = F.col("th")
@@ -287,9 +292,13 @@ def _update_bucket_sig(
     rows.sort(key=lambda r: r[0])
     out_new, out_match, out_j = [], [], []
     for doc_id, sig, ev in rows:
+        if doc_id in ids:
+            # at-least-once delivery: the first delivery already
+            # emitted this doc's pairs and entered it into state;
+            # re-processing would grow the "(k+2) longs per DOC"
+            # bound into per-DELIVERY and re-emit its matches
+            continue
         for j, other_id in enumerate(ids):
-            if other_id == doc_id:
-                continue  # replay/duplicate delivery of the same doc
             if horizon_us is not None and ev is not None:
                 oe = events[j]
                 if oe is None or abs(ev - oe) > horizon_us:
@@ -358,7 +367,16 @@ def sig_neardup_stream(
     Emits one row per colliding band (module docstring) —
     ``dropDuplicates`` at the sink; rows for a pair are exact
     duplicates ((greatest, least) orientation, same estimator
-    value in every band)."""
+    value in every band). In horizon mode, rows with a NULL event
+    time are dropped in the Spark plan (an undated doc has no
+    well-defined window; dropping also keeps the Arrow event chunk
+    int64 — the r9 precision rule)."""
+    if horizon is not None and event_col is None:
+        raise ValueError(
+            "sig_neardup_stream: horizon requires event_col — "
+            "without an event time the dedup window cannot be "
+            "applied and state would never evict"
+        )
     banded = _banded_stream(
         stream, text_col, id_col, n_shingle, k, bands, "sig", event_col
     )

@@ -234,44 +234,22 @@ def running_signed_quantiles_stream(
     bit-for-bit (rank, fixed-point bracket, and value-domain
     midpoint estimate). Pinned by the stream-vs-batch
     differential."""
-    from pyspark.sql import functions as F
+    from etl_macropulse_br_spark.operators.sketches import (
+        _signed_fixed_point_gateway,
+    )
 
-    lim = float(1 << 62)
-    a = "__fp"
-    stream = (
-        stream.withColumn("__v0", F.col(value_col).cast("double"))
-        .filter(F.col("__v0").isNotNull())
-        .withColumn(
-            "__v0",
-            F.coalesce(
-                F.assert_true(
-                    ~F.isnan(F.col("__v0")),
-                    F.lit("running_signed_quantiles_stream: NaN value"),
-                ).cast("double"),
-                F.col("__v0"),
-            ),
-        )
-        .withColumn(a, F.floor(F.col("__v0") * F.lit(float(scale))))
-        .withColumn(
-            a,
-            F.coalesce(
-                F.assert_true(
-                    (F.col(a) < F.lit(lim)) & (F.col(a) > F.lit(-lim)),
-                    F.lit(
-                        "running_signed_quantiles_stream: |value * "
-                        "scale| exceeds 2^62"
-                    ),
-                ).cast("bigint"),
-                F.col(a),
-            ),
-        )
-        .drop("__v0")
+    stream = _signed_fixed_point_gateway(
+        stream,
+        value_col,
+        scale,
+        "running_signed_quantiles_stream",
+        [group_col],
     )
     return (
         stream.groupBy(group_col)
         .applyInPandasWithState(
             lambda key, pdfs, state: _update_group(
-                key, pdfs, state, a, qs, s, signed=True, scale=scale
+                key, pdfs, state, "a", qs, s, signed=True, scale=scale
             ),
             outputStructType=OUT_SCHEMA,
             stateStructType=STATE_SCHEMA,

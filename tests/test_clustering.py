@@ -1370,6 +1370,62 @@ def test_ann_index_compaction_bit_identical_and_bounds_files(
     assert ix.assign.count() == 95
 
 
+def test_ann_index_retrain_crash_never_serves_duplicates(
+    spark, tmp_path, monkeypatch
+):
+    """r9 review fix: a retrain (save_ann_index over an index that
+    has appended segments) invalidates the old manifest BEFORE
+    touching the base tables. Pre-fix, a crash between the base
+    overwrite and the new manifest commit left the OLD manifest
+    listing segments whose vec_ids are also in the new base — a
+    consistent-looking torn view that double-counted those vectors'
+    ADC distances. Post-fix, a crash at the commit point leaves a
+    legacy-shaped index over the fully-written new base: loading
+    must serve each vec_id exactly ONCE (or fail loudly — never
+    silent duplicates)."""
+    import random
+
+    import pytest
+
+    import etl_macropulse_br_spark.operators.ann_index as AIX
+
+    rng = random.Random(71)
+    schema = "vec_id long, embedding array<float>"
+    a = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(10)],
+        schema,
+    )
+    path = str(tmp_path / "ix")
+    AIX.save_ann_index(a, path, k=4, rounds=1, m=4, ks=8, pq_rounds=1, sub=2)
+    AIX.append_ann_index(b, path)  # daily-loop state: base + segment
+
+    real_commit = AIX._commit_manifest
+
+    def crash_commit(p, manifest):
+        raise RuntimeError("injected crash at retrain commit")
+
+    monkeypatch.setattr(AIX, "_commit_manifest", crash_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        AIX.save_ann_index(
+            a.unionByName(b), path, k=4, rounds=1, m=4, ks=8,
+            pq_rounds=1, sub=2,
+        )
+    monkeypatch.setattr(AIX, "_commit_manifest", real_commit)
+
+    ix = AIX.load_ann_index(spark, path)
+    got = [r["vec_id"] for r in ix.assign.collect()]
+    assert sorted(got) == sorted(set(got)) == list(range(40)) + list(
+        range(100, 110)
+    )
+    assert ix.codes.groupBy("vec_id", "s").count().filter(
+        "count > 1"
+    ).count() == 0
+
+
 def test_ann_index_legacy_layout_loads_and_appends(spark, tmp_path):
     """Pre-r9 indexes carry no MANIFEST.json — loading must
     synthesize the implicit base-segment listing, and an append must

@@ -184,11 +184,13 @@ def test_sig_stream_state_is_bounded_and_unpickled(spark, tmp_path):
     k = 16
     short = [1] * k
     # a "doc" whose text was 1000x longer changes NOTHING below —
-    # only its k-int signature enters the update
+    # only its k-int signature enters the update; doc 2 is delivered
+    # TWICE (at-least-once upstream) and must enter state once with
+    # its pairs emitted once (r9 review fix)
     rows = pd.DataFrame(
         {
-            "id": [1, 2, 3],
-            "sig": [short, short, [2] * k],
+            "id": [1, 2, 2, 3],
+            "sig": [short, short, short, [2] * k],
         }
     )
     st = FakeState()
@@ -235,9 +237,24 @@ def test_sig_stream_event_horizon_bounds_and_evicts(spark, tmp_path):
     def ts(day):
         return datetime.datetime(2026, 1, day, 12, 0, 0)
 
+    # horizon without event_col must refuse up front (r9 review fix)
+    import pytest
+
+    from etl_macropulse_br_spark.streaming.neardup import (
+        sig_neardup_stream,
+    )
+
+    with pytest.raises(ValueError, match="requires event_col"):
+        sig_neardup_stream(
+            spark.readStream.schema(SCHEMA).parquet(str(tmp_path)),
+            horizon="7 days",
+        )
+
     txt = "the quick brown fox jumps over the lazy dog today"
     other = "completely unrelated text about macro economics here"
-    rows1 = [(1, txt, ts(1)), (2, other, ts(1))]
+    # doc 99 has a NULL event time: dropped in-plan in horizon mode
+    # (undated docs have no window; also keeps the Arrow chunk int64)
+    rows1 = [(1, txt, ts(1)), (2, other, ts(1)), (99, txt, None)]
     rows2 = [(10, txt, ts(2))]   # within 7 days of 1 -> match
     rows3 = [(20, txt, ts(20))]  # 18 days past 10 -> no match
     rows4 = [(30, txt, ts(21))]  # within 7 days of 20 only
