@@ -291,8 +291,9 @@ def _update_bucket_sig(
             )
     rows.sort(key=lambda r: r[0])
     out_new, out_match, out_j = [], [], []
+    member_ids = set(ids)
     for doc_id, sig, ev in rows:
-        if doc_id in ids:
+        if doc_id in member_ids:
             # at-least-once delivery: the first delivery already
             # emitted this doc's pairs and entered it into state;
             # re-processing would grow the "(k+2) longs per DOC"
@@ -310,6 +311,7 @@ def _update_bucket_sig(
                 out_match.append(min(doc_id, other_id))
                 out_j.append(est)
         ids.append(doc_id)
+        member_ids.add(doc_id)
         sigs.extend(sig)
         events.append(ev if ev is not None else 0)
     if horizon_us is not None and events:

@@ -228,6 +228,39 @@ def main() -> None:
         print(f"{'  k=' + str(k):26s} {t:7.2f} {pairs:9d} {per_pair_us:9.1f}")
     results["lsh_dup_heavy"] = lsh
 
+    # r9: signature-agreement verify vs exact shingle verify — the
+    # trade the bounded-state streaming twin buys. Same banding
+    # exchange; the sig verify joins k ints per doc where the exact
+    # verify aggregates full shingle sets, so its advantage GROWS
+    # with the duplicate-heavy pair count.
+    from etl_macropulse_br_spark.operators.dedup import (
+        minhash_sig_near_dups,
+    )
+
+    sig_row = {}
+    for k in (1, 4):
+        d = replicate(docs, k, "doc_id")
+        exact = minhash_near_dups(
+            d, threshold=0.5, persist_candidates=False
+        )
+        sig = minhash_sig_near_dups(d, threshold=0.5)
+        exact.count(), sig.count()  # warm both plan shapes
+        t_exact, n_exact = timed_count(exact)
+        t_sig, n_sig = timed_count(sig)
+        sig_row[f"k{k}"] = {
+            "t_exact": round(t_exact, 2),
+            "t_sig": round(t_sig, 2),
+            "pairs_exact": n_exact,
+            "pairs_sig": n_sig,
+            "sig_over_exact": round(t_sig / t_exact, 2) if t_exact else None,
+        }
+        print(
+            f"{'sig vs exact verify k=' + str(k):26s} {t_sig:7.2f}"
+            f" {t_exact:7.2f} {t_sig / t_exact:6.2f}x"
+            f" (pairs {n_sig}/{n_exact})"
+        )
+    results["sig_vs_exact_verify"] = sig_row
+
     # r7: batch-ANN amortization — the whole point of query-SET
     # serving is that coarse/PQ training and encoding are paid once
     # per batch, not once per query. One batch of Q queries must
