@@ -225,10 +225,15 @@ def _update_bucket(
     # operator's keep-first orientation
     rows.sort(key=lambda r: r[0])
     out_new, out_match, out_j = [], [], []
+    member_ids = {m[0] for m in members}
     for doc_id, sh in rows:
+        if doc_id in member_ids:
+            # at-least-once delivery: the first delivery already
+            # emitted this doc's pairs and entered it into state —
+            # re-appending would grow state per DELIVERY and re-emit
+            # its matches (r9, same fix as the sig twin)
+            continue
         for other_id, other_sh in members:
-            if other_id == doc_id:
-                continue  # replay/duplicate delivery of the same doc
             inter = len(sh & other_sh)
             if not inter:
                 continue
@@ -238,6 +243,7 @@ def _update_bucket(
                 out_match.append(other_id)
                 out_j.append(j)
         members.append((doc_id, sh))
+        member_ids.add(doc_id)
     state.update((pickle.dumps(members),))
     if out_new:
         yield pd.DataFrame(
@@ -400,18 +406,24 @@ def sig_neardup_stream(
 def _interval_us(spec: str) -> int:
     """'7 days' / '30 seconds' → microseconds, driver-side (no
     Date.now dependence; plain arithmetic on the spec)."""
-    n, unit = spec.split()
-    mult = {
-        "second": 1_000_000,
-        "seconds": 1_000_000,
-        "minute": 60_000_000,
-        "minutes": 60_000_000,
-        "hour": 3_600_000_000,
-        "hours": 3_600_000_000,
-        "day": 86_400_000_000,
-        "days": 86_400_000_000,
-    }[unit]
-    return int(n) * mult
+    try:
+        n, unit = spec.split()
+        mult = {
+            "second": 1_000_000,
+            "seconds": 1_000_000,
+            "minute": 60_000_000,
+            "minutes": 60_000_000,
+            "hour": 3_600_000_000,
+            "hours": 3_600_000_000,
+            "day": 86_400_000_000,
+            "days": 86_400_000_000,
+        }[unit]
+        return int(n) * mult
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"interval spec {spec!r}: expected '<int> "
+            "second[s]|minute[s]|hour[s]|day[s]'"
+        ) from None
 
 
 def neardup_stream(
