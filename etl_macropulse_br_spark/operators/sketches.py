@@ -1028,6 +1028,82 @@ def hdr_merge(
     )
 
 
+def save_hdr_histogram(
+    hist: DataFrame,
+    path: str,
+    s: int,
+    scale: float | None = None,
+    by: list[str] | None = None,
+) -> None:
+    """Persist an HDR bucket table WITH its build parameters (r9 —
+    the same sidecar discipline save_kmv_sketch introduced, applied
+    proactively to this family): a histogram merged with one built
+    under a different ``s`` (or a signed one under a different
+    ``scale``) has incompatible bucket indexes and would produce
+    plausible-but-wrong quantiles with no error. ``scale`` is the
+    signed family's fixed-point scale; None marks an unsigned
+    sketch. The ``_hdr_meta.json`` sidecar starts with '_' so
+    Spark's directory reader ignores it."""
+    import json
+    import os
+
+    hist.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_hdr_meta.json"), "w") as f:
+        json.dump(
+            {
+                "s": int(s),
+                "scale": None if scale is None else float(scale),
+                "by": list(by or []),
+            },
+            f,
+        )
+
+
+def load_hdr_histogram(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a histogram persisted by :func:`save_hdr_histogram`,
+    returning ``(frame, meta)`` with the authoritative build params.
+    Raises FileNotFoundError on a sidecar-less directory (plain
+    ``df.write.parquet`` — re-save with :func:`save_hdr_histogram`
+    so merging cannot mis-parameterize)."""
+    import json
+    import os
+
+    mp = os.path.join(path, "_hdr_meta.json")
+    if not os.path.exists(mp):
+        raise FileNotFoundError(
+            f"load_hdr_histogram: no _hdr_meta.json under {path!r} — "
+            "the sketch was persisted without its build params; "
+            "re-save with save_hdr_histogram"
+        )
+    with open(mp) as f:
+        meta = json.load(f)
+    return spark.read.parquet(path), meta
+
+
+def hdr_merge_stored(
+    spark, paths: list[str]
+) -> tuple[DataFrame, dict]:
+    """Merge histograms persisted by :func:`save_hdr_histogram` —
+    the loud-by-construction serve path: every sidecar must agree on
+    (s, scale, by); a mismatch is REJECTED instead of silently
+    adding incompatible bucket indexes. Returns the merged frame
+    plus the shared meta (pass ``meta['scale']`` to
+    :func:`hdr_signed_quantiles_from_histogram` for a signed
+    sketch, or use :func:`hdr_quantiles_from_histogram` for an
+    unsigned one)."""
+    frames, metas = [], []
+    for p in paths:
+        df, m = load_hdr_histogram(spark, p)
+        frames.append(df)
+        metas.append(m)
+    if any(m != metas[0] for m in metas[1:]):
+        raise ValueError(
+            "hdr_merge_stored: sketches built with different "
+            f"params are not mergeable: {metas}"
+        )
+    return hdr_merge(frames, metas[0]["by"]), metas[0]
+
+
 def hdr_quantiles_from_histogram(
     hist: DataFrame,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),

@@ -2461,14 +2461,16 @@ def test_sketches_serve_from_stored_state(spark, tmp_path):
 
     from etl_macropulse_br_spark.operators.sketches import (
         hdr_histogram,
-        hdr_merge,
+        hdr_merge_stored,
         hdr_quantiles_by,
         hdr_quantiles_from_histogram,
         kmv_set_ops,
         kmv_set_ops_from_sketches,
         kmv_set_ops_from_stored,
         kmv_sketch,
+        load_hdr_histogram,
         load_kmv_sketch,
+        save_hdr_histogram,
         save_kmv_sketch,
     )
 
@@ -2529,11 +2531,30 @@ def test_sketches_serve_from_stored_state(spark, tmp_path):
     paths = []
     for i, part in enumerate(thirds):
         p = str(tmp_path / f"hist{i}")
-        hdr_histogram(part, "v", s=6, by=["g"]).write.parquet(p)
+        save_hdr_histogram(
+            hdr_histogram(part, "v", s=6, by=["g"]), p, s=6, by=["g"]
+        )
         paths.append(p)
-    merged = hdr_merge([spark.read.parquet(p) for p in paths], by=["g"])
+    merged, meta = hdr_merge_stored(spark, paths)
+    assert meta == {"s": 6, "scale": None, "by": ["g"]}
     served_q = hdr_quantiles_from_histogram(
         merged, (0.5, 0.95), by=["g"]
     ).collect()
     direct_q = hdr_quantiles_by(df, "v", ["g"], (0.5, 0.95), s=6).collect()
     assert sorted(map(tuple, served_q)) == sorted(map(tuple, direct_q))
+
+    # r9: HDR param sidecar guards (the KMV discipline applied to
+    # this family): a sketch stored under a DIFFERENT s — or a
+    # signed sketch (scale set) mixed with unsigned — is rejected
+    # at merge instead of silently adding incompatible buckets;
+    # sidecar-less directories are rejected at load
+    p_s7 = str(tmp_path / "hist_s7")
+    save_hdr_histogram(
+        hdr_histogram(thirds[0], "v", s=7, by=["g"]), p_s7, s=7, by=["g"]
+    )
+    with pytest.raises(ValueError, match="different params"):
+        hdr_merge_stored(spark, [paths[0], p_s7])
+    bare_h = str(tmp_path / "hist_bare")
+    hdr_histogram(thirds[0], "v", s=6, by=["g"]).write.parquet(bare_h)
+    with pytest.raises(FileNotFoundError, match="_hdr_meta"):
+        load_hdr_histogram(spark, bare_h)
