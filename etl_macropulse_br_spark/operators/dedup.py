@@ -72,19 +72,20 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
 _SHINGLE_COEFS = (786433, 919393, 649657)
 
 
-def token_shingle_hashes(text_col: str, n: int = 3) -> Column:
-    """Distinct word-n-gram shingle hashes WITHOUT building shingle
-    strings: one md5 per token (32-bit base), then each shingle hash
-    is an affine combination of its n token hashes. ~n× fewer md5s
-    than hashing shingle strings and no string allocation — the scale
-    path for MinHash over long documents.
+def shingle_combine_over_th(th: Column, n: int = 3) -> Column:
+    """THE affine n-gram combine over a token-hash array — one
+    shingle hash per window position, out-of-range positions
+    contributing 0 (r9: factored out of its four hand-copies in
+    token_shingle_hashes, the streaming banding front-end, and the
+    streaming Bloom probe, so the ``_SHINGLE_COEFS`` overflow
+    discipline — odd multipliers < 2^20, bigint accumulator, 3-term
+    sums under 2^54 — lives in exactly one place). NOT distinct;
+    callers that need set semantics wrap in ``array_distinct``.
 
-    Out-of-range positions (docs shorter than n tokens) contribute 0.
-    """
-    from etl_macropulse_br_spark.functions.hashing import base32
-
-    toks = F.split(_norm_text(text_col), _WS)
-    th = F.transform(toks, lambda t: base32(t))
+    Pass ``th`` as a materialized column ATTRIBUTE in plans that run
+    outside codegen (streaming projections) — an inline expression
+    re-evaluates the per-token md5 transform per element there (the
+    O(tokens²) trap PLANS.md documents)."""
     n_sh = F.greatest(F.size(th) - F.lit(n - 1), F.lit(1))
 
     def combine(i: Column) -> Column:
@@ -95,7 +96,22 @@ def token_shingle_hashes(text_col: str, n: int = 3) -> Column:
             ) * F.lit(coef)
         return total
 
-    return F.array_distinct(F.transform(F.sequence(F.lit(1), n_sh), combine))
+    return F.transform(F.sequence(F.lit(1), n_sh), combine)
+
+
+def token_shingle_hashes(text_col: str, n: int = 3) -> Column:
+    """Distinct word-n-gram shingle hashes WITHOUT building shingle
+    strings: one md5 per token (32-bit base), then each shingle hash
+    is an affine combination of its n token hashes
+    (:func:`shingle_combine_over_th`). ~n× fewer md5s than hashing
+    shingle strings and no string allocation — the scale path for
+    MinHash over long documents.
+    """
+    from etl_macropulse_br_spark.functions.hashing import base32
+
+    toks = F.split(_norm_text(text_col), _WS)
+    th = F.transform(toks, lambda t: base32(t))
+    return F.array_distinct(shingle_combine_over_th(th, n))
 
 
 def token_shingle_hashes_sql(n: int = 3) -> str:
@@ -1895,3 +1911,56 @@ def bloom_bitset(
             ),
         ).alias("bf")
     )
+
+
+def save_bloom_bitset(
+    eval_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> dict:
+    """Build the eval Bloom bitset and persist it WITH its build
+    parameters as one JSON file (r9 — the sidecar discipline of
+    save_kmv_sketch / save_hdr_histogram applied to the third
+    serve-from-stored surface): a stored bitset probed under a
+    different n_bits / n_shingle / n_hashes silently produces FALSE
+    NEGATIVES (wrong probe positions / different shingle family) —
+    the one failure mode the filter's contract forbids. The bitset
+    is <= n_bits/60 longs, a driver-side artifact by design.
+    Returns the dict it wrote."""
+    import json
+
+    row = bloom_bitset(
+        eval_df, text_col, id_col, n_shingle, n_bits, n_hashes
+    ).first()
+    state = {
+        "words": [int(w) for w in (row["bf"] if row else [])],
+        "n_bits": int(n_bits),
+        "n_shingle": int(n_shingle),
+        "n_hashes": int(n_hashes),
+    }
+    with open(path, "w") as f:
+        json.dump(state, f)
+    return state
+
+
+def load_bloom_bitset(path: str) -> dict:
+    """Load a bitset persisted by :func:`save_bloom_bitset` —
+    returns the param-carrying dict that
+    ``streaming/decontaminate.decontaminate_bloom_stream`` accepts
+    as its ``bitset`` argument, with the STORED params authoritative
+    (the caller cannot mis-parameterize the probe)."""
+    import json
+
+    with open(path) as f:
+        state = json.load(f)
+    missing = {"words", "n_bits", "n_shingle", "n_hashes"} - set(state)
+    if missing:
+        raise ValueError(
+            f"load_bloom_bitset: {path!r} is missing {sorted(missing)} "
+            "— not a save_bloom_bitset artifact"
+        )
+    return state

@@ -44,7 +44,7 @@ this is part of the streaming extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,20 +56,28 @@ def decontaminate_bloom_stream(
     n_shingle: int = 3,
     n_bits: int = 1 << 16,
     n_hashes: int = 4,
-    bitset: list[int] | None = None,
+    bitset: list[int] | dict | None = None,
 ) -> DataFrame:
     """Append a ``contaminated`` flag to every arriving doc — true
     iff ANY of its ``n_shingle``-gram shingles probes fully set in
     the eval Bloom bitset. Map-only; the caller drops or routes
     flagged rows. Exactly one of ``eval_df`` / ``bitset`` must be
-    given; ``bitset`` skips the plan-build collect."""
+    given; ``bitset`` skips the plan-build collect.
+
+    ``bitset`` accepts either the param-carrying dict from
+    ``operators/dedup.load_bloom_bitset`` — in which case the STORED
+    n_bits/n_shingle/n_hashes are authoritative (r9: a bitset probed
+    under different params silently yields FALSE NEGATIVES, and a
+    same-word-count n_bits mismatch passes the length check) — or a
+    raw word list, where the caller owns param consistency (legacy;
+    only the word count is verifiable from a bare list)."""
     from etl_macropulse_br_spark.functions.hashing import base32
     from etl_macropulse_br_spark.operators.dedup import (
-        _SHINGLE_COEFS,
         _WS,
         _bloom_hit,
         _norm_text,
         bloom_bitset,
+        shingle_combine_over_th,
     )
 
     if (eval_df is None) == (bitset is None):
@@ -78,6 +86,11 @@ def decontaminate_bloom_stream(
             "(bitset built and collected at plan construction) or "
             "bitset (precomputed words)"
         )
+    if isinstance(bitset, dict):
+        n_bits = int(bitset["n_bits"])
+        n_shingle = int(bitset["n_shingle"])
+        n_hashes = int(bitset["n_hashes"])
+        bitset = list(bitset["words"])
     if bitset is None:
         row = bloom_bitset(
             eval_df, text_col, id_col, n_shingle, n_bits, n_hashes
@@ -102,18 +115,7 @@ def decontaminate_bloom_stream(
     with_th = stream.withColumn(
         "__th", F.transform(toks, lambda t: base32(t))
     )
-    th = F.col("__th")
-    n_sh = F.greatest(F.size(th) - F.lit(n_shingle - 1), F.lit(1))
-
-    def combine(i: Column) -> Column:
-        total = F.lit(0).cast("bigint")
-        for j, coef in enumerate(_SHINGLE_COEFS[:n_shingle]):
-            total = total + F.coalesce(
-                F.element_at(th, i + F.lit(j)), F.lit(0)
-            ) * F.lit(coef)
-        return total
-
-    sh_arr = F.transform(F.sequence(F.lit(1), n_sh), combine)
+    sh_arr = shingle_combine_over_th(F.col("__th"), n_shingle)
     contaminated = F.exists(
         sh_arr, lambda sh: _bloom_hit(sh, bf, n_bits, n_hashes)
     )

@@ -47,6 +47,17 @@ OUT_SCHEMA = T.StructType(
     ]
 )
 
+
+def _keyed_schema(stream: DataFrame, group_col: str) -> T.StructType:
+    """OUT_SCHEMA with group_key taking the INPUT group column's
+    actual type (r9 review fix): the hard-coded StringType crashed
+    the Arrow conversion for any numeric group column — the batch
+    twin (hll_distinct_by) groups by any type."""
+    gtype = stream.schema[group_col].dataType
+    return T.StructType(
+        [T.StructField("group_key", gtype), *OUT_SCHEMA.fields[1:]]
+    )
+
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("regs", T.BinaryType()),
@@ -153,6 +164,7 @@ def running_distinct_stream(
     batch equality. Null values are ignored on both sides."""
     from pyspark.sql import functions as F
 
+    out_schema = _keyed_schema(stream, group_col)
     stream = stream.withColumn(
         value_col, F.col(value_col).cast("string")
     )
@@ -162,7 +174,7 @@ def running_distinct_stream(
             lambda key, pdfs, state: _update_group(
                 key, pdfs, state, value_col, b
             ),
-            outputStructType=OUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

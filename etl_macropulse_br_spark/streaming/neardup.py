@@ -121,9 +121,9 @@ def _banded_stream(
     from etl_macropulse_br_spark.functions.hashing import base32
     from etl_macropulse_br_spark.functions.hashing import md5_long
     from etl_macropulse_br_spark.operators.dedup import (
-        _SHINGLE_COEFS,
         _WS,
         _norm_text,
+        shingle_combine_over_th,
     )
 
     band_w = k // bands
@@ -144,22 +144,11 @@ def _banded_stream(
         p1 = p1.filter(F.col("e").isNotNull())
 
     # stage 2: shingle combine over the th ATTRIBUTE (cheap refs)
-    th = F.col("th")
-    n_sh = F.greatest(F.size(th) - F.lit(n_shingle - 1), F.lit(1))
-
-    def combine(i: Column) -> Column:
-        total = F.lit(0).cast("bigint")
-        for j, coef in enumerate(_SHINGLE_COEFS[:n_shingle]):
-            total = total + F.coalesce(
-                F.element_at(th, i + F.lit(j)), F.lit(0)
-            ) * F.lit(coef)
-        return total
-
     p2 = p1.select(
         "id",
         *epass,
         F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n_sh), combine)
+            shingle_combine_over_th(F.col("th"), n_shingle)
         ).alias("sh"),
     )
 

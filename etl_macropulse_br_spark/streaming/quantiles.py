@@ -61,6 +61,17 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _keyed_schema(stream: DataFrame, group_col: str) -> T.StructType:
+    """OUT_SCHEMA with group_key taking the INPUT group column's
+    actual type (r9 review fix, mirrored from streaming/distinct):
+    a hard-coded StringType group_key crashes the Arrow conversion
+    for numeric group columns, which the batch twins accept."""
+    gtype = stream.schema[group_col].dataType
+    return T.StructType(
+        [T.StructField("group_key", gtype), *OUT_SCHEMA.fields[1:]]
+    )
+
+
 def _bucket_of(v: int, s: int) -> int:
     """Python twin of the batch bucketing: exact-integer HDR index
     (``bit_length() - 1`` == ``length(bin(v)) - 1``)."""
@@ -196,6 +207,7 @@ def running_quantiles_stream(
     upstream changes no semantics."""
     from pyspark.sql import functions as F
 
+    out_schema = _keyed_schema(stream, group_col)
     stream = stream.withColumn(
         value_col, F.col(value_col).cast("bigint")
     ).filter(F.col(value_col).isNotNull())
@@ -205,7 +217,7 @@ def running_quantiles_stream(
             lambda key, pdfs, state: _update_group(
                 key, pdfs, state, value_col, qs, s
             ),
-            outputStructType=OUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
@@ -238,6 +250,7 @@ def running_signed_quantiles_stream(
         _signed_fixed_point_gateway,
     )
 
+    out_schema = _keyed_schema(stream, group_col)
     stream = _signed_fixed_point_gateway(
         stream,
         value_col,
@@ -251,7 +264,7 @@ def running_signed_quantiles_stream(
             lambda key, pdfs, state: _update_group(
                 key, pdfs, state, "a", qs, s, signed=True, scale=scale
             ),
-            outputStructType=OUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -151,6 +151,17 @@ def windowed_distinct_stream(
     The value column is cast to string in the plan (rendering parity
     with the batch twin's ``md5_long(cast('string'))`` — see
     ``running_distinct_stream``); nulls are ignored on both sides."""
+    # group_key takes the input column's actual type (r9 review fix —
+    # hard-coded StringType crashed numeric group columns at
+    # final-emission time, after state had accumulated)
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                "group_key", stream.schema[group_col].dataType
+            ),
+            *OUT_SCHEMA.fields[1:],
+        ]
+    )
     stream = stream.withColumn(
         value_col, F.col(value_col).cast("string")
     )
@@ -180,7 +191,7 @@ def windowed_distinct_stream(
         lambda key, pdfs, state: _update_window(
             key, pdfs, state, value_col, b
         ),
-        outputStructType=OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -65,19 +65,32 @@ def main() -> None:
     from etl_macropulse_br_spark.session import get_spark
 
     spark = get_spark(app_name="corpus_report", profile=args.profile)
-    docs = _t(spark, args.sf_dir, "documents")
+    # the report runs ~8 independent actions over the corpus (volume,
+    # HLL, lang mix, quality, CMS, HDR, top-sources, KMV overlap) —
+    # persist the one input so they share a single corpus scan
+    # instead of re-reading + re-projecting per action (r9 review
+    # fix; the docstring's "one or two corpus passes" claim)
+    docs = _t(spark, args.sf_dir, "documents").persist()
 
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
 
     vol = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # r9 review fix: the dup-rate denominator counts docs WITH
+        # text — hll_distinct drops nulls, so dividing by the
+        # all-docs count reported every null-text doc as a duplicate
+        F.count("text").alias("n_text_docs"),
         F.sum(token_count("text")).alias("n_tokens_ws"),
         F.sum(F.length("text")).alias("n_chars"),
     ).collect()[0]
 
     hll = hll_distinct(docs.select(norm.alias("t")), "t", b=10).collect()[0]
     est_distinct = hll["est_distinct"]
-    dup_rate = max(0.0, 1.0 - est_distinct / vol["n_docs"])
+    dup_rate = (
+        max(0.0, 1.0 - est_distinct / vol["n_text_docs"])
+        if vol["n_text_docs"]
+        else 0.0
+    )
 
     langs = {
         r["pred_lang"]: r["n"]
@@ -98,10 +111,17 @@ def main() -> None:
         .collect()[0]
     )
 
-    probes = [t for t in args.probe_tokens.split(",") if t]
+    # probes normalized exactly like the corpus token stream (r9
+    # review fix: 'Spark' would otherwise silently probe as 0 —
+    # corpus tokens are lower(trim())-normalized)
+    probes = [
+        t.strip().lower() for t in args.probe_tokens.split(",") if t.strip()
+    ]
+    # the exploded token stream feeds CMS and the three KMV vocab
+    # sketches — persist so the norm/split/explode runs once
     toks = docs.select(
         "source", F.explode(F.split(norm, r"\s+")).alias("tok")
-    )
+    ).persist()
     freqs = {
         r["item"]: r["est_count"]
         for r in cms_point_estimates(toks, "tok", probes).collect()
@@ -172,6 +192,8 @@ def main() -> None:
             }
         )
     )
+    toks.unpersist()
+    docs.unpersist()
     spark.stop()
 
 

@@ -68,6 +68,12 @@ def main() -> None:
             }
         )
     )
+    from etl_macropulse_br_spark.operators.util import (
+        unpersist_candidates,
+    )
+
+    unpersist_candidates()
+    spark.stop()
 
 
 if __name__ == "__main__":

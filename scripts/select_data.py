@@ -83,8 +83,18 @@ def main() -> None:
                 "n_input_docs": n_input,
                 "n_selected": stats["n"],
                 "n_target_lang_selected": stats["n_target_lang"],
-                "log2_weight_min": round(stats["w_min"], 4),
-                "log2_weight_max": round(stats["w_max"], 4),
+                # None-safe: an empty selection (k=0 / empty input)
+                # reports nulls instead of crashing after the write
+                "log2_weight_min": (
+                    round(stats["w_min"], 4)
+                    if stats["w_min"] is not None
+                    else None
+                ),
+                "log2_weight_max": (
+                    round(stats["w_max"], 4)
+                    if stats["w_max"] is not None
+                    else None
+                ),
             }
         )
     )

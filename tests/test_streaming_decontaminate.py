@@ -136,3 +136,37 @@ def test_stream_accepts_precomputed_bitset_and_guards(spark, tmp_path):
         decontaminate_bloom_stream(stream, eval_df, bitset=words)
     with pytest.raises(ValueError, match="words"):
         decontaminate_bloom_stream(stream, bitset=[0, 1, 2])
+
+    # r9: the param-carrying stored bitset — save/load round-trip,
+    # with the STORED params authoritative: a bitset built under a
+    # NON-default n_bits served through the dict path must flag
+    # correctly even though the caller passed no n_bits (a bare-list
+    # bitset with a same-word-count n_bits mismatch is undetectable,
+    # which is why the sidecar exists)
+    from etl_macropulse_br_spark.operators.dedup import (
+        load_bloom_bitset,
+        save_bloom_bitset,
+    )
+
+    bpath = str(tmp_path / "eval_bloom.json")
+    saved = save_bloom_bitset(eval_df, bpath, n_bits=(1 << 16) - 6)
+    loaded = load_bloom_bitset(bpath)
+    assert loaded == saved and loaded["n_bits"] == (1 << 16) - 6
+    rows2 = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt3"),
+        "deconta_stream3",
+        bitset=loaded,
+    )
+    assert {r["doc_id"]: r["contaminated"] for r in rows2} == {
+        1: True,
+        2: False,
+    }
+    with pytest.raises(ValueError, match="save_bloom_bitset"):
+        import json
+
+        broken = str(tmp_path / "broken.json")
+        with open(broken, "w") as f:
+            json.dump({"words": []}, f)
+        load_bloom_bitset(broken)

@@ -83,6 +83,52 @@ def test_stream_running_distinct_matches_batch_hll(spark, tmp_path):
     assert abs(final["click"]["est_distinct"] - 60) < 15
 
 
+def test_stream_running_distinct_numeric_group_column(spark, tmp_path):
+    """r9 review fix: a NUMERIC group column must work — the output
+    schema takes the input group column's type (the hard-coded
+    StringType group_key crashed the Arrow conversion; the batch
+    twin groups by any type). Covers the same fix in
+    windowed_distinct and both quantile streams (shared pattern)."""
+    from etl_macropulse_br_spark.operators.sketches import hll_distinct_by
+    from etl_macropulse_br_spark.streaming.distinct import (
+        running_distinct_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("tenant_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "num_group_stream")
+    spark.createDataFrame(
+        [(1, i % 13) for i in range(40)] + [(2, i % 5) for i in range(20)],
+        schema,
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        running_distinct_stream(stream, "tenant_id", "user_id", b=8)
+        .writeStream.format("memory")
+        .queryName("num_group_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ng_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from num_group_out").collect()
+    got = {r["group_key"]: r["est_distinct"] for r in rows}
+    assert set(got) == {1, 2}  # longs, not strings
+    batch = {
+        r["tenant_id"]: r["est_distinct"]
+        for r in hll_distinct_by(
+            spark.read.parquet(src), "user_id", ["tenant_id"], b=8
+        ).collect()
+    }
+    assert got == batch
+
+
 def test_stream_running_distinct_all_null_group_emits_no_row(
     spark, tmp_path
 ):
