@@ -56,6 +56,24 @@ def asof_join(
     ``merge_asof`` default), ``forward`` (closest at-or-after), or
     ``nearest`` (whichever is closer; ties prefer backward). Exact
     ts matches always match (``allow_exact_matches=True``).
+
+    NULL timestamps (r9 review fix): right rows with a NULL
+    ``right_ts`` are DROPPED from the build side — under Spark's
+    NULLS-FIRST ascending sort they would otherwise become
+    fabricated "most recent" matches for early probes (pandas
+    ``merge_asof`` refuses NaT keys outright). Left rows with a
+    NULL ``left_ts`` are kept and match NOTHING (their asof_*
+    columns are NULL) in every direction — the desc window orders
+    nulls FIRST explicitly so a forward probe with no timestamp
+    cannot swallow the temporally-last build row.
+
+    Duplicate (key, ts) build rows (r9): the window adds the
+    payload struct as a deterministic final sort key, so the match
+    is stable across partitionings/retries (the greatest payload
+    wins). Note the DuckDB ASOF JOIN oracle makes its OWN arbitrary
+    choice among such duplicates — truly ambiguous inputs are not
+    oracle-gateable on either engine; payload columns must be of
+    orderable types.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown as-of direction: {direction!r}")
@@ -68,6 +86,7 @@ def asof_join(
         F.lit(1).alias("__is_probe"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
     )
+    right = right.filter(F.col(right_ts).isNotNull())
     build = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
@@ -88,12 +107,19 @@ def asof_join(
     unioned = probe.select(*cols).unionByName(build.select(*cols))
 
     # build rows sort BEFORE probe rows at equal ts (in either
-    # direction) so exact matches are visible to the probe's frame
+    # direction) so exact matches are visible to the probe's frame;
+    # null probe ts sorts FIRST in both directions (no match), and
+    # the payload struct is the deterministic tiebreak among equal
+    # (key, ts) build rows
     def matched(ascending: bool) -> Column:
-        order = F.col("__ts").asc() if ascending else F.col("__ts").desc()
+        order = (
+            F.col("__ts").asc_nulls_first()
+            if ascending
+            else F.col("__ts").desc_nulls_first()
+        )
         w = (
             Window.partitionBy("__k")
-            .orderBy(order, F.col("__is_probe").asc())
+            .orderBy(order, F.col("__is_probe").asc(), F.col("__right").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         return F.last("__right", ignorenulls=True).over(w)

@@ -24,8 +24,19 @@ from pyspark.sql import functions as F
 def zscore_expr(
     df: DataFrame, value_col: str, group_cols: list[str], out_col: str = "zscore"
 ) -> DataFrame:
-    """z = (v - mean) / sample_std, NULL when the group has <2 rows
-    or zero variance. All moments from exact integer cent-sums."""
+    """z = (v - mean) / sample_std, NULL when the group has <2
+    non-null rows or zero variance; a NULL value gets a NULL z and
+    does not corrupt the group's moments. All moments from exact
+    integer cent-sums.
+
+    Exactness at scale (r9 review fix): the squared terms run in
+    DECIMAL — ``c*c`` and ``s*s`` in int64 wrap silently once group
+    sums pass ~2^31.5 cents (a few million real-priced rows), while
+    DuckDB's window sums widen to HUGEINT. decimal(19,0) inputs
+    give exact products up to 10^38 on the Spark side, matching the
+    oracle's int128 exactness; both engines then convert the exact
+    integers to double at the SAME division points, so the twin
+    stays bit-identical."""
     w = Window.partitionBy(*group_cols)
     # shift-then-truncate == round-half-away-from-zero, minus the
     # per-row BigDecimal cost of F.round (see plans.queries._scaled)
@@ -33,13 +44,20 @@ def zscore_expr(
     c = F.when(x < 0, x - F.lit(0.5)).otherwise(x + F.lit(0.5)).cast(
         "bigint"
     )
-    n = F.count(F.lit(1)).over(w)
-    s = F.sum(c).over(w)
-    ssq = F.sum(c * c).over(w)
-    # var in cents² with the textbook (ssq - s²/n)/(n-1) form, each
-    # step the same double op on both engines
-    mean_cents = s / n
-    var_cents = (ssq - (s * s) / n) / (n - 1)
+    cd = c.cast("decimal(19,0)")
+    # count NON-NULL values (r9): count(*) counted null-value rows
+    # while the sums skipped them — wrong mean/variance for every
+    # group containing a null
+    n = F.count(c).over(w)
+    s = F.sum(cd).over(w)
+    ssq = F.sum(cd * cd).over(w)
+    # var in cents² with the textbook (ssq - s²/n)/(n-1) form; the
+    # exact decimal integers convert to double exactly where
+    # DuckDB's HUGEINT/BIGINT division does
+    mean_cents = s.cast("double") / n
+    var_cents = (
+        ssq.cast("double") - (s * s).cast("double") / n
+    ) / (n - 1)
     z = (c - mean_cents) / F.sqrt(var_cents)
     return df.withColumn(
         out_col,
@@ -50,7 +68,10 @@ def zscore_expr(
 def zscore_expr_sql(
     table: str, value_col: str, group_cols: list[str], select_cols: list[str]
 ) -> str:
-    """DuckDB twin of :func:`zscore_expr` (same ops, same order)."""
+    """DuckDB twin of :func:`zscore_expr` (same ops, same order).
+    DuckDB's window sums widen to HUGEINT natively — the int128
+    exactness the Spark side's decimal moments mirror; count(c)
+    matches the Spark side's non-null count (r9)."""
     g = ", ".join(group_cols)
     sel = ", ".join(select_cols)
     return f"""
@@ -59,7 +80,7 @@ WITH c_t AS (
   FROM {table}
 ), m AS (
   SELECT *,
-         count(*) OVER (PARTITION BY {g}) AS n,
+         count(c) OVER (PARTITION BY {g}) AS n,
          sum(c) OVER (PARTITION BY {g}) AS s,
          sum(c * c) OVER (PARTITION BY {g}) AS ssq
   FROM c_t
@@ -86,7 +107,10 @@ def zscore_pandas(
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[value_col]
-        if len(pdf) >= 2 and v.std(ddof=1) > 0:
+        # non-null count gates, matching zscore_expr (r9): pandas
+        # mean/std already skip NaN, so len(pdf) disagreed with the
+        # expression path for groups containing nulls
+        if v.count() >= 2 and v.std(ddof=1) > 0:
             pdf[out_col] = (v - v.mean()) / v.std(ddof=1)
         else:
             pdf[out_col] = None
@@ -194,6 +218,24 @@ def exact_ntile_stats(
     )
 
 
+def _md5_uniform(id_col: str, seed: int):
+    """THE deterministic uniform in (0, 1) both E-S samplers key on
+    (r9: factored from its two hand-copies — the DuckDB oracle twins
+    mirror this exact formula, so it must change in one place or
+    none): md5 over (seed, id) → 53-bit residue → (h + 1)/(2^53 + 2),
+    strictly inside (0, 1) so log(u) is always finite."""
+    from etl_macropulse_br_spark.functions.hashing import md5_long
+
+    two53 = float(1 << 53)
+    return (
+        F.pmod(
+            md5_long(F.col(id_col).cast("string"), seed=seed),
+            F.lit(1 << 53),
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(two53 + 2.0)
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
@@ -213,15 +255,11 @@ def weighted_sample(
 
     Scale shape: one map-only projection + TakeOrderedAndProject —
     no shuffle, no global sort, any corpus size. Weights must be
-    strictly positive doubles.
+    strictly positive doubles. The output carries the ``es_key``
+    selection key column (documented — callers drop it if unwanted;
+    the oracle twins round and compare it).
     """
-    from etl_macropulse_br_spark.functions.hashing import md5_long
-
-    two53 = float(1 << 53)
-    u = (
-        F.pmod(md5_long(F.col(id_col).cast("string"), seed=seed),
-               F.lit(1 << 53)).cast("double") + F.lit(1.0)
-    ) / F.lit(two53 + 2.0)
+    u = _md5_uniform(id_col, seed)
     # fail loudly on non-positive weights instead of silently
     # corrupting the sample: ln(u) < 0 divided by a NEGATIVE weight
     # flips positive and beats every valid key, and a zero weight
@@ -281,24 +319,25 @@ def weighted_sample_log2(
     the same keys through a ``row_number`` window — which plans
     WindowGroupLimit, so each map task pre-prunes to its local
     per-group top-k before the exchange; the global form stays a
-    TakeOrderedAndProject. The per-group output carries an ``es_rk``
-    rank column (1-based within the group).
+    TakeOrderedAndProject. The output carries ``es_key`` (and, per
+    group, the 1-based ``es_rk`` rank) — documented columns the
+    oracle twins compare.
     """
-    from etl_macropulse_br_spark.functions.hashing import md5_long
-
-    two53 = float(1 << 53)
-    u = (
-        F.pmod(md5_long(F.col(id_col).cast("string"), seed=seed),
-               F.lit(1 << 53)).cast("double") + F.lit(1.0)
-    ) / F.lit(two53 + 2.0)
+    u = _md5_uniform(id_col, seed)
     lw = F.col(log2_weight_col)
     # the assert is the FIRST coalesce branch, so it is evaluated
     # before the key on every row — appending `+ guard` to the key
     # (the linear sampler's shape) would let codegen's null
     # short-circuit skip the guard exactly on the NULL rows it exists
     # to catch (null left operand -> right side never evaluated)
+    # ±Infinity is rejected too (r9 review fix): a +inf log-weight
+    # gives es_key = -inf, which sorts FIRST and silently occupies a
+    # sample slot on every run — the guard's message always promised
+    # "finite" but only NaN/NULL were checked
     guard = F.assert_true(
-        lw.isNotNull() & ~F.isnan(lw),
+        lw.isNotNull()
+        & ~F.isnan(lw)
+        & (F.abs(lw) != F.lit(float("inf"))),
         F.lit(
             f"weighted_sample_log2: {log2_weight_col} must be a"
             " finite non-null double"
@@ -356,6 +395,10 @@ def mixture_balance(
     ranks every surviving row, the join drops the tail). Domains
     missing from ``target_weights`` are dropped (weight 0) at the
     scan via the map lookup's null filter.
+
+    Output schema: the input columns PLUS ``n_take`` (each row's
+    domain allocation — documented, r9: the aux query publishes it;
+    drop it when unioning back with unbalanced frames).
     """
     from pyspark.sql import Window
 

@@ -31,13 +31,44 @@ def salted_join(
     on: str,
     n_salt: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the skewed side salted and the other side
     replicated. Output columns = skewed's + other's (minus the
-    duplicate key), like ``skewed.join(other, on, how)``."""
+    duplicate key), like ``skewed.join(other, on, how)``.
+
+    Supported ``how``: inner / left / left_outer / semi / anti
+    shapes — ones where unmatched OTHER rows never surface. right
+    and full joins are REJECTED (r9 review fix): each unmatched
+    ``other`` row exists as ``n_salt`` replicas, so a right/full
+    join would emit it ``n_salt`` times null-extended, silently
+    multiplying rows vs the plain join it claims to mirror.
+
+    ``salt_cols`` (r9): columns whose hash spreads a hot key. The
+    default (all columns) cannot spread EXACT-duplicate rows — they
+    hash identically and all land in one partition, the precise
+    bottleneck salting exists to remove; pass a high-cardinality
+    disambiguator (a unique id, an event timestamp) when the hot
+    key's rows repeat verbatim. Deterministic either way (no
+    rand()), so retries/replays produce identical partitioning."""
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti", "cross",
+    }
+    if how.lower().replace("_", "") not in {
+        a.replace("_", "") for a in allowed
+    }:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salting-safe — "
+            "unmatched replicated rows of the other side would be "
+            "emitted n_salt times in a right/full join; use a plain "
+            "join (AQE skew handling) for those shapes"
+        )
+    cols = salt_cols or skewed.columns
     salted = skewed.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salt)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt)),
     )
     replicated = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

@@ -98,9 +98,14 @@ def build_summary_text(
     )
     if latest:
         row = latest[0]
+        # a NULL value renders as the reference would render pandas
+        # NaN ('nan') instead of raising TypeError on None (r9
+        # review fix — silver drops null DATES only, so a null value
+        # can reach the latest row)
+        val = row["value"] if row["value"] is not None else float("nan")
         lines.append(
             f"BCB/SGS (série {int(row['series_id'])}) - {row['series_name']}: "
-            f"último valor em {_as_date(row['date'])} = {row['value']:.2f}."
+            f"último valor em {_as_date(row['date'])} = {val:.2f}."
         )
         monthly = last_per_month(bcb_silver, target_series)
         delta_rows = mom_delta_last_two(monthly).collect()

@@ -172,3 +172,59 @@ def test_asof_all_directions_match_pandas_merge_asof(spark):
             )
         }
         assert not mismatches, (direction, dict(list(mismatches.items())[:5]))
+
+
+def test_asof_null_timestamps_never_fabricate_matches(spark):
+    """r9 review fixes: (a) a build row with NULL ts must never be
+    anyone's match (it sorted NULLS-FIRST and became the 'most
+    recent' row for early probes); (b) a probe with NULL ts matches
+    nothing in any direction (under desc ordering it sorted last and
+    swallowed the temporally-last build row); (c) duplicate
+    (key, ts) build rows resolve deterministically (greatest
+    payload), stable across repartitionings."""
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "p5"), (1, None, "pnull")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "fabricated"), (1, 100, "late")],
+        "k long, ts long, payload string",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["tag"]: r["asof_payload"]
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["payload"], direction
+            ).collect()
+        }
+        # probe ts=5: backward -> no build at-or-before (null build
+        # row must NOT match); forward/nearest -> 'late'
+        if direction == "backward":
+            assert got["p5"] is None, direction
+        else:
+            assert got["p5"] == "late", direction
+        assert got["pnull"] is None, direction
+
+    # (c) duplicate (k, ts): deterministic greatest-payload match,
+    # identical across partitionings
+    left2 = spark.createDataFrame([(1, 10, "probe")], "k long, ts long, tag string")
+    right2 = spark.createDataFrame(
+        [(1, 10, "aaa"), (1, 10, "zzz")], "k long, ts long, payload string"
+    )
+    picks = set()
+    for parts in (1, 7):
+        r = asof_join(
+            left2,
+            right2.repartition(parts, F.col("payload")),
+            "k",
+            "ts",
+            "ts",
+            ["payload"],
+            "backward",
+        ).collect()
+        picks.add(r[0]["asof_payload"])
+    assert picks == {"zzz"}

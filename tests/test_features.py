@@ -412,3 +412,95 @@ def test_weighted_sample_log2_shift_invariant(spark):
             ).collect()
         ]
         assert got == base, shift
+
+
+def test_zscore_moments_survive_large_groups_and_nulls(spark):
+    """r9 review fixes: (a) group moments run in exact decimal — a
+    group whose cent-sum squares past 2^63 previously wrapped int64
+    silently (NULLed or garbage z); (b) NULL values neither corrupt
+    the moments (count was count(*) while sums skipped nulls) nor
+    desync the pandas path. Both pinned against an independent
+    Python computation and against the DuckDB twin."""
+    import duckdb
+
+    from etl_macropulse_br_spark.operators.features import (
+        zscore_expr,
+        zscore_expr_sql,
+        zscore_pandas,
+    )
+
+    # (a) large group: 200k rows of ~40_000.00 -> s ~ 8e11 cents,
+    # s*s ~ 6.4e23 >> 2^63 (old path wrapped); values vary so
+    # variance is real
+    n = 200_000
+    big = spark.range(n).selectExpr(
+        "'g' as g", "cast(40000 + id % 1000 as double) as v", "id"
+    )
+    got = {
+        r["id"]: r["zscore"]
+        for r in zscore_expr(big, "v", ["g"]).collect()
+    }
+    import statistics
+
+    vals = [40000 + i % 1000 for i in range(n)]
+    mean = statistics.fmean(vals)
+    # exact integer moments like the operator: cents
+    cents = [v * 100 for v in vals]
+    s = sum(cents)
+    ssq = sum(c * c for c in cents)
+    var = (ssq - (s * s) / n) / (n - 1)
+    sd = var ** 0.5
+    for i in (0, 1, 999, n - 1):
+        expect = (cents[i] - s / n) / sd
+        assert got[i] is not None and abs(got[i] - expect) < 1e-9, i
+
+    # and the DuckDB twin still hash-matches on the same big group
+    pdf = big.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = {
+        r[1]: r[2]
+        for r in con.sql(
+            zscore_expr_sql("t", "v", ["g"], ["g", "id"])
+        ).fetchall()
+    }
+    assert all(oracle[i] == got[i] for i in (0, 1, 999, n - 1))
+
+    # (b) nulls: moments come from non-null rows only, null rows get
+    # null z, and the pandas path agrees
+    nd = spark.createDataFrame(
+        [("a", 1.0, 0), ("a", 3.0, 1), ("a", None, 2), ("a", 5.0, 3)],
+        "g string, v double, id long",
+    )
+    ge = {
+        r["id"]: r["zscore"] for r in zscore_expr(nd, "v", ["g"]).collect()
+    }
+    gp = {
+        r["id"]: r["zscore"] for r in zscore_pandas(nd, "v", ["g"]).collect()
+    }
+    assert ge[2] is None and gp[2] is None
+    # mean of {1,3,5} = 3 -> z(3.0) == 0 exactly if nulls are excluded
+    assert abs(ge[1]) < 1e-12
+    for i in (0, 1, 3):
+        assert abs(ge[i] - gp[i]) < 1e-9, i
+
+
+def test_weighted_sample_log2_rejects_infinite_weights(spark):
+    """r9 review fix: +-Infinity log-weights fail the guard loudly
+    (a +inf weight made es_key -inf, silently winning a slot)."""
+    import pytest
+
+    from etl_macropulse_br_spark.operators.features import (
+        weighted_sample_log2,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, float("inf")), (3, 1.5)],
+        "doc_id long, lw double",
+    )
+    with pytest.raises(Exception, match="finite"):
+        weighted_sample_log2(df, "lw", 2).collect()
+    with pytest.raises(Exception, match="finite"):
+        weighted_sample_log2(
+            df.selectExpr("doc_id", "-lw as lw"), "lw", 2
+        ).collect()

@@ -145,3 +145,45 @@ def test_write_bucketed_replace_is_crash_safe(spark):
         assert spark.table("bucketed_safe").count() == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_safe")
+
+
+def test_salted_join_rejects_right_full_and_spreads_dup_rows(spark):
+    """r9 review fixes: (a) right/full joins are refused — each
+    unmatched other-side row exists as n_salt replicas and would be
+    emitted n_salt times null-extended; (b) salt_cols lets a hot key
+    of EXACT-duplicate rows spread (the all-columns hash gives
+    identical rows identical salts — one partition, the bottleneck
+    salting exists to remove)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i, 10.0) for i in range(64)], "k long, rid long, v double"
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, name string")
+
+    for bad in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="not salting-safe"):
+            salted_join(fact, dim, "k", how=bad)
+
+    # identical duplicate rows: the default salt is constant, the
+    # rid-keyed salt spreads
+    dup = fact.select("k", F.lit(0).cast("long").alias("rid"), "v")
+
+    def n_salts(df, cols):
+        s = df.withColumn(
+            "__s",
+            F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(16)),
+        )
+        return s.select("__s").distinct().count()
+
+    assert n_salts(dup, dup.columns) == 1          # the trap
+    assert n_salts(fact, ["rid"]) > 4              # the escape hatch
+    out = salted_join(fact, dim, "k", n_salt=16, how="left",
+                      salt_cols=["rid"])
+    plain = fact.join(dim, "k", "left")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
