@@ -60,6 +60,26 @@ def _lcg_constants(k: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
 
 _MASK32 = (1 << 32) - 1
 
+# Mersenne prime for the MinHash family's modular reduction (r9
+# review fix): WITHOUT a reduction, h_i(x) = a_i*x + b_i with
+# a_i < 2^31 and x < 2^32 never wraps int64, so every h_i is
+# strictly MONOTONE in x — array_min then always selects the same
+# minimum base for all k functions, the k signature components are
+# perfect copies of one hash (agreeing all-or-nothing between
+# documents), and banded LSH's 1-(1-J^r)^b recall collapses to
+# plain J. The modulus must also be SMALL relative to a_i's range:
+# with a large P (2^61-1 was tried) the map wraps at most ~once
+# over the 32-bit base domain — piecewise-monotone, still
+# near-perfectly correlated (measured 16/16 component agreement at
+# true J=0.49). P = 2^31-1 with a_i, b_i < 2^31 is the standard
+# Carter-Wegman instance: a_i*x wraps ~2^31 times across the base
+# domain (thorough mixing, measured ~J*k agreement), the product
+# stays under 2^63 (no int64 wrap), operands stay positive, and
+# Spark's pmod == DuckDB's % bit-for-bit. Distinct bases congruent
+# mod P collide for every a_i (~2^-31 pair probability — the same
+# order as a truly universal family's collision rate).
+_MINHASH_P = (1 << 31) - 1
+
 
 def base32(col: Column | str) -> Column:
     """One portable md5 per input, folded to 32 bits — the shared

@@ -84,13 +84,34 @@ def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
             ),
         ).otherwise(acc),
     )
+    # sentinel guard (r9 review fix): a WIDTH-MISMATCHED vector
+    # (zip_with pads with nulls -> null distance fold -> the init
+    # sentinel survives) previously landed silently in phantom
+    # cluster_id=-1 at dist 2^63-1, corrupting stats/serving — the
+    # corruption class the r7 null-drop fixed for NULL vectors only.
+    # This is an OUTPUT check on the fold result (a row that reaches
+    # it was computed), so the r7-documented
+    # InferFiltersFromConstraints trap for INPUT asserts does not
+    # apply; the condition is never null (struct fields are
+    # literal-initialized).
+    checked = F.coalesce(
+        F.assert_true(
+            F.col("best.cluster_id") >= 0,
+            F.lit(
+                "kmeans assign: no centroid distance could be "
+                "computed for a vector — its width differs from the "
+                "centroids' (mixed-width corpus?)"
+            ),
+        ).cast("int"),
+        F.col("best.cluster_id"),
+    )
     return (
         pts.crossJoin(F.broadcast(packed))
         .withColumn("best", best)
         .select(
             "vec_id",
             "q",
-            F.col("best.cluster_id").alias("cluster_id"),
+            checked.alias("cluster_id"),
             F.col("best.dist").alias("dist"),
         )
     )
@@ -136,7 +157,9 @@ def _points(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
     for callers who had already filtered — the guard's advice was
     self-defeating. Count-audit upstream if loud accounting is
     needed."""
-    return emb.filter(F.col(emb_col).isNotNull()).select(
+    return emb.filter(
+        F.col(emb_col).isNotNull() & (F.size(F.col(emb_col)) > 0)
+    ).select(
         F.col(id_col).alias("vec_id"), quantize(F.col(emb_col)).alias("q")
     )
 

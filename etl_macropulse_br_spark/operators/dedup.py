@@ -133,11 +133,15 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     """k-element MinHash signature.
 
     One md5 per shingle folded to 32 bits, then k integer hashes via
-    a 2-universal family (a_i * base + b_i) — k× cheaper than k
-    seeded md5s, same guarantees (Broder 1997; Carter-Wegman
-    universal hashing), still bit-identical in the SQL oracle.
+    a 2-universal family ((a_i * base + b_i) mod P, r9 — the mod is
+    load-bearing: without it every h_i is monotone in the base and
+    all k mins collapse to one hash; see hashing._MINHASH_P) — k×
+    cheaper than k seeded md5s, same guarantees (Broder 1997;
+    Carter-Wegman universal hashing), still bit-identical in the
+    SQL oracle.
     """
     from etl_macropulse_br_spark.functions.hashing import (
+        _MINHASH_P,
         _lcg_constants,
         base32,
     )
@@ -147,7 +151,9 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     def hashed(a: int, b: int):
         # single-arg lambda — a two-arg lambda would be invoked by
         # Spark as (element, index)
-        return lambda h: h * F.lit(a) + F.lit(b)
+        return lambda h: F.pmod(
+            h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P)
+        )
 
     return F.array(
         *[
@@ -253,6 +259,7 @@ def minhash_signature_table(
     """
     from etl_macropulse_br_spark.functions.hashing import (
         _MASK32,
+        _MINHASH_P,
         _lcg_constants,
     )
 
@@ -263,10 +270,11 @@ def minhash_signature_table(
     )
     # one parsed expression per signature column (a Column-API
     # min/mul/add chain costs ~4 Py4J round-trips per column at
-    # plan-build time; see functions/exprs.py:lit_double_array)
+    # plan-build time; see functions/exprs.py:lit_double_array);
+    # the mod-P reduction is load-bearing (hashing._MINHASH_P)
     return hashed.groupBy("id").agg(
         *[
-            F.expr(f"min(h * {a} + {b}) AS m{i}")
+            F.expr(f"min(pmod(h * {a} + {b}, {_MINHASH_P})) AS m{i}")
             for i, (a, b) in enumerate(_lcg_constants(k))
         ]
     )

@@ -94,8 +94,12 @@ def gapfill_monthly(
     per-key bounds — the calendar derives from a |keys|-row
     aggregate, never from the fact table), left-join the observed
     values back, and carry the last non-null value forward with an
-    ``ignorenulls`` last() window. ``is_filled`` marks synthesized
-    rows.
+    ``ignorenulls`` last() window. ``is_filled`` marks
+    CALENDAR-SYNTHESIZED rows — months absent from the input (r9
+    review fix: it previously tested the VALUE for null, so a real
+    observed month carrying a null value was mislabeled as
+    synthesized; such a month now reads is_filled=false while its
+    null value still receives the carry-forward fill).
 
     Scale shape: the monthly input arrives already aggregated and
     hash-partitioned by its groupBy keys, so the calendar join
@@ -119,9 +123,10 @@ def gapfill_monthly(
         .orderBy(month_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return cal.join(monthly, [key_col, month_col], "left").select(
+    observed = monthly.withColumn("__obs", F.lit(True))
+    return cal.join(observed, [key_col, month_col], "left").select(
         key_col,
         month_col,
         F.last(F.col(val_col), ignorenulls=True).over(w).alias(val_col),
-        F.col(val_col).isNull().alias("is_filled"),
+        F.col("__obs").isNull().alias("is_filled"),
     )

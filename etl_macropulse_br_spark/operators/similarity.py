@@ -116,9 +116,13 @@ def cosine_topk_pandas(
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
 
+    # the id column keeps ITS name and type (r9 review fix: the
+    # schema was hard-coded to a LongType 'vec_id', which crashed
+    # string ids at the Arrow boundary and silently renamed the
+    # column for any non-default id_col)
     out_schema = T.StructType(
         [
-            T.StructField("vec_id", T.LongType()),
+            df.schema[id_col],
             T.StructField("cosine", T.DoubleType()),
         ]
     )
@@ -142,7 +146,7 @@ def cosine_topk_pandas(
                     vals[i] = float(s)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "cosine": pd.array(vals, dtype="Float64"),
                 }
             )
@@ -152,7 +156,9 @@ def cosine_topk_pandas(
     # which dwarfs one vectorized matmul on small inputs. At real
     # scale the input's own partitioning provides the parallelism.
     scored = df.select(id_col, vec_col).mapInPandas(score, out_schema)
-    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    ).limit(k)
 
 
 def ivf_topk_deterministic(
@@ -195,11 +201,21 @@ def ivf_topk_deterministic(
         .limit(n_cells)
         .collect()
     )
-    centroids = [[float(x) for x in r["v"]] for r in cent_rows]
-    qv = [
-        float(x)
-        for x in e.filter(F.col("id") == query_id).first()["v"]
+    centroids = [
+        [float(x) for x in r["v"]] for r in cent_rows if r["v"] is not None
     ]
+    if not centroids:
+        raise ValueError(
+            "ivf_topk_deterministic: corpus has no non-null "
+            "embeddings to sample centroids from"
+        )
+    qrow = e.filter(F.col("id") == query_id).first()
+    if qrow is None or qrow["v"] is None:
+        raise ValueError(
+            f"ivf_topk_deterministic: query_id={query_id} not found "
+            "in the corpus (or its embedding is NULL)"
+        )
+    qv = [float(x) for x in qrow["v"]]
 
     # Probe ranking runs driver-side over n_cells Python lists — no
     # Spark job. Python doubles are IEEE 754 with per-op rounding, so
@@ -330,7 +346,13 @@ def ivf_topk(
         .limit(n_cells)
         .select(vec_col)
         .collect()
+        if r[vec_col] is not None  # a null sampled vector is no centroid
     ]
+    if not centroids:
+        raise ValueError(
+            "ivf_topk: corpus has no non-null embeddings to sample "
+            "centroids from"
+        )
 
     from etl_macropulse_br_spark.functions.exprs import (
         lit_double_array as lit_vec,
@@ -370,7 +392,7 @@ def knn_hard_negatives(
     label_col: str = "label",
     n_bands: int = 3,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining: for EVERY vector, the top-``k`` most
     cosine-similar vectors carrying a DIFFERENT label — the
@@ -389,11 +411,27 @@ def knn_hard_negatives(
     oracle replays identical blocks, so the gate is exact.
 
     Returns (id_col, rn, neighbor_id, neighbor_label, cosine).
+
+    ``dim=None`` (r9 review fix) infers the vector width with a
+    one-row peek, the same pattern as ``embedding_near_dups`` — a
+    hard-coded default of 64 silently TRUNCATED longer vectors in
+    the projection (``element_at`` past the signs array returns
+    NULL and the sum skips it), so the blocking ran half-blind with
+    no error.
     """
     from pyspark.sql import Window
 
     from etl_macropulse_br_spark.operators.dedup import srp_banded
 
+    if dim is None:
+        row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "knn_hard_negatives: cannot infer vector width from "
+                "empty input (or null first vector); pass dim= "
+                "explicitly"
+            )
+        dim = len(row[0])
     banded = srp_banded(df, vec_col, id_col, n_bands, n_planes, dim)
     left, right = banded.alias("l"), banded.alias("r")
     cand = (

@@ -109,7 +109,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(t)
     n_tok = F.size(toks)
     stop_list = [w for ws in LANG_MARKERS.values() for w in ws]
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*stop_list)))
+    # case-insensitive marker match (r9 review fix): the lists are
+    # lowercase, so 'The cat and THE dog' previously counted only
+    # 'and' — normally-capitalized prose under-scored systematically
+    n_stop = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*stop_list))
+    )
     # Ratios are int/int divisions — deterministic doubles, left
     # unrounded so they hash identically against the SQL oracle.
     return df.select(
@@ -139,9 +144,13 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(F.col(text_col))
     scored = spread(df)
     for lang, markers in LANG_MARKERS.items():
+        # case-insensitive (r9): sentence-initial markers ('The',
+        # 'Der') previously never counted — see quality_features
         scored = scored.withColumn(
             f"__score_{lang}",
-            F.size(F.filter(toks, lambda x: x.isin(*markers))),
+            F.size(
+                F.filter(toks, lambda x: F.lower(x).isin(*markers))
+            ),
         )
     # argmax via greatest + chained when (deterministic tiebreak:
     # first language in sorted order wins ties)
@@ -239,6 +248,9 @@ def bm25_topk(
 ) -> DataFrame:
     """BM25 document ranking for a bag of query terms (Robertson/
     Sparck Jones probabilistic retrieval), log-free variant.
+    ``query_terms`` must be non-empty (r9: an empty list previously
+    died with PySpark's bare ``AssertionError`` from ``agg(*[])``
+    after the corpus-stats job had already run).
 
     The classic idf uses ``log((N - df + 0.5) / (df + 0.5))``; libm
     ``log`` is not bit-portable across engines, so this uses the
@@ -274,6 +286,11 @@ def bm25_topk(
       explode → filter → aggregate → window → aggregate → top-k.
     Output: (doc_id, score) top-k, id-tiebroken.
     """
+    if not query_terms:
+        raise ValueError(
+            "bm25_topk: query_terms must be non-empty (an upstream "
+            "stopword filter may have stripped the whole query)"
+        )
     from etl_macropulse_br_spark.operators.util import spread
 
     # split on the whitespace-run regex directly: collapsing runs
@@ -404,8 +421,11 @@ def repetition_stats(
     from etl_macropulse_br_spark.operators.dedup import _SHINGLE_COEFS
     from etl_macropulse_br_spark.operators.util import spread
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
-    toks = F.split(norm, _WS)
+    # split on \s+ directly — collapsing whitespace with
+    # regexp_replace first yields the IDENTICAL token vector at the
+    # cost of a second full-text regex pass (r9; bm25_topk's
+    # established single-pass form)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     tok_rows = spread(df).select(
         F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
     )
@@ -506,9 +526,9 @@ def hashed_linear_score(
 
     weights = model_weights(n_buckets, seed)
     w_lit = F.array(*[F.lit(w) for w in weights])
-    toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " "), _WS
-    )
+    # single-pass tokenization (r9; identical token vector — see
+    # bm25_topk's comment)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     score_int = F.aggregate(
         F.transform(
             toks,
@@ -745,12 +765,11 @@ def dsir_log_weights(
     from etl_macropulse_br_spark.operators.util import spread
 
     B = n_buckets
-    norm = lambda c: F.regexp_replace(  # noqa: E731
-        F.lower(F.trim(F.col(c))), r"\s+", " "
-    )
 
     def bag_buckets(d: DataFrame) -> DataFrame:
-        toks = F.split(norm(text_col), r"\s+")
+        # single-pass tokenization (r9; identical token vector —
+        # see bm25_topk's comment)
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         with_th = spread(d).select(
             F.col(id_col).alias("id"),
             F.transform(toks, lambda t: base32(t)).alias("th"),

@@ -2519,7 +2519,7 @@ SELECT doc_id,
        len(list_distinct(toks)) / greatest(len(toks), 1) AS uniq_word_ratio,
        length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
          / greatest(length(text), 1) AS punct_ratio,
-       len(list_filter(toks, x -> x IN ({_STOPLIST_SQL})))
+       len(list_filter(toks, x -> lower(x) IN ({_STOPLIST_SQL})))
          / greatest(len(toks), 1) AS stopword_ratio
 FROM t
 """
@@ -2567,7 +2567,8 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_id_sql() -> str:
     langs = sorted(LANG_MARKERS)
     score_cols = ",\n       ".join(
-        f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in LANG_MARKERS[lang])})))"
+        f"len(list_filter(toks, x -> lower(x) IN "
+        f"({', '.join(repr(w) for w in LANG_MARKERS[lang])})))"
         f" AS score_{lang}"
         for lang in langs
     )
@@ -2829,6 +2830,7 @@ def docs_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sig_sql() -> str:
     from etl_macropulse_br_spark.functions.hashing import (
         _MASK32,
+        _MINHASH_P,
         _lcg_constants,
         base32_sql,
     )
@@ -2837,7 +2839,7 @@ def _minhash_sig_sql() -> str:
     )
 
     cols = ",\n       ".join(
-        f"list_min(list_transform(bases, h -> (h * {a} + {b}))) AS m{i}"
+        f"list_min(list_transform(bases, h -> ((h * {a} + {b}) % {_MINHASH_P}))) AS m{i}"
         for i, (a, b) in enumerate(_lcg_constants(4))
     )
     return f"""
@@ -2956,6 +2958,7 @@ def docs_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _near_dups_sql(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     from etl_macropulse_br_spark.functions.hashing import (
         _MASK32,
+        _MINHASH_P,
         _lcg_constants,
         base32_sql,
         md5_long_sql,
@@ -2966,7 +2969,7 @@ def _near_dups_sql(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
 
     consts = _lcg_constants(k)
     m_cols = ",\n         ".join(
-        f"list_min(list_transform(bases, h -> (h * {a} + {b}))) AS m{i}"
+        f"list_min(list_transform(bases, h -> ((h * {a} + {b}) % {_MINHASH_P}))) AS m{i}"
         for i, (a, b) in enumerate(consts)
     )
     rows = k // bands
@@ -3038,6 +3041,7 @@ def _sig_near_dups_sql(
 ) -> str:
     from etl_macropulse_br_spark.functions.hashing import (
         _MASK32,
+        _MINHASH_P,
         _lcg_constants,
         base32_sql,
         md5_long_sql,
@@ -3048,7 +3052,7 @@ def _sig_near_dups_sql(
 
     consts = _lcg_constants(k)
     m_cols = ",\n         ".join(
-        f"list_min(list_transform(bases, h -> (h * {a} + {b}))) AS m{i}"
+        f"list_min(list_transform(bases, h -> ((h * {a} + {b}) % {_MINHASH_P}))) AS m{i}"
         for i, (a, b) in enumerate(consts)
     )
     rows = k // bands
@@ -3127,6 +3131,7 @@ def _incremental_near_dups_sql(
 ) -> str:
     from etl_macropulse_br_spark.functions.hashing import (
         _MASK32,
+        _MINHASH_P,
         _lcg_constants,
         base32_sql,
         md5_long_sql,
@@ -3137,7 +3142,7 @@ def _incremental_near_dups_sql(
 
     consts = _lcg_constants(k)
     m_cols = ",\n         ".join(
-        f"list_min(list_transform(bases, h -> (h * {a} + {b}))) AS m{i}"
+        f"list_min(list_transform(bases, h -> ((h * {a} + {b}) % {_MINHASH_P}))) AS m{i}"
         for i, (a, b) in enumerate(consts)
     )
     rows = k // bands
@@ -4685,7 +4690,7 @@ SELECT cal.priority, cal.month,
        last_value(m.revenue IGNORE NULLS) OVER (
          PARTITION BY cal.priority ORDER BY cal.month
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue,
-       (m.revenue IS NULL) AS is_filled
+       (m.month IS NULL) AS is_filled
 FROM cal LEFT JOIN m ON m.priority = cal.priority AND m.month = cal.month
 """
 

@@ -72,6 +72,7 @@ def _signature_cols(sh: Column, k: int) -> list[Column]:
     array is irrelevant to a min."""
     from etl_macropulse_br_spark.functions.hashing import (
         _MASK32,
+        _MINHASH_P,
         _lcg_constants,
     )
 
@@ -79,8 +80,11 @@ def _signature_cols(sh: Column, k: int) -> list[Column]:
 
     def affine(a: int, b: int):
         # single-arg lambda: a two-arg lambda would be invoked by
-        # Spark as (element, index)
-        return lambda h: h * F.lit(a) + F.lit(b)
+        # Spark as (element, index); the mod-P reduction is
+        # load-bearing (hashing._MINHASH_P)
+        return lambda h: F.pmod(
+            h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P)
+        )
 
     return [
         F.array_min(F.transform(bases, affine(a, b)))

@@ -2558,3 +2558,74 @@ def test_sketches_serve_from_stored_state(spark, tmp_path):
     hdr_histogram(thirds[0], "v", s=6, by=["g"]).write.parquet(bare_h)
     with pytest.raises(FileNotFoundError, match="_hdr_meta"):
         load_hdr_histogram(spark, bare_h)
+
+
+def test_r9_review_fixes_text_similarity_clustering(spark):
+    """Batch pin for the r9 fourth review pass:
+    (a) language_id / quality_features match markers
+        case-insensitively (capitalized prose scored 'und' before);
+    (b) cosine_topk_pandas keeps the caller's id column name/type
+        (string ids crashed at the Arrow boundary before);
+    (c) bm25_topk refuses an empty query loudly;
+    (d) the k-means assign fold fails loudly on a width-mismatched
+        vector instead of silently landing it in phantom cluster -1;
+    (e) an EMPTY embedding array is dropped like a null one."""
+    import pytest
+
+    from etl_macropulse_br_spark.operators.clustering import (
+        kmeans_centroids,
+    )
+    from etl_macropulse_br_spark.operators.similarity import (
+        cosine_topk_pandas,
+    )
+    from etl_macropulse_br_spark.operators.text import (
+        bm25_topk,
+        language_id,
+        quality_features,
+    )
+
+    # (a) capitalized markers count
+    docs = spark.createDataFrame(
+        [(1, "The cat and THE dog"), (2, "Der Hund und DIE Katze")],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert langs == {1: "en", 2: "de"}
+    q = {r["doc_id"]: r["stopword_ratio"] for r in quality_features(docs).collect()}
+    assert q[1] == 3 / 5  # The, and, THE all count
+
+    # (b) string id column survives the pandas path
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "name string, embedding array<float>",
+    )
+    got = cosine_topk_pandas(vecs, [1.0, 0.0], k=2, id_col="name").collect()
+    assert [r["name"] for r in got] == ["a", "b"]
+
+    # (c) empty query refused
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(docs, [], text_col="text")
+
+    # (d) width mismatch fails loudly: assign a 4-dim vector against
+    # 8-dim centroids (every distance fold is null -> pre-fix the
+    # row silently landed in phantom cluster -1)
+    from etl_macropulse_br_spark.operators.clustering import (
+        _assign,
+        _points,
+    )
+
+    emb8 = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_centroids(emb8, k=2, rounds=1)
+    mixed = spark.createDataFrame(
+        [(100, [9.0] * 4)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="width differs"):
+        _assign(_points(mixed, "vec_id", "embedding"), cents).collect()
+    emb_ok = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [2.0] * 8), (3, [])],
+        "vec_id long, embedding array<float>",
+    )
+    assert kmeans_centroids(emb_ok, k=2, rounds=1).count() <= 2

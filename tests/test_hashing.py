@@ -57,3 +57,92 @@ def test_lcg_constants_bounds():
         assert 0 <= b < 2**31
         # no 64-bit overflow for a 32-bit base
         assert a * _MASK32 + b < 2**63
+
+
+def test_minhash_family_is_not_monotone_degenerate(spark):
+    """r9 review fix (the family-level defect the oracle CANNOT
+    catch, since it replays the same expressions): without a modular
+    reduction — or with a modulus so large the affine map wraps at
+    most once (2^61-1 was tried and measured equally degenerate) —
+    every h_i is (near-)monotone in the base, all k signature
+    components select the same minimum shingle, and component
+    agreement between documents collapses to all-or-nothing. Pins:
+    (a) for a mid-similarity pair, agreement is strictly BETWEEN 0
+    and k (a fractional estimate is impossible under the degenerate
+    family); (b) signatures are NOT an affine image of one shared
+    argmin; (c) across pairs, the mean |estimate - true J| is within
+    a few times the Broder std err sqrt(J(1-J)/k)."""
+    import hashlib
+    import random
+    import statistics
+
+    from etl_macropulse_br_spark.functions.hashing import (
+        _MINHASH_P,
+        _lcg_constants,
+    )
+    from etl_macropulse_br_spark.operators.dedup import (
+        minhash_signature_table,
+    )
+
+    COEFS = (786433, 919393, 649657)
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def sh_set(text: str, n: int = 3) -> set:
+        th = [md5_long(t) & 0xFFFFFFFF for t in text.split()]
+        out = set()
+        for i in range(max(len(th) - n + 1, 1)):
+            out.add(
+                sum(
+                    (th[i + j] if i + j < len(th) else 0) * c
+                    for j, c in enumerate(COEFS)
+                )
+            )
+        return out
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(200)]
+    rows, pairs = [], []
+    for p in range(20):
+        base = [rng.choice(vocab) for _ in range(60)]
+        keep = rng.randrange(10, 55)
+        a = " ".join(base)
+        b = " ".join(
+            base[:keep] + [rng.choice(vocab) for _ in range(60 - keep)]
+        )
+        sa, sb = sh_set(a), sh_set(b)
+        pairs.append((2 * p, 2 * p + 1, len(sa & sb) / len(sa | sb)))
+        rows += [(2 * p, a), (2 * p + 1, b)]
+
+    k = 16
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r["id"]: [r[f"m{i}"] for i in range(k)]
+        for r in minhash_signature_table(df, k=k).collect()
+    }
+
+    # (a) fractional agreement exists (impossible when degenerate)
+    agreements = [
+        sum(x == y for x, y in zip(sig[ia], sig[ib]))
+        for ia, ib, _ in pairs
+    ]
+    assert any(0 < a_ < k for a_ in agreements), agreements
+
+    # (b) not an affine image of one argmin
+    consts = _lcg_constants(k)
+    s0 = sig[0]
+    x0 = (s0[0] - consts[0][1]) // consts[0][0]
+    assert not all(
+        s0[i] == (consts[i][0] * x0 + consts[i][1]) % _MINHASH_P
+        and s0[i] == consts[i][0] * x0 + consts[i][1]
+        for i in range(k)
+    )
+
+    # (c) estimator quality: mean abs error within 3x the k=16
+    # Broder bound (~0.125 at J=0.5)
+    errs = [
+        abs(sum(x == y for x, y in zip(sig[ia], sig[ib])) / k - J)
+        for ia, ib, J in pairs
+    ]
+    assert statistics.fmean(errs) < 3 * 0.125, statistics.fmean(errs)
