@@ -139,6 +139,14 @@ def literal_lookup(mapping: dict, key) -> F.Column:
     args: list = []
     for k in sorted(mapping):
         args.append(F.lit(k))
-        args.append(F.lit(mapping[k]))
+        v = mapping[k]
+        # tuple values (fold_fixed_dim's multi-column result) become
+        # array literals element-wise — F.lit(tuple) is an
+        # unsupported literal type and crashed at plan build (r9
+        # review fix); read fields back with getItem(i)
+        if isinstance(v, tuple):
+            args.append(F.array(*[F.lit(x) for x in v]))
+        else:
+            args.append(F.lit(v))
     key = F.col(key) if isinstance(key, str) else key
     return F.create_map(*args)[key]

@@ -88,9 +88,21 @@ def run_pipeline(
         save_bronze(uf_dim, os.path.join(data_dir, "bronze", "ibge_uf"))
         save_bronze(anp_raw, os.path.join(data_dir, "bronze", "anp_raw"))
 
-    bcb_silver = to_silver_bcb(bcb_raw)
+    # (long-lived sessions release these via
+    # operators.util.unpersist_candidates after consuming the result)
+    from etl_macropulse_br_spark.operators.util import register_persisted
+
+    # the silver frames feed EVERY downstream action (bronze/silver/
+    # gold sinks, 5+ catalog registrations, the summary collect) —
+    # without materialization each action re-runs the CSV scan +
+    # header mapping + locale parsing + dedup window from source
+    # (~8-10 full re-parses per run, r9 review fix); persisted, the
+    # parse runs once and the sinks share it
+    bcb_silver = register_persisted(to_silver_bcb(bcb_raw))
     anp_silver = to_silver_anp(anp_raw)
-    anp_enriched = enrich_with_uf_dim(anp_silver, uf_dim)
+    anp_enriched = register_persisted(
+        enrich_with_uf_dim(anp_silver, uf_dim)
+    )
 
     gold = build_gold_metrics(bcb_silver, anp_enriched)
 

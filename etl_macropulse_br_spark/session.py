@@ -73,6 +73,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # declared default (r9): TIMESTAMP(NANOS) parquet columns
+        # read as bigint engine-wide — the events loader needs it,
+        # and it cannot be scoped per-read (the scan consults it at
+        # execution), so it is a session property, not a silent
+        # mutation (see sources/files.py:load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # Generous enough for every dimension table, small enough

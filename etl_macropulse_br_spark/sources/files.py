@@ -32,6 +32,13 @@ def read_csv_sep_fallback(
         )
     with open(path, encoding="utf-8", errors="replace") as f:
         header = f.readline()
+    if not header.strip():
+        # r9 review fix: a zero-byte/truncated download previously
+        # surfaced as a bare StopIteration from the csv reader
+        raise ValueError(
+            f"ANP input at {path} is empty (no header line) — "
+            "truncated or failed download?"
+        )
     best = max(seps, key=lambda s: len(next(csv.reader(io.StringIO(header), delimiter=s))))
     return (
         spark.read.option("header", True)
@@ -89,6 +96,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
 
     if name == "events":
+        # NOTE (r9): this conf is necessarily SESSION-WIDE — the
+        # parquet schema conversion reads it at scan execution, so a
+        # set-and-restore around the (lazy) read would break the
+        # scan at action time. Consequence: later parquet reads in
+        # the same session type TIMESTAMP(NANOS) columns as bigint
+        # instead of timestamp. The engine session (session.py) sets
+        # it as a declared default for exactly this reason; on a
+        # vanilla session this loader is the documented opt-in.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":

@@ -6,9 +6,13 @@ of rows, the UF dim is 27 rows); rows land in executors via
 ``spark.createDataFrame`` with explicit schemas. The fetch function
 is injectable so tests run fully offline (SURVEY §7.1 step 4).
 
-For many-series fan-out at scale, ``extract_bcb_many`` distributes
-the HTTP calls across executors with ``mapInPandas`` over a series-id
-frame — one task per series, no driver bottleneck.
+``extract_bcb_many`` unions many series into one lazy DAG; its HTTP
+calls run SEQUENTIALLY on the driver (r9 doc fix — this header
+previously claimed a mapInPandas executor fan-out that was never
+implemented). That is the right shape for the reference's O(10)
+control-plane series; an O(1000)-series ingest would move the fetch
+into ``mapInPandas`` over a series-id frame (one task per series),
+which remains future extension surface.
 """
 
 from __future__ import annotations

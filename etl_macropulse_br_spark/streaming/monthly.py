@@ -12,8 +12,12 @@ Semantics notes:
   streaming twin) — exact within the lateness horizon.
 - The monthly aggregate uses ``window(date, "30 days")``-free month
   truncation (calendar months, not fixed windows) via groupBy on
-  ``trunc(date, 'MM')`` — allowed in append mode only with a
-  watermark on the event-time column.
+  ``trunc(date, 'MM')`` — run in COMPLETE output mode (r9 doc fix:
+  this header previously claimed append-mode, contradicting the
+  implementation; a non-window time grouping cannot emit
+  append-mode finals, and the gold mart is a full-replace table,
+  so complete mode is the design, as ``start_gold_stream``
+  documents).
 - ``last_value`` uses ``max_by(value, date)`` exactly like batch, so
   a replay of the stream converges to the batch gold table
   (stream-batch consistency).

@@ -11,8 +11,14 @@ landing EXACTLY on ``last_ts + gap`` EXTENDS the session, which is
 the native ``F.session_window`` merge rule (verified empirically and
 pinned by the stream-vs-batch differential test; the boundary case
 never appears in the driver's testdata, so only that test guards
-it); ``GroupStateTimeout`` closes idle sessions when their
-watermark-driven timeout fires.
+it); an EVENT-TIME timeout at ``last_ts + gap`` closes idle
+sessions once the watermark passes (r9 — processing-time idleness
+previously closed sessions on wall-clock stalls, splitting what
+batch semantics merge). Watermark-legal late events extend the open
+session backwards (min/max merge, r9); a late event predating the
+open session by more than the gap emits as its own singleton — an
+already-EMITTED session cannot be retroactively merged in append
+mode, the inherent late-data limit of any emit-on-close stream.
 
 State size is O(active users), not O(events) — the operator scales
 with key cardinality, and shuffle is the single hash partition on
@@ -79,13 +85,35 @@ def _sessionize_group(
     for t in ts_list:
         if start_us is None:
             start_us, last_us, n = t, t, 1
-        elif t - last_us > gap_us:  # inclusive boundary extends (see module docstring)
-            closed.append((start_us, last_us, n))
-            start_us, last_us, n = t, t, 1
+        elif t > last_us:
+            if t - last_us > gap_us:  # inclusive boundary extends
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
         else:
-            last_us, n = t, n + 1
+            # watermark-legal LATE arrival at-or-before the open
+            # session's end (r9 review fix: the old else-branch set
+            # last_us = t, REGRESSING the session end — the next
+            # event then measured its gap from the regressed end and
+            # split a session batch semantics would keep whole)
+            if start_us - t > gap_us:
+                # too far before the open session to merge: its own
+                # already-gapped singleton session
+                closed.append((t, t, 1))
+            else:
+                start_us = min(start_us, t)
+                n += 1
     state.update((start_us, last_us, n))
-    state.setTimeoutDuration(gap_s * 1000)
+    # watermark-driven closing (r9 review fix: ProcessingTimeTimeout
+    # closed sessions on WALL-CLOCK idleness — a stalled upstream
+    # writer split sessions batch semantics would merge); the
+    # timeout must stay ahead of the current watermark or the API
+    # rejects it
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(
+        max(last_us // 1000 + gap_s * 1000, wm_ms + 1)
+    )
 
     if closed:
         yield pd.DataFrame(
@@ -114,6 +142,6 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -46,12 +46,17 @@ def test_sessionize_stream_closes_gapped_sessions(spark, tmp_path):
         (r["user_id"], r["n_events"]): (r["session_start"], r["session_end"])
         for r in spark.sql("SELECT * FROM closed_sessions").collect()
     }
-    # only user 1's first session closed (a later event arrived past
-    # the gap); the open sessions stay in state awaiting timeout
+    # user 1's first session closed by the gap; user 2's closed by
+    # the EVENT-TIME timeout (r9: the watermark — max event minus
+    # 1 h = base+2h02 — passed its last_ts + gap = base+30min, so
+    # the availableNow run's final batch emits it, exactly as the
+    # batch twin would); user 1's second session stays open (its
+    # timeout base+3h32 is still ahead of the watermark)
     assert (1, 3) in got
     start, end = got[(1, 3)]
     assert start == base and end == base + dt.timedelta(minutes=10)
-    assert len(got) == 1
+    assert got.get((2, 1)) == (base, base)
+    assert len(got) == 2
 
 
 def test_stream_matches_batch_session_window(spark, tmp_path):
@@ -196,3 +201,82 @@ def test_session_oracle_matches_native_on_boundary_events(spark, tmp_path):
     assert native == oracle
     # the chain 0,1800,3600 merges through two exact boundaries
     assert any(n >= 3 and s == base for _, s, _, n in native)
+
+
+def test_sessionize_late_events_extend_not_split(spark, tmp_path):
+    """r9 review fix: a watermark-legal late event landing INSIDE
+    (or within gap before) the open session must extend it, not
+    regress session_end — pre-fix, last_us was overwritten backwards
+    and the next on-time event measured its gap from the regressed
+    end, splitting a session batch semantics keeps whole."""
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "late_stream")
+    # batch 1: events at t=0 and t=20min
+    spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(minutes=20))], schema
+    ).coalesce(1).write.parquet(src)
+    # batch 2: a LATE event at t=5min (inside the open session, well
+    # within the 1h watermark) + an on-time event at t=40min, then a
+    # far-future sentinel to force-close via the gap
+    spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=5)),
+            (1, base + dt.timedelta(minutes=40)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(days=2))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_s=1800)
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        r
+        for r in spark.sql("select * from late_sessions").collect()
+        if r["n_events"] > 1  # drop the sentinel's own session if any
+    ]
+    # ONE session [0, 40min] with all 4 events — pre-fix this came
+    # out as [0, 5min] n=3 plus a second session at 40min
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["session_start"] == base
+    assert r["session_end"] == base + dt.timedelta(minutes=40)
+    assert r["n_events"] == 4
+
+    # and it matches the batch session_window on the same rows
+    batch = (
+        spark.read.parquet(src)
+        .filter(F.col("ts") < base + dt.timedelta(days=1))
+        .groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(batch) == 1 and batch[0]["n"] == 4
