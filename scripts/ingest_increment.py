@@ -80,12 +80,30 @@ def run(
 ) -> dict:
     """One increment. Returns the manifest dict (also what main()
     prints). Separated from main() so tests drive it on a shared
-    session."""
+    session. Holds the state directory's single-writer lease for the
+    whole increment (r10 — VERDICT r9 #1): a concurrent increment or
+    compaction against the same state dir is refused loudly instead
+    of interleaving signature appends with a compaction's
+    directory swap (operators/statelock.py)."""
+    from etl_macropulse_br_spark.operators.statelock import writer_lock
+
+    with writer_lock(state_dir, owner="ingest_increment.run"):
+        return _run_unlocked(spark, new_batch, state_dir, out_dir, threshold)
+
+
+def _run_unlocked(
+    spark,
+    new_batch: str,
+    state_dir: str,
+    out_dir: str,
+    threshold: float = 0.8,
+) -> dict:
     import functools
 
     from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
 
+    from etl_macropulse_br_spark.functions.hashing import MINHASH_FAMILY
     from etl_macropulse_br_spark.operators.dedup import (
         incremental_near_dups,
         minhash_near_dups,
@@ -98,8 +116,49 @@ def run(
         with open(meta_path) as f:
             meta = json.load(f)
     else:
-        meta = {"params": dict(_DEFAULTS), "batches": [], "n_docs": 0}
+        meta = {
+            "params": {**_DEFAULTS, "hash_family": MINHASH_FAMILY},
+            "batches": [],
+            "n_docs": 0,
+        }
     p = meta["params"]
+
+    # r10 (ADVICE r9 #1): signatures are only comparable when built
+    # by the SAME hash family — the r9 Carter-Wegman fix changed
+    # every signature value, so an index written under the old
+    # family would band-collide with nothing and every increment
+    # would silently report zero base matches. The family id is
+    # stamped into the sidecar on first write and mismatches are
+    # rejected. A legacy sidecar without the field gets the cheap
+    # value-domain backstop: the current family is mod 2^31-1, so
+    # any stored m-column value >= 2^31 proves a pre-fix index.
+    fam = p.get("hash_family")
+    if fam is not None and fam != MINHASH_FAMILY:
+        raise ValueError(
+            f"ingest_increment: state at {state_dir!r} was built with "
+            f"hash family {fam!r}; this engine uses "
+            f"{MINHASH_FAMILY!r} — its signatures would never match. "
+            "Rebuild the index from the recorded batch parquet."
+        )
+    if fam is None and meta["batches"]:
+        from pyspark.sql import functions as _F
+
+        sig_probe = spark.read.parquet(sig_dir)
+        mcols = [c for c in sig_probe.columns if c.startswith("m")]
+        row = sig_probe.agg(
+            *[_F.max(c).alias(c) for c in mcols]
+        ).first()
+        if any(row[c] is not None and row[c] >= (1 << 31) for c in mcols):
+            raise ValueError(
+                f"ingest_increment: state at {state_dir!r} carries "
+                "signature values >= 2^31 — built by the pre-r9 "
+                "(degenerate, un-reduced) hash family; they would "
+                f"never match {MINHASH_FAMILY!r} signatures. Rebuild "
+                "the index from the recorded batch parquet."
+            )
+        # value domain consistent with the current family: stamp it
+        # so future loads skip the probe scan
+        p["hash_family"] = MINHASH_FAMILY
 
     # r9 guard (ADVICE r8 #3), mirroring append_ann_index's
     # duplicate-id rejection: a rerun of an already-COMPLETED batch
@@ -220,7 +279,20 @@ def compact_signature_index(
     the next increment fails LOUDLY on the missing path (never a
     silent partial index); recovery is renaming the stranded
     ``signatures.old-*`` / ``signatures.compact-*`` directory back.
-    Single-writer contract, same as the ANN index's prune."""
+    Single-writer contract, ENFORCED since r10 by the same
+    state-dir lease the increments hold — a compaction racing an
+    in-flight increment is refused loudly."""
+    from etl_macropulse_br_spark.operators.statelock import writer_lock
+
+    with writer_lock(state_dir, owner="compact_signature_index"):
+        return _compact_signature_index_unlocked(
+            spark, state_dir, target_files
+        )
+
+
+def _compact_signature_index_unlocked(
+    spark, state_dir: str, target_files: int | None = None
+) -> dict:
     import glob
     import shutil
     import uuid

@@ -1524,3 +1524,72 @@ def test_ann_index_adc_drift_metric_rises_under_shift(spark, tmp_path):
     assert in_r < 3 * base_r
     # planted shift: far above — the "retrain now" signal
     assert shift_r > 5 * base_r, (base_r, in_r, shift_r)
+
+
+def test_ann_index_single_writer_lease(spark, tmp_path):
+    """r10 (VERDICT r9 #1): the single-writer contract is ENFORCED.
+    (a) an in-flight append (lease held, segment written, manifest
+    not yet committed) makes a concurrent compaction fail LOUDLY —
+    its uncommitted segment is never silently pruned; (b) a second
+    writer of any kind is refused while the lease is held; (c) a
+    crashed writer's stale lock breaks after the stale window."""
+    import os
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        compact_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+    from etl_macropulse_br_spark.operators.statelock import (
+        WriterLockHeld,
+        writer_lock,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(64)
+    path = str(tmp_path / "lease_idx")
+    save_ann_index(emb, path, k=2, rounds=1, m=4, ks=4, pq_rounds=1,
+                   sub=16)
+
+    inflight = os.path.join(path, "segments", "seg-inflight", "assign")
+    with writer_lock(path, owner="in-flight-append"):
+        # the in-flight appender has written its segment but not yet
+        # committed the manifest
+        os.makedirs(inflight)
+        with open(os.path.join(inflight, "part-0.parquet"), "wb") as f:
+            f.write(b"uncommitted")
+        # (a) concurrent compaction: refused loudly, segment intact
+        with pytest.raises(WriterLockHeld, match="single-writer"):
+            compact_ann_index(spark, path)
+        assert os.path.exists(inflight)
+        # (b) concurrent append/save: refused loudly
+        batch = emb.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        with pytest.raises(WriterLockHeld):
+            append_ann_index(batch, path)
+        with pytest.raises(WriterLockHeld):
+            save_ann_index(emb, path, k=2, rounds=1, with_pq=False)
+
+    # lease released: the orphan from the "crashed" append is pruned
+    # by a legitimate compaction and the index still serves
+    compact_ann_index(spark, path)
+    assert not os.path.exists(inflight)
+    assert load_ann_index(spark, path).assign.count() == 64
+
+    # (c) stale-lock recovery: a crashed writer's lock older than the
+    # stale window is broken; a fresh one is honored
+    lock = os.path.join(path, ".writer.lock")
+    with open(lock, "w") as f:
+        f.write("crashed-writer pid=0 token=x t=0")
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    with writer_lock(path, owner="recovering", stale_after_s=3600):
+        pass  # stolen, acquired, released
+    assert not os.path.exists(lock)

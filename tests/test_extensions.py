@@ -2629,3 +2629,100 @@ def test_r9_review_fixes_text_similarity_clustering(spark):
         "vec_id long, embedding array<float>",
     )
     assert kmeans_centroids(emb_ok, k=2, rounds=1).count() <= 2
+
+
+def test_ingest_rejects_foreign_hash_family_state(spark, tmp_path):
+    """r10 (ADVICE r9 #1): persisted signatures are only comparable
+    under the SAME hash family — the sidecar carries a family id
+    stamped on first write; a mismatching id is rejected loudly, and
+    a legacy sidecar (no field) gets the value-domain backstop
+    (current family is mod 2^31-1, so any stored m-value >= 2^31
+    proves a pre-fix, never-colliding index)."""
+    import json
+    import os
+
+    from etl_macropulse_br_spark.functions.hashing import MINHASH_FAMILY
+    from scripts.ingest_increment import run
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    bp = []
+    for i, (lo, hi) in enumerate([(0, 80), (80, 160), (160, 240)]):
+        p = str(tmp_path / f"famb{i}.parquet")
+        docs.filter(f"doc_id >= {lo} and doc_id < {hi}").write.parquet(p)
+        bp.append(p)
+    state = str(tmp_path / "fam_state")
+    meta_path = os.path.join(state, "meta.json")
+
+    run(spark, bp[0], state, str(tmp_path / "famo0"), threshold=0.5)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    # stamped on first write
+    assert meta["params"]["hash_family"] == MINHASH_FAMILY
+
+    # explicit mismatch rejected before any work
+    meta["params"]["hash_family"] = "md5-32+lcg0x5EED-UNREDUCED-v1"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="hash family"):
+        run(spark, bp[1], state, str(tmp_path / "famo1"), threshold=0.5)
+
+    # legacy sidecar (no field) + in-domain values: accepted and
+    # re-stamped (pre-field state written by the CURRENT family)
+    del meta["params"]["hash_family"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    run(spark, bp[1], state, str(tmp_path / "famo1b"), threshold=0.5)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["params"]["hash_family"] == MINHASH_FAMILY
+
+    # legacy sidecar + PRE-FIX values (>= 2^31, the un-reduced
+    # family's domain): the backstop rejects
+    del meta["params"]["hash_family"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    k = meta["params"]["k"]
+    spark.read.parquet(f"{state}/signatures").limit(1).select(
+        (F.col("id") + 10_000_000).alias("id"),
+        *[F.lit((1 << 40) + i).alias(f"m{i}") for i in range(k)],
+    ).write.mode("append").parquet(f"{state}/signatures")
+    with pytest.raises(ValueError, match="pre-r9"):
+        run(spark, bp[2], state, str(tmp_path / "famo2"), threshold=0.5)
+
+
+def test_signature_index_single_writer_lease(spark, tmp_path):
+    """r10 (VERDICT r9 #1): the signature index's writers hold the
+    same state-dir lease as the ANN index — a concurrent increment
+    or compaction is refused loudly, never interleaved."""
+    import pytest
+
+    from etl_macropulse_br_spark.operators.statelock import (
+        WriterLockHeld,
+        writer_lock,
+    )
+    from scripts.ingest_increment import compact_signature_index, run
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    b0 = str(tmp_path / "lease_b0.parquet")
+    b1 = str(tmp_path / "lease_b1.parquet")
+    docs.filter("doc_id < 60").write.parquet(b0)
+    docs.filter("doc_id >= 60 and doc_id < 120").write.parquet(b1)
+    state = str(tmp_path / "lease_state")
+    run(spark, b0, state, str(tmp_path / "lease_o0"), threshold=0.5)
+
+    with writer_lock(state, owner="in-flight-increment"):
+        with pytest.raises(WriterLockHeld, match="single-writer"):
+            run(spark, b1, state, str(tmp_path / "lease_o1"),
+                threshold=0.5)
+        with pytest.raises(WriterLockHeld):
+            compact_signature_index(spark, state)
+
+    # released: both proceed
+    m = run(spark, b1, state, str(tmp_path / "lease_o1"), threshold=0.5)
+    assert m["n_prior_batches"] == 1
+    c = compact_signature_index(spark, state, target_files=1)
+    assert c["rows_after"] == 120

@@ -504,3 +504,28 @@ def test_weighted_sample_log2_rejects_infinite_weights(spark):
         weighted_sample_log2(
             df.selectExpr("doc_id", "-lw as lw"), "lw", 2
         ).collect()
+
+
+def test_zscore_moment_overflow_is_loud(spark):
+    """r10 (ADVICE r9 #4): a group whose decimal(38,0) moments
+    overflow (sum(c*c) > 1e38 — cent values near the int64 edge)
+    must RAISE, not silently NULL every z in the group while the
+    DuckDB twin's HUGEINT stays exact."""
+    from etl_macropulse_br_spark.operators.features import zscore_expr
+
+    # two cents-values ~9e18: each square ~8.2e37 fits decimal(38,0),
+    # their SUM (~1.6e38) does not
+    big = spark.createDataFrame(
+        [("g", 9.1e16), ("g", 9.0e16)], "g string, v double"
+    )
+    with pytest.raises(Exception, match="overflowed decimal"):
+        zscore_expr(big, "v", ["g"]).collect()
+
+    # sane magnitudes keep working through the guard
+    ok = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0)], "g string, v double"
+    )
+    zs = sorted(
+        r["zscore"] for r in zscore_expr(ok, "v", ["g"]).collect()
+    )
+    assert abs(zs[0] + 1.0) < 1e-12 and abs(zs[1]) < 1e-12

@@ -197,10 +197,13 @@ def test_sig_stream_state_is_bounded_and_unpickled(spark, tmp_path):
     out = list(
         _update_bucket_sig(("b", 0), iter([rows]), st, 0.9, k, None, 0)
     )
-    ids, sigs, events = st.updated
+    ids, sigs, events, max_evicted = st.updated
     assert len(ids) == 3 and len(sigs) == 3 * k and len(events) == 3
     assert all(isinstance(x, int) for x in ids + sigs + events)
-    assert SIG_STATE_SCHEMA.fieldNames() == ["ids", "sigs", "events"]
+    assert max_evicted is None  # no horizon -> nothing ever evicted
+    assert SIG_STATE_SCHEMA.fieldNames() == [
+        "ids", "sigs", "events", "max_evicted",
+    ]
     # and the match logic fired for the identical pair only
     pairs = {
         (r["new_id"], r["match_id"])
@@ -290,3 +293,131 @@ def test_sig_stream_event_horizon_bounds_and_evicts(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_interval_validation_is_loud():
+    """r10 (ADVICE r9 #3): a negative interval spec parses fine but
+    makes the horizon predicate reject every pair and the eviction
+    cutoff exceed max(events) — misconfiguration must be loud."""
+    import pytest
+
+    from etl_macropulse_br_spark.streaming.neardup import (
+        _interval_us,
+        sig_neardup_stream,
+    )
+
+    assert _interval_us("7 days") == 7 * 86_400_000_000
+    assert _interval_us("0 seconds") == 0
+    with pytest.raises(ValueError, match="non-negative"):
+        _interval_us("-1 days")
+    with pytest.raises(ValueError, match="positive"):
+        sig_neardup_stream(None, event_col="ts", horizon="0 seconds")
+
+
+def test_sig_stream_lateness_violation_is_loud(spark, tmp_path):
+    """r10 (VERDICT r9 #4): a doc arriving AFTER its event time was
+    evicted from a bucket (disorder > lateness) must surface as a
+    flagged row (match_id NULL) and never silently re-enter state —
+    pre-fix it re-entered and could re-emit pairs. Also pins that
+    in-contract arrivals keep matching and state stays bounded."""
+    import datetime
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def ts(day, hour=12):
+        return datetime.datetime(2026, 1, day, hour, 0, 0)
+
+    txt = "the quick brown fox jumps over the lazy dog today"
+    # batch 1: doc 1 (day 1) then doc 2 (day 5) — the day-5 arrival
+    # evicts doc 1 (cutoff = day 4), recording max_evicted = day 1
+    rows1 = [(1, txt, ts(1)), (2, txt, ts(5))]
+    # batch 2: doc 3 REDELIVERS day-1 content at day 1 — disorder
+    # (4 days) far exceeds lateness (0) and its event time is
+    # at-or-before max_evicted: flagged, not re-entered
+    rows2 = [(3, txt, ts(1))]
+    # batch 3: doc 4 (day 2, 00:00) is within the 1-day horizon of
+    # doc 3 — a pair (4, 3) appears ONLY if doc 3 silently
+    # re-entered state; doc 5 (day 5) legitimately matches doc 2
+    rows3 = [(4, txt, ts(2, 0)), (5, txt, ts(5))]
+
+    got = _run_sig_stream(
+        spark,
+        tmp_path,
+        "late",
+        [rows1, rows2, rows3],
+        schema=schema,
+        event_col="ts",
+        horizon="1 day",
+    )
+    flagged = {n for (n, m) in got if m is None}
+    matched = {(n, m) for (n, m) in got if m is not None}
+    assert flagged == {3}      # the violation is loud
+    assert (4, 3) not in matched  # and doc 3 never re-entered state
+    assert matched == {(5, 2)}    # in-contract pairs still flow
+
+
+def test_sig_stream_differential_under_rocksdb(spark, tmp_path):
+    """r10 (VERDICT r9 #3): the bounded-state sig stream's
+    stream≡batch differential under the PRODUCTION RocksDB provider
+    (scoped via the state_store context manager) — covers the long
+    arrays AND the nullable max_evicted long (r10 field) through
+    the RocksDB state encoder, with eviction + a lateness flag."""
+    import datetime
+
+    from etl_macropulse_br_spark.operators.dedup import (
+        minhash_sig_near_dups,
+    )
+    from etl_macropulse_br_spark.streaming.state_store import (
+        _CONF,
+        PROVIDERS,
+        state_store,
+    )
+
+    # (a) lifetime-corpus shape (max_evicted stays NULL in state)
+    with state_store(spark, "rocksdb"):
+        assert spark.conf.get(_CONF) == PROVIDERS["rocksdb"]
+        got = _run_sig_stream(
+            spark, tmp_path, "rocks", [BATCH1, BATCH2]
+        )
+    assert spark.conf.get(_CONF, None) is None  # restored
+    all_docs = spark.createDataFrame(BATCH1 + BATCH2, SCHEMA)
+    batch = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_sig_near_dups(all_docs, threshold=0.5).collect()
+    }
+    assert batch and got == batch
+
+    # (b) horizon mode: eviction writes max_evicted (non-null long)
+    # and the lateness flag row flows — same scenario as the loud
+    # lateness test, now through RocksDB state
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def ts(day, hour=12):
+        return datetime.datetime(2026, 2, day, hour, 0, 0)
+
+    txt = "the quick brown fox jumps over the lazy dog today"
+    with state_store(spark, "rocksdb"):
+        got_h = _run_sig_stream(
+            spark,
+            tmp_path,
+            "rockshz",
+            [[(1, txt, ts(1)), (2, txt, ts(5))], [(3, txt, ts(1))],
+             [(5, txt, ts(5))]],
+            schema=schema,
+            event_col="ts",
+            horizon="1 day",
+        )
+    assert {n for (n, m) in got_h if m is None} == {3}
+    assert {(n, m) for (n, m) in got_h if m is not None} == {(5, 2)}

@@ -214,3 +214,79 @@ def test_stream_signed_running_quantiles_matches_batch(spark, tmp_path):
         br = batch[k]
         for c in ("rank", "n", "lo", "hi", "est"):
             assert fr[c] == br[c], (k, c, fr[c], br[c])
+
+
+def test_stream_quantiles_differential_under_rocksdb(spark, tmp_path):
+    """r10 (VERDICT r9 #3): the stream≡batch differential re-run
+    under the PRODUCTION RocksDB state-store provider, selected via
+    the builder's ``state_store=`` knob — pins that the bucket-count
+    state round-trips the RocksDB encoder exactly."""
+    import random
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_quantiles_by,
+    )
+    from etl_macropulse_br_spark.streaming.quantiles import (
+        running_quantiles_stream,
+    )
+    from etl_macropulse_br_spark.streaming.state_store import (
+        _CONF,
+        PROVIDERS,
+    )
+
+    rng = random.Random(41)
+    qs, s = (0.5, 0.9), 6
+    src = str(tmp_path / "q_rocks_stream")
+    spark.createDataFrame(
+        [("click", int(rng.lognormvariate(7, 2))) for _ in range(200)]
+        + [("view", rng.randrange(0, 50)) for _ in range(100)],
+        SCHEMA,
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("click", int(rng.lognormvariate(10, 1))) for _ in range(150)],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    prev = spark.conf.get(_CONF, None)
+    try:
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = running_quantiles_stream(
+            stream, "event_type", "v", qs, s, state_store="rocksdb"
+        )
+        # the knob wired the provider onto the session
+        assert spark.conf.get(_CONF) == PROVIDERS["rocksdb"]
+        q = (
+            out.writeStream.format("memory")
+            .queryName("run_quant_rocks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(_CONF)
+        else:
+            spark.conf.set(_CONF, prev)
+
+    rows = spark.sql("select * from run_quant_rocks").collect()
+    final = {}
+    for r in rows:
+        k = (r["group_key"], r["q"])
+        if k not in final or r["n"] > final[k]["n"]:
+            final[k] = r
+    batch = {
+        (r["event_type"], r["q"]): r
+        for r in hdr_quantiles_by(
+            spark.read.parquet(src), "v", ["event_type"], qs, s
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for k, fr in final.items():
+        for c in ("rank", "n", "lo", "hi", "est"):
+            assert fr[c] == batch[k][c], (k, c)

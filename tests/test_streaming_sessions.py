@@ -280,3 +280,51 @@ def test_sessionize_late_events_extend_not_split(spark, tmp_path):
         .collect()
     )
     assert len(batch) == 1 and batch[0]["n"] == 4
+
+
+def test_sessionize_stream_drops_null_ts(spark, tmp_path):
+    """r10 (ADVICE r9 #2): a NULL ts became pandas NaT, whose
+    int64-min value the late-arrival branch emitted as a garbage
+    singleton session near year 1677 — nulls are now dropped in the
+    plan, so output equals the same stream without them."""
+    import datetime as dt
+
+    from etl_macropulse_br_spark.streaming.sessions import sessionize_stream
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base),
+        (1, None),  # must not pollute user 1's open session
+        (1, base + dt.timedelta(minutes=5)),
+        (1, base + dt.timedelta(hours=3)),
+        (9, None),  # null-only user: no session at all
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "null_ts_stream")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    q = (
+        sessionize_stream(
+            spark.readStream.schema(schema).parquet(src), gap_s=1800
+        )
+        .writeStream.format("memory")
+        .queryName("null_ts_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_null_ts"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"], r["session_start"], r["session_end"])
+        for r in spark.sql("SELECT * FROM null_ts_sessions").collect()
+    }
+    # exactly user 1's first session (closed by the 3h gap); no
+    # year-1677 garbage, nothing for user 9
+    assert got == {
+        (1, 2, base, base + dt.timedelta(minutes=5))
+    }
