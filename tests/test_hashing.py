@@ -146,3 +146,30 @@ def test_minhash_family_is_not_monotone_degenerate(spark):
         for ia, ib, J in pairs
     ]
     assert statistics.fmean(errs) < 3 * 0.125, statistics.fmean(errs)
+
+
+def test_banded_recall_curve_matches_analytic(spark):
+    """r10 (VERDICT r9 #2): the END-TO-END banding recall curve,
+    measured on planted exact-Jaccard pairs, must track the analytic
+    1-(1-J^r)^b S-curve — the artifact the r2-r8 degeneracy (recall
+    silently collapsed to plain J) shipped green without. The
+    measurement is deterministic (md5 family, fixed token
+    namespaces), so these bounds are exact replays, not flaky
+    statistics; tolerances still follow the binomial stderr so a
+    re-derived family with small bias keeps passing."""
+    from tools.recall_curve import measure_banded_recall
+
+    rows = measure_banded_recall(spark, pairs_per_point=200)
+    assert len(rows) == 8
+    for r in rows:
+        # pointwise: within 4 sigma + the family's ~2pt bias budget
+        tol = 4 * r["stderr"] + 0.02
+        assert abs(r["measured_recall"] - r["analytic_recall"]) <= tol, r
+    by_j = {r["j"]: r["measured_recall"] for r in rows}
+    # anti-collapse: the S-curve is SUB-linear at low J and
+    # SUPER-linear at high J; plain-J collapse fails both ends
+    assert by_j[0.3] < 0.15 and by_j[0.4] < 0.20  # plain J: 0.3/0.4
+    assert by_j[0.9] > 0.93 and by_j[0.95] > 0.97
+    # and monotone non-decreasing across the grid
+    vals = [r["measured_recall"] for r in sorted(rows, key=lambda x: x["j"])]
+    assert vals == sorted(vals)

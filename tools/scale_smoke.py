@@ -521,6 +521,123 @@ def main() -> None:
         )
     results["hdr_signed_state_and_error"] = signed_rows
 
+    # r10 (VERDICT r9 #5): scale-linearity rows for the top-5
+    # DECLARED bench queries — the bench proves sf0.1; these rows
+    # make the "survives a scale-up" claim a measured artifact per
+    # query. The REAL registry callables run unmodified on
+    # K-replicated parquet directories (K in {1, 4, 16}), so every
+    # deployment gate (persist policy, profile detection) behaves
+    # exactly as it would on a genuinely larger corpus. Timing is
+    # COLD per the bench's honesty contract: caches are torn down
+    # and plan build + cache population are charged inside the
+    # timer (min of 2 passes to damp box-load spikes).
+    #
+    # Two expectations, as in the linear_ops table above:
+    # - linear queries: t(16x) <= ~16 * t(1x) (generous slack for
+    #   the overhead-bound 1x run making the ratio SUB-linear);
+    # - pair-producing LSH queries: K exact/near copies grow the
+    #   pair OUTPUT ~K^2 by construction, so the scale property is
+    #   time-per-PAIR never degrading, not linearity.
+    import shutil
+
+    from etl_macropulse_br_spark.operators.util import (
+        unpersist_candidates,
+    )
+    from etl_macropulse_br_spark.plans.queries import QUERIES
+
+    top5 = {
+        "docs_curated": "linear",
+        "docs_near_dups": "pairs",
+        "embedding_near_dups": "pairs",
+        "docs_bm25_topk": "linear",
+        "price_percentiles": "linear",
+    }
+    scale_root = tempfile.mkdtemp(prefix="scale_smoke_top5_")
+    tabs = [
+        ("documents", "doc_id", "text"),
+        ("embeddings", "vec_id", None),
+        ("lineitem", "l_orderkey", None),
+    ]
+    kdirs = {}
+    for kk in (1, 4, 16):
+        d = os.path.join(scale_root, f"k{kk}")
+        os.makedirs(d)
+        for t, idc, tc in tabs:
+            replicate(_t(spark, sf_dir, t), kk, idc, tc).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(d, f"{t}.parquet"))
+        kdirs[kk] = d
+
+    def cold_time(fn, d):
+        best, rows = None, 0
+        for _ in range(2):
+            unpersist_candidates()
+            t0 = time.perf_counter()
+            rows = fn(spark, d).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        unpersist_candidates()
+        return best, rows
+
+    top5_rows = {}
+    print(f"{'top5 scale (cold)':26s} {'t_1x':>7s} {'t_16x':>7s} {'ratio':>6s}  rows 1x/4x/16x")
+    for qname, kind in top5.items():
+        fn = QUERIES[qname]
+        per_k = {}
+        for kk in (1, 4, 16):
+            t, n = cold_time(fn, kdirs[kk])
+            per_k[kk] = {"t": round(t, 2), "rows": n}
+        r16 = per_k[16]["t"] / per_k[1]["t"]
+        row = {
+            "kind": kind,
+            **{f"k{kk}": per_k[kk] for kk in (1, 4, 16)},
+            "ratio_16x": round(r16, 2),
+        }
+        if kind == "pairs":
+            upp1 = 1e6 * per_k[1]["t"] / max(per_k[1]["rows"], 1)
+            upp16 = 1e6 * per_k[16]["t"] / max(per_k[16]["rows"], 1)
+            row["us_per_pair_1x"] = round(upp1, 1)
+            row["us_per_pair_16x"] = round(upp16, 1)
+            # bucket-join efficiency must not degrade as pairs grow
+            assert upp16 <= 2 * upp1, (qname, upp1, upp16)
+        else:
+            # ~K growth: generous 2.5x slack over ideal-16 covers
+            # profile flips (persists turning on at real scale) and
+            # the 1x run being overhead-bound
+            assert r16 <= 16 * 2.5, (qname, row)
+        assert per_k[16]["rows"] > 0, qname
+        top5_rows[qname] = row
+        print(
+            f"  {qname:24s} {per_k[1]['t']:7.2f} {per_k[16]['t']:7.2f}"
+            f" {r16:6.2f}  {per_k[1]['rows']}/{per_k[4]['rows']}/"
+            f"{per_k[16]['rows']}"
+        )
+    results["top5_scale_linearity"] = top5_rows
+    shutil.rmtree(scale_root, ignore_errors=True)
+
+    # r10 (VERDICT r9 #2): the measured banded-recall CURVE vs the
+    # analytic 1-(1-J^r)^b at the shipped (k=16, bands=4) — the
+    # artifact the r2-r8 MinHash degeneracy shipped green without
+    # (exact-replay oracles can't see quality collapse in an
+    # approximate operator). Deterministic: md5 family + fixed token
+    # namespaces. The pin: plain-J collapse is SUPER-linear at low J
+    # (0.3 -> banded ~0.03) and SUB-linear at high J (0.95 -> ~0.999);
+    # both ends are asserted, plus a pointwise tolerance.
+    from tools.recall_curve import measure_banded_recall
+
+    curve = measure_banded_recall(spark, pairs_per_point=200)
+    print(f"{'lsh banded recall':26s} {'J':>5s} {'meas':>7s} {'analytic':>9s}")
+    for r in curve:
+        print(
+            f"{'':26s} {r['j']:5.2f} {r['measured_recall']:7.4f}"
+            f" {r['analytic_recall']:9.4f}"
+        )
+        tol = 4 * r["stderr"] + 0.02
+        assert abs(r["measured_recall"] - r["analytic_recall"]) <= tol, r
+    by_j = {r["j"]: r["measured_recall"] for r in curve}
+    assert by_j[0.3] < 0.15 and by_j[0.95] > 0.97  # anti-collapse
+    results["banded_recall_curve"] = curve
+
     print(json.dumps({"sf_dir": sf_dir, "max_k": max_k, "results": results}))
 
 
