@@ -1286,7 +1286,7 @@ def _signed_fixed_point_gateway(
 def hdr_signed_histogram(
     df: DataFrame,
     col: str | Column,
-    scale: float = 1e6,
+    scale: float | None = 1e6,
     s: int = 6,
     by: list[str] | None = None,
 ) -> DataFrame:
@@ -1297,8 +1297,13 @@ def hdr_signed_histogram(
     fixed-point domain (|v*scale| >= 2^62) fails the plan loudly
     (same fail-fast contract as the unsigned family's negative
     guard). Map-only bucketing + one partial-combined hash
-    aggregate, exactly :func:`hdr_histogram`'s scale shape."""
+    aggregate, exactly :func:`hdr_histogram`'s scale shape.
+    ``scale=None`` auto-derives via :func:`derive_signed_scale`
+    (r10) — note the sketch is then only mergeable with sketches
+    built at the SAME derived scale (the sidecar validates)."""
     by = by or []
+    if scale is None:
+        scale = derive_signed_scale(df, col)
     guarded = (
         _signed_fixed_point_gateway(
             df, col, scale, "hdr_signed_histogram", by
@@ -1338,6 +1343,47 @@ def hdr_signed_histogram(
     )
 
 
+def derive_signed_scale(
+    df: DataFrame, col: str | Column, default: float = 1e6
+) -> float:
+    """Auto-derive the signed family's fixed-point scale from a
+    ONE-PASS max-|v| peek (r10 — VERDICT r9 #7): the largest power
+    of 10 (capped at 1e15, double precision's useful resolution)
+    that keeps ``max|v| * scale`` under 2^61 — a 2x headroom below
+    the gateway's 2^62 fail-fast bound, so legal inputs never trip
+    it while the quantization step 1/scale stays as fine as the
+    domain allows. Removes the one hand-tuned parameter: a corpus
+    of |v| ~ 1e20 derives a FRACTIONAL scale (1e-3) instead of
+    overflowing, and unit-scale scores derive 1e15.
+
+    Determinism: max is order-free (no summation), so the derived
+    scale is reproducible run-to-run on the same data. Cross-engine
+    oracle twins should still pass an EXPLICIT scale (one driver
+    peek, then both engines share the literal — the sidecar
+    discipline ``save_hdr_histogram`` already enforces for stored
+    sketches). NaN/Inf fail here with the same loud contract as the
+    gateway; an empty/all-null/all-zero input returns ``default``
+    (any scale brackets it exactly)."""
+    import math
+
+    c = F.col(col) if isinstance(col, str) else col
+    m = df.select(
+        F.max(F.abs(c.cast("double"))).alias("m")
+    ).first()["m"]
+    if m is None or m == 0.0:
+        return float(default)
+    if math.isnan(m) or math.isinf(m):
+        raise ValueError(
+            f"derive_signed_scale: max|v| is {m} — NaN/Inf inputs "
+            "are rejected (same contract as the fixed-point gateway)"
+        )
+    lim = float(1 << 61)
+    k = 15
+    while k > -300 and m * (10.0**k) >= lim:
+        k -= 1
+    return 10.0**k
+
+
 def _hdr_signed_est(scale: float) -> Column:
     """Value-domain estimate from a fixed-point bracket: midpoint
     then un-scale — ((lo + hi) / 2.0) / scale, the exact op order
@@ -1351,7 +1397,7 @@ def hdr_signed_quantiles(
     df: DataFrame,
     col: str | Column,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-    scale: float = 1e6,
+    scale: float | None = 1e6,
     s: int = 6,
 ) -> DataFrame:
     """Approximate quantiles of a SIGNED double column from the
@@ -1360,7 +1406,11 @@ def hdr_signed_quantiles(
     the rank-th smallest fixed-point value and ``est`` the
     value-domain midpoint. Same single-scan plan as
     :func:`hdr_quantiles` — the selection rides windows over the
-    bucket table, never re-joining the input (pinned)."""
+    bucket table, never re-joining the input (pinned).
+    ``scale=None`` auto-derives (:func:`derive_signed_scale`) —
+    one extra max-aggregate peek, then the same single-scan plan."""
+    if scale is None:
+        scale = derive_signed_scale(df, col)
     sel = _hdr_select(hdr_signed_histogram(df, col, scale, s), [], qs)
     return sel.select(
         "q", "rank", "n", "lo", "hi", _hdr_signed_est(scale)
@@ -1372,12 +1422,17 @@ def hdr_signed_quantiles_by(
     col: str | Column,
     by: list[str],
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-    scale: float = 1e6,
+    scale: float | None = 1e6,
     s: int = 6,
 ) -> DataFrame:
     """Per-group signed-domain quantiles (p50/p95 of a model score
     or price delta per tenant) — one shared implementation with the
-    global case, exactly like the unsigned family."""
+    global case, exactly like the unsigned family. ``scale=None``
+    auto-derives ONE scale from the global max-|v| peek (shared
+    across groups — brackets stay mergeable/comparable between
+    groups, and the derivation stays a single cheap aggregate)."""
+    if scale is None:
+        scale = derive_signed_scale(df, col)
     sel = _hdr_select(hdr_signed_histogram(df, col, scale, s, by), by, qs)
     return sel.select(
         *by, "q", "rank", "n", "lo", "hi", _hdr_signed_est(scale)

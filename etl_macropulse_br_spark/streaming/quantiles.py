@@ -264,6 +264,15 @@ def running_signed_quantiles_stream(
         _signed_fixed_point_gateway,
     )
 
+    if scale is None:
+        raise ValueError(
+            "running_signed_quantiles_stream: scale=None (auto-"
+            "derive) is batch-only — an unbounded stream has no "
+            "max-|v| to peek; pass an explicit scale (the batch "
+            "family's derive_signed_scale on a sample is a good "
+            "source)"
+        )
+
     if state_store is not None:
         from etl_macropulse_br_spark.streaming.state_store import (
             set_state_store,

@@ -2726,3 +2726,74 @@ def test_signature_index_single_writer_lease(spark, tmp_path):
     assert m["n_prior_batches"] == 1
     c = compact_signature_index(spark, state, target_files=1)
     assert c["rows_after"] == 120
+
+
+def test_hdr_signed_auto_scale(spark):
+    """r10 (VERDICT r9 #7): scale=None auto-derives the fixed-point
+    scale from a one-pass max-|v| peek — the hand-tuned parameter
+    removed. Pins the derivation rule (largest power of 10 keeping
+    max|v|*scale under 2^61, capped at 1e15), that auto-scaled
+    quantile brackets still contain the closed-form truth within the
+    2^-(s+1) relative guarantee, that a domain the DEFAULT scale
+    would have rejected (|v| ~ 1e14) now sketches fine, and that the
+    explicit-scale overflow guard stays loud."""
+    from etl_macropulse_br_spark.operators.sketches import (
+        derive_signed_scale,
+        hdr_signed_quantiles,
+        hdr_signed_quantiles_by,
+    )
+
+    # derivation rule, pinned on three magnitudes
+    def df_of(vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+    assert derive_signed_scale(df_of([1.0, -4.6]), "v") == 1e15
+    assert derive_signed_scale(df_of([1e10]), "v") == 1e8
+    assert derive_signed_scale(df_of([-1e20]), "v") == 1e-2
+    # empty / all-null / all-zero fall back to the default
+    assert derive_signed_scale(df_of([]), "v") == 1e6
+    assert derive_signed_scale(df_of([0.0, -0.0]), "v") == 1e6
+    import pytest
+
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        derive_signed_scale(df_of([float("inf")]), "v")
+
+    # auto-scaled quantiles on a mirrored {±r^2} domain scaled to
+    # |v| ~ 1e14 — the DEFAULT scale=1e6 would overflow (1e14*1e6 =
+    # 1e20 > 2^62) and fail the gateway; auto-scale derives 1e3 and
+    # every bracket still holds the closed-form truth
+    import pyspark.sql.functions as F
+
+    n, s = 10_000, 6
+    mag = 1e6  # r^2 up to 1e8, then x1e6 -> |v| up to 1e14
+    pos = spark.range(n).select(
+        (((F.col("id") + 1) * (F.col("id") + 1)).cast("double")
+         * F.lit(mag)).alias("v")
+    )
+    sq = pos.unionAll(pos.select((-F.col("v")).alias("v")))
+    got = hdr_signed_quantiles(sq, "v", (0.1, 0.5, 0.99), None, s).collect()
+    assert len(got) == 3
+    for r in got:
+        rk = r["rank"]
+        true = (
+            -((n - rk + 1) ** 2) if rk <= n else (rk - n) ** 2
+        ) * mag
+        scale = derive_signed_scale(sq, "v")
+        assert r["lo"] / scale <= true <= r["hi"] / scale + 1 / scale, r
+        assert abs(r["est"] - true) / abs(true) < 2 ** -(s + 1), r
+    # and the default explicit scale on this domain is still LOUD
+    with pytest.raises(Exception, match="exceeds"):
+        hdr_signed_quantiles(sq, "v", (0.5,), 1e6, s).collect()
+
+    # grouped auto-scale: one shared derived scale, rows per group
+    g = sq.withColumn("g", (F.col("v") > 0).cast("string"))
+    rows = hdr_signed_quantiles_by(g, "v", ["g"], (0.5,), None, s).collect()
+    assert {r["g"] for r in rows} == {"true", "false"}
+
+    # streaming twin refuses auto-scale loudly (no stream to peek)
+    from etl_macropulse_br_spark.streaming.quantiles import (
+        running_signed_quantiles_stream,
+    )
+
+    with pytest.raises(ValueError, match="batch-only"):
+        running_signed_quantiles_stream(sq, "g", "v", scale=None)

@@ -1,0 +1,386 @@
+"""Seeded fuzz differential for the STREAMING surface (r10 — VERDICT
+r9 "Next round #6").
+
+``tools/fuzz_oracle.py`` walks the batch registry over adversarial
+data; this tool points the same philosophy at the dimension where
+streaming bugs hide: the MICRO-BATCH SLICING. Each check generates a
+seed-deterministic corpus (documents with edge-case text, value
+streams mixing nulls / zeros / float64-lossy 2^60-magnitude longs /
+heavy tails, signed doubles straddling zero), splits it into a
+RANDOM number of micro-batches at RANDOM cut points with RANDOM row
+order, replays it through a stateful streaming twin, and pins the
+result equal to the batch operator on the identical rows:
+
+- ``sig_neardup_stream``  ≡ ``dedup.minhash_sig_near_dups``
+- ``running_quantiles_stream`` ≡ ``sketches.hdr_quantiles_by``
+- ``running_signed_quantiles_stream`` ≡ ``hdr_signed_quantiles_by``
+- ``windowed_distinct_stream`` ≡ ``sketches.hll_distinct_by``
+  (finals per closed window; a far-future sentinel closes every
+  window, and the data span stays inside the watermark so no row
+  can be legally dropped — any drop is a real bug)
+
+All four operators CONTRACT slicing-invariance (associative state
+merges, orientation-normalized emissions), so exact equality is the
+assertion — no tolerances. Everything derives from the seed: a
+failure reproduces with ``python tools/fuzz_streaming.py <seed>``
+(the same seed-repro contract as fuzz_oracle).
+
+Usage:
+    python tools/fuzz_streaming.py [seed] [n_rows] [rounds]
+
+Prints per-check OK/FAIL + one JSON summary line; exit 1 on FAIL.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import random
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tools.fuzz_oracle import gen_documents
+
+BASE_TS = dt.datetime(2026, 6, 1, 8, 0, 0)
+
+
+def _slices(rng: random.Random, rows: list, max_slices: int = 6) -> list[list]:
+    """Random row order, random number of micro-batches, random cut
+    points — the slicing dimension under test."""
+    rows = list(rows)
+    rng.shuffle(rows)
+    n = len(rows)
+    k = rng.randint(1, min(max_slices, n))
+    cuts = sorted(rng.sample(range(1, n), k - 1)) if k > 1 else []
+    parts, prev = [], 0
+    for c in cuts + [n]:
+        if rows[prev:c]:
+            parts.append(rows[prev:c])
+        prev = c
+    return parts
+
+
+def _run_stream(spark, schema, slices, build, tag: str):
+    """Write each slice as one parquet file, replay with
+    maxFilesPerTrigger=1, collect the memory sink."""
+    d = tempfile.mkdtemp(prefix=f"fuzz_stream_{tag}_")
+    src = os.path.join(d, "src")
+    for i, rows in enumerate(slices):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(f"fuzz_{tag}")
+        .outputMode(
+            "update" if tag.startswith("quant") else "append"
+        )
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"select * from fuzz_{tag}").collect()
+
+
+def check_sig_neardup(spark, rng: random.Random, n_rows: int, tag: str):
+    from etl_macropulse_br_spark.operators.dedup import (
+        minhash_sig_near_dups,
+    )
+    from etl_macropulse_br_spark.streaming.neardup import (
+        sig_neardup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = [
+        (i, t) for (i, t, *_rest) in gen_documents(rng.randrange(1 << 30), n_rows)
+    ]
+    rows = _run_stream(
+        spark,
+        schema,
+        _slices(rng, docs),
+        lambda s: sig_neardup_stream(s, threshold=0.5),
+        tag,
+    )
+    got = {
+        (r["new_id"], r["match_id"]): r["jaccard"]
+        for r in rows
+        if r["match_id"] is not None
+    }
+    flags = [r for r in rows if r["match_id"] is None]
+    batch = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_sig_near_dups(
+            spark.createDataFrame(docs, schema), threshold=0.5
+        ).collect()
+    }
+    assert not flags, f"lateness flags without horizon mode: {flags[:3]}"
+    assert got == batch, (
+        f"stream != batch: only-stream={set(got) - set(batch)} "
+        f"only-batch={set(batch) - set(got)} "
+        f"diff={[k for k in got if k in batch and got[k] != batch[k]][:5]}"
+    )
+    return len(batch)
+
+
+def _gen_values(rng: random.Random, n: int):
+    groups = ["click", "view", "purchase"]
+    rows = []
+    for i in range(n):
+        g = groups[i % 3]
+        r = rng.random()
+        if r < 0.05:
+            v = None
+        elif r < 0.15:
+            v = rng.choice(
+                [
+                    0,
+                    1,
+                    (1 << 60) + rng.randint(1, 8) * (1 << 54) - 1,
+                    (1 << 53) + rng.randint(0, 100),
+                ]
+            )
+        else:
+            v = int(rng.lognormvariate(8, 2))
+        rows.append((g, v))
+    return rows
+
+
+def check_quantiles(spark, rng: random.Random, n_rows: int, tag: str):
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_quantiles_by,
+    )
+    from etl_macropulse_br_spark.streaming.quantiles import (
+        running_quantiles_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    qs, s = (0.5, 0.9, 0.99), 6
+    data = _gen_values(rng, n_rows)
+    rows = _run_stream(
+        spark,
+        schema,
+        _slices(rng, data),
+        lambda st: running_quantiles_stream(st, "event_type", "v", qs, s),
+        tag,
+    )
+    final = {}
+    for r in rows:
+        k = (r["group_key"], r["q"])
+        if k not in final or r["n"] > final[k]["n"]:
+            final[k] = r
+    batch = {
+        (r["event_type"], r["q"]): r
+        for r in hdr_quantiles_by(
+            spark.createDataFrame(data, schema), "v", ["event_type"], qs, s
+        ).collect()
+    }
+    assert set(final) == set(batch), (set(final) ^ set(batch))
+    for k, fr in final.items():
+        for c in ("rank", "n", "lo", "hi", "est"):
+            assert fr[c] == batch[k][c], (k, c, fr[c], batch[k][c])
+    return len(batch)
+
+
+def check_signed_quantiles(spark, rng: random.Random, n_rows: int, tag: str):
+    from etl_macropulse_br_spark.operators.sketches import (
+        hdr_signed_quantiles_by,
+    )
+    from etl_macropulse_br_spark.streaming.quantiles import (
+        running_signed_quantiles_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    qs, scale, s = (0.1, 0.5, 0.9), 1000.0, 6
+    groups = ["score", "loss", "delta"]
+    data = []
+    for i in range(n_rows):
+        g = groups[i % 3]
+        r = rng.random()
+        if r < 0.05:
+            v = None
+        elif r < 0.1:
+            v = rng.choice([0.0, -0.001, 0.001, -123456.789])
+        else:
+            v = rng.gauss(0, 1000.0)
+        data.append((g, v))
+    rows = _run_stream(
+        spark,
+        schema,
+        _slices(rng, data),
+        lambda st: running_signed_quantiles_stream(
+            st, "event_type", "v", qs, scale, s
+        ),
+        tag,
+    )
+    final = {}
+    for r in rows:
+        k = (r["group_key"], r["q"])
+        if k not in final or r["n"] > final[k]["n"]:
+            final[k] = r
+    batch = {
+        (r["event_type"], r["q"]): r
+        for r in hdr_signed_quantiles_by(
+            spark.createDataFrame(data, schema),
+            "v",
+            ["event_type"],
+            qs,
+            scale,
+            s,
+        ).collect()
+    }
+    assert set(final) == set(batch), (set(final) ^ set(batch))
+    for k, fr in final.items():
+        for c in ("rank", "n", "lo", "hi", "est"):
+            assert fr[c] == batch[k][c], (k, c, fr[c], batch[k][c])
+    return len(batch)
+
+
+def check_windowed_distinct(spark, rng: random.Random, n_rows: int, tag: str):
+    from etl_macropulse_br_spark.operators.sketches import hll_distinct_by
+    from etl_macropulse_br_spark.streaming.windowed_distinct import (
+        windowed_distinct_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    groups = ["click", "view"]
+    # data span (4 h) << watermark (12 h): no arrival order can make
+    # a row watermark-late, so the batch twin is the exact truth
+    data = [
+        (
+            groups[i % 2],
+            rng.randrange(0, max(2, n_rows // 4)),
+            BASE_TS + dt.timedelta(minutes=rng.randrange(0, 240)),
+        )
+        for i in range(n_rows)
+    ]
+    slices = _slices(rng, data)
+    # far-future sentinel strictly LAST: pushes the watermark past
+    # every real window end so all finals fire under availableNow
+    slices.append([("zzz_sentinel", 0, BASE_TS + dt.timedelta(days=30))])
+    rows = _run_stream(
+        spark,
+        schema,
+        slices,
+        lambda st: windowed_distinct_stream(
+            st, "event_type", "user_id",
+            window_s=3600, watermark="12 hours", b=8,
+        ),
+        tag,
+    )
+    finals = {
+        (r["group_key"], r["window_start"]): r
+        for r in rows
+        if r["group_key"] != "zzz_sentinel"
+    }
+    assert len(finals) == sum(
+        1 for r in rows if r["group_key"] != "zzz_sentinel"
+    ), "duplicate finals for a (group, window)"
+    win_us = 3600 * 1_000_000
+    wstart = F.timestamp_micros(
+        (F.floor(F.unix_micros("ts") / F.lit(win_us)) * F.lit(win_us))
+        .cast("long")
+    )
+    batch = {
+        (r["event_type"], r["window_start"]): r
+        for r in hll_distinct_by(
+            spark.createDataFrame(data, schema).withColumn(
+                "window_start", wstart
+            ),
+            "user_id",
+            ["event_type", "window_start"],
+            b=8,
+        ).collect()
+    }
+    assert set(finals) == set(batch), (set(finals) ^ set(batch))
+    for k, fr in finals.items():
+        br = batch[k]
+        assert fr["est_distinct"] == br["est_distinct"], k
+        assert fr["n_present_registers"] == br["n_present_registers"], k
+    return len(batch)
+
+
+CHECKS = {
+    "sig_neardup": check_sig_neardup,
+    "quantiles": check_quantiles,
+    "quantiles_signed": check_signed_quantiles,
+    "windowed_distinct": check_windowed_distinct,
+}
+
+
+def run(seed: int, n_rows: int, rounds: int):
+    from etl_macropulse_br_spark.session import get_spark
+
+    spark = get_spark(app_name=f"fuzz_streaming_{seed}")
+    passed, failed = [], []
+    for rnd in range(rounds):
+        for name, fn in CHECKS.items():
+            tag = f"{name}_{seed}_{rnd}"
+            # string seeding hashes via sha512 — deterministic
+            # across processes (tuple hashing is NOT, under str
+            # hash randomization), preserving the seed-repro contract
+            rng = random.Random(f"{seed}:{rnd}:{name}")
+            try:
+                n = fn(spark, rng, n_rows, tag)
+                passed.append(tag)
+                print(f"{tag:40s} OK    ({n} batch rows)")
+            except Exception as e:  # engine errors are failures too
+                failed.append(tag)
+                print(f"{tag:40s} FAIL  {type(e).__name__}: {str(e)[:200]}")
+    return passed, failed
+
+
+def main() -> None:
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    passed, failed = run(seed, n_rows, rounds)
+    print(
+        json.dumps(
+            {
+                "seed": seed,
+                "n_rows": n_rows,
+                "rounds": rounds,
+                "passed": len(passed),
+                "failed": failed,
+            }
+        )
+    )
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
