@@ -150,7 +150,16 @@ def windowed_distinct_stream(
 
     The value column is cast to string in the plan (rendering parity
     with the batch twin's ``md5_long(cast('string'))`` — see
-    ``running_distinct_stream``); nulls are ignored on both sides."""
+    ``running_distinct_stream``); nulls are ignored on both sides.
+
+    NULL ``ts`` rows are dropped IN THE PLAN (r10, extending the
+    ADVICE r9 sessions fix to this operator): an undated event
+    belongs to no window — pre-fix it produced a NULL grouping key
+    whose ``int(window_end_ms)`` killed the query with an opaque
+    pandas TypeError. The batch twin groups such rows under a NULL
+    window_start, so dropping them also keeps the
+    finals-equal-batch differential meaningful (the batch side is
+    compared on ts-non-null rows)."""
     # group_key takes the input column's actual type (r9 review fix —
     # hard-coded StringType crashed numeric group columns at
     # final-emission time, after state had accumulated)
@@ -162,7 +171,7 @@ def windowed_distinct_stream(
             *OUT_SCHEMA.fields[1:],
         ]
     )
-    stream = stream.withColumn(
+    stream = stream.filter(F.col(ts_col).isNotNull()).withColumn(
         value_col, F.col(value_col).cast("string")
     )
     win_us = window_s * 1_000_000

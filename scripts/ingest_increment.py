@@ -31,7 +31,21 @@ signature index, and the colliding slice of old batches.
 State layout under ``--state-dir``::
 
     signatures/   (id, m0..m{k-1}) parquet — appended per run
-    meta.json     {params, batches: [paths], n_docs}
+    meta.json     {params (incl. hash_family), batches: [paths],
+                   n_docs}
+    .writer.lock  present only while a writer holds the lease
+
+Single-writer lease (r10): every increment and compaction holds an
+exclusive lock on the state dir for its duration
+(operators/statelock.py) — a concurrent run is refused loudly
+instead of interleaving appends with a directory swap; a crashed
+writer's lock ages out. ``params.hash_family`` (r10) pins the
+MinHash construction the signatures were built with: state from a
+different family (e.g. the pre-r9 un-reduced one, whose signatures
+never collide with current ones) is REJECTED instead of silently
+yielding zero base matches; legacy sidecars without the field pass
+a value-domain backstop (current family is mod 2^31-1, so any
+stored m-value >= 2^31 proves the old family) and are stamped.
 
 Write order per run is: outputs, then signature append, then
 meta.json last — a crash before meta leaves stray signature files

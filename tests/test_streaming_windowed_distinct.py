@@ -107,3 +107,55 @@ def test_windowed_stream_finals_match_batch(spark, tmp_path):
     a_click = finals[("click", BASE)]
     assert a_click["n_rows"] == 4  # 3 from batch 1 + 1 late
     assert abs(a_click["est_distinct"] - 3) < 2  # users {1, 2, 5}
+
+
+def test_windowed_stream_drops_null_ts(spark, tmp_path):
+    """r10 (extending the ADVICE r9 sessions null-ts fix): a NULL ts
+    row produced a NULL grouping key whose int(window_end_ms) killed
+    the query with an opaque pandas TypeError — now dropped in the
+    plan (an undated event belongs to no window)."""
+    from etl_macropulse_br_spark.streaming.windowed_distinct import (
+        windowed_distinct_stream,
+    )
+
+    src = str(tmp_path / "null_ts_win")
+    spark.createDataFrame(
+        [
+            ("click", 1, BASE),
+            ("click", 2, None),  # must be dropped, not crash
+            ("click", 3, BASE + dt.timedelta(minutes=9)),
+            ("view", 4, None),   # null-only group: nothing emitted
+        ],
+        SCHEMA,
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("sentinel", 0, BASE + dt.timedelta(days=7))], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        windowed_distinct_stream(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "event_type",
+            "user_id",
+            window_s=3600,
+            watermark="30 minutes",
+            b=8,
+        )
+        .writeStream.format("memory")
+        .queryName("win_null_ts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_null"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        r
+        for r in spark.sql("select * from win_null_ts").collect()
+        if r["group_key"] != "sentinel"
+    ]
+    assert len(rows) == 1
+    assert rows[0]["group_key"] == "click"
+    assert rows[0]["n_rows"] == 2  # users 1, 3; null-ts row dropped

@@ -26,7 +26,11 @@ failure reproduces with ``python tools/fuzz_streaming.py <seed>``
 (the same seed-repro contract as fuzz_oracle).
 
 Usage:
-    python tools/fuzz_streaming.py [seed] [n_rows] [rounds]
+    python tools/fuzz_streaming.py [seed] [n_rows] [rounds] [provider]
+
+``provider`` (e.g. ``rocksdb``) re-runs the whole matrix under that
+state-store backend — the slicing fuzz then also exercises the
+provider's state encoder.
 
 Prints per-check OK/FAIL + one JSON summary line; exit 1 on FAIL.
 """
@@ -278,12 +282,16 @@ def check_windowed_distinct(spark, rng: random.Random, n_rows: int, tag: str):
     )
     groups = ["click", "view"]
     # data span (4 h) << watermark (12 h): no arrival order can make
-    # a row watermark-late, so the batch twin is the exact truth
+    # a row watermark-late, so the batch twin is the exact truth;
+    # ~5% NULL ts rows exercise the r10 in-plan drop (an undated
+    # event belongs to no window) — excluded from the batch truth
     data = [
         (
             groups[i % 2],
             rng.randrange(0, max(2, n_rows // 4)),
-            BASE_TS + dt.timedelta(minutes=rng.randrange(0, 240)),
+            None
+            if rng.random() < 0.05
+            else BASE_TS + dt.timedelta(minutes=rng.randrange(0, 240)),
         )
         for i in range(n_rows)
     ]
@@ -317,9 +325,9 @@ def check_windowed_distinct(spark, rng: random.Random, n_rows: int, tag: str):
     batch = {
         (r["event_type"], r["window_start"]): r
         for r in hll_distinct_by(
-            spark.createDataFrame(data, schema).withColumn(
-                "window_start", wstart
-            ),
+            spark.createDataFrame(data, schema)
+            .filter(F.col("ts").isNotNull())
+            .withColumn("window_start", wstart),
             "user_id",
             ["event_type", "window_start"],
             b=8,
@@ -341,20 +349,33 @@ CHECKS = {
 }
 
 
-def run(seed: int, n_rows: int, rounds: int):
+def run(seed: int, n_rows: int, rounds: int, provider: str | None = None):
+    """``provider`` (e.g. "rocksdb") runs every check under that
+    state-store backend via the scoped context manager — the same
+    random slicings then fuzz the RocksDB state ENCODER too (long
+    arrays, nullable longs, binary register blobs)."""
+    from contextlib import nullcontext
+
     from etl_macropulse_br_spark.session import get_spark
+    from etl_macropulse_br_spark.streaming.state_store import state_store
 
     spark = get_spark(app_name=f"fuzz_streaming_{seed}")
+    scope = (
+        (lambda: state_store(spark, provider))
+        if provider
+        else nullcontext
+    )
     passed, failed = [], []
     for rnd in range(rounds):
         for name, fn in CHECKS.items():
-            tag = f"{name}_{seed}_{rnd}"
+            tag = f"{name}_{seed}_{rnd}" + (f"_{provider}" if provider else "")
             # string seeding hashes via sha512 — deterministic
             # across processes (tuple hashing is NOT, under str
             # hash randomization), preserving the seed-repro contract
             rng = random.Random(f"{seed}:{rnd}:{name}")
             try:
-                n = fn(spark, rng, n_rows, tag)
+                with scope():
+                    n = fn(spark, rng, n_rows, tag)
                 passed.append(tag)
                 print(f"{tag:40s} OK    ({n} batch rows)")
             except Exception as e:  # engine errors are failures too
@@ -367,13 +388,15 @@ def main() -> None:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 120
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    passed, failed = run(seed, n_rows, rounds)
+    provider = sys.argv[4] if len(sys.argv) > 4 else None
+    passed, failed = run(seed, n_rows, rounds, provider)
     print(
         json.dumps(
             {
                 "seed": seed,
                 "n_rows": n_rows,
                 "rounds": rounds,
+                "provider": provider,
                 "passed": len(passed),
                 "failed": failed,
             }
