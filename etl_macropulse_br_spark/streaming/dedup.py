@@ -33,9 +33,18 @@ def text_dedup_stream(
     id_col: str = "doc_id",
     ts_col: str = "ts",
     delay_s: int = 3600,
+    state_store: str | None = None,
 ) -> DataFrame:
     """First arrival per distinct normalized text within the
-    watermark horizon. Returns (text_hash, id, ts) rows."""
+    watermark horizon. Returns (text_hash, id, ts) rows.
+    ``state_store="rocksdb"`` selects the production state backend
+    (session-scoped — streaming/state_store.py)."""
+    if state_store is not None:
+        from etl_macropulse_br_spark.streaming.state_store import (
+            set_state_store,
+        )
+
+        set_state_store(stream.sparkSession, state_store)
     from etl_macropulse_br_spark.functions.hashing import md5_long
     from etl_macropulse_br_spark.operators.dedup import _norm_text
     from etl_macropulse_br_spark.streaming.joins import dedup_stream

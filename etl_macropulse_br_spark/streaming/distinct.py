@@ -150,6 +150,7 @@ def running_distinct_stream(
     group_col: str,
     value_col: str,
     b: int = 8,
+    state_store: str | None = None,
 ) -> DataFrame:
     """stream(group_col, value_col, ...) → one running-estimate row
     per group per micro-batch. After the full input, each group's
@@ -161,9 +162,17 @@ def running_distinct_stream(
     ``md5_long(cast('string'))`` does — Python ``str()`` renders
     doubles/booleans differently (``1e-07`` vs Spark's ``1.0E-7``,
     ``True`` vs ``true``), which would silently break the pinned
-    batch equality. Null values are ignored on both sides."""
+    batch equality. Null values are ignored on both sides.
+    ``state_store="rocksdb"`` selects the production state backend
+    (session-scoped — streaming/state_store.py)."""
     from pyspark.sql import functions as F
 
+    if state_store is not None:
+        from etl_macropulse_br_spark.streaming.state_store import (
+            set_state_store,
+        )
+
+        set_state_store(stream.sparkSession, state_store)
     out_schema = _keyed_schema(stream, group_col)
     stream = stream.withColumn(
         value_col, F.col(value_col).cast("string")

@@ -82,9 +82,21 @@ class RunningUserStats(StatefulProcessor):
         )
 
 
-def running_user_stats(stream: DataFrame) -> DataFrame:
+def running_user_stats(
+    stream: DataFrame, state_store: str | None = None
+) -> DataFrame:
     """Wire the processor: one hash exchange on user_id (the same
-    single shuffle any per-key stateful op needs), Update output."""
+    single shuffle any per-key stateful op needs), Update output.
+    ``state_store="rocksdb"`` selects the production state backend
+    (session-scoped — streaming/state_store.py); note the v2 state
+    protocol REQUIRES RocksDB in any case, so the knob here mostly
+    serves API uniformity."""
+    if state_store is not None:
+        from etl_macropulse_br_spark.streaming.state_store import (
+            set_state_store,
+        )
+
+        set_state_store(stream.sparkSession, state_store)
     return stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RunningUserStats(),
         outputStructType=OUTPUT_SCHEMA,

@@ -126,7 +126,11 @@ def _sessionize_group(
         )
 
 
-def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    gap_s: int = 1800,
+    state_store: str | None = None,
+) -> DataFrame:
     """events(user_id, ts, ...) stream → closed-session stream.
 
     Uses the inclusive gap boundary — an event landing EXACTLY on
@@ -141,9 +145,18 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     near year 1677 and could pollute open-session state. Dropping
     matches the batch ``session_window`` aggregation (a null event
     time belongs to no window) and the r9 null-drop in
-    ``neardup._banded_stream`` / ``quantiles``."""
+    ``neardup._banded_stream`` / ``quantiles``.
+
+    ``state_store="rocksdb"`` selects the production state backend
+    (session-scoped — streaming/state_store.py)."""
     from pyspark.sql import functions as F
 
+    if state_store is not None:
+        from etl_macropulse_br_spark.streaming.state_store import (
+            set_state_store,
+        )
+
+        set_state_store(events.sparkSession, state_store)
     return (
         events.filter(F.col("ts").isNotNull())
         .withWatermark("ts", "1 hour")

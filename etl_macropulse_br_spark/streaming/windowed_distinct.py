@@ -141,6 +141,7 @@ def windowed_distinct_stream(
     watermark: str = "2 hours",
     slack_s: int = 0,
     b: int = 8,
+    state_store: str | None = None,
 ) -> DataFrame:
     """stream(group_col, value_col, ts_col, ...) → one FINAL row per
     (group, tumbling window) once the watermark passes the window
@@ -159,7 +160,16 @@ def windowed_distinct_stream(
     pandas TypeError. The batch twin groups such rows under a NULL
     window_start, so dropping them also keeps the
     finals-equal-batch differential meaningful (the batch side is
-    compared on ts-non-null rows)."""
+    compared on ts-non-null rows).
+
+    ``state_store="rocksdb"`` selects the production state backend
+    (session-scoped — streaming/state_store.py)."""
+    if state_store is not None:
+        from etl_macropulse_br_spark.streaming.state_store import (
+            set_state_store,
+        )
+
+        set_state_store(stream.sparkSession, state_store)
     # group_key takes the input column's actual type (r9 review fix —
     # hard-coded StringType crashed numeric group columns at
     # final-emission time, after state had accumulated)
