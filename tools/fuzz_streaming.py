@@ -54,11 +54,21 @@ from tools.fuzz_oracle import gen_documents
 BASE_TS = dt.datetime(2026, 6, 1, 8, 0, 0)
 
 
-def _slices(rng: random.Random, rows: list, max_slices: int = 6) -> list[list]:
+def _slices(
+    rng: random.Random,
+    rows: list,
+    max_slices: int = 6,
+    keep_order: bool = False,
+) -> list[list]:
     """Random row order, random number of micro-batches, random cut
-    points — the slicing dimension under test."""
+    points — the slicing dimension under test. ``keep_order`` skips
+    the shuffle for operators whose stream≡batch contract assumes
+    time-ordered arrival (sessionize: a late event predating an
+    already-EMITTED session is the documented inherent limit of any
+    emit-on-close stream, not a bug)."""
     rows = list(rows)
-    rng.shuffle(rows)
+    if not keep_order:
+        rng.shuffle(rows)
     n = len(rows)
     k = rng.randint(1, min(max_slices, n))
     cuts = sorted(rng.sample(range(1, n), k - 1)) if k > 1 else []
@@ -341,11 +351,71 @@ def check_windowed_distinct(spark, rng: random.Random, n_rows: int, tag: str):
     return len(batch)
 
 
+def check_sessions(spark, rng: random.Random, n_rows: int, tag: str):
+    """Sessionize under random TIME-ORDERED slicings: per-user event
+    walks mixing sub-gap / super-gap / exact-boundary deltas (the
+    merge rule's hard cases), split at random cut points with order
+    preserved; per-user far-future sentinels (strictly last) close
+    every real session. Streamed closed sessions must equal the
+    batch F.session_window aggregation row-for-row."""
+    from etl_macropulse_br_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    gap_s = 1800
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    n_users = 6
+    rows = []
+    for user in range(1, n_users + 1):
+        t = BASE_TS + dt.timedelta(minutes=rng.randint(0, 120))
+        for _ in range(max(4, n_rows // n_users)):
+            delta = rng.choice([1, 60, 600, 1799, 1800, 1801, 4000])
+            t = t + dt.timedelta(seconds=delta)
+            rows.append((user, t))
+    real = sorted(rows, key=lambda r: r[1])
+    sentinel = real[-1][1] + dt.timedelta(days=30)
+    slices = _slices(rng, real, keep_order=True)
+    slices.append([(u, sentinel) for u in range(1, n_users + 1)])
+    out = _run_stream(
+        spark,
+        schema,
+        slices,
+        lambda s: sessionize_stream(s, gap_s=gap_s),
+        tag,
+    )
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out
+    }
+    batch = {
+        (r["user_id"], r["start"], r["last_ts"], r["n_events"])
+        for r in spark.createDataFrame(real, schema)
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(
+            F.min("ts").alias("start"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert streamed == batch, (
+        f"only-stream={sorted(streamed - batch)[:3]} "
+        f"only-batch={sorted(batch - streamed)[:3]}"
+    )
+    return len(batch)
+
+
 CHECKS = {
     "sig_neardup": check_sig_neardup,
     "quantiles": check_quantiles,
     "quantiles_signed": check_signed_quantiles,
     "windowed_distinct": check_windowed_distinct,
+    "sessions": check_sessions,
 }
 
 
