@@ -638,6 +638,88 @@ def main() -> None:
     assert by_j[0.3] < 0.15 and by_j[0.95] > 0.97  # anti-collapse
     results["banded_recall_curve"] = curve
 
+    # r10: KMV estimator error bound — the one sketch family whose
+    # ESTIMATOR quality had no measured row (HLL/CMS/HDR gained
+    # theirs in r8). (k-1)/U over the k-th minimum of a uniform
+    # hash is unbiased with relative std err ~ 1/sqrt(k-2) (Beyer
+    # et al. 2007); the md5 family makes each row deterministic.
+    from etl_macropulse_br_spark.operators.sketches import kmv_distinct
+
+    k_kmv = 256
+    sigma_kmv = 1.0 / ((k_kmv - 2) ** 0.5)
+    kmv_rows = {}
+    for n_true in (5_000, 50_000, 500_000):
+        vals = spark.range(2 * n_true).select(
+            F.concat(F.lit("kv"), (F.col("id") % n_true)).alias("v")
+        )
+        est = kmv_distinct(vals, "v", k=k_kmv).collect()[0]["est_distinct"]
+        rel = abs(est - n_true) / n_true
+        kmv_rows[f"n{n_true}"] = {
+            "est": round(est, 1),
+            "rel_err": round(rel, 4),
+            "sigmas": round(rel / sigma_kmv, 2),
+            "within_3sigma": rel <= 3 * sigma_kmv,
+        }
+        assert rel <= 3 * sigma_kmv, (n_true, est)
+        print(
+            f"{'kmv_err n=' + str(n_true):26s} {est:10.0f}"
+            f" rel={rel:7.4f} ({rel / sigma_kmv:4.2f} sigma,"
+            f" bound {sigma_kmv:.4f})"
+        )
+    kmv_rows["theoretical_sigma"] = round(sigma_kmv, 5)
+    results["kmv_error_bound"] = kmv_rows
+
+    # r10: IVF recall@10 vs brute-force cosine — the similarity-
+    # search quality artifact (the oracle gate replays ivf_topk
+    # exactly but cannot see whether probing n_probe of n_cells
+    # RETRIEVES the true neighbors). Planted clustered corpus
+    # (deterministic, no RNG): 20 clusters x 100 vectors, cluster
+    # structure dominant over a small per-vector jitter; queries at
+    # 8 cluster centers. Recall floor 0.8 pins against probe-set
+    # collapse; the random-probe baseline is n_probe/n_cells = 0.25.
+    from etl_macropulse_br_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    n_clusters, per_c, dim_iv = 20, 100, 16
+    base = spark.range(n_clusters * per_c).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim_iv - 1)),
+            lambda d: F.when(
+                d == (F.col("id") % n_clusters) % dim_iv, F.lit(10.0)
+            ).otherwise((F.col("id") % 7).cast("double") / 100.0),
+        ).alias("embedding"),
+    )
+    recalls = []
+    for c in range(8):
+        qv = [
+            10.0 if d == c % dim_iv else 0.03 for d in range(dim_iv)
+        ]
+        truth = {
+            r["vec_id"] for r in cosine_topk(base, qv, k=10).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(
+                base, qv, k=10, n_cells=16, n_probe=4
+            ).collect()
+        }
+        recalls.append(len(truth & got) / 10)
+    mean_recall = sum(recalls) / len(recalls)
+    results["ivf_recall_at_10"] = {
+        "n_queries": len(recalls),
+        "mean_recall": round(mean_recall, 3),
+        "min_recall": round(min(recalls), 3),
+        "random_probe_baseline": 0.25,
+    }
+    assert mean_recall >= 0.8, recalls
+    print(
+        f"{'ivf_recall@10':26s} mean={mean_recall:5.3f}"
+        f" min={min(recalls):5.3f} (baseline 0.25, floor 0.80)"
+    )
+
     print(json.dumps({"sf_dir": sf_dir, "max_k": max_k, "results": results}))
 
 
