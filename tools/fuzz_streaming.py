@@ -18,10 +18,14 @@ result equal to the batch operator on the identical rows:
   (finals per closed window; a far-future sentinel closes every
   window, and the data span stays inside the watermark so no row
   can be legally dropped — any drop is a real bug)
+- ``sessionize_stream`` ≡ batch ``F.session_window`` aggregation
+  (random TIME-ORDERED slicings — arrival order inside the
+  contract, cut points fuzzed; see ``_slices(keep_order=True)``)
 
-All four operators CONTRACT slicing-invariance (associative state
+Every operator CONTRACTS slicing-invariance (associative state
 merges, orientation-normalized emissions), so exact equality is the
-assertion — no tolerances. Everything derives from the seed: a
+assertion — no tolerances. One round of each check also runs inside
+the pytest gate (tests/test_fuzz_streaming_gate.py). Everything derives from the seed: a
 failure reproduces with ``python tools/fuzz_streaming.py <seed>``
 (the same seed-repro contract as fuzz_oracle).
 
@@ -80,7 +84,8 @@ def _slices(
     return parts
 
 
-def _run_stream(spark, schema, slices, build, tag: str):
+def _run_stream(spark, schema, slices, build, tag: str,
+                output_mode: str = "append"):
     """Write each slice as one parquet file, replay with
     maxFilesPerTrigger=1, collect the memory sink."""
     d = tempfile.mkdtemp(prefix=f"fuzz_stream_{tag}_")
@@ -98,9 +103,7 @@ def _run_stream(spark, schema, slices, build, tag: str):
         build(stream)
         .writeStream.format("memory")
         .queryName(f"fuzz_{tag}")
-        .outputMode(
-            "update" if tag.startswith("quant") else "append"
-        )
+        .outputMode(output_mode)
         .option("checkpointLocation", os.path.join(d, "ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -199,6 +202,7 @@ def check_quantiles(spark, rng: random.Random, n_rows: int, tag: str):
         _slices(rng, data),
         lambda st: running_quantiles_stream(st, "event_type", "v", qs, s),
         tag,
+        output_mode="update",
     )
     final = {}
     for r in rows:
@@ -253,6 +257,7 @@ def check_signed_quantiles(spark, rng: random.Random, n_rows: int, tag: str):
             st, "event_type", "v", qs, scale, s
         ),
         tag,
+        output_mode="update",
     )
     final = {}
     for r in rows:
