@@ -118,7 +118,14 @@ def writer_lock(
     try:
         yield
     finally:
-        # best-effort release: the file can only be missing if our
-        # lease exceeded stale_after_s and was stolen
-        with suppress(FileNotFoundError):
-            os.unlink(lock)
+        # TOKEN-CHECKED release (r10 self-review): if our lease
+        # exceeded stale_after_s, a waiter may have stolen it and
+        # taken a NEW lock — a blind unlink here would delete that
+        # writer's lock and let a third writer in. Only remove the
+        # file if it still carries our token; a stolen lease's late
+        # release is a no-op (and the overrun is already a contract
+        # violation the stale window documents).
+        with suppress(FileNotFoundError, OSError):
+            with open(lock) as f:
+                if f"token={token}" in f.read():
+                    os.unlink(lock)

@@ -1593,3 +1593,42 @@ def test_ann_index_single_writer_lease(spark, tmp_path):
     with writer_lock(path, owner="recovering", stale_after_s=3600):
         pass  # stolen, acquired, released
     assert not os.path.exists(lock)
+
+
+def test_writer_lock_release_is_token_checked(tmp_path):
+    """r10 self-review: a writer whose lease was stolen (it exceeded
+    the stale window) must NOT delete the new holder's lock on its
+    late release — pre-fix the blind unlink let a third writer in."""
+    import os
+
+    from etl_macropulse_br_spark.operators.statelock import writer_lock
+
+    d = str(tmp_path / "lease_dir")
+    lock = os.path.join(d, ".writer.lock")
+    with writer_lock(d, owner="slow-writer"):
+        # simulate the steal: a waiter broke our stale lock and took
+        # its own lease while we were still inside the block
+        os.unlink(lock)
+        with open(lock, "w") as f:
+            f.write("fast-writer pid=1 token=other t=1")
+    # our late release must leave the new holder's lock intact —
+    # and a fresh writer is still refused by it (it is live, not
+    # stale)
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert "fast-writer" in f.read()
+    import pytest
+
+    from etl_macropulse_br_spark.operators.statelock import (
+        WriterLockHeld,
+    )
+
+    with pytest.raises(WriterLockHeld):
+        with writer_lock(d, owner="third"):
+            pass
+    # once the live holder releases (simulated), normal take/release
+    # removes our own lock as before
+    os.unlink(lock)
+    with writer_lock(d, owner="normal"):
+        pass
+    assert not os.path.exists(lock)
