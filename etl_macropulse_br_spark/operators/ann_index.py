@@ -256,12 +256,21 @@ def save_ann_index(
     # segments whose vec_ids are now also in the new base — a
     # consistent-looking torn view (the PQ invariant still holds)
     # that silently double-counts those vectors' ADC distances at
-    # serve time. With the manifest and segments gone first, a
-    # mid-save crash leaves a legacy-shaped partial index whose next
-    # load fails the loud count invariant instead.
+    # serve time. The META sidecar goes too (r10 self-review): the
+    # r9 fix left it behind, so a crash after the centroids
+    # overwrite but before the assign overwrite left NEW centroids
+    # over OLD assign/codes — counts still consistent (old x old),
+    # i.e. the loud PQ invariant PASSED while serving probed new
+    # cells against stale assignments. With meta gone first, ANY
+    # mid-save crash makes the next load fail loudly
+    # (FileNotFoundError: not an ANN index); meta is rewritten just
+    # before the manifest commit, after every table landed.
     mpath = os.path.join(path, _MANIFEST_NAME)
     if os.path.exists(mpath):
         os.remove(mpath)
+    meta_path = os.path.join(path, _META_NAME)
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
     seg_root = os.path.join(path, "segments")
     if os.path.isdir(seg_root):
         shutil.rmtree(seg_root)

@@ -1632,3 +1632,52 @@ def test_writer_lock_release_is_token_checked(tmp_path):
     with writer_lock(d, owner="normal"):
         pass
     assert not os.path.exists(lock)
+
+
+def test_retrain_crash_before_assign_is_loud(spark, tmp_path, monkeypatch):
+    """r10 self-review: a retrain crashing AFTER the centroids
+    overwrite but BEFORE the assign overwrite used to leave NEW
+    centroids over OLD assign/codes — counts consistent (old x old),
+    so the PQ invariant passed and serving silently probed new cells
+    against stale assignments. The meta sidecar is now invalidated
+    up front, so the torn state loads loudly; a retry retrains
+    cleanly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import etl_macropulse_br_spark.operators.clustering as CL
+    from etl_macropulse_br_spark.operators.ann_index import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(64)
+    )
+    path = str(tmp_path / "torn_retrain_idx")
+    save_ann_index(emb, path, k=2, rounds=1, m=4, ks=4, pq_rounds=1,
+                   sub=16)
+
+    real_assign = CL._assign
+
+    def crash_assign(pts, cents):
+        raise RuntimeError("injected crash before assign overwrite")
+
+    monkeypatch.setattr(CL, "_assign", crash_assign)
+    grown = emb.unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                   "embedding")
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        save_ann_index(grown, path, k=2, rounds=1, m=4, ks=4,
+                       pq_rounds=1, sub=16)
+    # the torn state (new centroids, old assign/codes) must NOT load
+    with pytest.raises(FileNotFoundError, match="not an"):
+        load_ann_index(spark, path)
+    # retry retrains cleanly over the torn remains
+    monkeypatch.setattr(CL, "_assign", real_assign)
+    ix = save_ann_index(grown, path, k=2, rounds=1, m=4, ks=4,
+                        pq_rounds=1, sub=16)
+    assert ix.assign.count() == 128
