@@ -1,0 +1,111 @@
+"""Continuous ANN-index maintenance: a stream of new embeddings
+feeding the persisted index (r10).
+
+`operators/ann_index.py` gives the daily-batch shape (train once,
+`append_ann_index` per increment, compaction, atomic manifest
+commit). This module closes the remaining gap between the streaming
+surface and the persisted-index subsystem: a Structured Streaming
+source of new embeddings appended to the frozen index per
+micro-batch via ``foreachBatch``, with EXACTLY-ONCE effect built on
+the pieces that already exist —
+
+- ``append_ann_index`` is all-or-nothing: the batch's segment is
+  invisible until the single ``os.replace`` manifest commit, so a
+  crash mid-append leaves the index serving the pre-batch state and
+  the replayed micro-batch appends cleanly (its ids never entered
+  the committed index);
+- a crash AFTER the manifest commit but BEFORE the checkpoint
+  advances redelivers a batch whose ids are ALL committed —
+  :func:`append_new_embeddings` detects exactly this (full-overlap)
+  and skips as an idempotent no-op, while PARTIAL overlap (an id
+  collision across distinct batches — a producer bug, not a
+  redelivery) stays LOUD;
+- the single-writer lease (operators/statelock.py) is taken inside
+  ``append_ann_index``, so a concurrent compaction or manual append
+  against the same index is refused, not raced.
+
+At-least-once + idempotent effect = exactly-once index state, the
+same argument Spark's own file sinks make, applied to the manifest
+commit. Trigger ``availableNow`` for the cron shape, a processing
+interval for continuous ingest.
+
+Scale shape: each micro-batch pays the map-only assignment + PQ
+encode of ITS rows and one parquet append — never a rewrite or
+shuffle of the n-row base state; run ``compact_ann_index``
+periodically (it takes the same lease) to fold the accumulated
+per-batch segments.
+
+Reference scope: the reference is strictly batch (SURVEY.md §2.11);
+streaming + vector-serving extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def append_new_embeddings(batch_df: DataFrame, index_path: str) -> str:
+    """Append one (micro-)batch to the persisted index with
+    idempotent-redelivery semantics. Returns ``"appended"``,
+    ``"skipped"`` (all ids already committed — the
+    redelivery-after-commit case), or ``"empty"``; raises on PARTIAL
+    id overlap (two distinct batches sharing ids — a producer bug
+    the duplicate guard must keep loud)."""
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        load_ann_index,
+    )
+
+    idx = load_ann_index(batch_df.sparkSession, index_path, validate=False)
+    id_col = idx.params["id_col"]
+    emb_col = idx.params["emb_col"]
+    ids = batch_df.filter(
+        batch_df[emb_col].isNotNull()
+    ).select(batch_df[id_col].alias("vec_id"))
+    n_batch = ids.count()
+    if n_batch == 0:
+        return "empty"
+    n_committed = ids.join(
+        idx.assign.select("vec_id"), "vec_id", "left_semi"
+    ).count()
+    if n_committed == n_batch:
+        # every id is already in the committed index: this is the
+        # redelivery of a batch whose manifest commit landed but
+        # whose checkpoint didn't — the idempotent no-op
+        return "skipped"
+    if n_committed:
+        raise ValueError(
+            f"append_new_embeddings: {n_committed} of {n_batch} batch "
+            "ids already exist in the index but the rest do not — "
+            "this is an id collision across distinct batches, not a "
+            "redelivery (which would overlap fully). Fix the id "
+            "namespace; appending would double those vectors' "
+            "encodings."
+        )
+    append_ann_index(batch_df, index_path)
+    return "appended"
+
+
+def start_ann_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Wire a new-embeddings stream into the persisted index: one
+    :func:`append_new_embeddings` per micro-batch under the
+    checkpoint's exactly-once progress. The index must already exist
+    (``save_ann_index`` — training stays a deliberate batch act; a
+    stream cannot decide when centroids/codebooks are
+    representative). ``trigger_once`` (availableNow) is the cron
+    shape; pass False for continuous micro-batches."""
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        append_new_embeddings(batch_df, index_path)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

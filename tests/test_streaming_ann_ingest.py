@@ -1,0 +1,115 @@
+"""Streaming ANN-index maintenance (streaming/ann_ingest.py):
+stream-appended index must equal the bulk batch append bit-for-bit,
+redelivery of a committed micro-batch must be an idempotent no-op,
+partial id overlap must stay loud, and a crash before the manifest
+commit must leave a cleanly retryable batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _emb(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter("embedding is not null")
+    )
+
+
+def test_ann_ingest_stream_equals_bulk_append(spark, tmp_path):
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+    from etl_macropulse_br_spark.streaming.ann_ingest import (
+        append_new_embeddings,
+        start_ann_ingest_stream,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter("vec_id < 120")
+    s1 = emb.filter("vec_id >= 120 and vec_id < 200")
+    s2 = emb.filter("vec_id >= 200 and vec_id < 280")
+
+    stream_dir = str(tmp_path / "ann_stream_idx")
+    bulk_dir = str(tmp_path / "ann_bulk_idx")
+    kw = dict(k=4, rounds=1, m=8, ks=8, pq_rounds=1, sub=8)
+    save_ann_index(base, stream_dir, **kw)
+    save_ann_index(base, bulk_dir, **kw)
+    append_ann_index(s1.unionByName(s2), bulk_dir)
+
+    # stream the two increments as two micro-batches
+    src = str(tmp_path / "new_emb_stream")
+    s1.coalesce(1).write.parquet(src)
+    s2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(s1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ann_ingest_stream(
+        stream, stream_dir, str(tmp_path / "ann_ckpt")
+    )
+    q.awaitTermination(180)
+
+    six = load_ann_index(spark, stream_dir)
+    bix = load_ann_index(spark, bulk_dir)
+    # same rows, bit-for-bit (append is a deterministic map-only
+    # fold over the frozen index, so slicing cannot change it)
+    for kind in ("assign", "codes"):
+        a = getattr(six, kind).orderBy(*getattr(six, kind).columns)
+        b = getattr(bix, kind).orderBy(*getattr(bix, kind).columns)
+        assert a.collect() == b.collect(), kind
+
+    # redelivery of a COMMITTED batch: idempotent no-op
+    n_before = six.assign.count()
+    assert append_new_embeddings(s1, stream_dir) == "skipped"
+    assert load_ann_index(spark, stream_dir).assign.count() == n_before
+
+    # partial id overlap (producer bug, not redelivery): loud
+    mixed = s1.limit(10).unionByName(
+        s1.select((F.col("vec_id") + 5_000_000).alias("vec_id"),
+                  "embedding").limit(10)
+    )
+    with pytest.raises(ValueError, match="id collision"):
+        append_new_embeddings(mixed, stream_dir)
+
+    # empty batch: no-op
+    assert append_new_embeddings(s1.limit(0), stream_dir) == "empty"
+
+
+def test_ann_ingest_crash_before_commit_is_retryable(
+    spark, tmp_path, monkeypatch
+):
+    from etl_macropulse_br_spark.operators import ann_index as AIX
+    from etl_macropulse_br_spark.streaming.ann_ingest import (
+        append_new_embeddings,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter("vec_id < 100")
+    batch = emb.filter("vec_id >= 100 and vec_id < 160")
+    path = str(tmp_path / "crash_ingest_idx")
+    AIX.save_ann_index(base, path, k=2, rounds=1, m=4, ks=4,
+                       pq_rounds=1, sub=16)
+
+    real_commit = AIX._commit_manifest
+
+    def crash_commit(p, manifest):
+        raise RuntimeError("injected crash before manifest replace")
+
+    monkeypatch.setattr(AIX, "_commit_manifest", crash_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_new_embeddings(batch, path)
+    # the crashed batch never entered the committed index...
+    assert AIX.load_ann_index(spark, path).assign.count() == base.count()
+    # ...so the streaming redelivery retries as a clean append
+    monkeypatch.setattr(AIX, "_commit_manifest", real_commit)
+    assert append_new_embeddings(batch, path) == "appended"
+    assert (
+        AIX.load_ann_index(spark, path).assign.count()
+        == base.count() + batch.count()
+    )
