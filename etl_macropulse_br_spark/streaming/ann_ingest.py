@@ -91,6 +91,7 @@ def start_ann_ingest_stream(
     index_path: str,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    compact_every: int | None = None,
 ):
     """Wire a new-embeddings stream into the persisted index: one
     :func:`append_new_embeddings` per micro-batch under the
@@ -98,10 +99,23 @@ def start_ann_ingest_stream(
     (``save_ann_index`` — training stays a deliberate batch act; a
     stream cannot decide when centroids/codebooks are
     representative). ``trigger_once`` (availableNow) is the cron
-    shape; pass False for continuous micro-batches."""
+    shape; pass False for continuous micro-batches.
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+    ``compact_every=N`` folds the accumulated per-batch segments
+    every N micro-batches (``compact_ann_index`` — bit-identical
+    rewrite under the same writer lease), bounding the small-files
+    growth a long-running stream would otherwise accrue one segment
+    per batch. Compaction is idempotent across redeliveries: a
+    replayed batch skips its append and at worst re-compacts an
+    already-compact index."""
+    from etl_macropulse_br_spark.operators.ann_index import (
+        compact_ann_index,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
         append_new_embeddings(batch_df, index_path)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_ann_index(batch_df.sparkSession, index_path)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -113,3 +113,53 @@ def test_ann_ingest_crash_before_commit_is_retryable(
         AIX.load_ann_index(spark, path).assign.count()
         == base.count() + batch.count()
     )
+
+
+def test_ann_ingest_stream_with_inline_compaction(spark, tmp_path):
+    """compact_every folds the per-batch segments inside the stream
+    (same lease, bit-identical): after two batches with
+    compact_every=1 the live manifest lists ONE segment and the
+    index still equals the bulk append."""
+    import json
+    import os
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+    from etl_macropulse_br_spark.streaming.ann_ingest import (
+        start_ann_ingest_stream,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter("vec_id < 100")
+    s1 = emb.filter("vec_id >= 100 and vec_id < 150")
+    s2 = emb.filter("vec_id >= 150 and vec_id < 200")
+    path = str(tmp_path / "compacting_idx")
+    bulk = str(tmp_path / "compacting_bulk")
+    kw = dict(k=2, rounds=1, m=4, ks=4, pq_rounds=1, sub=16)
+    save_ann_index(base, path, **kw)
+    save_ann_index(base, bulk, **kw)
+    append_ann_index(s1.unionByName(s2), bulk)
+
+    src = str(tmp_path / "compacting_src")
+    s1.coalesce(1).write.parquet(src)
+    s2.coalesce(1).write.mode("append").parquet(src)
+    q = start_ann_ingest_stream(
+        spark.readStream.schema(s1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        path,
+        str(tmp_path / "compacting_ckpt"),
+        compact_every=1,
+    )
+    q.awaitTermination(180)
+
+    with open(os.path.join(path, "MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest["segments"]) == 1
+    six, bix = load_ann_index(spark, path), load_ann_index(spark, bulk)
+    a = six.assign.orderBy("vec_id", "cluster_id").collect()
+    b = bix.assign.orderBy("vec_id", "cluster_id").collect()
+    assert a == b
