@@ -1,0 +1,130 @@
+"""Streaming-maintenance CLI — the cron shape of the two
+persisted-index stream loops (r10):
+
+- ``--mode docs``: watch a directory of document parquet drops and
+  drive the incremental-dedup loop per micro-batch
+  (streaming/ingest.py → scripts/ingest_increment.run); matches /
+  survivors land under ``--out-root/batch-<id>/``, the signature
+  index grows under ``--state-dir``.
+- ``--mode embeddings``: watch a directory of new-embedding parquet
+  drops and append them to a persisted ANN index
+  (streaming/ann_ingest.py → operators/ann_index.append_ann_index),
+  optionally folding segments every N batches.
+
+Both run ``availableNow`` (process everything present, then stop —
+rerun from cron/systemd-timer) with the checkpoint INSIDE the state/
+index directory, so progress travels with the state it describes.
+Exactly-once effect and redelivery semantics are the library
+modules' (see their docstrings); the writer lease refuses a
+concurrent batch CLI against the same state.
+
+Usage:
+    python scripts/stream_ingest.py --mode docs \
+        --source DROPS --state-dir STATE --corpus-dir CORPUS \
+        --out-root OUT [--threshold 0.8]
+    python scripts/stream_ingest.py --mode embeddings \
+        --source DROPS --index-dir INDEX [--compact-every 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", required=True, choices=["docs", "embeddings"])
+    ap.add_argument("--source", required=True, help="parquet drop dir")
+    ap.add_argument("--state-dir", default=None, help="docs: signature-index state")
+    ap.add_argument("--corpus-dir", default=None, help="docs: frozen batch parquet root")
+    ap.add_argument("--out-root", default=None, help="docs: matches/survivors root")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--index-dir", default=None, help="embeddings: ANN index")
+    ap.add_argument("--compact-every", type=int, default=None)
+    ap.add_argument("--max-files-per-trigger", type=int, default=1)
+    ap.add_argument(
+        "--profile", default="cluster", choices=["cluster", "small-input"]
+    )
+    args = ap.parse_args()
+
+    from etl_macropulse_br_spark.session import get_spark
+
+    spark = get_spark(app_name=f"stream_ingest_{args.mode}", profile=args.profile)
+
+    if args.mode == "docs":
+        if not (args.state_dir and args.corpus_dir and args.out_root):
+            raise SystemExit(
+                "--mode docs requires --state-dir, --corpus-dir, --out-root"
+            )
+        from etl_macropulse_br_spark.streaming.ingest import (
+            start_dedup_ingest_stream,
+        )
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", args.max_files_per_trigger)
+            .parquet(args.source)
+        )
+        q = start_dedup_ingest_stream(
+            stream,
+            args.corpus_dir,
+            args.state_dir,
+            args.out_root,
+            os.path.join(args.state_dir, "_stream_checkpoint"),
+            threshold=args.threshold,
+        )
+        q.awaitTermination()
+        with open(os.path.join(args.state_dir, "meta.json")) as f:
+            meta = json.load(f)
+        manifest = {
+            "mode": "docs",
+            "n_corpus_docs": meta["n_docs"],
+            "n_batches": len(meta["batches"]),
+            "state_dir": args.state_dir,
+            "out_root": args.out_root,
+        }
+    else:
+        if not args.index_dir:
+            raise SystemExit("--mode embeddings requires --index-dir")
+        from etl_macropulse_br_spark.operators.ann_index import (
+            load_ann_index,
+        )
+        from etl_macropulse_br_spark.streaming.ann_ingest import (
+            start_ann_ingest_stream,
+        )
+
+        idx = load_ann_index(spark, args.index_dir, validate=False)
+        stream = (
+            spark.readStream.schema(
+                f"{idx.params['id_col']} long, "
+                f"{idx.params['emb_col']} array<float>"
+            )
+            .option("maxFilesPerTrigger", args.max_files_per_trigger)
+            .parquet(args.source)
+        )
+        q = start_ann_ingest_stream(
+            stream,
+            args.index_dir,
+            os.path.join(args.index_dir, "_stream_checkpoint"),
+            compact_every=args.compact_every,
+        )
+        q.awaitTermination()
+        ix = load_ann_index(spark, args.index_dir)
+        manifest = {
+            "mode": "embeddings",
+            "index_dir": args.index_dir,
+            "n_vectors": ix.assign.count(),
+            "n_segments": len(ix.manifest["segments"]),
+            "adc_history_len": len(ix.adc_history),
+        }
+    print(json.dumps(manifest))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
