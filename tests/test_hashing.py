@@ -173,3 +173,26 @@ def test_banded_recall_curve_matches_analytic(spark):
     # and monotone non-decreasing across the grid
     vals = [r["measured_recall"] for r in sorted(rows, key=lambda x: x["j"])]
     assert vals == sorted(vals)
+
+
+def test_srp_banded_recall_curve_matches_analytic(spark):
+    """r10: the SRP (embedding) banding recall curve, measured on
+    planted exact-cosine pairs in dense deterministic 2D subspaces,
+    must track the analytic 1-(1-(1-θ/π)^p)^b at the shipped
+    embedding_near_dups defaults — completing the measured-recall
+    program (MinHash has the J-curve; SRP had a single planted-pair
+    point). Deterministic (string-seeded subspaces, md5 hyperplane
+    signs)."""
+    from tools.recall_curve import measure_srp_banded_recall
+
+    rows = measure_srp_banded_recall(spark, pairs_per_point=200)
+    assert len(rows) == 6
+    for r in rows:
+        tol = 4 * r["stderr"] + 0.02
+        assert abs(r["measured_recall"] - r["analytic_recall"]) <= tol, r
+    by_c = {r["cos"]: r["measured_recall"] for r in rows}
+    # anti-collapse at both ends: low-cos pairs must rarely collide,
+    # near-identical pairs almost always
+    assert by_c[0.5] < 0.25 and by_c[0.99] > 0.9
+    vals = [r["measured_recall"] for r in sorted(rows, key=lambda x: x["cos"])]
+    assert vals == sorted(vals)  # monotone in cosine

@@ -119,6 +119,115 @@ def measure_banded_recall(
     return out
 
 
+def planted_cosine_pairs(
+    spark: SparkSession,
+    cos_grid: list[float],
+    pairs_per_point: int,
+    dim: int = 64,
+):
+    """(vectors_df, truth) — pairs with EXACT planted cosine: pair i
+    lives in its own deterministic 2D subspace (two string-seeded
+    Gaussian directions, Gram-Schmidt-orthonormalized, so the
+    subspace is DENSE across all ``dim`` coordinates — a coordinate
+    plane would collapse the ±1 hyperplane projections to 4
+    diagonals and wreck the per-plane independence the analytic
+    curve assumes); u at phase φ_i, w at φ_i + θ, so
+    cos(u, w) = cos θ exactly. Phases spread by the golden ratio.
+    Pair p gets ids (2p, 2p+1)."""
+    import math
+    import random
+
+    rows, truth = [], {}
+    pair_no = 0
+    golden = (5**0.5 - 1) / 2
+    for c in cos_grid:
+        theta = math.acos(c)
+        for _ in range(pairs_per_point):
+            rng = random.Random(f"srp-pair:{pair_no}")
+            g1 = [rng.gauss(0, 1) for _ in range(dim)]
+            g2 = [rng.gauss(0, 1) for _ in range(dim)]
+            n1 = sum(x * x for x in g1) ** 0.5
+            e1 = [x / n1 for x in g1]
+            d12 = sum(a * b for a, b in zip(g2, e1))
+            o2 = [b - d12 * a for a, b in zip(e1, g2)]
+            n2 = sum(x * x for x in o2) ** 0.5
+            e2 = [x / n2 for x in o2]
+            phi = 2 * math.pi * ((pair_no * golden) % 1.0)
+            u = [
+                math.cos(phi) * a + math.sin(phi) * b
+                for a, b in zip(e1, e2)
+            ]
+            w = [
+                math.cos(phi + theta) * a + math.sin(phi + theta) * b
+                for a, b in zip(e1, e2)
+            ]
+            ia, ib = 2 * pair_no, 2 * pair_no + 1
+            rows.append((ia, [float(x) for x in u]))
+            rows.append((ib, [float(x) for x in w]))
+            truth[(ia, ib)] = c
+            pair_no += 1
+    return (
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ),
+        truth,
+    )
+
+
+def measure_srp_banded_recall(
+    spark: SparkSession,
+    cos_grid: list[float] | None = None,
+    pairs_per_point: int = 200,
+    n_bands: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> list[dict]:
+    """SRP analog of :func:`measure_banded_recall`: banding recall
+    of planted exact-cosine pairs vs the analytic
+    ``1 - (1 - (1 - θ/π)^p)^b`` (Charikar 2002 per-hyperplane
+    agreement, OR-of-ANDs banding) at the shipped
+    ``embedding_near_dups`` defaults (p=8 planes/band, b=3
+    bands)."""
+    import math
+
+    from etl_macropulse_br_spark.operators.dedup import srp_banded
+
+    if cos_grid is None:
+        cos_grid = [0.5, 0.7, 0.8, 0.9, 0.95, 0.99]
+    vecs, truth = planted_cosine_pairs(
+        spark, cos_grid, pairs_per_point, dim
+    )
+    buckets: dict[int, set] = {}
+    for r in srp_banded(
+        vecs, "embedding", "vec_id", n_bands, n_planes, dim
+    ).collect():
+        buckets.setdefault(r["id"], set()).add((r["band"], r["bucket"]))
+    out = []
+    for c in cos_grid:
+        pairs = [p for p, pc in truth.items() if pc == c]
+        hit = sum(
+            1
+            for (a, b) in pairs
+            if buckets.get(a, set()) & buckets.get(b, set())
+        )
+        n = len(pairs)
+        recall = hit / n
+        p_plane = 1.0 - math.acos(c) / math.pi
+        analytic = 1.0 - (1.0 - p_plane**n_planes) ** n_bands
+        out.append(
+            {
+                "cos": round(c, 4),
+                "n_pairs": n,
+                "measured_recall": round(recall, 4),
+                "analytic_recall": round(analytic, 4),
+                "stderr": round(
+                    (analytic * (1 - analytic) / n) ** 0.5, 4
+                ),
+            }
+        )
+    return out
+
+
 def main() -> None:
     from etl_macropulse_br_spark.session import get_spark
 
@@ -130,7 +239,18 @@ def main() -> None:
             f"{r['j']:6.2f} {r['measured_recall']:9.4f}"
             f" {r['analytic_recall']:9.4f} {r['stderr']:7.4f}"
         )
-    print(json.dumps({"banded_recall_curve": rows}))
+    srp = measure_srp_banded_recall(spark)
+    print(f"{'cos':>6s} {'measured':>9s} {'analytic':>9s} {'stderr':>7s}")
+    for r in srp:
+        print(
+            f"{r['cos']:6.2f} {r['measured_recall']:9.4f}"
+            f" {r['analytic_recall']:9.4f} {r['stderr']:7.4f}"
+        )
+    print(
+        json.dumps(
+            {"banded_recall_curve": rows, "srp_recall_curve": srp}
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -638,6 +638,22 @@ def main() -> None:
     assert by_j[0.3] < 0.15 and by_j[0.95] > 0.97  # anti-collapse
     results["banded_recall_curve"] = curve
 
+    # r10: the SRP analog — embedding banding recall vs the analytic
+    # 1-(1-(1-θ/π)^p)^b (Charikar 2002) at the shipped
+    # embedding_near_dups defaults; same determinism story
+    from tools.recall_curve import measure_srp_banded_recall
+
+    srp_curve = measure_srp_banded_recall(spark, pairs_per_point=200)
+    print(f"{'srp banded recall':26s} {'cos':>5s} {'meas':>7s} {'analytic':>9s}")
+    for r in srp_curve:
+        print(
+            f"{'':26s} {r['cos']:5.2f} {r['measured_recall']:7.4f}"
+            f" {r['analytic_recall']:9.4f}"
+        )
+        tol = 4 * r["stderr"] + 0.02
+        assert abs(r["measured_recall"] - r["analytic_recall"]) <= tol, r
+    results["srp_recall_curve"] = srp_curve
+
     # r10: KMV estimator error bound — the one sketch family whose
     # ESTIMATOR quality had no measured row (HLL/CMS/HDR gained
     # theirs in r8). (k-1)/U over the k-th minimum of a uniform
