@@ -220,6 +220,23 @@ class AnnIndex:
         codebooks show a rising ``adc_residual_mean``."""
         return list(self.manifest.get("adc_history", []))
 
+    def adc_drift_ratio(self) -> float | None:
+        """Latest appended batch's mean ADC residual over the
+        TRAINING batch's (r10) — the scalar form of the drift
+        signal: ~1.0 means in-distribution appends; a sustained
+        rise (the r9 planted-shift test measures ~7000x for a
+        scaled+offset domain) is the measured retrain trigger the
+        frozen-codebook caveat calls for. None when the index has
+        no PQ history or fewer than two batches."""
+        hist = self.adc_history
+        if len(hist) < 2:
+            return None
+        base = hist[0].get("adc_residual_mean")
+        last = hist[-1].get("adc_residual_mean")
+        if not base or last is None:
+            return None
+        return float(last) / float(base)
+
 
 @_locked_writer
 def save_ann_index(

@@ -115,12 +115,18 @@ def main() -> None:
         )
         q.awaitTermination()
         ix = load_ann_index(spark, args.index_dir)
+        drift = ix.adc_drift_ratio()
         manifest = {
             "mode": "embeddings",
             "index_dir": args.index_dir,
             "n_vectors": ix.assign.count(),
             "n_segments": len(ix.manifest["segments"]),
             "adc_history_len": len(ix.adc_history),
+            # ~1.0 = in-distribution appends; a sustained rise is
+            # the measured retrain-on-shift trigger
+            "adc_drift_ratio": (
+                None if drift is None else round(drift, 3)
+            ),
         }
     print(json.dumps(manifest))
     spark.stop()

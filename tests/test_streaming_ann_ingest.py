@@ -163,3 +163,34 @@ def test_ann_ingest_stream_with_inline_compaction(spark, tmp_path):
     a = six.assign.orderBy("vec_id", "cluster_id").collect()
     b = bix.assign.orderBy("vec_id", "cluster_id").collect()
     assert a == b
+
+
+def test_adc_drift_ratio_scalar(spark, tmp_path):
+    """r10: the scalar drift signal — ~1.0 for an in-distribution
+    append, way above 1 for a planted distribution shift, None
+    before any append."""
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        append_ann_index,
+        save_ann_index,
+    )
+
+    emb = _emb(spark).filter("vec_id < 120")
+    path = str(tmp_path / "drift_idx")
+    ix = save_ann_index(emb, path, k=2, rounds=1, m=4, ks=4,
+                        pq_rounds=1, sub=16)
+    assert ix.adc_drift_ratio() is None  # training batch only
+
+    same = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                      "embedding")
+    ix = append_ann_index(same, path)
+    assert abs(ix.adc_drift_ratio() - 1.0) < 1e-9  # identical vectors
+
+    shifted = emb.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x * F.lit(3.0) + F.lit(8.0)).alias("embedding"),
+    )
+    ix = append_ann_index(shifted, path)
+    assert ix.adc_drift_ratio() > 5.0  # the planted shift is loud
