@@ -415,12 +415,70 @@ def check_sessions(spark, rng: random.Random, n_rows: int, tag: str):
     return len(batch)
 
 
+def check_running_distinct(spark, rng: random.Random, n_rows: int, tag: str):
+    """Running per-group HLL distinct under random slicings: the
+    register OR-merge is order-free, so each group's final row (max
+    n_rows) must equal the batch ``hll_distinct_by`` bit-for-bit —
+    including est, register counts, and the string rendering of
+    mixed-type values (nulls skipped on both sides)."""
+    from etl_macropulse_br_spark.operators.sketches import hll_distinct_by
+    from etl_macropulse_br_spark.streaming.distinct import (
+        running_distinct_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    groups = ["click", "view", "purchase"]
+    data = [
+        (
+            groups[i % 3],
+            None
+            if rng.random() < 0.05
+            else rng.randrange(0, max(2, n_rows // 2)),
+        )
+        for i in range(n_rows)
+    ]
+    rows = _run_stream(
+        spark,
+        schema,
+        _slices(rng, data),
+        lambda st: running_distinct_stream(st, "event_type", "user_id"),
+        tag,
+        output_mode="update",
+    )
+    final = {}
+    for r in rows:
+        k = r["group_key"]
+        if k not in final or r["n_rows"] > final[k]["n_rows"]:
+            final[k] = r
+    batch = {
+        r["event_type"]: r
+        for r in hll_distinct_by(
+            spark.createDataFrame(data, schema),
+            "user_id",
+            ["event_type"],
+            b=8,
+        ).collect()
+    }
+    assert set(final) == set(batch), (set(final) ^ set(batch))
+    for k, fr in final.items():
+        br = batch[k]
+        assert fr["est_distinct"] == br["est_distinct"], k
+        assert fr["n_present_registers"] == br["n_present_registers"], k
+    return len(batch)
+
+
 CHECKS = {
     "sig_neardup": check_sig_neardup,
     "quantiles": check_quantiles,
     "quantiles_signed": check_signed_quantiles,
     "windowed_distinct": check_windowed_distinct,
     "sessions": check_sessions,
+    "running_distinct": check_running_distinct,
 }
 
 
