@@ -2797,3 +2797,11 @@ def test_hdr_signed_auto_scale(spark):
 
     with pytest.raises(ValueError, match="batch-only"):
         running_signed_quantiles_stream(sq, "g", "v", scale=None)
+
+    # plan identity: auto-scale pays ONE extra driver-side max
+    # aggregate, then builds exactly the plan the explicit scale
+    # builds — the sketch path itself is unchanged
+    scale = derive_signed_scale(sq, "v")
+    auto_df = hdr_signed_quantiles(sq, "v", (0.5,), None, s)
+    explicit_df = hdr_signed_quantiles(sq, "v", (0.5,), scale, s)
+    assert auto_df.sameSemantics(explicit_df)
