@@ -8,9 +8,14 @@ typed gate from check_oracle.
 The driver's gate proves correctness ON ITS CORPUS; this tool walks
 the registry over DIFFERENT data — empty strings, unicode,
 whitespace runs, exact/case duplicates, degenerate one-token docs,
-identical embedding vectors, resampled event distributions — so
-data-dependent divergence (normalization mismatches, tie-break
-drift, estimator branch flips) fails loudly instead of hiding
+identical embedding vectors, resampled event distributions, and
+(r10) a referentially-consistent random SUB-CORPUS of the
+relational tables (sampled orders keys, lineitem filtered to them,
+dims verbatim) so the TPC-H-shaped queries fuzz too instead of
+skipping — the FULL registry now runs (122/122, 0 skipped) with
+per-seed fact cardinality/selectivity. Data-dependent divergence
+(normalization mismatches, tie-break drift, estimator branch
+flips, group-emptiness edges) fails loudly instead of hiding
 behind one fixed dataset. Everything is seed-deterministic: a
 failure reproduces with the same seed.
 
@@ -136,8 +141,51 @@ def write_tables(out_dir: str, seed: int, n_docs: int, n_vecs: int) -> None:
     idx = sorted(rng.sample(range(real.num_rows), min(k, real.num_rows)))
     pq.write_table(real.take(idx), os.path.join(out_dir, "events.parquet"))
 
+    # relational sub-corpus (r10): the TPC-H-shaped registry queries
+    # previously SKIPPED under fuzz (no lineitem/orders/... in the
+    # corpus). Provide a referentially-CONSISTENT random subset: a
+    # seed-deterministic sample of orders keys, lineitem filtered to
+    # those keys, dimension tables verbatim — every join keeps its
+    # integrity while fact cardinality/selectivity/distribution vary
+    # per seed (group-emptiness, broadcast-threshold and
+    # tie-break branches flip). Both engines read the same files, so
+    # the typed gate stays exact.
+    import pyarrow.compute as pc
 
-FUZZ_TABLES = ("documents", "embeddings", "events")
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        pq.write_table(
+            pq.read_table(os.path.join(REAL_SF, f"{t}.parquet")),
+            os.path.join(out_dir, f"{t}.parquet"),
+        )
+    rng3 = random.Random(seed + 3)
+    orders = pq.read_table(os.path.join(REAL_SF, "orders.parquet"))
+    keys = orders.column("o_orderkey").to_pylist()
+    frac = 0.3 + 0.5 * rng3.random()
+    keep = rng3.sample(keys, max(20, int(frac * len(keys))))
+    keep_arr = pa.array(sorted(keep), pa.int64())
+    pq.write_table(
+        orders.filter(pc.is_in(orders.column("o_orderkey"), keep_arr)),
+        os.path.join(out_dir, "orders.parquet"),
+    )
+    li = pq.read_table(os.path.join(REAL_SF, "lineitem.parquet"))
+    pq.write_table(
+        li.filter(pc.is_in(li.column("l_orderkey"), keep_arr)),
+        os.path.join(out_dir, "lineitem.parquet"),
+    )
+
+
+FUZZ_TABLES = (
+    "documents",
+    "embeddings",
+    "events",
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
 
 
 def run(seed: int, n_docs: int, n_vecs: int, only: set[str] | None = None):
