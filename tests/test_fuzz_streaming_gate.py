@@ -2,9 +2,9 @@
 #6 "Done = fuzz_streaming green in the local gate"): one
 seed-deterministic round of every slicing-fuzz check from
 tools/fuzz_streaming.py. A failure reproduces standalone with
-``python tools/fuzz_streaming.py 5`` (same string-seeded RNG
-derivation). The heavier multi-seed / multi-round / rocksdb runs
-stay tool-side."""
+``python tools/fuzz_streaming.py 5 60 1`` (same string-seeded RNG
+derivation, same row count). The heavier multi-seed / multi-round /
+rocksdb runs stay tool-side."""
 
 from __future__ import annotations
 
