@@ -54,9 +54,15 @@ def resolve_columns(
 
     Resolution order per role (``transform.py:35-63``): exact
     normalized match on each candidate in priority order, then
-    token-containment (every token of the candidate appears in the
-    normalized header). Raises ``ValueError`` listing every unmapped
-    role (``transform.py:65-72``).
+    token-containment. Containment matches each candidate token as a
+    SUBSTRING of the whole normalized header — exactly the
+    reference's ``pick_contains`` (``transform.py:43-48``:
+    ``all(t in nrm for t in all_tokens)``) — so inflected pt-BR
+    headers like ``"Datas da Coleta"`` still resolve the date role
+    ("data" is a substring of "datas"); set-membership on the
+    header's token set would refuse them (the one verified r10
+    parity divergence, closed r11). Raises ``ValueError`` listing
+    every unmapped role (``transform.py:65-72``).
     """
     role_candidates = role_candidates or ANP_ROLE_CANDIDATES
     normalized = {c: normalize_header(c) for c in columns}
@@ -74,8 +80,7 @@ def resolve_columns(
             for cand in candidates:
                 tokens = cand.split()
                 for orig, norm in normalized.items():
-                    header_tokens = set(norm.split())
-                    if all(t in header_tokens for t in tokens) and orig not in mapping.values():
+                    if all(t in norm for t in tokens) and orig not in mapping.values():
                         hit = orig
                         break
                 if hit:
