@@ -1634,6 +1634,99 @@ def test_writer_lock_release_is_token_checked(tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_writer_lock_heartbeat_protects_live_slow_writer(tmp_path):
+    """r11 (ADVICE r10, medium): a LIVE writer whose mutation
+    outlives stale_after_s must not lose its lease — the holder
+    heartbeats the lock's mtime, so staleness measures silence since
+    the last heartbeat (a dead process), not mutation duration.
+    Pre-fix, the waiter below would steal after stale_after_s and
+    re-admit the concurrent-writer race the lock exists to prevent."""
+    import os
+    import time
+
+    import pytest
+
+    from etl_macropulse_br_spark.operators.statelock import (
+        WriterLockHeld,
+        writer_lock,
+    )
+
+    d = str(tmp_path / "hb_dir")
+    with writer_lock(d, owner="slow-but-alive", stale_after_s=1.0):
+        time.sleep(2.6)  # mutation runs well past the stale window
+        # a waiter judging with the same stale window must STILL be
+        # refused: our heartbeat (every 0.25s) keeps the lease fresh
+        with pytest.raises(WriterLockHeld, match="single-writer"):
+            with writer_lock(d, owner="waiter", stale_after_s=1.0):
+                pass
+    assert not os.path.exists(os.path.join(d, ".writer.lock"))
+    # a DEAD writer (no heartbeat — backdated mtime, the crash shape)
+    # is still stolen exactly as before
+    lock = os.path.join(d, ".writer.lock")
+    with open(lock, "w") as f:
+        f.write("crashed pid=0 token=x t=0")
+    old = time.time() - 10
+    os.utime(lock, (old, old))
+    with writer_lock(d, owner="recovering", stale_after_s=1.0):
+        pass
+    assert not os.path.exists(lock)
+
+
+def test_writer_lock_provider_seam(tmp_path):
+    """r11 (VERDICT r10 Next round #8): the lease logic talks to the
+    filesystem ONLY through the provider's five primitives, so an
+    object-store conditional-put backend is a constructor argument,
+    not a rewrite. Pinned by routing a counting provider through
+    acquire, heartbeat-config, steal, and token-checked release."""
+    import os
+    import time
+
+    from etl_macropulse_br_spark.operators.statelock import (
+        PosixLockProvider,
+        writer_lock,
+    )
+
+    calls = []
+
+    class Recording(PosixLockProvider):
+        def try_create(self, lock, body):
+            calls.append("try_create")
+            return super().try_create(lock, body)
+
+        def read_holder(self, lock):
+            calls.append("read_holder")
+            return super().read_holder(lock)
+
+        def steal(self, lock, token):
+            calls.append("steal")
+            return super().steal(lock, token)
+
+        def release_if_token(self, lock, token):
+            calls.append("release_if_token")
+            return super().release_if_token(lock, token)
+
+    d = str(tmp_path / "prov_dir")
+    prov = Recording()
+    with writer_lock(d, owner="a", provider=prov):
+        pass
+    assert calls == ["try_create", "release_if_token"]
+
+    # stale path exercises read_holder + steal through the provider
+    calls.clear()
+    lock = os.path.join(d, ".writer.lock")
+    with open(lock, "w") as f:
+        f.write("crashed pid=0 token=x t=0")
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    with writer_lock(d, owner="b", stale_after_s=3600, provider=prov):
+        pass
+    assert calls == [
+        "try_create", "read_holder", "steal", "try_create",
+        "release_if_token",
+    ]
+    assert not os.path.exists(lock)
+
+
 def test_retrain_crash_before_assign_is_loud(spark, tmp_path, monkeypatch):
     """r10 self-review: a retrain crashing AFTER the centroids
     overwrite but BEFORE the assign overwrite used to leave NEW
