@@ -1,16 +1,20 @@
 """Continuous dedup ingest: a documents stream feeding the
 persisted MinHash signature index (r10) — the streaming twin of the
-``scripts/ingest_increment.py`` daily-crawl loop, completing the
-symmetry with :mod:`streaming.ann_ingest` (both persisted-index
-families now have a stream-maintenance shape).
+daily-crawl loop (`operators/signature_index.py`, CLI wrapper
+`scripts/ingest_increment.py`), completing the symmetry with
+:mod:`streaming.ann_ingest` (both persisted-index families now have
+a stream-maintenance shape).
 
 Each micro-batch becomes one increment: the batch lands as an
 immutable parquet directory under ``corpus_dir`` (named by the
 micro-batch id, which Structured Streaming REPLAYS STABLY from the
-checkpoint), then ``ingest_increment.run`` executes against the
+checkpoint), then ``signature_index.run`` executes against the
 signature-index state — emitting matches/survivors and appending the
 batch's signatures — under the state directory's single-writer
-lease.
+lease. (r11 — ADVICE r10: the engine import now stays inside the
+package; previously this module imported from ``scripts/``, which
+broke when the package was installed without the repo root on
+``sys.path``.)
 
 Exactly-once effect, same argument as ann_ingest:
 
@@ -53,7 +57,10 @@ def ingest_micro_batch(
     """One micro-batch → one increment. Returns ``"ingested"``,
     ``"skipped"`` (redelivery of a completed increment), or
     ``"empty"``."""
-    from scripts.ingest_increment import _META, run
+    from etl_macropulse_br_spark.operators.signature_index import (
+        _META,
+        run,
+    )
 
     if batch_df.isEmpty():
         return "empty"

@@ -3,9 +3,11 @@ persisted-index stream loops (r10):
 
 - ``--mode docs``: watch a directory of document parquet drops and
   drive the incremental-dedup loop per micro-batch
-  (streaming/ingest.py → scripts/ingest_increment.run); matches /
+  (streaming/ingest.py → operators/signature_index.run); matches /
   survivors land under ``--out-root/batch-<id>/``, the signature
-  index grows under ``--state-dir``.
+  index grows under ``--state-dir``. An empty drop dir is a valid
+  run: the manifest reports zero batches (r11 — first cron tick
+  before any drops used to crash on the absent meta.json).
 - ``--mode embeddings``: watch a directory of new-embedding parquet
   drops and append them to a persisted ANN index
   (streaming/ann_ingest.py → operators/ann_index.append_ann_index),
@@ -79,8 +81,15 @@ def main() -> None:
             threshold=args.threshold,
         )
         q.awaitTermination()
-        with open(os.path.join(args.state_dir, "meta.json")) as f:
-            meta = json.load(f)
+        # r11 (ADVICE r10): an empty source dir means no micro-batch
+        # ever ran and meta.json does not exist yet — report a
+        # zero-batch run instead of crashing on the missing sidecar
+        meta_path = os.path.join(args.state_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        else:
+            meta = {"n_docs": 0, "batches": []}
         manifest = {
             "mode": "docs",
             "n_corpus_docs": meta["n_docs"],

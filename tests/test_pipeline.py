@@ -336,3 +336,38 @@ def test_curate_cli_writes_manifest_and_corpus(tmp_path):
     import os
 
     assert any(f.endswith(".parquet") for f in os.listdir(out_dir))
+
+
+def test_stream_ingest_cli_empty_source_reports_zero_batches(tmp_path):
+    """r11 (ADVICE r10): the first cron tick may fire before any
+    parquet lands in the drop dir — no micro-batch runs, meta.json
+    never exists, and the CLI must print a zero-batch manifest
+    instead of crashing on the missing sidecar."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/stream_ingest.py",
+            "--mode", "docs",
+            "--source", str(src),
+            "--state-dir", str(tmp_path / "state"),
+            "--corpus-dir", str(tmp_path / "corpus"),
+            "--out-root", str(tmp_path / "out"),
+            "--profile", "small-input",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    manifest = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert manifest["mode"] == "docs"
+    assert manifest["n_batches"] == 0
+    assert manifest["n_corpus_docs"] == 0
