@@ -421,3 +421,108 @@ def test_sig_stream_differential_under_rocksdb(spark, tmp_path):
         )
     assert {n for (n, m) in got_h if m is None} == {3}
     assert {(n, m) for (n, m) in got_h if m is not None} == {(5, 2)}
+
+
+def test_sig_stream_restart_on_legacy_state_schema_is_loud(
+    spark, tmp_path
+):
+    """r11 (VERDICT r10 What's wrong #3): SIG_STATE_SCHEMA grew a
+    4th field (max_evicted) in r10 — restarting sig_neardup_stream
+    on a checkpoint whose state was committed under the 3-field r9
+    schema must fail LOUDLY at restart (Spark's state-schema
+    compatibility check), never read reinterpretable state bytes.
+    The module docstring's upgrade contract ("new state field ⇒ new
+    checkpoint dir") is the documented recovery. A recoverable
+    (parquet) sink is used: the memory sink refuses ALL checkpoint
+    recovery, which would mask the schema check this test pins."""
+    import glob
+    import pytest
+    from pyspark.errors.exceptions.captured import (
+        AnalysisException,
+        StreamingQueryException,
+    )
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import etl_macropulse_br_spark.streaming.neardup as ND
+
+    src = str(tmp_path / "legacy_src")
+    ckpt = str(tmp_path / "legacy_ckpt")
+    out = str(tmp_path / "legacy_out")
+    spark.createDataFrame(BATCH1, SCHEMA).coalesce(1).write.parquet(src)
+
+    legacy_state = T.StructType(ND.SIG_STATE_SCHEMA.fields[:3])
+    assert len(ND.SIG_STATE_SCHEMA.fields) == 4  # r10 shape
+
+    def legacy_update(key, pdfs, state):
+        # the r9-era updater: 3-field state tuples, no max_evicted
+        ids, sigs, events = [], [], []
+        if state.exists:
+            got = state.get
+            ids, sigs = list(got[0]), list(got[1])
+            events = list(got[2] or [])
+        for pdf in pdfs:
+            for i in range(len(pdf)):
+                ids.append(int(pdf["id"].iloc[i]))
+                sigs.extend(int(x) for x in pdf["sig"].iloc[i])
+                events.append(0)
+        state.update((ids, sigs, events))
+        return iter(())
+
+    banded = ND._banded_stream(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "text", "doc_id", 3, 16, 4, "sig",
+    )
+    q = (
+        banded.groupBy("band", "band_hash")
+        .applyInPandasWithState(
+            legacy_update,
+            outputStructType=ND.OUT_SCHEMA,
+            stateStructType=legacy_state,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_out_before = len(glob.glob(f"{out}/*.parquet"))
+
+    # a new batch arrives; the upgraded operator restarts on the
+    # SAME checkpoint — the 4-field schema vs the committed 3-field
+    # state must be refused loudly, never silently reinterpreted
+    spark.createDataFrame(BATCH2, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def restart():
+        q2 = (
+            ND.sig_neardup_stream(
+                spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                threshold=0.5,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        if q2.exception() is not None:
+            raise q2.exception()
+
+    with pytest.raises(
+        (StreamingQueryException, AnalysisException)
+    ) as exc:
+        restart()
+    msg = str(exc.value).lower()
+    assert "state" in msg and "schema" in msg, msg
+    # no silent output was produced from reinterpreted state
+    assert len(glob.glob(f"{out}/*.parquet")) == n_out_before
