@@ -21,6 +21,10 @@ result equal to the batch operator on the identical rows:
 - ``sessionize_stream`` ≡ batch ``F.session_window`` aggregation
   (random TIME-ORDERED slicings — arrival order inside the
   contract, cut points fuzzed; see ``_slices(keep_order=True)``)
+- ``sessionize_stream`` under BOUNDED DISORDER (r11): per-row
+  arrival jitter within the declared ``lateness`` knob, inside the
+  provable stream≡batch regime (``check_sessions_disorder``
+  docstring) — fuzzes backward merges + the lateness wiring
 
 Every operator CONTRACTS slicing-invariance (associative state
 merges, orientation-normalized emissions), so exact equality is the
@@ -415,6 +419,98 @@ def check_sessions(spark, rng: random.Random, n_rows: int, tag: str):
     return len(batch)
 
 
+def check_sessions_disorder(
+    spark, rng: random.Random, n_rows: int, tag: str
+):
+    """r11 (VERDICT r10 Next round #5): sessionize under BOUNDED
+    OUT-OF-ORDER arrival within the declared ``lateness`` knob —
+    the dimension the time-ordered check cannot see (backward
+    merges, late extends, the lateness-vs-gap interaction), on top
+    of the random cut points.
+
+    Disorder model: arrival order = event time + per-row jitter
+    drawn from [0, lateness). This is the PROVABLE stream≡batch
+    regime when (a) ``lateness <= gap`` and (b) inter-session deltas
+    exceed ``gap + lateness``:
+
+    - no watermark drop: when t arrives, every earlier arrival t_a
+      has t_a < t + lateness, so the watermark (max seen − lateness)
+      stays strictly below t;
+    - the backward-merge singleton branch (open-start − t > gap)
+      needs jitter > gap ≥ lateness — unreachable;
+    - leapfrogging a session boundary (an event of session k+1
+      arriving before one of session k) needs jitter > inter-session
+      delta > gap ≥ lateness — unreachable;
+    - the event-time timeout cannot close a session with unarrived
+      members: the earliest unarrived member t0 is within gap of the
+      session end AND above the watermark, while the timeout
+      requires the watermark past end + gap — contradiction.
+
+    Outside that regime (disorder straddling a session boundary) the
+    operator's emit-on-close limit applies by DOCUMENTED contract
+    (module docstring), so the fuzz stays inside it — exactly like
+    the time-ordered check stays inside the arrival contract."""
+    from etl_macropulse_br_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    gap_s = 1800
+    late_s = 1800  # = gap: the widest provable-equality lateness
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    n_users = 6
+    rows = []
+    for user in range(1, n_users + 1):
+        t = BASE_TS + dt.timedelta(minutes=rng.randint(0, 120))
+        for _ in range(max(4, n_rows // n_users)):
+            # <= gap continues (incl. the exact 1800 boundary);
+            # > gap + lateness (3600) starts a new session
+            delta = rng.choice([1, 60, 600, 1799, 1800, 3700, 7200])
+            t = t + dt.timedelta(seconds=delta)
+            rows.append((user, t))
+    arrival = sorted(
+        rows,
+        key=lambda r: r[1]
+        + dt.timedelta(seconds=rng.uniform(0, late_s * 0.999)),
+    )
+    sentinel = max(r[1] for r in rows) + dt.timedelta(days=30)
+    slices = _slices(rng, arrival, keep_order=True)
+    slices.append([(u, sentinel) for u in range(1, n_users + 1)])
+    out = _run_stream(
+        spark,
+        schema,
+        slices,
+        lambda s: sessionize_stream(
+            s, gap_s=gap_s, lateness=f"{late_s} seconds"
+        ),
+        tag,
+    )
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out
+    }
+    batch = {
+        (r["user_id"], r["start"], r["last_ts"], r["n_events"])
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(
+            F.min("ts").alias("start"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert streamed == batch, (
+        f"only-stream={sorted(streamed - batch)[:3]} "
+        f"only-batch={sorted(batch - streamed)[:3]}"
+    )
+    return len(batch)
+
+
 def check_running_distinct(spark, rng: random.Random, n_rows: int, tag: str):
     """Running per-group HLL distinct under random slicings: the
     register OR-merge is order-free, so each group's final row (max
@@ -478,6 +574,7 @@ CHECKS = {
     "quantiles_signed": check_signed_quantiles,
     "windowed_distinct": check_windowed_distinct,
     "sessions": check_sessions,
+    "sessions_disorder": check_sessions_disorder,
     "running_distinct": check_running_distinct,
 }
 
