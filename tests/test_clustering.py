@@ -1727,6 +1727,78 @@ def test_writer_lock_provider_seam(tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_writer_lock_works_with_non_filesystem_provider(tmp_path):
+    """r11 seam-completeness proof: the five provider primitives are
+    SUFFICIENT — the full protocol (acquire, contention refusal,
+    stale steal, heartbeat refresh, token-checked release) runs
+    against a backend that stores leases in a plain dict, touching
+    no lock file at all. This is the exact surface an object-store
+    conditional-put backend implements (create = If-None-Match:*,
+    steal/release = generation-conditioned delete)."""
+    import time
+
+    import pytest
+
+    from etl_macropulse_br_spark.operators.statelock import (
+        WriterLockHeld,
+        writer_lock,
+    )
+
+    class MemoryLockProvider:
+        def __init__(self):
+            self.locks: dict[str, list] = {}  # key -> [body, beat_t]
+
+        def try_create(self, lock, body):
+            if lock in self.locks:
+                return False
+            self.locks[lock] = [body, time.time()]
+            return True
+
+        def read_holder(self, lock):
+            e = self.locks.get(lock)
+            if e is None:
+                return None
+            return time.time() - e[1], e[0]
+
+        def steal(self, lock, token):
+            # a real store does a generation-conditioned delete so
+            # exactly one contender wins; pop models the winner
+            self.locks.pop(lock, None)
+
+        def heartbeat(self, lock):
+            e = self.locks.get(lock)
+            if e:
+                e[1] = time.time()
+
+        def release_if_token(self, lock, token):
+            e = self.locks.get(lock)
+            if e and f"token={token}" in e[0]:
+                self.locks.pop(lock)
+
+    d = str(tmp_path / "mem_lease")
+    mem = MemoryLockProvider()
+    # plain acquire/release round-trip
+    with writer_lock(d, owner="a", provider=mem):
+        assert len(mem.locks) == 1
+        # contention: refused loudly, lease untouched
+        with pytest.raises(WriterLockHeld, match="single-writer"):
+            with writer_lock(d, owner="b", provider=mem):
+                pass
+    assert mem.locks == {}
+    # stale steal: a dead holder (backdated beat, no heartbeat) is
+    # broken and the waiter acquires
+    mem.locks[f"{d}/.writer.lock"] = ["crashed token=x", time.time() - 99]
+    with writer_lock(d, owner="c", stale_after_s=1.0, provider=mem):
+        (body, _), = [tuple(v) for v in mem.locks.values()]
+        assert "c " in body  # the waiter's lease replaced the stale one
+    assert mem.locks == {}
+    # token-checked release: a foreign lease survives our late release
+    with writer_lock(d, owner="slow", provider=mem):
+        mem.locks.clear()
+        mem.locks[f"{d}/.writer.lock"] = ["fast token=other", time.time()]
+    assert list(mem.locks.values())[0][0] == "fast token=other"
+
+
 def test_retrain_crash_before_assign_is_loud(spark, tmp_path, monkeypatch):
     """r10 self-review: a retrain crashing AFTER the centroids
     overwrite but BEFORE the assign overwrite used to leave NEW
