@@ -82,7 +82,7 @@ _MINHASH_P = (1 << 31) - 1
 
 # Identifier of the CURRENT minhash construction (base fold + LCG
 # constants + Carter-Wegman modulus), stamped into persisted
-# signature-index sidecars (scripts/ingest_increment.py) so state
+# signature-index sidecars (operators/signature_index.py) so state
 # written under a DIFFERENT family is rejected loudly instead of
 # silently never colliding with new signatures (r10, ADVICE r9 #1:
 # the r9 mod-P fix changed every signature value, so a pre-fix

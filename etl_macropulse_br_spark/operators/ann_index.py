@@ -366,7 +366,7 @@ def append_ann_index(
     """Encode a NEW batch of vectors against the FROZEN index under
     ``path`` — no retraining — and append the encodings to the
     persisted state. The embeddings analog of the MinHash
-    signature-index append in ``scripts/ingest_increment.py``: a
+    signature-index append in ``operators/signature_index.py``: a
     daily pipeline trains centroids/codebooks once, then each
     increment pays only map-only assignment + PQ encoding of the
     new rows (one parquet append to ``assign/``, one to ``codes/``

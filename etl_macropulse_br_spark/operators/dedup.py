@@ -537,7 +537,7 @@ def incremental_near_dups(
     ``base_sig`` (r8) is the PERSISTED signature index: a
     (id, m0..m{k-1}) frame — exactly what
     :func:`minhash_signature_table` emits and what
-    ``scripts/ingest_increment.py`` persists as parquet. When given,
+    ``operators/signature_index.py`` persists as parquet. When given,
     the base corpus contributes candidates from the stored k-int
     signatures WITHOUT re-hashing base text (previously every
     increment re-paid one md5 per shingle over the entire base — the

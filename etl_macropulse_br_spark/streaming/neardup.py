@@ -4,7 +4,7 @@ banding state in the state store, keyed by (band, band_hash); each
 arriving doc emits verified matches against everything that arrived
 BEFORE it (earlier micro-batches via state, smaller ids within the
 same micro-batch), then merges into state. The daily-crawl batch
-loop (`scripts/ingest_increment.py`) and this stream compute the
+loop (`operators/signature_index.py`) and this stream compute the
 SAME relation: one (new_id, match_id, jaccard) row per verified
 duplicate, with new_id the later/larger doc — pinned equal to the
 batch operator across micro-batch slicings by the differential test.
