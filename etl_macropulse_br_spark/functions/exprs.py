@@ -116,7 +116,14 @@ def stable_mean(col: Column | str) -> Column:
 
 def flag_is_enabled(col: Column | str) -> Column:
     """Case-insensitive truthy-flag predicate (``main.py:33``):
-    enabled iff lower(str(v)) in {"true","1","yes"}."""
+    enabled iff lower(str(v)) in {"true","1","yes"}.
+
+    Deliberate superset of the reference: we TRIM first (the
+    reference's ``astype(str).str.lower()`` does not), so a
+    space-padded ``" true "`` in a hand-edited config CSV enables
+    the series instead of silently disabling it. Every value the
+    reference accepts behaves identically; pinned (incl. the SQL
+    twin) by tests/test_exprs.py and tests/test_sql_functions.py."""
     return F.lower(F.trim(_as_col(col).cast("string"))).isin("true", "1", "yes")
 
 

@@ -20,18 +20,33 @@ import unicodedata
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Logical role → candidate normalized header names, most specific
-# first. Mirrors the reference's role tables (transform.py:35-63).
-ANP_ROLE_CANDIDATES: dict[str, list[str]] = {
-    "uf_sigla": ["estado sigla", "sigla uf", "uf", "estado"],
-    "product": ["produto"],
-    "date_ref": ["data da coleta", "data coleta", "data"],
+# Logical role → resolution CHAIN, the reference's exact step order
+# (transform.py:50-63): a plain string is a pick_exact step (full
+# normalized-name equality), a token list is a pick_contains step
+# (every token a SUBSTRING of the normalized header). The steps
+# INTERLEAVE exactly as the reference's `or`-chains do — r11 parity
+# fix: the previous all-exacts-then-all-containments two-phase walk
+# with split-derived tokens could pick a DIFFERENT column than the
+# reference when several price-ish headers coexist (e.g. reference
+# maps "Preco de Venda" via contains(["preco"]) where the two-phase
+# walk matched "Valor Unitario" via its "valor" candidate first).
+ANP_ROLE_CANDIDATES: dict[str, list] = {
+    # transform.py:53 — pick_exact("estado sigla") or
+    # pick_contains(["estado", "sigla"])
+    "uf_sigla": ["estado sigla", ["estado", "sigla"]],
+    # transform.py:54 — pick_exact("produto") or
+    # pick_contains(["produto"])
+    "product": ["produto", ["produto"]],
+    # transform.py:55 — pick_exact("data da coleta") or
+    # pick_contains(["data", "coleta"]) or pick_contains(["data"])
+    "date_ref": ["data da coleta", ["data", "coleta"], ["data"]],
+    # transform.py:58-63 — the full price fallback chain
     "price": [
         "valor de venda",
+        ["valor", "venda"],
         "preco medio revenda",
-        "preco medio",
-        "valor",
-        "preco",
+        ["preco", "medio"],
+        ["preco"],
     ],
 }
 
@@ -48,43 +63,54 @@ def normalize_header(name: str) -> str:
 
 def resolve_columns(
     columns: list[str],
-    role_candidates: dict[str, list[str]] | None = None,
+    role_candidates: dict[str, list] | None = None,
 ) -> dict[str, str]:
     """Map logical roles → actual column names.
 
-    Resolution order per role (``transform.py:35-63``): exact
-    normalized match on each candidate in priority order, then
-    token-containment. Containment matches each candidate token as a
-    SUBSTRING of the whole normalized header — exactly the
+    Resolution per role walks the role's CHAIN in order, exactly as
+    the reference's ``pick_exact(...) or pick_contains(...)``
+    ``or``-chains do (``transform.py:50-63``): a plain-string step is
+    an exact normalized-name match; a token-list step matches every
+    token as a SUBSTRING of the whole normalized header — the
     reference's ``pick_contains`` (``transform.py:43-48``:
-    ``all(t in nrm for t in all_tokens)``) — so inflected pt-BR
-    headers like ``"Datas da Coleta"`` still resolve the date role
-    ("data" is a substring of "datas"); set-membership on the
-    header's token set would refuse them (the one verified r10
-    parity divergence, closed r11). Raises ``ValueError`` listing
-    every unmapped role (``transform.py:65-72``).
+    ``all(t in nrm for t in all_tokens)``), so inflected pt-BR
+    headers like ``"Datas da Coleta"`` resolve the date role ("data"
+    is a substring of "datas"). Both r11 parity fixes live here: the
+    r10 set-membership containment refused inflected headers, and
+    the all-exacts-then-all-containments walk could pick a different
+    column than the reference's interleaved chain when several
+    candidate-shaped headers coexist. First hit wins; a column
+    already claimed by an earlier role is skipped. Plain-string
+    steps in CUSTOM role tables also get a derived containment
+    fallback (split on spaces) after the chain fails, preserving the
+    old permissive API for callers with their own tables. Raises
+    ``ValueError`` listing every unmapped role
+    (``transform.py:65-72``).
     """
     role_candidates = role_candidates or ANP_ROLE_CANDIDATES
     normalized = {c: normalize_header(c) for c in columns}
     mapping: dict[str, str] = {}
-    for role, candidates in role_candidates.items():
-        hit = None
-        for cand in candidates:
+
+    def _match(role_steps) -> str | None:
+        for step in role_steps:
             for orig, norm in normalized.items():
-                if norm == cand and orig not in mapping.values():
-                    hit = orig
-                    break
-            if hit:
-                break
+                if orig in mapping.values():
+                    continue
+                if isinstance(step, str):
+                    if norm == step:
+                        return orig
+                elif all(t in norm for t in step):
+                    return orig
+        return None
+
+    for role, steps in role_candidates.items():
+        hit = _match(steps)
         if hit is None:
-            for cand in candidates:
-                tokens = cand.split()
-                for orig, norm in normalized.items():
-                    if all(t in norm for t in tokens) and orig not in mapping.values():
-                        hit = orig
-                        break
-                if hit:
-                    break
+            # legacy fallback for custom plain-string tables: each
+            # string candidate retried as a containment token list
+            hit = _match(
+                [s.split() for s in steps if isinstance(s, str)]
+            )
         if hit is not None:
             mapping[role] = hit
     missing = [r for r in role_candidates if r not in mapping]

@@ -167,6 +167,40 @@ def test_resolve_columns_substring_containment_parity():
         )
 
 
+def test_resolve_columns_interleaved_chain_order_parity():
+    """r11 parity fix #2: the reference resolves each role through an
+    INTERLEAVED exact/containment chain (transform.py:58-63 — price:
+    exact "valor de venda", contains [valor, venda], exact "preco
+    medio revenda", contains [preco, medio], contains [preco]). With
+    both "Valor Unitario" and "Preco de Venda" present, the chain
+    reaches contains([preco]) and picks "Preco de Venda"; the old
+    two-phase walk (all exacts, then containments of split
+    candidates) matched "Valor Unitario" via its "valor" candidate
+    first — a different column, silently."""
+    m = resolve_columns(
+        [
+            "Estado - Sigla",
+            "Produto",
+            "Data da Coleta",
+            "Valor Unitario",
+            "Preço de Venda",
+        ]
+    )
+    assert m["price"] == "Preço de Venda"
+    # and the chain's higher-priority containment still beats it
+    # when a true valor+venda header exists
+    m2 = resolve_columns(
+        [
+            "Estado - Sigla",
+            "Produto",
+            "Data da Coleta",
+            "Valor Unitario de Venda",
+            "Preço de Venda",
+        ]
+    )
+    assert m2["price"] == "Valor Unitario de Venda"
+
+
 def test_lit_double_array_bit_exact(spark):
     """The single-string literal array must reproduce the exact
     double bits of its inputs (repr is the shortest round-trip
