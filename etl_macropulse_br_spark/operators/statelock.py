@@ -155,7 +155,14 @@ def writer_lock(
     the lock is not stale. While held, a daemon heartbeat keeps the
     lock's mtime fresh so a long-running LIVE writer is never stolen
     from (r11 — staleness means the holder stopped heartbeating,
-    i.e. died, not merely that the mutation is slow)."""
+    i.e. died, not merely that the mutation is slow).
+
+    Contenders of one state dir must use a CONSISTENT
+    ``stale_after_s``: the holder heartbeats every ``stale_after_s/4``
+    (capped at 60 s), so a waiter judging with a much smaller window
+    than the holder's heartbeat interval could still steal a live
+    lease. Every in-repo mutator uses the default; pass a custom
+    window to all contenders or none."""
     os.makedirs(state_dir, exist_ok=True)
     lock = os.path.join(state_dir, _LOCK_NAME)
     token = uuid.uuid4().hex
