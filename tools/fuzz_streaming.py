@@ -25,6 +25,13 @@ result equal to the batch operator on the identical rows:
   arrival jitter within the declared ``lateness`` knob, inside the
   provable stream≡batch regime (``check_sessions_disorder``
   docstring) — fuzzes backward merges + the lateness wiring
+- ``text_dedup_stream`` ≡ batch keep-first (min_by (ts, id)) per
+  distinct normalized text (r11; time-ordered slicings — the
+  first-ARRIVAL contract)
+- ``interval_join_streams`` ≡ the batch join with the identical
+  interval predicate (r11; BOTH sides sliced and shuffled
+  independently — an inner join inside the watermark is
+  arrival-order-free)
 
 Every operator CONTRACTS slicing-invariance (associative state
 merges, orientation-normalized emissions), so exact equality is the
@@ -568,6 +575,153 @@ def check_running_distinct(spark, rng: random.Random, n_rows: int, tag: str):
     return len(batch)
 
 
+def check_text_dedup(spark, rng: random.Random, n_rows: int, tag: str):
+    """r11: watermarked exact-text dedup under random TIME-ORDERED
+    slicings — first arrival per distinct normalized text wins
+    (dropDuplicatesWithinWatermark state). Every ts is unique and
+    the corpus span stays far inside the watermark horizon, so the
+    batch truth is exact: per text_hash, the row with the minimum
+    (ts, id). gen_documents plants real duplicate/near-duplicate
+    texts, so collisions are guaranteed."""
+    from etl_macropulse_br_spark.functions.hashing import md5_long
+    from etl_macropulse_br_spark.operators.dedup import _norm_text
+    from etl_macropulse_br_spark.streaming.dedup import (
+        text_dedup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    docs = [
+        (i, t, BASE_TS + dt.timedelta(seconds=i))
+        for (i, t, *_r) in gen_documents(rng.randrange(1 << 30), n_rows)
+    ]
+    # arrival = ts order (the keep-first contract); cut points fuzzed
+    rows = _run_stream(
+        spark,
+        schema,
+        _slices(rng, docs, keep_order=True),
+        lambda s: text_dedup_stream(s, delay_s=7 * 86400),
+        tag,
+    )
+    got = {(r["text_hash"], r["doc_id"]) for r in rows}
+    assert len(got) == len(rows), "duplicate emissions per text_hash"
+    batch = {
+        (r["text_hash"], r["doc_id"])
+        for r in spark.createDataFrame(docs, schema)
+        .select(md5_long(_norm_text("text")).alias("text_hash"),
+                "doc_id", "ts")
+        .groupBy("text_hash")
+        .agg(F.min_by("doc_id", F.struct("ts", "doc_id")).alias("doc_id"))
+        .collect()
+    }
+    assert got == batch, (
+        f"only-stream={sorted(got - batch)[:3]} "
+        f"only-batch={sorted(batch - got)[:3]}"
+    )
+    return len(batch)
+
+
+def check_interval_join(spark, rng: random.Random, n_rows: int, tag: str):
+    """r11: stream-stream interval join under INDEPENDENT random
+    slicings of both sides (arrival order fully shuffled on each —
+    an inner join's state holds every row within watermark+interval,
+    and the corpus span stays far inside the watermark, so NO
+    arrival order can lose a pair). Truth = the batch join with the
+    identical interval predicate."""
+    import tempfile
+
+    from etl_macropulse_br_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    n_users = 5
+    span_min = 120  # << the 1-day watermark below
+    left = [
+        (
+            rng.randrange(1, n_users + 1),
+            BASE_TS + dt.timedelta(minutes=rng.randrange(0, span_min)),
+            i,
+        )
+        for i in range(n_rows // 2)
+    ]
+    right = [
+        (
+            rng.randrange(1, n_users + 1),
+            BASE_TS + dt.timedelta(minutes=rng.randrange(0, span_min)),
+            1000 + i,
+        )
+        for i in range(n_rows // 2)
+    ]
+    before_s, after_s = 300, 600
+
+    d = tempfile.mkdtemp(prefix=f"fuzz_stream_{tag}_")
+    srcs = {}
+    for name, rows in (("l", left), ("r", right)):
+        src = os.path.join(d, name)
+        for i, sl in enumerate(_slices(rng, rows)):
+            spark.createDataFrame(sl, schema).coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(src)
+        srcs[name] = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+    q = (
+        interval_join_streams(
+            srcs["l"], srcs["r"], on="user_id", left_ts="ts",
+            right_ts="ts", before_s=before_s, after_s=after_s,
+            watermark_s=86400,
+        )
+        .writeStream.format("memory")
+        .queryName(f"fuzz_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["v"], r["r_v"])
+        for r in spark.sql(f"select * from fuzz_{tag}").collect()
+    }
+    ldf = spark.createDataFrame(left, schema)
+    rdf = spark.createDataFrame(right, schema).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("v").alias("r_v"),
+    )
+    batch = {
+        (r["user_id"], r["v"], r["r_v"])
+        for r in ldf.join(
+            rdf,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("r_ts")
+               >= F.col("ts") - F.expr(f"INTERVAL {before_s} SECONDS"))
+            & (F.col("r_ts")
+               <= F.col("ts") + F.expr(f"INTERVAL {after_s} SECONDS")),
+        ).collect()
+    }
+    assert got == batch, (
+        f"only-stream={sorted(got - batch)[:3]} "
+        f"only-batch={sorted(batch - got)[:3]} "
+        f"n_stream={len(got)} n_batch={len(batch)}"
+    )
+    return len(batch)
+
+
 CHECKS = {
     "sig_neardup": check_sig_neardup,
     "quantiles": check_quantiles,
@@ -576,6 +730,8 @@ CHECKS = {
     "sessions": check_sessions,
     "sessions_disorder": check_sessions_disorder,
     "running_distinct": check_running_distinct,
+    "text_dedup": check_text_dedup,
+    "interval_join": check_interval_join,
 }
 
 
