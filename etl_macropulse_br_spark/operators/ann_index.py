@@ -87,6 +87,16 @@ from etl_macropulse_br_spark.operators.statelock import writer_lock
 _META_NAME = "meta.json"
 _MANIFEST_NAME = "MANIFEST.json"
 _VERSION = 2
+# committed_batches ledger cap (r11): redelivery detection only ever
+# needs batch ids the stream's checkpoint has NOT advanced past —
+# Spark redelivers at most the most recent uncommitted micro-batch —
+# so the ledger keeps a bounded tail instead of growing one entry
+# per batch forever (a year of per-minute batches would be ~500k
+# driver-side JSON strings). A redelivery of an id trimmed out of
+# the tail (only reachable by restarting from an ANCIENT checkpoint)
+# falls through to the duplicate-id guard and fails LOUDLY — never a
+# silent double-append (pinned by tests/test_streaming_ann_ingest.py).
+_LEDGER_KEEP = 10_000
 
 
 def _locked_writer(fn):
@@ -217,7 +227,11 @@ class AnnIndex:
     def adc_history(self) -> list[dict]:
         """Per-batch mean ADC residuals, training batch first — the
         drift signal: appended batches drifting away from the frozen
-        codebooks show a rising ``adc_residual_mean``."""
+        codebooks show a rising ``adc_residual_mean``. Bounded (r11):
+        like ``committed_batches``, the history keeps the TRAINING
+        entry (the drift baseline) plus the most recent
+        ``_LEDGER_KEEP - 1`` appends — the scalar drift ratio only
+        ever compares newest against baseline."""
         return list(self.manifest.get("adc_history", []))
 
     def adc_drift_ratio(self) -> float | None:
@@ -419,11 +433,12 @@ def append_ann_index(
     with INDEX size rather than batch size. A crash before the
     manifest commit records nothing (the redelivery re-appends
     cleanly); compaction carries the list across its manifest swap
-    untouched (it describes batches, not segments). One JSON string
-    per committed batch — bounded by batch count, driver-side only,
-    same growth contract as ``adc_history`` and the signature index's
-    ``meta.json`` batches list (`streaming/ingest.py:63-69`), which
-    this mirrors."""
+    untouched (it describes batches, not segments). The ledger keeps
+    a BOUNDED tail (``_LEDGER_KEEP`` entries): Spark redelivers at
+    most the newest uncommitted micro-batch, so only the recent tail
+    can ever be probed; an id trimmed out (an ancient-checkpoint
+    restart) falls through to the duplicate-id guard and fails
+    loudly instead of silently double-appending."""
     from etl_macropulse_br_spark.operators.clustering import (
         _assign,
         _pq_assign,
@@ -493,19 +508,23 @@ def append_ann_index(
         }
     ]
     if p.get("with_pq", True):
-        manifest["adc_history"] = list(
-            manifest.get("adc_history", [])
-        ) + [
+        hist = list(manifest.get("adc_history", [])) + [
             {
                 "segment": seg,
                 "n_vecs": assign_back.count(),
                 "adc_residual_mean": batch_residual,
             }
         ]
+        if len(hist) > _LEDGER_KEEP:
+            # keep the training baseline (hist[0] — the drift
+            # ratio's denominator) plus the newest tail
+            hist = [hist[0]] + hist[-(_LEDGER_KEEP - 1):]
+        manifest["adc_history"] = hist
     if batch_id is not None:
-        manifest["committed_batches"] = list(
-            manifest.get("committed_batches", [])
-        ) + [str(batch_id)]
+        manifest["committed_batches"] = (
+            list(manifest.get("committed_batches", []))
+            + [str(batch_id)]
+        )[-_LEDGER_KEEP:]
     _commit_manifest(path, manifest)
 
     return load_ann_index(spark, path)

@@ -137,6 +137,40 @@ def test_ann_ingest_redelivery_skip_is_driver_side_o1(
         AI.append_new_embeddings(_Poisoned(), path, batch_id=8)
 
 
+def test_ann_ingest_ledger_is_bounded_and_trim_is_loud(
+    spark, tmp_path, monkeypatch
+):
+    """r11: the committed_batches ledger keeps a bounded tail (Spark
+    only ever redelivers the newest uncommitted batch), and an id
+    trimmed out of the tail — reachable only by restarting from an
+    ancient checkpoint — hits the duplicate-id guard LOUDLY instead
+    of silently double-appending."""
+    from etl_macropulse_br_spark.operators import ann_index as AIX
+    from etl_macropulse_br_spark.streaming.ann_ingest import (
+        append_new_embeddings,
+    )
+
+    monkeypatch.setattr(AIX, "_LEDGER_KEEP", 3)
+    emb = _emb(spark)
+    base = emb.filter("vec_id < 60")
+    path = str(tmp_path / "bounded_ledger_idx")
+    AIX.save_ann_index(base, path, k=2, rounds=1, m=4, ks=4,
+                       pq_rounds=1, sub=16)
+    for bid in range(5):
+        lo, hi = 60 + bid * 20, 80 + bid * 20
+        b = emb.filter(f"vec_id >= {lo} and vec_id < {hi}")
+        assert append_new_embeddings(b, path, batch_id=bid) == "appended"
+    ledger = AIX.load_ann_index(spark, path).manifest["committed_batches"]
+    assert ledger == ["2", "3", "4"]  # bounded tail, oldest trimmed
+    # recent tail still skips O(1)
+    b4 = emb.filter("vec_id >= 140 and vec_id < 160")
+    assert append_new_embeddings(b4, path, batch_id=4) == "skipped"
+    # a trimmed-out batch id redelivers its (committed) ids: LOUD
+    b0 = emb.filter("vec_id >= 60 and vec_id < 80")
+    with pytest.raises(ValueError, match="already exist in the index"):
+        append_new_embeddings(b0, path, batch_id=0)
+
+
 def test_ann_ingest_compaction_preserves_batch_ledger(spark, tmp_path):
     """Compaction swaps the segment listing but must carry
     committed_batches across (it describes batches, not segments) —
