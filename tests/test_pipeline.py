@@ -371,3 +371,71 @@ def test_stream_ingest_cli_empty_source_reports_zero_batches(tmp_path):
     assert manifest["mode"] == "docs"
     assert manifest["n_batches"] == 0
     assert manifest["n_corpus_docs"] == 0
+
+
+def test_stream_ingest_cli_embeddings_end_to_end(spark, tmp_path):
+    """r11: the --mode embeddings cron shape end-to-end through the
+    O(1) batch ledger — an index trained in-process, one embedding
+    drop, the CLI appends it as a micro-batch, and the reloaded
+    index carries both the new vectors and the recorded batch id; a
+    SECOND identical CLI run (fresh checkpoint progress already
+    consumed — availableNow with no new drops) is a no-op."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from etl_macropulse_br_spark.operators.ann_index import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter("embedding is not null")
+    )
+    base = emb.filter("vec_id < 80")
+    drop = emb.filter("vec_id >= 80 and vec_id < 120")
+    index_dir = str(tmp_path / "cli_idx")
+    src = tmp_path / "drops"
+    src.mkdir()
+    save_ann_index(base, index_dir, k=2, rounds=1, m=4, ks=4,
+                   pq_rounds=1, sub=16)
+    drop.select(
+        "vec_id", drop["embedding"].cast("array<float>")
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "d1"))
+
+    def run_cli():
+        return subprocess.run(
+            [
+                sys.executable,
+                "scripts/stream_ingest.py",
+                "--mode", "embeddings",
+                "--source", str(src / "d1"),
+                "--index-dir", index_dir,
+                "--profile", "small-input",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+
+    proc = run_cli()
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    m1 = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert m1["mode"] == "embeddings"
+    assert m1["n_vectors"] == base.count() + drop.count()
+    ix = load_ann_index(spark, index_dir)
+    assert ix.manifest["committed_batches"] == ["0"]
+
+    # cron tick 2, no new drops: checkpoint already consumed the
+    # file — no re-append, ledger unchanged
+    proc2 = run_cli()
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    m2 = _json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert m2["n_vectors"] == m1["n_vectors"]
+    assert load_ann_index(spark, index_dir).manifest[
+        "committed_batches"
+    ] == ["0"]
