@@ -722,6 +722,79 @@ def check_interval_join(spark, rng: random.Random, n_rows: int, tag: str):
     return len(batch)
 
 
+def check_monthly_gold(spark, rng: random.Random, n_rows: int, tag: str):
+    """r11: the medallion gold stream (watermarked dedup +
+    calendar-month aggregate, COMPLETE mode) under fully shuffled
+    random slicings. Exactness regime: planted duplicates are
+    IDENTICAL rows (the true-redelivery shape — a differing-value
+    dupe's survivor is arrival-order-dependent by design), and the
+    date span (30 days) stays inside the 35-day watermark so no row
+    is ever watermark-late. Truth = the batch gold (stable_mean +
+    last_by) over the DISTINCT silver rows; complete mode means the
+    memory sink holds exactly the latest full table."""
+    from etl_macropulse_br_spark.functions.exprs import (
+        last_by,
+        stable_mean,
+    )
+    from etl_macropulse_br_spark.sources.rest import BCB_SILVER_SCHEMA
+    from etl_macropulse_br_spark.streaming.monthly import (
+        streaming_gold_bcb_monthly,
+    )
+
+    base_day = dt.date(2026, 6, 15)  # span crosses a month boundary
+    rows = []
+    for i in range(n_rows):
+        sid = 11 + (i % 3)
+        day = rng.randrange(0, 30)
+        # value is a FUNCTION of the dedup key (series_id, date), so
+        # any two rows sharing the key are bit-identical — the
+        # streaming dedup (one survivor) and the batch .distinct()
+        # (also one row) then agree by construction; independent
+        # values on a colliding key would make the two sides keep
+        # different multiplicities and the fuzz would test the
+        # GENERATOR, not the operator
+        v = round(((sid * 31 + day * 7) % 199) / 3.0 - 30.0, 2)
+        rows.append(
+            (sid, f"serie_{sid}", base_day + dt.timedelta(days=day), v)
+        )
+    # ~20% exact duplicate rows: redeliveries the dedup must collapse
+    rows += [rows[rng.randrange(len(rows))] for _ in range(n_rows // 5)]
+
+    out = _run_stream(
+        spark,
+        BCB_SILVER_SCHEMA,
+        _slices(rng, rows),
+        streaming_gold_bcb_monthly,
+        tag,
+        output_mode="complete",
+    )
+    got = {
+        (r["series_id"], r["series_name"], r["month"]):
+            (r["avg_value"], r["last_value"])
+        for r in out
+    }
+    assert len(got) == len(out), "complete snapshot has dup groups"
+    batch = {
+        (r["series_id"], r["series_name"], r["month"]):
+            (r["avg_value"], r["last_value"])
+        for r in spark.createDataFrame(rows, BCB_SILVER_SCHEMA)
+        .distinct()
+        .withColumn("month", F.date_trunc("month", F.col("date").cast("timestamp")))
+        .groupBy("series_id", "series_name", "month")
+        .agg(
+            stable_mean("value").alias("avg_value"),
+            last_by("value", "date", "value").alias("last_value"),
+        )
+        .collect()
+    }
+    assert got == batch, (
+        f"only-stream={sorted(set(got) - set(batch))[:3]} "
+        f"only-batch={sorted(set(batch) - set(got))[:3]} "
+        f"diff={[k for k in got if k in batch and got[k] != batch[k]][:3]}"
+    )
+    return len(batch)
+
+
 CHECKS = {
     "sig_neardup": check_sig_neardup,
     "quantiles": check_quantiles,
@@ -732,6 +805,7 @@ CHECKS = {
     "running_distinct": check_running_distinct,
     "text_dedup": check_text_dedup,
     "interval_join": check_interval_join,
+    "monthly_gold": check_monthly_gold,
 }
 
 
