@@ -94,9 +94,19 @@ _VERSION = 2
 # per batch forever (a year of per-minute batches would be ~500k
 # driver-side JSON strings). A redelivery of an id trimmed out of
 # the tail (only reachable by restarting from an ANCIENT checkpoint)
-# falls through to the duplicate-id guard and fails LOUDLY — never a
-# silent double-append (pinned by tests/test_streaming_ann_ingest.py).
+# is re-classified by the validating full-overlap join — an
+# idempotent skip when it is a true redelivery, loud on partial
+# overlap (r12; pinned by tests/test_streaming_ann_ingest.py).
 _LEDGER_KEEP = 10_000
+# stream_max_batch cap (r12): one (stream identity → highest
+# committed batch id) entry per stream that ever ingested into this
+# index — the monotonicity witness that lets a ledger MISS prove a
+# batch is genuinely new (Spark micro-batch ids are strictly
+# increasing per checkpoint). Bounded like the ledger so the
+# driver-side JSON cannot grow without limit: least-recently-active
+# streams are evicted, and an evicted stream's next batch just pays
+# the validating join once before re-registering.
+_STREAMS_KEEP = 32
 
 
 def _locked_writer(fn):
@@ -375,7 +385,10 @@ def save_ann_index(
 
 @_locked_writer
 def append_ann_index(
-    new_emb: DataFrame, path: str, batch_id: int | None = None
+    new_emb: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> AnnIndex:
     """Encode a NEW batch of vectors against the FROZEN index under
     ``path`` — no retraining — and append the encodings to the
@@ -436,9 +449,24 @@ def append_ann_index(
     untouched (it describes batches, not segments). The ledger keeps
     a BOUNDED tail (``_LEDGER_KEEP`` entries): Spark redelivers at
     most the newest uncommitted micro-batch, so only the recent tail
-    can ever be probed; an id trimmed out (an ancient-checkpoint
-    restart) falls through to the duplicate-id guard and fails
-    loudly instead of silently double-appending."""
+    can ever be probed; a miss on a trimmed-out id is re-classified
+    by the validating join in :func:`append_new_embeddings`.
+
+    ``stream_id`` (r12 — closes ADVICE r11 #1): micro-batch ids are
+    only unique WITHIN one checkpoint — a stream re-pointed at this
+    index under a fresh/rebuilt checkpoint restarts at batch 0, so a
+    bare-id ledger would silently classify its genuinely-new batch 0
+    as a redelivery of some other stream's batch 0. Ledger entries
+    are therefore scoped ``"<stream_id>:<batch_id>"`` when the
+    caller provides its stream identity (the ingest stream passes
+    its checkpoint dir), and the manifest additionally tracks
+    ``stream_max_batch`` — the highest committed batch id per stream
+    identity, never trimmed with the ledger tail (bounded instead at
+    ``_STREAMS_KEEP`` least-recently-active entries) — the
+    monotonicity witness :func:`append_new_embeddings` uses to prove
+    a ledger MISS means a genuinely new batch. Without ``stream_id``
+    the entry stays the bare id (legacy / ad-hoc callers), which the
+    skip logic treats as ambiguous."""
     from etl_macropulse_br_spark.operators.clustering import (
         _assign,
         _pq_assign,
@@ -521,10 +549,27 @@ def append_ann_index(
             hist = [hist[0]] + hist[-(_LEDGER_KEEP - 1):]
         manifest["adc_history"] = hist
     if batch_id is not None:
+        key = (
+            f"{stream_id}:{batch_id}"
+            if stream_id is not None
+            else str(batch_id)
+        )
         manifest["committed_batches"] = (
-            list(manifest.get("committed_batches", []))
-            + [str(batch_id)]
+            list(manifest.get("committed_batches", [])) + [key]
         )[-_LEDGER_KEEP:]
+        if stream_id is not None:
+            smax = dict(manifest.get("stream_max_batch", {}))
+            prev = smax.pop(stream_id, None)
+            # pop-then-set keeps insertion order = recency order, so
+            # the bound below evicts the least-recently-active stream
+            smax[stream_id] = (
+                max(int(batch_id), int(prev))
+                if prev is not None
+                else int(batch_id)
+            )
+            while len(smax) > _STREAMS_KEEP:
+                smax.pop(next(iter(smax)))
+            manifest["stream_max_batch"] = smax
     _commit_manifest(path, manifest)
 
     return load_ann_index(spark, path)

