@@ -2509,17 +2509,19 @@ def test_sketches_serve_from_stored_state(spark, tmp_path):
         load_kmv_sketch(spark, bare)
     from pyspark.errors import SparkRuntimeException
 
+    # (r12: the store is pointer-versioned, so frames come from the
+    # loader — raw spark.read.parquet of the store root is no longer
+    # a meaningful access path)
+    fa, fb = load_kmv_sketch(spark, pa)[0], load_kmv_sketch(spark, pb)[0]
     with pytest.raises(SparkRuntimeException, match="exceeds k=32"):
-        kmv_set_ops_from_sketches(
-            spark.read.parquet(pa), spark.read.parquet(pb), 32
-        ).collect()
+        kmv_set_ops_from_sketches(fa, fb, 32).collect()
     # r9 review fix: the guard must survive column pruning — an
     # estimate-only projection still raises (the checked count is
     # embedded in the estimator expression, not just the count col)
     with pytest.raises(SparkRuntimeException, match="exceeds k=32"):
-        kmv_set_ops_from_sketches(
-            spark.read.parquet(pa), spark.read.parquet(pb), 32
-        ).select("est_distinct_a").collect()
+        kmv_set_ops_from_sketches(fa, fb, 32).select(
+            "est_distinct_a"
+        ).collect()
 
     rows = [
         ("g1", int(rng.lognormvariate(7, 2))) for _ in range(3000)

@@ -2,11 +2,17 @@
 sketch stores — KMV, HDR histogram, Bloom bitset — get the same
 single-writer + loud-crash-window guarantees the persisted indexes
 got in r10. Per family: an interleaved second writer is REFUSED
-loudly while the survivor's artifact loads with matching params, and
-a save that crashes between the data write and the sidecar write
-leaves an artifact the loader REFUSES — never a plausible-but-wrong
-sketch (the r10 torn-interleave shape, B's rows under A's sidecar,
-is unreachable under the lease)."""
+loudly while the survivor's artifact loads with matching params.
+
+r12 (VERDICT r11 What's missing #1 / Next round #4): KMV and HDR
+moved from in-place overwrite to the versioned-pointer commit, so
+crash-window semantics UPGRADE from "loud outage" to "old complete
+artifact keeps serving": a save that dies before its atomic pointer
+replace leaves the previous sketch loadable (the orphan version is
+pruned by the next save), and a reader that arrives while a save is
+mid-flight always resolves a COMPLETE artifact. A sidecar can still
+never be paired with another save's rows (sidecar lives inside its
+own version dir, written before the pointer)."""
 
 from __future__ import annotations
 
@@ -59,9 +65,13 @@ def test_kmv_save_interleave_refused_survivor_intact(spark, tmp_path):
     assert load_kmv_sketch(spark, path)[1] == 8
 
 
-def test_kmv_crash_between_data_and_sidecar_is_loud(
+def test_kmv_crash_mid_save_old_sketch_keeps_serving(
     spark, tmp_path, monkeypatch
 ):
+    """r12: every crash window before the pointer replace leaves the
+    OLD complete sketch loadable — the r11 in-place overwrite made
+    this window a loud outage; in-place params-over-foreign-rows
+    stays unreachable (the sidecar lives inside its version dir)."""
     from etl_macropulse_br_spark.operators.sketches import (
         load_kmv_sketch,
         save_kmv_sketch,
@@ -73,20 +83,79 @@ def test_kmv_crash_between_data_and_sidecar_is_loud(
     def crash(*a, **kw):
         raise RuntimeError("injected crash before sidecar write")
 
-    # the sidecar write is the json.dump after the parquet overwrite
+    # crash window 1: after the new version's parquet, before its
+    # sidecar (json.dump feeds both the sidecar and the pointer)
     monkeypatch.setattr(json, "dump", crash)
     with pytest.raises(RuntimeError, match="injected"):
         save_kmv_sketch(_kmv(spark, n=50, k=8), path, k=8)
     monkeypatch.undo()
-    # the overwrite deleted the OLD sidecar with the directory and
-    # the new one never landed: the load is LOUD — crucially NOT the
-    # old k=16 params over the new k=8 rows
-    with pytest.raises(FileNotFoundError, match="_kmv_meta"):
-        load_kmv_sketch(spark, path)
-    # the lease was released by the crashed writer's finally: a
-    # rebuild succeeds and serves consistently
+    frame, k = load_kmv_sketch(spark, path)
+    assert k == 16 and frame.count() == 16  # old sketch, complete
+
+    # crash window 2: sidecar landed, pointer replace did not
+    def crash_replace(src, dst):
+        if dst.endswith("_current.json"):
+            raise RuntimeError("injected crash at pointer replace")
+        return real_replace(src, dst)
+
+    real_replace = os.replace
+    monkeypatch.setattr(os, "replace", crash_replace)
+    with pytest.raises(RuntimeError, match="pointer replace"):
+        save_kmv_sketch(_kmv(spark, n=50, k=8), path, k=8)
+    monkeypatch.undo()
+    frame, k = load_kmv_sketch(spark, path)
+    assert k == 16 and frame.count() == 16
+
+    # the lease was released by the crashed writers' finally: a new
+    # save commits, serves its own params, and prunes the orphans
+    save_kmv_sketch(_kmv(spark, n=50, k=8), path, k=8)
+    assert load_kmv_sketch(spark, path)[1] == 8
+
+
+def test_kmv_reader_mid_save_sees_complete_artifact(spark, tmp_path):
+    """The r12 headline: a load that arrives while a save is
+    mid-overwrite gets a COMPLETE artifact. Simulated at the exact
+    worst point — the new version's data is on disk, the pointer
+    still names the old version (everything before the atomic
+    replace IS that state)."""
+    import uuid as _uuid
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        load_kmv_sketch,
+        save_kmv_sketch,
+    )
+
+    path = str(tmp_path / "kmv_inflight")
     save_kmv_sketch(_kmv(spark, k=16), path, k=16)
-    assert load_kmv_sketch(spark, path)[1] == 16
+    # in-flight save: a complete new version dir, pointer untouched
+    vdir = os.path.join(path, "versions", f"v-{_uuid.uuid4().hex[:12]}")
+    _kmv(spark, n=50, k=8).write.parquet(vdir)
+    frame, k = load_kmv_sketch(spark, path)
+    assert k == 16 and frame.count() == 16
+    # the previous version survives one subsequent commit too (an
+    # in-flight reader of the old pointer can finish its scan)
+    save_kmv_sketch(_kmv(spark, n=50, k=8), path, k=8)
+    versions = os.listdir(os.path.join(path, "versions"))
+    assert len(versions) >= 2
+
+
+def test_kmv_legacy_flat_layout_still_loads(spark, tmp_path):
+    """Pre-r12 stores (parquet + sidecar directly under path) load
+    unchanged; the first r12 save moves the store to the pointer
+    layout and wins resolution."""
+    from etl_macropulse_br_spark.operators.sketches import (
+        _write_sidecar_atomic,
+        load_kmv_sketch,
+        save_kmv_sketch,
+    )
+
+    path = str(tmp_path / "kmv_legacy")
+    _kmv(spark, k=16).write.parquet(path)
+    _write_sidecar_atomic(os.path.join(path, "_kmv_meta.json"), {"k": 16})
+    frame, k = load_kmv_sketch(spark, path)
+    assert k == 16 and frame.count() == 16
+    save_kmv_sketch(_kmv(spark, n=50, k=8), path, k=8)
+    assert load_kmv_sketch(spark, path)[1] == 8
 
 
 def test_hdr_save_interleave_refused_survivor_intact(spark, tmp_path):
@@ -107,7 +176,7 @@ def test_hdr_save_interleave_refused_survivor_intact(spark, tmp_path):
     assert load_hdr_histogram(spark, path)[1]["s"] == 4
 
 
-def test_hdr_crash_between_data_and_sidecar_is_loud(
+def test_hdr_crash_mid_save_old_histogram_keeps_serving(
     spark, tmp_path, monkeypatch
 ):
     from etl_macropulse_br_spark.operators.sketches import (
@@ -117,21 +186,39 @@ def test_hdr_crash_between_data_and_sidecar_is_loud(
 
     path = str(tmp_path / "hdr_crash")
     save_hdr_histogram(_hdr(spark, s=8), path, s=8)
+    n_old = load_hdr_histogram(spark, path)[0].count()
 
     def crash(*a, **kw):
         raise RuntimeError("injected crash before sidecar write")
 
     monkeypatch.setattr(json, "dump", crash)
     with pytest.raises(RuntimeError, match="injected"):
-        # same s: pre-lease, this tear was UNDETECTABLE (params
-        # match), which is why detection must come from ordering,
-        # not sidecar comparison
+        # same s: this tear is UNDETECTABLE from params alone, which
+        # is why safety must come from the commit ordering — the new
+        # rows are invisible until the pointer names their version
         save_hdr_histogram(_hdr(spark, n=50, s=8), path, s=8)
     monkeypatch.undo()
-    with pytest.raises(FileNotFoundError, match="_hdr_meta"):
-        load_hdr_histogram(spark, path)
+    frame, meta = load_hdr_histogram(spark, path)
+    assert meta["s"] == 8 and frame.count() == n_old  # OLD buckets
+    save_hdr_histogram(_hdr(spark, n=50, s=8), path, s=8)
+    assert load_hdr_histogram(spark, path)[0].count() != n_old
+
+
+def test_hdr_reader_mid_save_sees_complete_artifact(spark, tmp_path):
+    import uuid as _uuid
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        load_hdr_histogram,
+        save_hdr_histogram,
+    )
+
+    path = str(tmp_path / "hdr_inflight")
     save_hdr_histogram(_hdr(spark, s=8), path, s=8)
-    assert load_hdr_histogram(spark, path)[1]["s"] == 8
+    n_old = load_hdr_histogram(spark, path)[0].count()
+    vdir = os.path.join(path, "versions", f"v-{_uuid.uuid4().hex[:12]}")
+    _hdr(spark, n=50, s=8).write.parquet(vdir)  # in-flight save
+    frame, meta = load_hdr_histogram(spark, path)
+    assert meta["s"] == 8 and frame.count() == n_old
 
 
 def _docs(spark, n=30):
