@@ -4,25 +4,49 @@
 The batch twin is ``plans/queries.sessionize_events`` (lag + running
 sum windows). In streaming, session state must live across
 micro-batches — exactly the case Spark's arbitrary-stateful API
-exists for. Per user: keep (session_start, last_ts, n_events);
-an event strictly more than ``gap`` seconds after ``last_ts`` closes
-the open session (emitting it) and opens a new one — an event
-landing EXACTLY on ``last_ts + gap`` EXTENDS the session, which is
-the native ``F.session_window`` merge rule (verified empirically and
-pinned by the stream-vs-batch differential test; the boundary case
-never appears in the driver's testdata, so only that test guards
-it); an EVENT-TIME timeout at ``last_ts + gap`` closes idle
-sessions once the watermark passes (r9 — processing-time idleness
-previously closed sessions on wall-clock stalls, splitting what
-batch semantics merge). Watermark-legal late events extend the open
-session backwards (min/max merge, r9); a late event predating the
-open session by more than the gap emits as its own singleton — an
-already-EMITTED session cannot be retroactively merged in append
-mode, the inherent late-data limit of any emit-on-close stream.
+exists for.
 
-State size is O(active users), not O(events) — the operator scales
-with key cardinality, and shuffle is the single hash partition on
-user_id that any per-key stateful op needs.
+Per user, state holds the PENDING session INTERVALS — every session
+whose finality the watermark has not yet proven — as parallel
+(start, last, n) arrays. Each event merges into that interval set
+under the inclusive gap rule (an event landing EXACTLY on
+``last_ts + gap`` extends — the native ``F.session_window`` merge
+rule, verified empirically and pinned by the stream-vs-batch
+differential; the boundary case never appears in the driver's
+testdata, so only that test guards it), including BRIDGING two
+pending intervals into one when a late event closes the gap between
+them. A session emits only when it is WATERMARK-FINAL — the
+watermark has passed ``last_ts + gap``, so no admissible event can
+extend or bridge it — driven by an event-time timeout at the
+earliest pending ``last_ts + gap``.
+
+Why emit-on-final instead of the r11 emit-on-close (r12 — found by
+fuzz seed 31): closing a session the moment a ``> gap``-later event
+arrives is premature under bounded disorder. With consecutive
+intra-session deltas d1 + d2 > gap, the d2 event can LEAPFROG the
+d1 event in arrival order (any jitter > d2 suffices — well inside
+the declared lateness); the stream then force-closed the left
+session and the late d1 event could only backward-merge into the
+right one, splitting a session batch semantics keeps whole. Holding
+closed-but-not-final intervals in state lets the late event bridge
+them, so stream ≡ batch for ANY disorder bounded by ``lateness``
+(no event watermark-dropped); events later than ``lateness`` are
+dropped by the watermark — the one inherent divergence from batch,
+and the standard streaming contract.
+
+State size is O(active users × pending sessions per user); pending
+sessions per user are bounded by the disorder window — an interval
+stays pending only while the watermark (which trails the max seen
+event time by exactly ``lateness``) has not passed its end + gap,
+so at most ~(lateness + gap)/gap intervals per key, NOT O(events).
+Shuffle is the single hash partition on user_id that any per-key
+stateful op needs.
+
+State-schema versioning: r12 changed the per-key state from three
+longs to three long-arrays — per the pinned checkpoint contract
+(PLANS.md, tests/test_streaming_neardup.py), restarting on an
+r11 checkpoint fails LOUDLY at state deserialization; a state
+schema change means a new checkpoint dir.
 """
 
 from __future__ import annotations
@@ -45,11 +69,41 @@ SESSION_SCHEMA = T.StructType(
 
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_us", T.LongType()),
-        T.StructField("last_us", T.LongType()),
-        T.StructField("n", T.LongType()),
+        T.StructField("starts_us", T.ArrayType(T.LongType())),
+        T.StructField("lasts_us", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
     ]
 )
+
+
+def _merge_event(
+    intervals: list[list[int]], t: int, gap_us: int
+) -> None:
+    """Insert event time ``t`` into the sorted, pairwise-gapped
+    interval list under the INCLUSIVE gap rule, coalescing the
+    bridge when ``t`` closes the space between two intervals —
+    exactly the native session_window merge semantics, applied
+    incrementally. Intervals stay sorted and pairwise more than
+    ``gap_us`` apart (so at most one right-neighbor coalesce per
+    insert: if t also reached the LEFT neighbor it would have merged
+    there first in the scan)."""
+    for i, iv in enumerate(intervals):
+        if t < iv[0] - gap_us:
+            intervals.insert(i, [t, t, 1])
+            return
+        if t <= iv[1] + gap_us:
+            iv[0] = min(iv[0], t)
+            iv[1] = max(iv[1], t)
+            iv[2] += 1
+            if (
+                i + 1 < len(intervals)
+                and intervals[i + 1][0] - iv[1] <= gap_us
+            ):
+                nxt = intervals.pop(i + 1)
+                iv[1] = max(iv[1], nxt[1])
+                iv[2] += nxt[2]
+            return
+    intervals.append([t, t, 1])
 
 
 def _sessionize_group(
@@ -59,69 +113,65 @@ def _sessionize_group(
     gap_s: int = 1800,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    if state.hasTimedOut:
-        start_us, last_us, n = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "session_end": [pd.Timestamp(last_us, unit="us")],
-                "n_events": [n],
-            }
-        )
-        return
-
-    ts_list: list[int] = []
-    for pdf in pdfs:
-        ts_list.extend(
-            int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
-        )
-    ts_list.sort()
-
-    start_us, last_us, n = state.get if state.exists else (None, None, 0)
-    closed: list[tuple[int, int, int]] = []
     gap_us = gap_s * 1_000_000
-    for t in ts_list:
-        if start_us is None:
-            start_us, last_us, n = t, t, 1
-        elif t > last_us:
-            if t - last_us > gap_us:  # inclusive boundary extends
-                closed.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
-            else:
-                last_us, n = t, n + 1
-        else:
-            # watermark-legal LATE arrival at-or-before the open
-            # session's end (r9 review fix: the old else-branch set
-            # last_us = t, REGRESSING the session end — the next
-            # event then measured its gap from the regressed end and
-            # split a session batch semantics would keep whole)
-            if start_us - t > gap_us:
-                # too far before the open session to merge: its own
-                # already-gapped singleton session
-                closed.append((t, t, 1))
-            else:
-                start_us = min(start_us, t)
-                n += 1
-    state.update((start_us, last_us, n))
-    # watermark-driven closing (r9 review fix: ProcessingTimeTimeout
-    # closed sessions on WALL-CLOCK idleness — a stalled upstream
-    # writer split sessions batch semantics would merge); the
-    # timeout must stay ahead of the current watermark or the API
-    # rejects it
-    wm_ms = state.getCurrentWatermarkMs()
-    state.setTimeoutTimestamp(
-        max(last_us // 1000 + gap_s * 1000, wm_ms + 1)
-    )
 
-    if closed:
+    if state.exists:
+        starts, lasts, ns = state.get
+        intervals = [list(iv) for iv in zip(starts, lasts, ns)]
+        intervals.sort()
+    else:
+        intervals = []
+
+    if not state.hasTimedOut:
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(
+                int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+            )
+        ts_list.sort()
+        for t in ts_list:
+            _merge_event(intervals, t, gap_us)
+
+    # emit exactly the WATERMARK-FINAL sessions: the watermark is
+    # strictly past end + gap, so no admissible event can extend or
+    # bridge them (r12 — the r11 emit-on-close split sessions when a
+    # late event leapfrogged a > gap successor; see module
+    # docstring). Everything else stays pending in state.
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    final = [iv for iv in intervals if wm_us > iv[1] + gap_us]
+    pending = [iv for iv in intervals if wm_us <= iv[1] + gap_us]
+
+    if pending:
+        state.update(
+            (
+                [s for s, _, _ in pending],
+                [e for _, e, _ in pending],
+                [c for _, _, c in pending],
+            )
+        )
+        # event-time timeout at the earliest pending finality point
+        # (r9: processing-time idleness split sessions on wall-clock
+        # stalls); +1 ms clears the us→ms truncation, and the API
+        # requires the timeout strictly ahead of the watermark
+        wm_ms = state.getCurrentWatermarkMs()
+        earliest_ms = (
+            min(e for _, e, _ in pending) // 1000 + gap_s * 1000 + 1
+        )
+        state.setTimeoutTimestamp(max(earliest_ms, wm_ms + 1))
+    elif state.exists:
+        state.remove()
+
+    if final:
         yield pd.DataFrame(
             {
-                "user_id": [user_id] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
-                "n_events": [c for _, _, c in closed],
+                "user_id": [user_id] * len(final),
+                "session_start": [
+                    pd.Timestamp(s, unit="us") for s, _, _ in final
+                ],
+                "session_end": [
+                    pd.Timestamp(e, unit="us") for _, e, _ in final
+                ],
+                "n_events": [c for _, _, c in final],
             }
         )
 

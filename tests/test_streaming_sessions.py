@@ -282,6 +282,84 @@ def test_sessionize_late_events_extend_not_split(spark, tmp_path):
     assert len(batch) == 1 and batch[0]["n"] == 4
 
 
+def test_sessionize_leapfrog_bridge_not_split(spark, tmp_path):
+    """r12 regression pin (found by fuzz seed 31): consecutive
+    intra-session deltas d1 + d2 > gap, with the d2 event arriving
+    BEFORE the bridging d1 event (watermark-legal leapfrog). The r11
+    emit-on-close operator force-closed the left session the moment
+    the d2 event arrived (t − last > gap), and the late d1 event
+    could only backward-merge into the right session — splitting one
+    batch session into two, e.g. (A,A,1) + (B..C,6) where batch has
+    (A..C,7). Watermark-final emission holds the left session in
+    state until the watermark proves nothing can bridge it, so the
+    late event merges all three into one."""
+    from pyspark.sql import functions as F
+
+    from etl_macropulse_br_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2026, 6, 1, 10, 59, 42)
+    gap = dt.timedelta(seconds=1800)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    e_a = base  # session anchor
+    e_b = base + gap  # bridging event, EXACTLY at the gap boundary
+    e_c = e_b + dt.timedelta(seconds=60)  # d1 + d2 = 1860 > gap
+    src = str(tmp_path / "leapfrog_stream")
+    # arrival order: A, then C (leapfrogs B), then late B — all
+    # within the default 1h lateness — then a sentinel to finalize
+    spark.createDataFrame([(1, e_a)], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame([(1, e_c)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(1, e_b)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(
+        [(1, e_c + dt.timedelta(days=2))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        sessionize_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            gap_s=1800,
+        )
+        .writeStream.format("memory")
+        .queryName("leapfrog_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "leapfrog_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from leapfrog_sessions").collect()
+    }
+    # one session A..C with all 3 events — identical to batch
+    batch = {
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in spark.createDataFrame(
+            [(1, e_a), (1, e_b), (1, e_c)], schema
+        )
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == batch == {(1, e_a, e_c, 3)}
+
+
 def test_sessionize_stream_drops_null_ts(spark, tmp_path):
     """r10 (ADVICE r9 #2): a NULL ts became pandas NaT, whose
     int64-min value the late-arrival branch emitted as a garbage

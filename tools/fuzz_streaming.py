@@ -432,31 +432,22 @@ def check_sessions_disorder(
     """r11 (VERDICT r10 Next round #5): sessionize under BOUNDED
     OUT-OF-ORDER arrival within the declared ``lateness`` knob —
     the dimension the time-ordered check cannot see (backward
-    merges, late extends, the lateness-vs-gap interaction), on top
-    of the random cut points.
+    merges, late extends, bridging merges, the lateness-vs-gap
+    interaction), on top of the random cut points.
 
     Disorder model: arrival order = event time + per-row jitter
-    drawn from [0, lateness). This is the PROVABLE stream≡batch
-    regime when (a) ``lateness <= gap`` and (b) inter-session deltas
-    exceed ``gap + lateness``:
-
-    - no watermark drop: when t arrives, every earlier arrival t_a
-      has t_a < t + lateness, so the watermark (max seen − lateness)
-      stays strictly below t;
-    - the backward-merge singleton branch (open-start − t > gap)
-      needs jitter > gap ≥ lateness — unreachable;
-    - leapfrogging a session boundary (an event of session k+1
-      arriving before one of session k) needs jitter > inter-session
-      delta > gap ≥ lateness — unreachable;
-    - the event-time timeout cannot close a session with unarrived
-      members: the earliest unarrived member t0 is within gap of the
-      session end AND above the watermark, while the timeout
-      requires the watermark past end + gap — contradiction.
-
-    Outside that regime (disorder straddling a session boundary) the
-    operator's emit-on-close limit applies by DOCUMENTED contract
-    (module docstring), so the fuzz stays inside it — exactly like
-    the time-ordered check stays inside the arrival contract."""
+    drawn from [0, lateness). Stream ≡ batch here because no event
+    is ever watermark-dropped: when t arrives, every earlier arrival
+    t_a has t_a < t + lateness, so the watermark (max seen −
+    lateness) stays strictly below t — and the r12 operator emits
+    only WATERMARK-FINAL sessions, so every admissible event reaches
+    the interval it belongs to before that interval can emit. The
+    r11 emit-on-close operator FAILED this check on seed 31 (its
+    claimed proof missed the intra-session leapfrog: consecutive
+    deltas d1 + d2 > gap with the d2 event arriving first force-
+    closed the left session before the bridging d1 event landed);
+    the seed-31 shape is now also pinned deterministically in
+    tests/test_streaming_sessions.py."""
     from etl_macropulse_br_spark.streaming.sessions import (
         sessionize_stream,
     )
