@@ -408,6 +408,43 @@ def test_sessionize_stream_drops_null_ts(spark, tmp_path):
     }
 
 
+def test_merge_event_equals_batch_scan_any_order():
+    """Pure-Python property pin for the r12 interval kernel: feeding
+    events to _merge_event in ANY order yields exactly the intervals
+    a sort-and-scan (batch session_window) produces — starts, ends,
+    and counts. Randomized insertion orders over clustered event
+    sets, including exact-boundary deltas and duplicate timestamps."""
+    import random
+
+    from etl_macropulse_br_spark.streaming.sessions import _merge_event
+
+    rng = random.Random(1207)
+    gap = 1800
+    for _ in range(300):
+        # clustered times: a few anchors, offsets mixing sub-gap,
+        # exact-gap, and super-gap steps, plus duplicates
+        times = []
+        t = rng.randrange(0, 10_000)
+        for _ in range(rng.randint(1, 25)):
+            t += rng.choice([0, 1, 60, 1799, 1800, 1801, 3700, 9000])
+            times.append(t)
+        # batch truth: sort, scan with the inclusive gap rule
+        expected = []
+        for x in sorted(times):
+            if expected and x - expected[-1][1] <= gap:
+                expected[-1][1] = x
+                expected[-1][2] += 1
+            else:
+                expected.append([x, x, 1])
+        # stream kernel: random insertion order
+        order = list(times)
+        rng.shuffle(order)
+        intervals: list[list[int]] = []
+        for x in order:
+            _merge_event(intervals, x, gap)
+        assert intervals == expected, (times, order)
+
+
 def test_sessionize_lateness_knob_validated(spark, tmp_path):
     """r11 (VERDICT r10 What's missing #5): the watermark delay is a
     parameter with the family's interval grammar — garbage and
