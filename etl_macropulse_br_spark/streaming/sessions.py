@@ -123,12 +123,23 @@ def _sessionize_group(
         intervals = []
 
     if not state.hasTimedOut:
+        # standard watermark contract, enforced HERE because
+        # applyInPandasWithState does NOT pre-filter late input rows
+        # (verified empirically on Spark 4.1.2, r12): an event below
+        # the batch's watermark may belong to a session already
+        # emitted as final — merging it would extend a closed
+        # session invisibly, and a later singleton emission would
+        # OVERLAP the emitted one. Built-in stateful ops
+        # (session_window, dropDuplicatesWithinWatermark) drop such
+        # rows; this operator must too, or its documented
+        # "events later than lateness are dropped" contract is false.
+        wm_floor_us = state.getCurrentWatermarkMs() * 1000
         ts_list: list[int] = []
         for pdf in pdfs:
             ts_list.extend(
                 int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
             )
-        ts_list.sort()
+        ts_list = sorted(t for t in ts_list if t >= wm_floor_us)
         for t in ts_list:
             _merge_event(intervals, t, gap_us)
 

@@ -408,6 +408,66 @@ def test_sessionize_stream_drops_null_ts(spark, tmp_path):
     }
 
 
+def test_sessionize_drops_events_below_watermark(spark, tmp_path):
+    """r12: applyInPandasWithState does NOT pre-filter late input
+    rows (verified empirically), so the operator enforces the
+    standard watermark contract itself. An event arriving far below
+    the watermark — whose session may already be emitted as final —
+    must be DROPPED, not merged (merging extended an already-final
+    session; arriving later still, it would have emitted an
+    overlapping singleton)."""
+    from etl_macropulse_br_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "below_wm_stream")
+    # batch 1: user 1 at t=0; user 2 at +10h drives the watermark to
+    # +9h under the default 1h lateness
+    spark.createDataFrame(
+        [(1, base), (2, base + dt.timedelta(hours=10))], schema
+    ).coalesce(1).write.parquet(src)
+    # batch 2: user 1 event at +1min — 9h below the watermark
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=1))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 3: sentinel finalizes everything real
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(days=9))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        sessionize_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            gap_s=1800,
+        )
+        .writeStream.format("memory")
+        .queryName("below_wm_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "below_wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from below_wm_sessions").collect()
+    }
+    # user 1's session is the UNEXTENDED singleton; the below-
+    # watermark event left no trace anywhere
+    assert got == {
+        (1, base, base, 1),
+        (2, base + dt.timedelta(hours=10), base + dt.timedelta(hours=10), 1),
+    }
+
+
 def test_merge_event_equals_batch_scan_any_order():
     """Pure-Python property pin for the r12 interval kernel: feeding
     events to _merge_event in ANY order yields exactly the intervals
