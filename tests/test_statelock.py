@@ -16,6 +16,7 @@ conditioning (object store).
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import time
@@ -214,20 +215,183 @@ def test_posix_yank_restore_when_steal_interleaves(tmp_path):
 def test_objectstore_steal_loses_to_interleaved_heartbeat(tmp_path):
     """Stronger-than-POSIX property the generation condition buys:
     a steal that judged generation G stale must FAIL if the holder
-    heartbeats (generation moves) before the delete lands."""
+    heartbeats (generation moves) before the delete lands.
+
+    r13 (ADVICE r12 #1): exercised through ``waiter.steal()``
+    ITSELF — the old test called ``store.delete_if_generation``
+    directly with the stale generation, masking that ``steal`` used
+    to re-read a FRESH generation and delete the live holder's
+    freshly-heartbeated lock anyway."""
     store = FakeConditionalStore()
     holder = ObjectStoreLockProvider(store)
     waiter = ObjectStoreLockProvider(store)
     lock = "idx/.writer.lock"
     assert holder.try_create(lock, "owner pid=1 token=H t=0")
     store.backdate(lock, 7200)  # looks stale to the waiter...
-    # ...but the holder heartbeats between the waiter's staleness
-    # read and its delete: generation moves, last-modified refreshes
-    observed = store.get(lock)
-    holder.heartbeat(lock)
-    assert not store.delete_if_generation(lock, observed[1])
+    age, _ = waiter.read_holder(lock)  # the staleness judgment
+    assert age > 3600
+    # ...but the holder heartbeats between the waiter's judgment
+    # and its steal: generation moves, last-modified refreshes
+    assert holder.heartbeat(lock)
+    waiter.steal(lock, "tok")
     got = waiter.read_holder(lock)
-    assert got is not None and got[0] < 3600  # fresh again
+    assert got is not None and got[0] < 3600  # live holder survives
+
+
+def test_posix_steal_aborts_after_interleaved_heartbeat(tmp_path):
+    """POSIX analogue (r13): ``steal`` conditions on the mtime the
+    waiter's ``read_holder`` judged stale — a heartbeat landing
+    after the judgment changes the mtime and the steal aborts
+    (narrowed, not closed: stat→rename has no CAS)."""
+    holder = PosixLockProvider()
+    waiter = PosixLockProvider()
+    lock = str(tmp_path / ".writer.lock")
+    assert holder.try_create(lock, "owner pid=1 token=H t=0")
+    past = time.time() - 7200
+    os.utime(lock, (past, past))
+    age, _ = waiter.read_holder(lock)  # the staleness judgment
+    assert age > 3600
+    assert holder.heartbeat(lock)  # beat lands before the steal
+    waiter.steal(lock, "tok")
+    assert os.path.exists(lock)  # live holder's lock survives
+    got = waiter.read_holder(lock)
+    assert got is not None and got[0] < 3600
+
+
+def _provider_pairs():
+    """Two provider instances (zombie/victim vs thief) sharing one
+    backing store, per provider kind."""
+
+    def posix():
+        return PosixLockProvider(), PosixLockProvider()
+
+    def objectstore():
+        store = FakeConditionalStore()
+        return (
+            ObjectStoreLockProvider(store),
+            ObjectStoreLockProvider(store),
+        )
+
+    return [("posix", posix), ("objectstore", objectstore)]
+
+
+@pytest.mark.parametrize(
+    "make_pair", [p[1] for p in _provider_pairs()],
+    ids=[p[0] for p in _provider_pairs()],
+)
+def test_displaced_zombie_heartbeat_is_token_checked(
+    tmp_path, make_pair
+):
+    """VERDICT r12 What's wrong #2, over BOTH providers: after a
+    steal+retake, the displaced holder's heartbeat must (a) leave
+    the thief's lock byte-and-freshness untouched and (b) report
+    False so the zombie goes loud instead of silently refreshing a
+    foreign lock's liveness."""
+    zombie, thief = make_pair()
+    lock = str(tmp_path / ".writer.lock")
+    assert zombie.try_create(lock, "owner pid=1 token=Z t=0")
+    _backdate(zombie, lock, 7200)
+    assert thief.read_holder(lock)[0] > 3600
+    thief.steal(lock, "s")
+    assert thief.try_create(lock, "owner pid=2 token=T t=1")
+    if isinstance(thief, PosixLockProvider):
+        os.utime(lock, (1000.0, 1000.0))  # sentinel freshness
+        assert zombie.heartbeat(lock) is False
+        assert os.stat(lock).st_mtime == 1000.0  # not refreshed
+    else:
+        gen_before = thief._store.get(lock)[1]
+        assert zombie.heartbeat(lock) is False
+        assert thief._store.get(lock)[1] == gen_before
+    # the zombie's held state is dropped: later beats stay inert
+    assert zombie.heartbeat(lock) is False
+
+
+def test_writer_lock_flags_displacement(tmp_path, caplog):
+    """Integration (r13): a lease stolen out from under a live
+    writer_lock flips ``lease.displaced``, logs a warning, stops
+    beating, and the zombie's release leaves the thief's lock."""
+    d = str(tmp_path / "state")
+    lock = os.path.join(d, ".writer.lock")
+    thief = PosixLockProvider()
+    with caplog.at_level(logging.WARNING):
+        with writer_lock(
+            d, owner="victim", stale_after_s=0.4,
+            provider=PosixLockProvider(),
+        ) as lease:
+            assert lease.displaced is False
+            # an external break replaces the lock under the holder
+            os.unlink(lock)
+            assert thief.try_create(lock, "thief pid=9 token=T t=1")
+            os.utime(lock, (1000.0, 1000.0))
+            for _ in range(100):  # beat interval is 0.1 s
+                if lease.displaced:
+                    break
+                time.sleep(0.05)
+            assert lease.displaced is True
+    # thief's lock survived the zombie's beats AND its release
+    assert os.path.exists(lock)
+    assert os.stat(lock).st_mtime == 1000.0
+    assert any("stolen" in m for m in caplog.messages)
+
+
+def test_objectstore_release_retries_past_own_inflight_heartbeat():
+    """ADVICE r12 #2: a beat already past its held-read can land
+    between release's get and its conditioned delete — the delete
+    must retry while the body still carries our token, so the lock
+    never sits refusing writers until stale_after_s."""
+
+    class BeatOnDelete(FakeConditionalStore):
+        def __init__(self):
+            super().__init__()
+            self.beat = None
+            self._fired = False
+
+        def delete_if_generation(self, key, expected):
+            if not self._fired and self.beat is not None:
+                self._fired = True
+                self.beat()  # the in-flight beat lands first
+            return super().delete_if_generation(key, expected)
+
+    store = BeatOnDelete()
+    prov = ObjectStoreLockProvider(store)
+    lock = "idx/.writer.lock"
+    assert prov.try_create(lock, "owner pid=1 token=Z t=0")
+    gen, body = prov._held[lock]  # what the in-flight beat captured
+    store.beat = lambda: store.put_if_generation(lock, body, gen)
+    prov.release_if_token(lock, "Z")
+    assert store.get(lock) is None  # released despite the race
+
+
+def test_posix_yank_restore_eexist_goes_loud(
+    tmp_path, caplog, monkeypatch
+):
+    """ADVICE r12 #3: when a third writer acquires inside the yank
+    window, the restore's EEXIST discards the post-steal holder's
+    lock — inherent without CAS, so it must at least be OBSERVABLE:
+    a warning names the double-writer window."""
+    prov = PosixLockProvider()
+    lock = str(tmp_path / ".writer.lock")
+    assert prov.try_create(lock, "post-steal pid=2 token=NEW t=1")
+
+    real_rename = os.rename
+
+    def rename_then_third_writer(src, dst):
+        real_rename(src, dst)
+        with open(src, "w") as f:  # third writer takes the path
+            f.write("third pid=3 token=THIRD t=2")
+
+    monkeypatch.setattr(os, "rename", rename_then_third_writer)
+    with caplog.at_level(logging.WARNING):
+        prov._yank_verify_delete(lock, "OLD")
+    assert any("double-writer" in m for m in caplog.messages)
+    with open(lock) as f:
+        assert "token=THIRD" in f.read()  # standing lock preferred
+    residue = [
+        n
+        for n in os.listdir(os.path.dirname(lock))
+        if ".release-" in n
+    ]
+    assert residue == []
 
 
 def test_objectstore_zombie_heartbeat_cannot_refresh_thiefs_lock():
