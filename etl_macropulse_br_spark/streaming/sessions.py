@@ -46,7 +46,10 @@ State-schema versioning: r12 changed the per-key state from three
 longs to three long-arrays — per the pinned checkpoint contract
 (PLANS.md, tests/test_streaming_neardup.py), restarting on an
 r11 checkpoint fails LOUDLY at state deserialization; a state
-schema change means a new checkpoint dir.
+schema change means a new checkpoint dir. Pinned for THIS operator
+by ``tests/test_streaming_sessions.py::
+test_sessionize_restart_on_r11_state_schema_is_loud`` (r13), which
+builds an r11-shape checkpoint and asserts the loud refusal.
 """
 
 from __future__ import annotations

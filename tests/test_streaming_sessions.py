@@ -525,3 +525,134 @@ def test_sessionize_lateness_knob_validated(spark, tmp_path):
         sessionize_stream(stream, lateness="-1 hours")
     with pytest.raises(ValueError, match="interval spec"):
         sessionize_stream(stream, lateness="soonish")
+
+
+def test_sessionize_restart_on_r11_state_schema_is_loud(
+    spark, tmp_path
+):
+    """r13 (VERDICT r12 What's missing #2): r12 changed the
+    sessionizer's per-key state from THREE LONGS (one pending
+    session: start_us, last_us, n) to three LONG-ARRAYS (the pending
+    interval set — streaming/sessions.py STATE_SCHEMA). The module
+    docstring promises the pinned checkpoint contract (new state
+    schema ⇒ new checkpoint dir, loud failure otherwise), but until
+    now only the neardup operator had a pin of its own. This builds
+    a checkpoint with the r11 3-long schema via a legacy updater on
+    the SAME pipeline shape (watermark, groupBy user_id, event-time
+    timeout, append), then restarts the r12 operator on it: Spark's
+    state-schema compatibility check must refuse LOUDLY, never
+    reinterpret committed state bytes. Parquet sink — the memory
+    sink refuses all checkpoint recovery, which would mask the
+    check."""
+    import glob
+
+    import pandas as pd
+    import pytest
+    from pyspark.errors.exceptions.captured import (
+        AnalysisException,
+        StreamingQueryException,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from etl_macropulse_br_spark.streaming import sessions as S
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    src = str(tmp_path / "legacy_src")
+    ckpt = str(tmp_path / "legacy_ckpt")
+    out = str(tmp_path / "legacy_out")
+    spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(minutes=5)), (2, base)],
+        schema,
+    ).coalesce(1).write.parquet(src)
+
+    legacy_state = T.StructType(
+        [
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("last_ts_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    assert len(S.STATE_SCHEMA.fields) == 3  # arrays since r12
+    assert all(
+        isinstance(f.dataType, T.ArrayType)
+        for f in S.STATE_SCHEMA.fields
+    )
+
+    def legacy_update(key, pdfs, state):
+        # the r11-era updater: ONE pending session as 3 scalar longs
+        (user_id,) = key
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for t in pd.to_datetime(pdf["ts"]):
+                    us = int(t.value // 1000)
+                    start = us if start is None else min(start, us)
+                    last = us if last is None else max(last, us)
+                    n += 1
+        if start is not None:
+            state.update((int(start), int(last), int(n)))
+        return iter(())
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            legacy_update,
+            outputStructType=S.SESSION_SCHEMA,
+            stateStructType=legacy_state,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_out_before = len(glob.glob(f"{out}/*.parquet"))
+
+    # new events arrive; the r12 operator restarts on the SAME
+    # checkpoint — the long-array schema vs the committed 3-long
+    # state must be refused loudly
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=3))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def restart():
+        q2 = (
+            S.sessionize_stream(
+                spark.readStream.schema(schema).parquet(src),
+                gap_s=1800,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        if q2.exception() is not None:
+            raise q2.exception()
+
+    with pytest.raises(
+        (StreamingQueryException, AnalysisException)
+    ) as exc:
+        restart()
+    msg = str(exc.value).lower()
+    assert "state" in msg and "schema" in msg, msg
+    # no silent output was produced from reinterpreted state
+    assert len(glob.glob(f"{out}/*.parquet")) == n_out_before
