@@ -49,7 +49,11 @@ streaming + vector-serving extension surface.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
 
 
 def append_new_embeddings(
@@ -95,7 +99,15 @@ def append_new_embeddings(
     ValueError: ADVICE r11 #2), and all ``stream_id=None`` callers.
     The join is O(index) per batch, but every path that reaches it
     is a cold/rare shape — the steady-state ingest loop pays only
-    the two driver-side tests above."""
+    the two driver-side tests above. One shape can stop being rare
+    SILENTLY: more than ``_STREAMS_KEEP`` (32) concurrent streams
+    feeding one index evict each other's monotonicity witnesses, so
+    those streams' EVERY batch re-classifies through the join —
+    correct, but the steady-state cost model quietly stops holding.
+    r13 (VERDICT r12 What's wrong #3): that exact shape — a stream
+    with ledger history whose witness is GONE — now logs a warning
+    naming the stream and the bound, so a slow ingest loop is
+    diagnosable from the driver log."""
     from etl_macropulse_br_spark.operators.ann_index import (
         _read_manifest,
         append_ann_index,
@@ -125,6 +137,38 @@ def append_new_embeddings(
                 # unknown stream / ambiguous bare-id hit / at-or-
                 # below the stream's committed max (trimmed tail):
                 # classify by data instead of guessing
+                if (
+                    stream_id is not None
+                    and stream_id not in smax
+                    and any(
+                        k.startswith(f"{stream_id}:") for k in ledger
+                    )
+                ):
+                    # the stream HAS committed history but its
+                    # monotonicity witness was evicted from the
+                    # bounded stream_max_batch map — >_STREAMS_KEEP
+                    # concurrent streams churn each other out and
+                    # every batch of the evicted ones pays the
+                    # O(index) join (r13 — VERDICT r12 wrong #3)
+                    from etl_macropulse_br_spark.operators.ann_index import (  # noqa: E501
+                        _STREAMS_KEEP,
+                    )
+
+                    log.warning(
+                        "append_new_embeddings at %r: stream %r has "
+                        "ledger history but its monotonicity witness "
+                        "was evicted from stream_max_batch (bounded "
+                        "at %d streams) — this batch re-classifies "
+                        "through the O(index) validating join. More "
+                        "than %d concurrent streams feeding one "
+                        "index pay this on EVERY batch; split the "
+                        "index or reduce the stream count to restore "
+                        "O(batch) steady state.",
+                        index_path,
+                        stream_id,
+                        _STREAMS_KEEP,
+                        _STREAMS_KEEP,
+                    )
                 validate = True
     idx = load_ann_index(batch_df.sparkSession, index_path, validate=False)
     id_col = idx.params["id_col"]
@@ -190,7 +234,15 @@ def start_ann_ingest_stream(
     ids restart at 0 under a fresh checkpoint, so a re-pointed
     stream must never match another checkpoint's ledger entries.
     Normalized to an absolute path so the same checkpoint referenced
-    relatively and absolutely reads as one stream."""
+    relatively and absolutely reads as one stream.
+
+    Concurrency bound (r13): the manifest's per-stream monotonicity
+    witness (``stream_max_batch``) keeps the most recently active
+    32 streams (``operators/ann_index._STREAMS_KEEP``). Up to 32
+    concurrent streams per index get O(batch) steady-state appends;
+    beyond that, evicted streams stay CORRECT but re-classify every
+    batch through an O(index) validating join, and each such batch
+    logs a warning naming the stream and this bound."""
     import os
 
     from etl_macropulse_br_spark.operators.ann_index import (

@@ -465,3 +465,69 @@ def test_adc_drift_ratio_scalar(spark, tmp_path):
     )
     ix = append_ann_index(shifted, path)
     assert ix.adc_drift_ratio() > 5.0  # the planted shift is loud
+
+
+def test_witness_eviction_fallback_is_loud(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """r13 (VERDICT r12 What's wrong #3): when >_STREAMS_KEEP
+    concurrent streams churn each other's monotonicity witnesses out
+    of stream_max_batch, an evicted stream's every batch silently
+    fell back to the O(index) validating join — correct but
+    undiagnosable. The fallback must now WARN, naming the stream and
+    the bound. Exercised through the REAL eviction mechanism with
+    the bound shrunk to 1."""
+    import logging
+
+    from etl_macropulse_br_spark.operators import ann_index as AI
+    from etl_macropulse_br_spark.streaming.ann_ingest import (
+        append_new_embeddings,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter("vec_id < 120")
+    idx_dir = str(tmp_path / "evict_idx")
+    AI.save_ann_index(
+        base, idx_dir, k=4, rounds=1, m=8, ks=8, pq_rounds=1, sub=8
+    )
+    monkeypatch.setattr(AI, "_STREAMS_KEEP", 1)
+
+    b1 = emb.filter("vec_id >= 120 and vec_id < 160")
+    b2 = emb.filter("vec_id >= 160 and vec_id < 200")
+    b3 = emb.filter("vec_id >= 200 and vec_id < 240")
+    # stream A commits batch 0 (registers its witness)...
+    assert (
+        append_new_embeddings(b1, idx_dir, batch_id=0, stream_id="A")
+        == "appended"
+    )
+    # ...stream B commits and, with the bound at 1, evicts A...
+    with caplog.at_level(logging.WARNING):
+        assert (
+            append_new_embeddings(
+                b2, idx_dir, batch_id=0, stream_id="B"
+            )
+            == "appended"
+        )
+        assert caplog.messages == []  # B is a FRESH stream: no noise
+        # ...so A's next (genuinely new) batch pays the validating
+        # join — correct result, now with a diagnosable warning
+        assert (
+            append_new_embeddings(
+                b3, idx_dir, batch_id=1, stream_id="A"
+            )
+            == "appended"
+        )
+    warnings = [m for m in caplog.messages if "evicted" in m]
+    assert len(warnings) == 1
+    assert "'A'" in warnings[0] and "stream_max_batch" in warnings[0]
+    # and A re-registered: its NEXT batch is O(batch) again (ledger
+    # hit path proves no join ran — redeliver batch 1)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        assert (
+            append_new_embeddings(
+                b3, idx_dir, batch_id=1, stream_id="A"
+            )
+            == "skipped"
+        )
+    assert caplog.messages == []
