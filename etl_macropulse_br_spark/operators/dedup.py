@@ -330,6 +330,13 @@ def minhash_lsh_candidates(
     banded = _minhash_banded(sig, k, bands)
     left = banded.alias("l")
     right = banded.alias("r")
+    # NOT shuffle_hash-fused (r13 A/B, rejected with numbers in
+    # PLANS.md): unlike embedding_near_dups, folding the broadcast
+    # builds of this subtree into one shuffle-only job measured
+    # consistently SLOWER at bench scale (the collect_set shingle-set
+    # exchange outweighs the build jobs it saves). At corpus scale the
+    # banded self-join side exceeds the auto-broadcast threshold and
+    # AQE picks the shuffle strategy by itself.
     return (
         left.join(
             right,
@@ -369,7 +376,10 @@ def ngram_jaccard_pairs(
     # join, not before) so the two builds canonicalize to one
     # exchange and ReuseExchange shares it — the shingle-set
     # aggregate runs once per action instead of twice (r6; same
-    # pattern as embedding_near_dups' verify)
+    # pattern as embedding_near_dups' verify). The embedding-style
+    # shuffle_hash fusion of these lookups was A/B-rejected in r13
+    # (numbers in PLANS.md): the broadcast builds are cheaper than
+    # the extra shingle-set exchanges here.
     pcols = list(pairs.columns)  # extra pair columns pass through
     j1 = pairs.join(sh, F.col("id_a") == sh["id"]).select(
         *pcols, F.col("sh").alias("sh_a")

@@ -73,6 +73,21 @@ def salted_join(
     replicated = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
+    # Profile-gated shuffle_hash on the replicated side (r13 A/B,
+    # kept with numbers in PLANS.md: 0.205→0.162 / 0.199→0.151 s and
+    # 3→2 jobs on the declared skew_salted_rollup): under the
+    # small-input profile the n_salt-times-replicated dim would
+    # auto-broadcast — a separate build job per action that also
+    # defeats the point of salting (a broadcast join never shuffles
+    # the hot key at all, so nothing is spread). Under the cluster
+    # profile no hint is emitted and AQE decides from the replicated
+    # side's runtime size.
+    from etl_macropulse_br_spark.operators.util import (
+        small_input_profile,
+    )
+
+    if small_input_profile(other):
+        replicated = replicated.hint("shuffle_hash")
     out = salted.join(replicated, on=[on, "__salt"], how=how)
     return out.drop("__salt")
 

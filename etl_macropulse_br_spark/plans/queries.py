@@ -3728,6 +3728,12 @@ def docs_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = md5_long(F.col("doc_id").cast("string")) % 100
     split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val"))
+    # The r13 shuffle_hash fusion of the three verdict-side joins
+    # (embedding_near_dups template) was A/B-rejected with numbers
+    # (PLANS.md): 5 jobs → 1, but consistently slower — the doc_id
+    # exchanges of all four corpus-derived sides cost more than the
+    # tiny broadcast builds they replace. At 100 TB the sides exceed
+    # the auto-broadcast threshold and AQE chooses per run.
     return (
         docs.select("doc_id")
         .join(quality_ok, "doc_id")

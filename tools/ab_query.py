@@ -1,0 +1,714 @@
+"""Per-query A/B measurement harness (r13 — VERDICT r12 next #3).
+
+Measures named plan VARIANTS with exactly bench.py's pass-1
+methodology — small-input session, full shape warmup, plan built
+once, two untimed warm executions, min-of-N timed noop-sink runs,
+job counts via job groups — so an A/B number here is directly
+comparable to a bench row. Variants are registered in VARIANTS
+below: each entry maps a variant name to a (spark, sf_dir) ->
+DataFrame callable. The baseline for a declared query is the
+registry entry itself.
+
+Usage::
+
+    python tools/ab_query.py q3_shipping_priority q3_all_shuffle ...
+    python tools/ab_query.py --all          # every registered variant
+    python tools/ab_query.py --list
+
+Prints one line per variant: name, min seconds, jobs/run. Rejected
+variants get recorded with their numbers in PLANS.md; accepted ones
+become the registry plan (and this file keeps the losing shape
+reproducible).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _sh(df):
+    """Force shuffle-hash on this join side (A/B device: suppresses
+    both the broadcast_small hint and the 16m auto-broadcast)."""
+    return df.hint("shuffle_hash")
+
+
+# ----------------------------------------------------------------
+# variant plans — each a full (spark, sf_dir) -> DataFrame callable
+# ----------------------------------------------------------------
+
+
+def q3_all_shuffle(spark, sf_dir):
+    """q3 with every join shuffle-hash (no broadcast builds)."""
+    from etl_macropulse_br_spark.plans.queries import _scaled, _t
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    cust_orders = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .hint("shuffle_hash")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1995-06-30"))
+        .join(_sh(cust_orders), li.l_orderkey == cust_orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_all_shuffle(spark, sf_dir):
+    """q5 with the orders⋈customer and supplier joins shuffle-hash
+    (dim folds unchanged)."""
+    from etl_macropulse_br_spark.operators.util import (
+        fold_fixed_dim,
+        literal_lookup,
+    )
+    from etl_macropulse_br_spark.plans.queries import _scaled, _t
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+
+    regions = fold_fixed_dim(reg, "r_regionkey", "r_name")
+    asia = {
+        k: name
+        for k, (name, rk) in fold_fixed_dim(
+            nat, "n_nationkey", "n_name", "n_regionkey"
+        ).items()
+        if regions.get(rk) == "ASIA"
+    }
+    cust_n = cust.filter(F.col("c_nationkey").isin(list(asia))).select(
+        "c_custkey",
+        "c_nationkey",
+        literal_lookup(asia, "c_nationkey").alias("n_name"),
+    )
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    cust_orders = ord_f.join(
+        _sh(cust_n), ord_f.o_custkey == cust_n.c_custkey
+    ).select("o_orderkey", "c_nationkey", "n_name")
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    joined = li.join(
+        _sh(cust_orders), li.l_orderkey == cust_orders.o_orderkey
+    ).join(
+        _sh(supp),
+        (F.col("l_suppkey") == supp.s_suppkey)
+        & (F.col("c_nationkey") == supp.s_nationkey),
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def q7_all_shuffle(spark, sf_dir):
+    """q7 with the supplier/customer/orders joins shuffle-hash."""
+    from etl_macropulse_br_spark.operators.util import (
+        fold_fixed_dim,
+        literal_lookup,
+    )
+    from etl_macropulse_br_spark.plans.queries import _scaled, _t
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+
+    pair_nations = {
+        k: v
+        for k, v in fold_fixed_dim(nat, "n_nationkey", "n_name").items()
+        if v in ("NATION_1", "NATION_2")
+    }
+    supp_n = supp.filter(
+        F.col("s_nationkey").isin(list(pair_nations))
+    ).select(
+        "s_suppkey",
+        literal_lookup(pair_nations, "s_nationkey").alias("supp_nation"),
+    )
+    cust_n = cust.filter(
+        F.col("c_nationkey").isin(list(pair_nations))
+    ).select(
+        "c_custkey",
+        literal_lookup(pair_nations, "c_nationkey").alias("cust_nation"),
+    )
+    ord_c = orders.join(
+        _sh(cust_n), orders.o_custkey == cust_n.c_custkey
+    ).select("o_orderkey", "cust_nation")
+    pairs = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(_sh(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(_sh(ord_c), li.l_orderkey == ord_c.o_orderkey)
+        .filter(pairs)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def ptbr_all_shuffle(spark, sf_dir):
+    """ptbr_roundtrip with the two dictionary joins shuffle-hash
+    (fact pays two exchanges instead of two broadcast builds)."""
+    from etl_macropulse_br_spark.functions.exprs import (
+        parse_date_ddmmyyyy,
+        parse_ptbr_number,
+    )
+    from etl_macropulse_br_spark.plans.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    dates = li.select("l_shipdate").distinct().select(
+        "l_shipdate",
+        parse_date_ddmmyyyy(
+            F.date_format("l_shipdate", "dd/MM/yyyy")
+        ).alias("reparsed_date"),
+    )
+    pairs = li.select(
+        (F.col("l_orderkey") % 1000).alias("k3"),
+        F.col("l_linenumber").alias("ln"),
+    ).distinct()
+    ptbr_str = F.concat(
+        F.lit("1."),
+        F.lpad(F.col("k3").cast("string"), 3, "0"),
+        F.lit(","),
+        F.lpad(F.col("ln").cast("string"), 2, "0"),
+    )
+    nums = pairs.select(
+        "k3", "ln", parse_ptbr_number(ptbr_str).alias("parsed_value")
+    )
+    fact = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 1000).alias("k3"),
+        "l_shipdate",
+    )
+    return (
+        fact.join(
+            _sh(nums),
+            (fact.k3 == nums.k3) & (fact.l_linenumber == nums.ln),
+            "left",
+        )
+        .join(_sh(dates), "l_shipdate", "left")
+        .select(
+            "l_orderkey", "l_linenumber", "parsed_value", "reparsed_date"
+        )
+    )
+
+
+def skew_all_shuffle(spark, sf_dir):
+    """skew_salted_rollup with the salted join's replicated dim
+    shuffle-hash instead of auto-broadcast."""
+    from etl_macropulse_br_spark.plans.queries import _scaled, _t
+
+    ev = _t(spark, sf_dir, "events")
+    hot = F.when(F.col("user_id") % 10 < 5, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    fact = ev.select(hot.alias("k"), "value")
+    dim = (
+        fact.select("k")
+        .distinct()
+        .select(
+            "k",
+            F.concat(
+                F.lit("seg_"), (F.col("k") % 7).cast("string")
+            ).alias("segment"),
+        )
+    )
+    n_salt = 8
+    salted = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col("k"), F.col("value")), F.lit(n_salt)),
+    )
+    replicated = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    joined = salted.join(_sh(replicated), on=["k", "__salt"]).drop(
+        "__salt"
+    )
+    return (
+        joined.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_scaled("value")) / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q3_inner_shuffle(spark, sf_dir):
+    """q3 keeping the lineitem-probe broadcast but folding the
+    INNER cust⋈orders build to shuffle-hash (removes the nested
+    customer broadcast-build job only)."""
+    from etl_macropulse_br_spark.operators.util import broadcast_small
+    from etl_macropulse_br_spark.plans.queries import _scaled, _t
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    cust_orders = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .hint("shuffle_hash")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1995-06-30"))
+        .join(broadcast_small(cust_orders), li.l_orderkey == cust_orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_inner_shuffle(spark, sf_dir):
+    """q5 keeping both lineitem-probe broadcasts but folding the
+    inner orders⋈customer build to shuffle-hash."""
+    from etl_macropulse_br_spark.operators.util import (
+        broadcast_small,
+        fold_fixed_dim,
+        literal_lookup,
+    )
+    from etl_macropulse_br_spark.plans.queries import _scaled, _t
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+
+    regions = fold_fixed_dim(reg, "r_regionkey", "r_name")
+    asia = {
+        k: name
+        for k, (name, rk) in fold_fixed_dim(
+            nat, "n_nationkey", "n_name", "n_regionkey"
+        ).items()
+        if regions.get(rk) == "ASIA"
+    }
+    cust_n = cust.filter(F.col("c_nationkey").isin(list(asia))).select(
+        "c_custkey",
+        "c_nationkey",
+        literal_lookup(asia, "c_nationkey").alias("n_name"),
+    )
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    cust_orders = ord_f.join(
+        _sh(cust_n), ord_f.o_custkey == cust_n.c_custkey
+    ).select("o_orderkey", "c_nationkey", "n_name")
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    joined = li.join(
+        broadcast_small(cust_orders), li.l_orderkey == cust_orders.o_orderkey
+    ).join(
+        F.broadcast(supp),
+        (F.col("l_suppkey") == supp.s_suppkey)
+        & (F.col("c_nationkey") == supp.s_nationkey),
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def q7_inner_shuffle(spark, sf_dir):
+    """q7 keeping the lineitem-probe broadcasts but folding the
+    inner orders⋈customer build to shuffle-hash."""
+    from etl_macropulse_br_spark.operators.util import (
+        broadcast_small,
+        fold_fixed_dim,
+        literal_lookup,
+    )
+    from etl_macropulse_br_spark.plans.queries import _scaled, _t
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+
+    pair_nations = {
+        k: v
+        for k, v in fold_fixed_dim(nat, "n_nationkey", "n_name").items()
+        if v in ("NATION_1", "NATION_2")
+    }
+    supp_n = supp.filter(
+        F.col("s_nationkey").isin(list(pair_nations))
+    ).select(
+        "s_suppkey",
+        literal_lookup(pair_nations, "s_nationkey").alias("supp_nation"),
+    )
+    cust_n = cust.filter(
+        F.col("c_nationkey").isin(list(pair_nations))
+    ).select(
+        "c_custkey",
+        literal_lookup(pair_nations, "c_nationkey").alias("cust_nation"),
+    )
+    ord_c = orders.join(
+        _sh(cust_n), orders.o_custkey == cust_n.c_custkey
+    ).select("o_orderkey", "cust_nation")
+    pairs = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(broadcast_small(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(broadcast_small(ord_c), li.l_orderkey == ord_c.o_orderkey)
+        .filter(pairs)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def docs_near_dups_oldshape(spark, sf_dir):
+    """Pre-r13 docs_near_dups: no shuffle-hash hints — the banded
+    self-join and both shingle-set lookups auto-broadcast (separate
+    build jobs per action)."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signature_table,
+        shingle_hash_rows,
+        _minhash_banded,
+    )
+    from etl_macropulse_br_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = shingle_hash_rows(docs, "text", "doc_id", 3)
+    sig = minhash_signature_table(docs, "text", "doc_id", 3, 16, rows)
+    banded = _minhash_banded(sig, 16, 4)
+    left, right = banded.alias("l"), banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sh = rows.groupBy("id").agg(F.collect_set("sh_h").alias("sh"))
+    j1 = cands.join(sh, F.col("id_a") == sh["id"]).select(
+        "id_a", "id_b", F.col("sh").alias("sh_a")
+    )
+    return (
+        j1.join(sh, F.col("id_b") == sh["id"])
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh"))
+                / F.size(F.array_union("sh_a", "sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def docs_curated_oldshape(spark, sf_dir):
+    """Pre-r13 docs_curated: verdict-side joins auto-broadcast and
+    the near-dup subtree uses the un-hinted old shape."""
+    from etl_macropulse_br_spark.functions.hashing import md5_long
+    from etl_macropulse_br_spark.operators.dedup import exact_dedup
+    from etl_macropulse_br_spark.operators.text import repetition_stats
+    from etl_macropulse_br_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    quality_ok = repetition_stats(docs).filter(
+        (F.col("top_word_ratio") <= 0.14)
+        & (F.col("dup_bigram_ratio") <= 0.08)
+        & (F.col("uniq_token_ratio") >= 0.3)
+    ).select("doc_id")
+    winners = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    losers = (
+        docs_near_dups_oldshape(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        docs.select("doc_id")
+        .join(quality_ok, "doc_id")
+        .join(winners, "doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", split.alias("split"))
+    )
+
+
+def docs_near_dups_bandhint(spark, sf_dir):
+    """Only the banded self-join hinted shuffle_hash; shingle-set
+    lookups stay auto-broadcast."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        minhash_signature_table,
+        shingle_hash_rows,
+        _minhash_banded,
+    )
+    from etl_macropulse_br_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = shingle_hash_rows(docs, "text", "doc_id", 3)
+    sig = minhash_signature_table(docs, "text", "doc_id", 3, 16, rows)
+    banded = _minhash_banded(sig, 16, 4)
+    left, right = banded.alias("l"), banded.alias("r").hint("shuffle_hash")
+    cands = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sh = rows.groupBy("id").agg(F.collect_set("sh_h").alias("sh"))
+    j1 = cands.join(sh, F.col("id_a") == sh["id"]).select(
+        "id_a", "id_b", F.col("sh").alias("sh_a")
+    )
+    return (
+        j1.join(sh, F.col("id_b") == sh["id"])
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh"))
+                / F.size(F.array_union("sh_a", "sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def docs_near_dups_shhint(spark, sf_dir):
+    """Only the shingle-set lookups hinted shuffle_hash; banded
+    self-join stays auto-broadcast."""
+    from etl_macropulse_br_spark.operators.dedup import (
+        minhash_signature_table,
+        shingle_hash_rows,
+        _minhash_banded,
+    )
+    from etl_macropulse_br_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = shingle_hash_rows(docs, "text", "doc_id", 3)
+    sig = minhash_signature_table(docs, "text", "doc_id", 3, 16, rows)
+    banded = _minhash_banded(sig, 16, 4)
+    left, right = banded.alias("l"), banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sh = rows.groupBy("id").agg(F.collect_set("sh_h").alias("sh"))
+    j1 = cands.join(sh.hint("shuffle_hash"), F.col("id_a") == sh["id"]).select(
+        "id_a", "id_b", F.col("sh").alias("sh_a")
+    )
+    return (
+        j1.join(sh.hint("shuffle_hash"), F.col("id_b") == sh["id"])
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh"))
+                / F.size(F.array_union("sh_a", "sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _registry(name):
+    def run(spark, sf_dir):
+        from etl_macropulse_br_spark.plans.queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    run.__name__ = name
+    return run
+
+
+VARIANTS = {
+    # baselines (registry plans)
+    "q3_shipping_priority": _registry("q3_shipping_priority"),
+    "q5_local_supplier_volume": _registry("q5_local_supplier_volume"),
+    "q7_volume_shipping": _registry("q7_volume_shipping"),
+    "ptbr_roundtrip": _registry("ptbr_roundtrip"),
+    "skew_salted_rollup": _registry("skew_salted_rollup"),
+    "docs_curated": _registry("docs_curated"),
+    "docs_near_dups": _registry("docs_near_dups"),
+    # challengers
+    "q3_all_shuffle": q3_all_shuffle,
+    "q5_all_shuffle": q5_all_shuffle,
+    "q7_all_shuffle": q7_all_shuffle,
+    "ptbr_all_shuffle": ptbr_all_shuffle,
+    "skew_all_shuffle": skew_all_shuffle,
+    "q3_inner_shuffle": q3_inner_shuffle,
+    "q5_inner_shuffle": q5_inner_shuffle,
+    "q7_inner_shuffle": q7_inner_shuffle,
+    "docs_near_dups_oldshape": docs_near_dups_oldshape,
+    "docs_near_dups_bandhint": docs_near_dups_bandhint,
+    "docs_near_dups_shhint": docs_near_dups_shhint,
+    "docs_curated_oldshape": docs_curated_oldshape,
+}
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if "--list" in args:
+        print("\n".join(VARIANTS))
+        return
+    names = list(VARIANTS) if "--all" in args else args
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    n_runs = int(os.environ.get("AB_RUNS", "6"))
+
+    from etl_macropulse_br_spark.operators.util import (
+        persisted_count,
+        unpersist_candidates,
+    )
+    from etl_macropulse_br_spark.session import get_spark
+
+    print(f"# loadavg at start: {os.getloadavg()}", file=sys.stderr)
+    spark = get_spark(app_name="ab_query", profile="small-input")
+    # bench.py's full warmup, verbatim in spirit: without the shape
+    # loop, variants measured LATER in the list run against warmer
+    # C2-compiled operator classes — a systematic position bias that
+    # flipped an A/B verdict during r13 (see PLANS.md).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(100).selectExpr("id").mapInPandas(_noop, "id long").count()
+    from pyspark.sql import Window as _W
+
+    from etl_macropulse_br_spark.sources.files import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    _d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    _w = _W.partitionBy(F.col("doc_id") % 8).orderBy("doc_id")
+    _shapes = [
+        _d.select("doc_id", F.row_number().over(_w).alias("rn")),
+        _d.alias("a").join(_d.alias("b"), "doc_id"),
+        _d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .select("doc_id", F.md5("tok").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1))),
+        _d.orderBy(F.col("doc_id").desc()).limit(5),
+        _li.groupBy("l_returnflag").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice")
+        ),
+    ]
+    for _ in range(3):
+        for _s in _shapes:
+            _s.write.mode("overwrite").format("noop").save()
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    for occ, name in enumerate(names):
+        fn = VARIANTS[name]
+        n_before = persisted_count()
+        df = fn(spark, sf_dir)
+        uses_cache = persisted_count() > n_before
+        df.write.mode("overwrite").format("noop").save()
+        df.write.mode("overwrite").format("noop").save()
+        group = f"ab:{occ}:{name}"  # unique per occurrence, so a
+        # name repeated for ABBA ordering doesn't accumulate jobs
+        sc.setJobGroup(group, name)
+        best = float("inf")
+        for _ in range(n_runs):
+            if uses_cache:
+                unpersist_candidates()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            else:
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        jobs = len(tracker.getJobIdsForGroup(group)) / n_runs
+        unpersist_candidates()
+        sc.setJobGroup("ab:idle", "idle")
+        print(f"{name}: {best:.3f}s  {jobs:.1f} jobs/run")
+
+
+if __name__ == "__main__":
+    main()
