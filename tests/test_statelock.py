@@ -412,3 +412,72 @@ def test_objectstore_zombie_heartbeat_cannot_refresh_thiefs_lock():
     # and the zombie's late release leaves the thief's lock standing
     zombie.release_if_token(lock, "Z")
     assert store.get(lock) is not None
+
+
+@pytest.mark.parametrize(
+    "make_pair", [p[1] for p in _provider_pairs()],
+    ids=[p[0] for p in _provider_pairs()],
+)
+def test_mutual_exclusion_under_contention_and_steals(
+    tmp_path, make_pair
+):
+    """Protocol stress over the r13 primitives (conditioned steal,
+    token-checked heartbeat, joined release): contending threads —
+    each with its OWN provider instance, as separate processes would
+    have — hammer one state dir that starts with a DEAD holder's
+    stale lock. Invariant: never two writers inside the critical
+    section at once; liveness: the stale lock is stolen and many
+    acquisitions succeed."""
+    dead_prov, _ = make_pair()
+    d = str(tmp_path / "contended")
+    lock = os.path.join(d, ".writer.lock")
+    os.makedirs(d, exist_ok=True)
+    # a crashed writer's lock, long stale
+    assert dead_prov.try_create(lock, "dead pid=0 token=DEAD t=0")
+    _backdate(dead_prov, lock, 7200)
+
+    active = [0]
+    max_active = [0]
+    wins = [0]
+    mu = threading.Lock()
+    stop_at = time.time() + 4.0
+
+    def contend(i: int) -> None:
+        prov, _ = make_pair()
+        if not isinstance(prov, PosixLockProvider):
+            prov._store = dead_prov._store  # share the one store
+        rng = __import__("random").Random(i)
+        while time.time() < stop_at:
+            try:
+                with writer_lock(
+                    d,
+                    owner=f"w{i}",
+                    stale_after_s=0.6,
+                    provider=prov,
+                ) as lease:
+                    with mu:
+                        active[0] += 1
+                        max_active[0] = max(max_active[0], active[0])
+                        wins[0] += 1
+                    time.sleep(rng.uniform(0.001, 0.04))
+                    assert lease.displaced is False
+                    with mu:
+                        active[0] -= 1
+            except WriterLockHeld:
+                time.sleep(rng.uniform(0.001, 0.01))
+
+    ts = [
+        threading.Thread(target=contend, args=(i,)) for i in range(6)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert max_active[0] == 1, f"mutual exclusion broken: {max_active[0]}"
+    assert wins[0] >= 10  # the stale lock was stolen; progress made
+    # the dir is releasable afterwards (no wedged lock left behind)
+    final, _ = make_pair()
+    if not isinstance(final, PosixLockProvider):
+        final._store = dead_prov._store
+    with writer_lock(d, owner="final", stale_after_s=0.6, provider=final):
+        pass
