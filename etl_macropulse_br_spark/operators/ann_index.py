@@ -72,6 +72,7 @@ operators/clustering.py.
 
 from __future__ import annotations
 
+import contextvars
 import functools
 import json
 import os
@@ -123,10 +124,23 @@ def _locked_writer(fn):
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         path = kwargs["path"] if "path" in kwargs else args[1]
-        with writer_lock(path, owner=fn.__name__):
-            return fn(*args, **kwargs)
+        with writer_lock(path, owner=fn.__name__) as lease:
+            token = _ACTIVE_LEASE.set(lease)
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                _ACTIVE_LEASE.reset(token)
 
     return wrapper
+
+
+# The mutation's lease, visible to _commit_manifest (r13): threading
+# the handle through every mutator signature would churn the whole
+# call graph for one pre-commit check, so the locked wrapper
+# publishes it for the duration of the mutation instead.
+_ACTIVE_LEASE: "contextvars.ContextVar" = contextvars.ContextVar(
+    "ann_index_writer_lease", default=None
+)
 
 
 def _read_manifest(path: str) -> dict | None:
@@ -154,7 +168,16 @@ def _commit_manifest(path: str, manifest: dict) -> None:
     atomic on POSIX filesystems, so readers see either the old or
     the new listing, never a partial one. (On object stores, swap
     this for the store's conditional-put; the parquet side needs no
-    change — segments are immutable once written.)"""
+    change — segments are immutable once written.)
+
+    Displacement gate (r13): if the mutation's writer lease was
+    stolen mid-mutation (heartbeat found a foreign lock — the holder
+    was judged dead), the commit RAISES instead of racing the new
+    holder's commit; the old manifest keeps serving and the written
+    segment directories are orphans the next writer prunes."""
+    lease = _ACTIVE_LEASE.get()
+    if lease is not None:
+        lease.check()
     tmp = os.path.join(path, f".{_MANIFEST_NAME}.tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

@@ -1995,7 +1995,7 @@ def save_bloom_bitset(
         artifact_lock,
     )
 
-    with artifact_lock(path, owner="save_bloom_bitset"):
+    with artifact_lock(path, owner="save_bloom_bitset") as lease:
         row = bloom_bitset(
             eval_df, text_col, id_col, n_shingle, n_bits, n_hashes
         ).first()
@@ -2010,6 +2010,9 @@ def save_bloom_bitset(
             json.dump(state, f)
             f.flush()
             os.fsync(f.fileno())
+        # displacement gate (r13): a lease stolen mid-build must not
+        # race the new holder's commit — the old bitset keeps serving
+        lease.check()
         os.replace(tmp, path)
     return state
 

@@ -102,8 +102,10 @@ def run(
     directory swap (operators/statelock.py)."""
     from etl_macropulse_br_spark.operators.statelock import writer_lock
 
-    with writer_lock(state_dir, owner="signature_index.run"):
-        return _run_unlocked(spark, new_batch, state_dir, out_dir, threshold)
+    with writer_lock(state_dir, owner="signature_index.run") as lease:
+        return _run_unlocked(
+            spark, new_batch, state_dir, out_dir, threshold, lease=lease
+        )
 
 
 def _run_unlocked(
@@ -112,6 +114,7 @@ def _run_unlocked(
     state_dir: str,
     out_dir: str,
     threshold: float = 0.8,
+    lease=None,
 ) -> dict:
     import functools
 
@@ -258,6 +261,12 @@ def _run_unlocked(
     meta["batches"].append(os.path.abspath(new_batch))
     meta["n_docs"] += n_new
     os.makedirs(state_dir, exist_ok=True)
+    # displacement gate (r13): if the lease was stolen mid-increment
+    # (heartbeat found a foreign lock), do NOT commit meta — the
+    # appended signatures are the documented stray-selfsig shape the
+    # next rerun tolerates, and the new holder owns the dir
+    if lease is not None:
+        lease.check()
     with open(meta_path, "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
 
@@ -299,14 +308,14 @@ def compact_signature_index(
     in-flight increment is refused loudly."""
     from etl_macropulse_br_spark.operators.statelock import writer_lock
 
-    with writer_lock(state_dir, owner="compact_signature_index"):
+    with writer_lock(state_dir, owner="compact_signature_index") as lease:
         return _compact_signature_index_unlocked(
-            spark, state_dir, target_files
+            spark, state_dir, target_files, lease=lease
         )
 
 
 def _compact_signature_index_unlocked(
-    spark, state_dir: str, target_files: int | None = None
+    spark, state_dir: str, target_files: int | None = None, lease=None
 ) -> dict:
     import glob
     import shutil
@@ -329,6 +338,11 @@ def _compact_signature_index_unlocked(
     )
     after_rows = spark.read.parquet(tmp).count()
     old = os.path.join(state_dir, f"signatures.old-{uuid.uuid4().hex[:8]}")
+    # displacement gate (r13): the directory swap is the compaction's
+    # point of no return — a displaced lease must abort BEFORE it,
+    # leaving the live signatures untouched (tmp is an orphan)
+    if lease is not None:
+        lease.check()
     os.rename(sig_dir, old)
     os.rename(tmp, sig_dir)
     shutil.rmtree(old)

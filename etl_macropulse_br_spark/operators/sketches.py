@@ -83,12 +83,15 @@ def _read_pointer(path: str) -> str | None:
 
 
 def _save_versioned(
-    path: str, meta_name: str, meta: dict, write_parquet
+    path: str, meta_name: str, meta: dict, write_parquet, lease=None
 ) -> None:
     """One reader-safe artifact commit: complete version dir →
     atomic pointer swap → prune all versions except {new, previous}.
     Callers hold the artifact lease (single WRITER; readers never
-    lock)."""
+    lock) and pass it so a mid-save displacement (r13 — the lease
+    stolen from a judged-dead holder) ABORTS before the pointer
+    commit: the old artifact keeps serving and the orphan version
+    dir is pruned by the next save."""
     import shutil
 
     os.makedirs(path, exist_ok=True)
@@ -100,6 +103,8 @@ def _save_versioned(
     # THE commit point: readers resolve the new version only from
     # here on, and only ever see version dirs whose sidecar already
     # landed (sidecar-before-pointer ordering)
+    if lease is not None:
+        lease.check()
     _write_sidecar_atomic(
         os.path.join(path, _POINTER_NAME), {"version": ver}
     )
@@ -328,12 +333,13 @@ def save_kmv_sketch(
         artifact_lock,
     )
 
-    with artifact_lock(path, owner="save_kmv_sketch"):
+    with artifact_lock(path, owner="save_kmv_sketch") as lease:
         _save_versioned(
             path,
             "_kmv_meta.json",
             {"k": int(k)},
             lambda vdir: sketch.write.mode("overwrite").parquet(vdir),
+            lease=lease,
         )
 
 
@@ -1199,7 +1205,7 @@ def save_hdr_histogram(
         artifact_lock,
     )
 
-    with artifact_lock(path, owner="save_hdr_histogram"):
+    with artifact_lock(path, owner="save_hdr_histogram") as lease:
         _save_versioned(
             path,
             "_hdr_meta.json",
@@ -1209,6 +1215,7 @@ def save_hdr_histogram(
                 "by": list(by or []),
             },
             lambda vdir: hist.write.mode("overwrite").parquet(vdir),
+            lease=lease,
         )
 
 

@@ -106,6 +106,11 @@ class WriterLockHeld(RuntimeError):
     """Another writer holds the state directory's lease."""
 
 
+class WriterLeaseDisplaced(RuntimeError):
+    """This holder's lease was stolen mid-mutation (its heartbeat
+    found a foreign lock) — the mutation must not commit."""
+
+
 class WriterLease:
     """Handle yielded by :func:`writer_lock` (r13 — VERDICT r12
     What's wrong #2): ``displaced`` flips to True (and a warning is
@@ -113,10 +118,24 @@ class WriterLease:
     no longer carries its token — i.e. the lease was stolen out from
     under a judged-dead-but-actually-alive writer. A holder doing a
     long mutation can check it between phases and abort instead of
-    racing the thief."""
+    racing the thief; the persisted-index mutators call
+    :meth:`check` immediately before their single atomic commit
+    point, so a displaced writer aborts with the OLD state still
+    serving rather than racing the thief's commit."""
 
     def __init__(self) -> None:
         self.displaced = False
+
+    def check(self) -> None:
+        """Raise :class:`WriterLeaseDisplaced` if the lease was
+        stolen — call before a commit point."""
+        if self.displaced:
+            raise WriterLeaseDisplaced(
+                "writer lease was stolen mid-mutation (a waiter "
+                "judged this holder dead and took the lock) — "
+                "refusing to commit; the previous state keeps "
+                "serving and the new holder owns the directory"
+            )
 
 
 class PosixLockProvider:

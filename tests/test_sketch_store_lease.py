@@ -292,3 +292,39 @@ def test_bloom_save_interleave_refused_and_replace_atomic(
     # and a clean retry wins
     s2 = save_bloom_bitset(_docs(spark, 5), path, n_bits=1 << 10)
     assert load_bloom_bitset(path) == s2
+
+
+def test_displaced_lease_aborts_sketch_commit(spark, tmp_path):
+    """r13: a save whose lease was stolen mid-write must abort
+    BEFORE the pointer commit — the old sketch keeps serving and the
+    orphan version dir is pruned by the next save."""
+    from etl_macropulse_br_spark.operators.sketches import (
+        _save_versioned,
+        load_kmv_sketch,
+        save_kmv_sketch,
+    )
+    from etl_macropulse_br_spark.operators.statelock import (
+        WriterLease,
+        WriterLeaseDisplaced,
+    )
+
+    path = str(tmp_path / "kmv_displaced")
+    save_kmv_sketch(_kmv(spark, k=16), path, k=16)
+
+    displaced = WriterLease()
+    displaced.displaced = True
+    new_sketch = _kmv(spark, n=50, k=8)
+    with pytest.raises(WriterLeaseDisplaced):
+        _save_versioned(
+            path,
+            "_kmv_meta.json",
+            {"k": 8},
+            lambda vdir: new_sketch.write.mode("overwrite").parquet(vdir),
+            lease=displaced,
+        )
+    frame, k = load_kmv_sketch(spark, path)
+    assert k == 16 and frame.count() == 16  # old sketch serving
+    # the orphan version the aborted save wrote is pruned by the
+    # next successful commit
+    save_kmv_sketch(_kmv(spark, n=50, k=8), path, k=8)
+    assert load_kmv_sketch(spark, path)[1] == 8

@@ -481,3 +481,39 @@ def test_mutual_exclusion_under_contention_and_steals(
         final._store = dead_prov._store
     with writer_lock(d, owner="final", stale_after_s=0.6, provider=final):
         pass
+
+
+def test_displaced_lease_check_raises_and_commits_refuse(tmp_path):
+    """r13: WriterLease.check() is the commit gate — displaced
+    raises WriterLeaseDisplaced; the persisted-index commit points
+    (ANN manifest, versioned sketch pointer, bloom replace,
+    signature meta/swap) all call it immediately before their single
+    atomic commit, so a stolen-from writer aborts with the OLD state
+    serving."""
+    import json
+
+    from etl_macropulse_br_spark.operators import ann_index as AI
+    from etl_macropulse_br_spark.operators.statelock import (
+        WriterLease,
+        WriterLeaseDisplaced,
+    )
+
+    lease = WriterLease()
+    lease.check()  # not displaced: a no-op
+    lease.displaced = True
+    with pytest.raises(WriterLeaseDisplaced, match="refusing to commit"):
+        lease.check()
+
+    # _commit_manifest honors the active mutation's lease
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    AI._commit_manifest(idx, {"segments": [], "adc_history": []})
+    before = open(os.path.join(idx, "MANIFEST.json")).read()
+    token = AI._ACTIVE_LEASE.set(lease)
+    try:
+        with pytest.raises(WriterLeaseDisplaced):
+            AI._commit_manifest(idx, {"segments": ["THIEF-RACE"]})
+    finally:
+        AI._ACTIVE_LEASE.reset(token)
+    assert open(os.path.join(idx, "MANIFEST.json")).read() == before
+    assert json.loads(before)["segments"] == []
