@@ -328,3 +328,58 @@ def test_displaced_lease_aborts_sketch_commit(spark, tmp_path):
     # next successful commit
     save_kmv_sketch(_kmv(spark, n=50, k=8), path, k=8)
     assert load_kmv_sketch(spark, path)[1] == 8
+
+
+def test_displacement_detected_live_and_gates_commit(spark, tmp_path):
+    """End-to-end displacement (r13): a writer holds the REAL
+    artifact lease with heartbeats running; the lock is replaced out
+    from under it (a waiter judged it dead); the heartbeat flags the
+    lease displaced, and the pointer commit it then attempts is
+    refused — the old sketch keeps serving and the thief's lock is
+    untouched."""
+    import time
+
+    from etl_macropulse_br_spark.operators.sketches import (
+        _save_versioned,
+        load_kmv_sketch,
+        save_kmv_sketch,
+    )
+    from etl_macropulse_br_spark.operators.statelock import (
+        PosixLockProvider,
+        WriterLeaseDisplaced,
+        artifact_lock,
+    )
+
+    path = str(tmp_path / "kmv_live_displace")
+    save_kmv_sketch(_kmv(spark, k=16), path, k=16)
+
+    lock = os.path.join(f"{path}.lock", ".writer.lock")
+    thief = PosixLockProvider()
+    new_sketch = _kmv(spark, n=50, k=8)
+    with artifact_lock(
+        path, owner="slow-save", stale_after_s=0.4,
+        provider=PosixLockProvider(),
+    ) as lease:
+        # a waiter (wrongly) judged this holder dead and took the lock
+        os.unlink(lock)
+        assert thief.try_create(lock, "thief pid=9 token=T t=1")
+        for _ in range(100):  # beat interval is 0.1 s
+            if lease.displaced:
+                break
+            time.sleep(0.05)
+        assert lease.displaced is True
+        with pytest.raises(WriterLeaseDisplaced):
+            _save_versioned(
+                path,
+                "_kmv_meta.json",
+                {"k": 8},
+                lambda vdir: new_sketch.write.mode(
+                    "overwrite"
+                ).parquet(vdir),
+                lease=lease,
+            )
+    # old sketch serving; thief's lock untouched by the zombie exit
+    frame, k = load_kmv_sketch(spark, path)
+    assert k == 16 and frame.count() == 16
+    with open(lock) as f:
+        assert "token=T" in f.read()
