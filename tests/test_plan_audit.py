@@ -312,3 +312,18 @@ def test_r9_signed_hdr_plan_shapes(small_spark):
     assert "CartesianProduct" not in sg_by
     assert sg_by.count("Scan parquet") == 1
     assert sg_by.count("Exchange hashpartitioning") <= 2
+
+
+def test_salted_join_replicated_side_never_broadcasts(small_spark):
+    """PLANS.md r13 job-count ledger (kept win): under the
+    small-input profile the salted join's replicated dim is
+    shuffle_hash — a broadcast build was both a separate job per
+    action AND semantically self-defeating (a broadcast join never
+    shuffles the hot key, so the salt spreads nothing). The declared
+    skew query must plan a ShuffledHashJoin on (key, salt) with no
+    broadcast anywhere."""
+    plan = _plan(small_spark, "skew_salted_rollup")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
