@@ -531,3 +531,71 @@ def test_witness_eviction_fallback_is_loud(
             == "skipped"
         )
     assert caplog.messages == []
+
+
+def test_many_streams_interleaved_with_eviction_churn(
+    spark, tmp_path, monkeypatch
+):
+    """Correctness under witness churn (r13): three streams
+    interleave appends into one index with the witness bound shrunk
+    to 1, so every append but the latest stream's runs the evicted
+    (O(index) validating join) path — and a redelivery arriving
+    while its stream's witness is evicted AND its ledger key intact
+    must still skip O(1) on the scoped key. The final index must
+    hold exactly the union of appended ids, once each."""
+    from etl_macropulse_br_spark.operators import ann_index as AI
+    from etl_macropulse_br_spark.streaming.ann_ingest import (
+        append_new_embeddings,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter("vec_id < 100")
+    idx_dir = str(tmp_path / "churn_idx")
+    AI.save_ann_index(
+        base, idx_dir, k=4, rounds=1, m=8, ks=8, pq_rounds=1, sub=8
+    )
+    monkeypatch.setattr(AI, "_STREAMS_KEEP", 1)
+
+    # 3 streams x 2 batches, interleaved so every stream's witness
+    # is evicted before its second batch
+    batches = {
+        ("A", 0): emb.filter("vec_id >= 100 and vec_id < 130"),
+        ("B", 0): emb.filter("vec_id >= 130 and vec_id < 160"),
+        ("C", 0): emb.filter("vec_id >= 160 and vec_id < 190"),
+        ("A", 1): emb.filter("vec_id >= 190 and vec_id < 220"),
+        ("B", 1): emb.filter("vec_id >= 220 and vec_id < 250"),
+        ("C", 1): emb.filter("vec_id >= 250 and vec_id < 280"),
+    }
+    for (sid, bid), df in batches.items():
+        assert (
+            append_new_embeddings(
+                df, idx_dir, batch_id=bid, stream_id=sid
+            )
+            == "appended"
+        ), (sid, bid)
+
+    # redeliveries while each stream's witness is (mostly) evicted:
+    # the scoped ledger key still short-circuits them O(1)
+    for (sid, bid), df in batches.items():
+        assert (
+            append_new_embeddings(
+                df, idx_dir, batch_id=bid, stream_id=sid
+            )
+            == "skipped"
+        ), (sid, bid)
+
+    idx = AI.load_ann_index(spark, idx_dir)
+    got = sorted(
+        r["vec_id"] for r in idx.assign.select("vec_id").collect()
+    )
+    want = sorted(
+        r["vec_id"]
+        for r in base.select("vec_id").collect()
+    ) + sorted(
+        r["vec_id"]
+        for df in batches.values()
+        for r in df.select("vec_id").collect()
+    )
+    assert got == sorted(want)  # union of all ids, exactly once
+    # the PQ invariant holds across the churn (codes = m x assign)
+    assert idx.codes.count() == 8 * len(got)
