@@ -425,7 +425,6 @@ def docs_near_dups_oldshape(spark, sf_dir):
     self-join and both shingle-set lookups auto-broadcast (separate
     build jobs per action)."""
     from etl_macropulse_br_spark.operators.dedup import (
-        minhash_lsh_candidates,
         minhash_signature_table,
         shingle_hash_rows,
         _minhash_banded,
