@@ -75,6 +75,7 @@ from __future__ import annotations
 import contextvars
 import functools
 import json
+import logging
 import os
 import shutil
 import uuid
@@ -82,6 +83,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 from etl_macropulse_br_spark.operators.statelock import writer_lock
 
@@ -125,7 +128,7 @@ def _locked_writer(fn):
     def wrapper(*args, **kwargs):
         path = kwargs["path"] if "path" in kwargs else args[1]
         with writer_lock(path, owner=fn.__name__) as lease:
-            token = _ACTIVE_LEASE.set(lease)
+            token = _ACTIVE_LEASE.set((os.path.abspath(path), lease))
             try:
                 return fn(*args, **kwargs)
             finally:
@@ -134,10 +137,16 @@ def _locked_writer(fn):
     return wrapper
 
 
-# The mutation's lease, visible to _commit_manifest (r13): threading
-# the handle through every mutator signature would churn the whole
-# call graph for one pre-commit check, so the locked wrapper
-# publishes it for the duration of the mutation instead.
+# The mutation's (path, lease), visible to _commit_manifest (r13):
+# threading the handle through every mutator signature would churn
+# the whole call graph for one pre-commit check, so the locked
+# wrapper publishes it for the duration of the mutation instead.
+# r14 (ADVICE r13 #3): the entry carries the LOCKED DIRECTORY too,
+# so the commit gate only ever conditions a manifest swap on the
+# lease that actually covers that directory — a future mutator that
+# commits a second index's manifest under its own lock neither gates
+# on the wrong lease nor skips silently (it logs, see
+# _commit_manifest).
 _ACTIVE_LEASE: "contextvars.ContextVar" = contextvars.ContextVar(
     "ann_index_writer_lease", default=None
 )
@@ -175,9 +184,25 @@ def _commit_manifest(path: str, manifest: dict) -> None:
     was judged dead), the commit RAISES instead of racing the new
     holder's commit; the old manifest keeps serving and the written
     segment directories are orphans the next writer prunes."""
-    lease = _ACTIVE_LEASE.get()
-    if lease is not None:
-        lease.check()
+    active = _ACTIVE_LEASE.get()
+    if active is not None:
+        lease_dir, lease = active
+        if lease_dir == os.path.abspath(path):
+            lease.check()
+        else:
+            # r14 (ADVICE r13 #3): a locked mutation committing a
+            # DIFFERENT directory's manifest — no in-repo call graph
+            # does this; if one ever does, gating this commit on the
+            # wrong directory's lease would be meaningless, so the
+            # commit proceeds ungated and the mismatch goes loud.
+            log.warning(
+                "_commit_manifest at %r: the active writer lease "
+                "covers %r, not this directory — committing WITHOUT "
+                "a displacement gate. Take a writer_lock on the "
+                "committed directory itself.",
+                path,
+                lease_dir,
+            )
     tmp = os.path.join(path, f".{_MANIFEST_NAME}.tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

@@ -1987,6 +1987,7 @@ def save_bloom_bitset(
     single file, so a reader (or a crash at any point) sees the old
     complete bitset or the new complete one, never a truncated
     JSON."""
+    import contextlib
     import json
     import os
     import uuid
@@ -1996,6 +1997,15 @@ def save_bloom_bitset(
     )
 
     with artifact_lock(path, owner="save_bloom_bitset") as lease:
+        # r14 (ADVICE r13 #2): we hold the artifact lease, so any
+        # sibling ``<path>.tmp-*`` is a dead leftover of a crashed or
+        # displaced save — prune it so repeated displacements cannot
+        # accumulate orphans
+        import glob
+
+        for stale in glob.glob(f"{path}.tmp-*"):
+            with contextlib.suppress(OSError):
+                os.unlink(stale)
         row = bloom_bitset(
             eval_df, text_col, id_col, n_shingle, n_bits, n_hashes
         ).first()
@@ -2011,8 +2021,15 @@ def save_bloom_bitset(
             f.flush()
             os.fsync(f.fileno())
         # displacement gate (r13): a lease stolen mid-build must not
-        # race the new holder's commit — the old bitset keeps serving
-        lease.check()
+        # race the new holder's commit — the old bitset keeps serving.
+        # r14 (ADVICE r13 #2): the aborted commit's tmp artifact is
+        # removed before re-raising instead of orphaned forever.
+        try:
+            lease.check()
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+            raise
         os.replace(tmp, path)
     return state
 

@@ -322,6 +322,19 @@ def _compact_signature_index_unlocked(
     import uuid
 
     sig_dir = os.path.join(state_dir, "signatures")
+    # r14 (ADVICE r13 #2): when the LIVE ``signatures/`` directory
+    # exists, any stranded ``signatures.compact-*`` sibling is a dead
+    # orphan from a crashed or displaced compaction — we hold the
+    # state-dir lease, so prune it here instead of letting repeated
+    # displacements accumulate dead parquet. When ``signatures/`` is
+    # MISSING (a crash landed between the two swap renames), the
+    # stranded directory is the documented recovery artifact and the
+    # read below fails loudly without touching it.
+    if os.path.isdir(sig_dir):
+        for stale in glob.glob(
+            os.path.join(state_dir, "signatures.compact-*")
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
     n = target_files or 1
     before_files = len(
         glob.glob(os.path.join(sig_dir, "**", "*.parquet"), recursive=True)
@@ -340,9 +353,17 @@ def _compact_signature_index_unlocked(
     old = os.path.join(state_dir, f"signatures.old-{uuid.uuid4().hex[:8]}")
     # displacement gate (r13): the directory swap is the compaction's
     # point of no return — a displaced lease must abort BEFORE it,
-    # leaving the live signatures untouched (tmp is an orphan)
+    # leaving the live signatures untouched. r14 (ADVICE r13 #2): the
+    # compacted tmp directory is removed before re-raising — the new
+    # lease holder owns the dir and will run its own compaction; an
+    # orphan here would otherwise persist forever (and the prune at
+    # the top of this function only runs on the next compaction).
     if lease is not None:
-        lease.check()
+        try:
+            lease.check()
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     os.rename(sig_dir, old)
     os.rename(tmp, sig_dir)
     shutil.rmtree(old)

@@ -120,18 +120,29 @@ def _save_versioned(
     # be silently ignored. The commit prunes everything that is not
     # the version tree or the pointer (we hold the artifact lease;
     # legacy readers that never upgraded keep their own pure-legacy
-    # stores untouched), so a store is always exactly ONE layout.
-    for name in os.listdir(path):
-        if name in ("versions", _POINTER_NAME):
-            continue
-        full = os.path.join(path, name)
-        if os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
-        else:
-            try:
-                os.unlink(full)
-            except OSError:
-                pass
+    # stores untouched), so a store converges to exactly ONE layout.
+    #
+    # r14 (ADVICE r13 #1): the prune is DEFERRED one commit. At the
+    # upgrade save (``prev is None`` — no pointer existed) the flat
+    # layout IS the predecessor artifact: a lock-less reader that
+    # resolved it via _load_versioned's legacy fallback just before
+    # the pointer swap may still be scanning it, and the module's
+    # guarantee is that the predecessor survives exactly one
+    # in-flight save. So the flat files are pruned only from the
+    # SECOND versioned save onward, the same retention every
+    # versioned predecessor gets.
+    if prev is not None:
+        for name in os.listdir(path):
+            if name in ("versions", _POINTER_NAME):
+                continue
+            full = os.path.join(path, name)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
 
 
 def _load_versioned(path: str, meta_name: str, family: str):

@@ -35,10 +35,21 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
 def small_input_profile(df: DataFrame) -> bool:
     """True when the session runs the small-input profile
     (session.get_spark(profile="small-input"): AQE off, static tiny
-    shuffle partitioning)."""
+    shuffle partitioning).
+
+    Keyed off the EXPLICIT profile marker get_spark writes (r14 —
+    ADVICE r13 #4), not inferred from AQE state: a session that
+    disables AQE for unrelated reasons is NOT the small-input
+    profile, and must not inherit its plan hints (a forced
+    shuffle_hash build on a replicated dim can OOM where sort-merge
+    would not, with no AQE fallback to save it). A session built
+    outside get_spark carries no marker and reads as the cluster
+    profile — the conservative default."""
     return (
-        df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
-        == "false"
+        df.sparkSession.conf.get(
+            "spark.etl_macropulse_br_spark.profile", ""
+        )
+        == "small-input"
     )
 
 

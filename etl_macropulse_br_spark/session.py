@@ -69,6 +69,14 @@ def get_spark(
             "spark.sql.adaptive.enabled",
             "false" if profile == "small-input" else "true",
         )
+        # Explicit profile marker (r14 — ADVICE r13 #4): plan-shape
+        # gates (operators/util.small_input_profile) key off THIS
+        # conf, not off AQE state — a production session that
+        # disables AQE for unrelated reasons must not inherit the
+        # small-input profile's hints (e.g. a forced shuffle_hash
+        # build on a replicated dim that could OOM without AQE's
+        # fallback).
+        .config("spark.etl_macropulse_br_spark.profile", profile)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")

@@ -73,9 +73,16 @@ def test_broadcast_small_is_profile_gated(small_spark):
 
 
 def test_cluster_profile_carries_no_hint_on_orders_sides():
-    """Build q7 under a cluster-profile config check: broadcast_small
-    must no-op when AQE is on (the session-level property the 100 TB
-    deployment relies on)."""
+    """Build under a cluster-profile config check: broadcast_small
+    must no-op outside the small-input profile (the session-level
+    property the 100 TB deployment relies on).
+
+    r14 (ADVICE r13 #4): the gate keys off the EXPLICIT profile
+    marker, not AQE state — this test flips ONLY the marker while
+    AQE stays disabled (the small-input session's posture), i.e. the
+    exact "production session with AQE off for unrelated reasons"
+    shape that must NOT inherit the small-input hints (a pinned
+    shuffle_hash/broadcast build with no AQE fallback)."""
     from etl_macropulse_br_spark.operators.util import (
         broadcast_small,
         small_input_profile,
@@ -83,10 +90,11 @@ def test_cluster_profile_carries_no_hint_on_orders_sides():
     from etl_macropulse_br_spark.session import get_spark
 
     spark = get_spark(app_name="test_plans", profile="small-input")
-    # flip the live conf to the cluster posture; broadcast_small
-    # reads it per-call
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # flip the marker to the cluster posture; AQE remains OFF —
+    # broadcast_small reads the marker per-call
+    spark.conf.set("spark.etl_macropulse_br_spark.profile", "cluster")
     try:
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
         df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
         assert not small_input_profile(df)
         unhinted = broadcast_small(df)
@@ -95,7 +103,9 @@ def test_cluster_profile_carries_no_hint_on_orders_sides():
             not in unhinted._jdf.queryExecution().analyzed().toString()
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.etl_macropulse_br_spark.profile", "small-input"
+        )
 
 
 def test_price_percentiles_no_full_fact_exchange(small_spark):

@@ -142,10 +142,12 @@ def test_kmv_reader_mid_save_sees_complete_artifact(spark, tmp_path):
 def test_kmv_legacy_flat_layout_still_loads(spark, tmp_path):
     """Pre-r12 stores (parquet + sidecar directly under path) load
     unchanged; the first r12 save moves the store to the pointer
-    layout and wins resolution. r13 (VERDICT r12 What's missing #3):
-    that first versioned commit also PRUNES the now-shadowed flat
-    files — a store is always exactly one layout, and an out-of-band
-    legacy-style write can no longer sit silently ignored."""
+    layout and wins resolution. r14 (ADVICE r13 #1): the upgrade
+    save RETAINS the flat files — they are that commit's predecessor
+    artifact, and a lock-less reader that resolved them via the
+    legacy fallback just before the pointer swap must be able to
+    finish its scan. The SECOND versioned save prunes them, so the
+    store still converges to exactly one layout."""
     from etl_macropulse_br_spark.operators.sketches import (
         _write_sidecar_atomic,
         load_kmv_sketch,
@@ -159,19 +161,24 @@ def test_kmv_legacy_flat_layout_still_loads(spark, tmp_path):
     assert k == 16 and frame.count() == 16
     save_kmv_sketch(_kmv(spark, n=50, k=8), path, k=8)
     assert load_kmv_sketch(spark, path)[1] == 8
-    # upgrade-in-place leaves ONLY the versioned layout behind: no
-    # legacy parquet, no legacy sidecar, no _SUCCESS markers
-    assert sorted(os.listdir(path)) == ["_current.json", "versions"]
-    # and the upgraded store keeps serving across a further commit
+    # upgrade save: the flat layout survives one in-flight save (it
+    # is the predecessor artifact) — shadowed by the pointer, but an
+    # in-flight legacy reader can still finish its scan
+    assert "_kmv_meta.json" in os.listdir(path)
+    # the save after next prunes it: only the versioned layout left
     save_kmv_sketch(_kmv(spark, n=30, k=4), path, k=4)
     assert load_kmv_sketch(spark, path)[1] == 4
+    assert sorted(os.listdir(path)) == ["_current.json", "versions"]
+    # and a further commit keeps the clean layout
+    save_kmv_sketch(_kmv(spark, n=20, k=4), path, k=4)
     assert sorted(os.listdir(path)) == ["_current.json", "versions"]
 
 
 def test_hdr_legacy_flat_layout_pruned_on_upgrade(spark, tmp_path):
     """The HDR twin of the upgrade-prune (shared _save_versioned
-    path): pure-legacy loads stay covered, the first versioned save
-    prunes the flat files."""
+    path): pure-legacy loads stay covered; the upgrade save retains
+    the flat files for one in-flight legacy reader (r14 — ADVICE
+    r13 #1) and the save after next prunes them."""
     from etl_macropulse_br_spark.operators.sketches import (
         _write_sidecar_atomic,
         load_hdr_histogram,
@@ -186,6 +193,9 @@ def test_hdr_legacy_flat_layout_pruned_on_upgrade(spark, tmp_path):
     frame, meta = load_hdr_histogram(spark, path)
     assert meta["s"] == 8 and frame.count() > 0
     save_hdr_histogram(_hdr(spark, n=50, s=4), path, s=4)
+    assert load_hdr_histogram(spark, path)[1]["s"] == 4
+    assert "_hdr_meta.json" in os.listdir(path)  # one-save retention
+    save_hdr_histogram(_hdr(spark, n=40, s=4), path, s=4)
     assert load_hdr_histogram(spark, path)[1]["s"] == 4
     assert sorted(os.listdir(path)) == ["_current.json", "versions"]
 
@@ -383,3 +393,103 @@ def test_displacement_detected_live_and_gates_commit(spark, tmp_path):
     assert k == 16 and frame.count() == 16
     with open(lock) as f:
         assert "token=T" in f.read()
+
+
+def test_bloom_displacement_leaves_no_tmp_orphan(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (ADVICE r13 #2): when the displacement gate fires AFTER
+    the tmp bitset was written, the aborted commit must unlink its
+    ``<path>.tmp-*`` file before re-raising — repeated displacements
+    previously accumulated dead tmp files forever. And the next
+    LOCKED save prunes any tmp a hard crash did leave behind."""
+    import contextlib
+
+    from etl_macropulse_br_spark.operators import statelock
+    from etl_macropulse_br_spark.operators.dedup import (
+        load_bloom_bitset,
+        save_bloom_bitset,
+    )
+    from etl_macropulse_br_spark.operators.statelock import (
+        WriterLease,
+        WriterLeaseDisplaced,
+    )
+
+    path = str(tmp_path / "bloom.json")
+    s1 = save_bloom_bitset(_docs(spark), path, n_bits=1 << 12)
+
+    displaced = WriterLease()
+    displaced.displaced = True
+
+    @contextlib.contextmanager
+    def displaced_lock(*a, **kw):
+        yield displaced
+
+    monkeypatch.setattr(statelock, "artifact_lock", displaced_lock)
+    with pytest.raises(WriterLeaseDisplaced):
+        save_bloom_bitset(_docs(spark, 5), path, n_bits=1 << 10)
+    monkeypatch.undo()
+    assert load_bloom_bitset(path) == s1  # old bitset serving
+    orphans = [
+        n
+        for n in os.listdir(tmp_path)
+        if n.startswith("bloom.json.tmp-")
+    ]
+    assert orphans == []  # the aborted commit cleaned up after itself
+
+    # a hard crash (no chance to clean) leaves a tmp; the next
+    # locked save prunes it under the lease
+    with open(f"{path}.tmp-deadbeef", "w") as f:
+        f.write("{}")
+    s2 = save_bloom_bitset(_docs(spark, 5), path, n_bits=1 << 10)
+    assert load_bloom_bitset(path) == s2
+    assert not os.path.exists(f"{path}.tmp-deadbeef")
+
+
+def test_signature_compact_displacement_leaves_no_orphan_dir(
+    spark, tmp_path
+):
+    """r14 (ADVICE r13 #2), compaction twin: a displaced lease
+    aborts the swap AND removes its ``signatures.compact-*`` temp
+    directory; a crash-stranded compact dir is pruned by the next
+    compaction while the live ``signatures/`` exists. The recovery
+    case (no live ``signatures/`` — crash between the swap renames)
+    is untouched: the read fails loudly before any prune."""
+    from etl_macropulse_br_spark.operators.signature_index import (
+        _compact_signature_index_unlocked,
+        compact_signature_index,
+    )
+    from etl_macropulse_br_spark.operators.statelock import (
+        WriterLease,
+        WriterLeaseDisplaced,
+    )
+
+    state = str(tmp_path / "sigstate")
+    sig_dir = os.path.join(state, "signatures")
+    spark.range(40).select(
+        F.col("id").cast("string").alias("id"),
+        (F.col("id") % 7).alias("sig"),
+    ).write.parquet(sig_dir)
+    n_live = spark.read.parquet(sig_dir).count()
+
+    displaced = WriterLease()
+    displaced.displaced = True
+    with pytest.raises(WriterLeaseDisplaced):
+        _compact_signature_index_unlocked(
+            spark, state, target_files=1, lease=displaced
+        )
+    leftovers = [
+        n for n in os.listdir(state) if n.startswith("signatures.")
+    ]
+    assert leftovers == []  # aborted swap cleaned its compact dir
+    assert spark.read.parquet(sig_dir).count() == n_live  # intact
+
+    # crash-stranded orphan next to a LIVE signatures/: pruned by
+    # the next compaction
+    stranded = os.path.join(state, "signatures.compact-dead1234")
+    spark.range(3).select(
+        F.col("id").cast("string").alias("id")
+    ).write.parquet(stranded)
+    out = compact_signature_index(spark, state, target_files=1)
+    assert not os.path.exists(stranded)
+    assert out["rows_after"] == n_live

@@ -504,12 +504,14 @@ def test_displaced_lease_check_raises_and_commits_refuse(tmp_path):
     with pytest.raises(WriterLeaseDisplaced, match="refusing to commit"):
         lease.check()
 
-    # _commit_manifest honors the active mutation's lease
+    # _commit_manifest honors the active mutation's lease (r14 —
+    # ADVICE r13 #3: the contextvar entry is (locked_dir, lease), so
+    # the gate is scoped to the directory the lease covers)
     idx = str(tmp_path / "idx")
     os.makedirs(idx)
     AI._commit_manifest(idx, {"segments": [], "adc_history": []})
     before = open(os.path.join(idx, "MANIFEST.json")).read()
-    token = AI._ACTIVE_LEASE.set(lease)
+    token = AI._ACTIVE_LEASE.set((os.path.abspath(idx), lease))
     try:
         with pytest.raises(WriterLeaseDisplaced):
             AI._commit_manifest(idx, {"segments": ["THIEF-RACE"]})
@@ -517,3 +519,34 @@ def test_displaced_lease_check_raises_and_commits_refuse(tmp_path):
         AI._ACTIVE_LEASE.reset(token)
     assert open(os.path.join(idx, "MANIFEST.json")).read() == before
     assert json.loads(before)["segments"] == []
+
+
+def test_commit_manifest_lease_gate_is_path_scoped(tmp_path, caplog):
+    """ADVICE r13 #3: a lease published for one directory must not
+    gate (or block) a commit of a DIFFERENT directory's manifest —
+    that commit proceeds ungated and the mismatch logs a warning
+    naming both paths."""
+    import json as _json
+    import logging as _logging
+
+    from etl_macropulse_br_spark.operators import ann_index as AI
+    from etl_macropulse_br_spark.operators.statelock import WriterLease
+
+    lease = WriterLease()
+    lease.displaced = True  # would raise if (wrongly) consulted
+    locked_dir = str(tmp_path / "locked_idx")
+    other_dir = str(tmp_path / "other_idx")
+    os.makedirs(locked_dir)
+    os.makedirs(other_dir)
+    token = AI._ACTIVE_LEASE.set((os.path.abspath(locked_dir), lease))
+    try:
+        with caplog.at_level(_logging.WARNING):
+            AI._commit_manifest(
+                other_dir, {"segments": ["X"], "adc_history": []}
+            )
+    finally:
+        AI._ACTIVE_LEASE.reset(token)
+    written = _json.load(open(os.path.join(other_dir, "MANIFEST.json")))
+    assert written["segments"] == ["X"]  # committed, not blocked
+    warn = [m for m in caplog.messages if "WITHOUT" in m]
+    assert len(warn) == 1
