@@ -451,3 +451,138 @@ def test_stream_ingest_cli_embeddings_end_to_end(spark, tmp_path):
     assert load_ann_index(spark, index_dir).manifest[
         "committed_batches"
     ] == [f"{ckpt}:0"]
+
+
+# ---------------------------------------------------------------
+# concurrent many-series fan-out (r14 — VERDICT r13 Next round #1)
+
+
+def _sid_payload(sid: int) -> list[dict]:
+    """Two rows per series, values derived from the sid so every
+    series' slice is distinguishable in the output."""
+    return [
+        {"data": "02/01/2026", "valor": f"{sid},10"},
+        {"data": "09/01/2026", "valor": f"{sid},25"},
+    ]
+
+
+def _sid_from_url(url: str) -> int:
+    # BCB_URL shape: .../bcdata.sgs.{sid}/dados?...
+    return int(url.split("bcdata.sgs.")[1].split("/")[0])
+
+
+def test_extract_bcb_many_concurrent_equals_serial(spark):
+    """Differential pin: the concurrent single-createDataFrame path
+    produces EXACTLY the silver frame the serial per-series path
+    (extract_bcb_sgs_series + unionByName) produces — same rows,
+    same order, same schema."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from etl_macropulse_br_spark.sources.rest import (
+        extract_bcb_many,
+        extract_bcb_sgs_series,
+    )
+
+    series = [(11, "selic"), (433, "ipca"), (1, "cambio"), (189, "igpm")]
+
+    def fetch(url):
+        sid = _sid_from_url(url)
+        if sid == 1:
+            return []  # one empty series: contributes no rows
+        return _sid_payload(sid)
+
+    many = extract_bcb_many(
+        spark, series, "2025-12-01", "2026-01-31", fetch=fetch
+    )
+    serial = reduce(
+        DataFrame.unionByName,
+        [
+            extract_bcb_sgs_series(
+                spark, sid, name, "2025-12-01", "2026-01-31", fetch=fetch
+            )
+            for sid, name in series
+        ],
+    )
+    assert many.schema == serial.schema
+    assert many.collect() == serial.collect()  # rows AND order
+
+
+def test_extract_bcb_many_fetches_run_concurrently(spark):
+    """N injected slow fetches complete in ~one fetch's wall time
+    (the serial r13 shape would take N x sleep)."""
+    import time
+
+    from etl_macropulse_br_spark.sources.rest import extract_bcb_many
+
+    sleep_s = 0.4
+    series = [(100 + i, f"s{i}") for i in range(8)]
+
+    def slow_fetch(url):
+        time.sleep(sleep_s)
+        return _sid_payload(_sid_from_url(url))
+
+    t0 = time.perf_counter()
+    df = extract_bcb_many(
+        spark, series, "2025-12-01", "2026-01-31", fetch=slow_fetch
+    )
+    fetch_wall = time.perf_counter() - t0  # fetch is eager; plan is lazy
+    assert fetch_wall < 4 * sleep_s, fetch_wall  # serial = 8 x 0.4 = 3.2 s
+    assert df.count() == 16
+
+
+def test_extract_bcb_many_error_isolation(spark, caplog):
+    """All fetches settle before failures are reported: one raise
+    names EVERY failed series (a fail-fast would hide the second);
+    on_error='skip' warns and keeps the successes."""
+    import logging
+
+    from etl_macropulse_br_spark.sources.rest import extract_bcb_many
+
+    series = [(11, "ok1"), (666, "bad1"), (433, "ok2"), (667, "bad2")]
+
+    def flaky_fetch(url):
+        sid = _sid_from_url(url)
+        if sid >= 666:
+            raise ConnectionError(f"boom {sid}")
+        return _sid_payload(sid)
+
+    with pytest.raises(RuntimeError) as ei:
+        extract_bcb_many(
+            spark, series, "2025-12-01", "2026-01-31", fetch=flaky_fetch
+        )
+    msg = str(ei.value)
+    assert "series 666" in msg and "series 667" in msg
+    assert "2/4" in msg
+
+    with caplog.at_level(logging.WARNING):
+        df = extract_bcb_many(
+            spark,
+            series,
+            "2025-12-01",
+            "2026-01-31",
+            fetch=flaky_fetch,
+            on_error="skip",
+        )
+        got = sorted(
+            (r["series_id"], r["series_name"]) for r in df.collect()
+        )
+    assert got == [(11, "ok1")] * 2 + [(433, "ok2")] * 2
+    assert any("666" in m and "667" in m for m in caplog.messages)
+
+    with pytest.raises(ValueError, match="on_error"):
+        extract_bcb_many(
+            spark, series, "2025-12-01", "2026-01-31",
+            fetch=flaky_fetch, on_error="ignore",
+        )
+
+
+def test_extract_bcb_many_empty_series_list(spark):
+    from etl_macropulse_br_spark.sources.rest import (
+        BCB_SILVER_SCHEMA,
+        extract_bcb_many,
+    )
+
+    df = extract_bcb_many(spark, [], "2025-12-01", "2026-01-31")
+    assert df.schema == BCB_SILVER_SCHEMA and df.count() == 0
