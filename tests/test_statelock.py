@@ -25,6 +25,7 @@ import pytest
 
 from etl_macropulse_br_spark.operators.statelock import (
     FakeConditionalStore,
+    FlockLockProvider,
     ObjectStoreLockProvider,
     PosixLockProvider,
     WriterLockHeld,
@@ -35,6 +36,7 @@ from etl_macropulse_br_spark.operators.statelock import (
 def _providers():
     return [
         ("posix", lambda: PosixLockProvider()),
+        ("flock", lambda: FlockLockProvider()),
         (
             "objectstore",
             lambda: ObjectStoreLockProvider(FakeConditionalStore()),
@@ -148,8 +150,16 @@ def test_concurrent_contenders_exactly_one_wins(tmp_path, provider):
 
 
 def _backdate(provider, lock: str, seconds: float) -> None:
-    """Age a lock for staleness tests, per provider."""
-    if isinstance(provider, PosixLockProvider):
+    """Age a lock into a DEAD-holder shape for staleness tests, per
+    provider. For the flock provider age alone is not death — the
+    kernel-held flock must also vanish the way it does when the
+    holder's process exits (fds closed), so the test hook drops the
+    held fd too."""
+    if isinstance(provider, FlockLockProvider):
+        provider.drop_for_test(lock)
+        past = time.time() - seconds
+        os.utime(lock, (past, past))
+    elif isinstance(provider, PosixLockProvider):
         past = time.time() - seconds
         os.utime(lock, (past, past))
     else:
@@ -265,6 +275,9 @@ def _provider_pairs():
     def posix():
         return PosixLockProvider(), PosixLockProvider()
 
+    def flock():
+        return FlockLockProvider(), FlockLockProvider()
+
     def objectstore():
         store = FakeConditionalStore()
         return (
@@ -272,7 +285,11 @@ def _provider_pairs():
             ObjectStoreLockProvider(store),
         )
 
-    return [("posix", posix), ("objectstore", objectstore)]
+    return [
+        ("posix", posix),
+        ("flock", flock),
+        ("objectstore", objectstore),
+    ]
 
 
 @pytest.mark.parametrize(
@@ -550,3 +567,107 @@ def test_commit_manifest_lease_gate_is_path_scoped(tmp_path, caplog):
     assert written["segments"] == ["X"]  # committed, not blocked
     warn = [m for m in caplog.messages if "WITHOUT" in m]
     assert len(warn) == 1
+
+
+# ---------------------------------------------------------------
+# flock-provider-specific pins (r14 — VERDICT r13 What's wrong #2)
+
+
+def test_flock_steal_never_breaks_live_holder(tmp_path):
+    """The property the flock provider exists for: a LIVE holder —
+    kernel flock held — can never lose its lease to a stale-judging
+    waiter, even when its heartbeats stalled long enough for the
+    mtime to look ancient. The posix provider only narrows this
+    (mtime condition); flock CLOSES it: the steal's non-blocking
+    flock is refused by the kernel while any fd of a living process
+    holds the lease."""
+    holder = FlockLockProvider()
+    waiter = FlockLockProvider()
+    d = str(tmp_path / "state")
+    lock = os.path.join(d, ".writer.lock")
+    os.makedirs(d)
+    assert holder.try_create(lock, "owner pid=1 token=LIVE t=0")
+    # heartbeats stalled: mtime is ancient, but the PROCESS lives
+    # (the flock fd is still open) — no drop_for_test here
+    past = time.time() - 7200
+    os.utime(lock, (past, past))
+
+    age, body = waiter.read_holder(lock)
+    assert age > 3600 and "token=LIVE" in body  # judged stale...
+    waiter.steal(lock, "thief")
+    # ...but the steal was refused by the kernel: lock untouched
+    got = waiter.read_holder(lock)
+    assert got is not None and "token=LIVE" in got[1]
+
+    # the full protocol refuses too (8 steal attempts, all kernel-
+    # refused, then a loud error — never a second writer)
+    with pytest.raises(WriterLockHeld):
+        with writer_lock(
+            d, owner="waiter", stale_after_s=3600, provider=waiter
+        ):
+            pass
+    got = waiter.read_holder(lock)
+    assert got is not None and "token=LIVE" in got[1]
+
+    # the moment the holder's process dies (fds close), recovery
+    # works with no manual intervention
+    holder.drop_for_test(lock)
+    with writer_lock(
+        d, owner="recoverer", stale_after_s=3600, provider=waiter
+    ):
+        pass
+
+
+def test_flock_steal_aborts_when_inode_swapped(tmp_path):
+    """steal's inode check: if the path was re-pointed (a concurrent
+    steal + a new holder's link) between the stealer's open and its
+    flock, the rename must not move the NEW holder's lock."""
+    prov = FlockLockProvider()
+    thief = FlockLockProvider()
+    lock = str(tmp_path / ".writer.lock")
+
+    assert prov.try_create(lock, "dead pid=0 token=OLD t=0")
+    prov.drop_for_test(lock)
+    past = time.time() - 7200
+    os.utime(lock, (past, past))
+    assert thief.read_holder(lock)[0] > 3600
+
+    # between thief's judgment and its steal, a recoverer replaces
+    # the lock (steal + retake)
+    other = FlockLockProvider()
+    other.steal(lock, "other")
+    assert other.try_create(lock, "new pid=2 token=NEW t=1")
+
+    thief.steal(lock, "thief")  # observed mtime is gone/different
+    got = thief.read_holder(lock)
+    assert got is not None and "token=NEW" in got[1]
+
+
+def test_flock_fd_is_dropped_on_release_and_displacement(tmp_path):
+    """No fd leak on either exit path: a normal release closes the
+    held fd; a displaced holder (manual break + thief) closes its
+    orphaned-inode fd at release while leaving the thief's lock."""
+    import logging
+
+    d = str(tmp_path / "state")
+    lock = os.path.join(d, ".writer.lock")
+    prov = FlockLockProvider()
+    with writer_lock(d, owner="clean", provider=prov):
+        assert prov._fds  # held
+    assert prov._fds == {}  # closed on release
+
+    thief = FlockLockProvider()
+    logging.getLogger().handlers  # keep caplog-free: just exercise
+    with writer_lock(
+        d, owner="victim", stale_after_s=0.4, provider=prov
+    ) as lease:
+        os.unlink(lock)  # manual break out from under the holder
+        assert thief.try_create(lock, "thief pid=9 token=T t=1")
+        for _ in range(100):
+            if lease.displaced:
+                break
+            time.sleep(0.05)
+        assert lease.displaced is True
+    assert prov._fds == {}  # orphaned-inode fd closed at release
+    got = thief.read_holder(lock)
+    assert got is not None and "token=T" in got[1]  # thief intact
