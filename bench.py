@@ -339,6 +339,25 @@ def main() -> None:
         "estimated_floor_sec": round(
             s1["null_job_sec"] * sum(s1["jobs"].values()), 3
         ),
+        # Per-query floor decomposition (r14 — VERDICT r13 next #3):
+        # time minus this deployment's fixed per-job scheduling cost
+        # (jobs x null_job_sec), i.e. the part of each query's local
+        # number that is COMPUTE rather than job-launch overhead. A
+        # query whose Spark/DuckDB ratio is large but whose excess is
+        # comparable to the DuckDB time is floor-dominated — the gap
+        # amortizes to nothing at real data scale; a query whose
+        # EXCESS dwarfs its DuckDB twin has a genuine compute gap.
+        "queries_excess_over_floor": {
+            n: round(
+                max(
+                    0.0,
+                    timings[n]
+                    - s1["jobs"].get(n, 0.0) * s1["null_job_sec"],
+                ),
+                3,
+            )
+            for n in names
+        },
         # 1-minute load averages at bench START (pre-s1: external
         # load only) and END (inflated by the bench itself) — the
         # start number is the one that correlates a bad worst-pass
