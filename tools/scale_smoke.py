@@ -545,18 +545,27 @@ def main() -> None:
     )
     from etl_macropulse_br_spark.plans.queries import QUERIES
 
+    # r14 (VERDICT r13 next #5): skew_salted_rollup joins the cold-
+    # scale set — its r13 plan change (profile-gated shuffle_hash on
+    # the replicated dim) is only worth keeping if the salt's scale
+    # property holds, and the salt's entire value proposition IS a
+    # scale property. Replicating events by event_id keeps user_id
+    # identical across copies, so the HOT key's row count grows K
+    # with the table — the exact shape the salt must keep spreading.
     top5 = {
         "docs_curated": "linear",
         "docs_near_dups": "pairs",
         "embedding_near_dups": "pairs",
         "docs_bm25_topk": "linear",
         "price_percentiles": "linear",
+        "skew_salted_rollup": "linear",
     }
     scale_root = tempfile.mkdtemp(prefix="scale_smoke_top5_")
     tabs = [
         ("documents", "doc_id", "text"),
         ("embeddings", "vec_id", None),
         ("lineitem", "l_orderkey", None),
+        ("events", "event_id", None),
     ]
     kdirs = {}
     for kk in (1, 4, 16):
