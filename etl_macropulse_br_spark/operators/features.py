@@ -1,12 +1,14 @@
 """Per-group feature normalization — expression path and grouped-map
 pandas path.
 
-``zscore_expr`` computes the per-group z-score with window
-aggregates over EXACT integer sums (values are finite 2-decimal
-doubles → cents), deriving mean and sample variance from
-(n, Σc, Σc²) with the same double arithmetic on both engines — so
-the result is bit-identical in the DuckDB oracle despite involving a
-variance.
+``zscore_expr`` computes the per-group z-score from EXACT integer
+sums (values are finite 2-decimal doubles → cents), deriving mean
+and sample variance from (n, Σc, Σc²) with the same double
+arithmetic on both engines — so the result is bit-identical in the
+DuckDB oracle despite involving a variance. The moments come from a
+groupBy-agg joined back to the rows (r14; previously a whole-group
+window): map-side partial aggregation replaces the full-fact
+exchange-and-sort that WindowExec pays.
 
 ``zscore_pandas`` is the same semantics via ``applyInPandas``
 (grouped map) — the API of choice when per-group logic outgrows SQL
@@ -49,7 +51,24 @@ def zscore_expr(
     branch wrapping the output (null short-circuit would skip an
     appended guard), and z is never inferred into join/explode
     constraints here, so the guard fires only on genuine overflow."""
-    w = Window.partitionBy(*group_cols)
+    # Plan shape (r14 — VERDICT r13 next #3, A/B'd with numbers in
+    # PLANS.md "Floor certification"): group moments via
+    # groupBy-agg + join-back, NOT a whole-group window. The window
+    # shape exchanges the FULL fact hash-partitioned by the group
+    # cols and sorts it inside WindowExec; the agg shape
+    # partial-aggregates map-side down to |groups| rows and joins
+    # them back — no sort, and the exchanged bytes drop from
+    # O(rows) to O(groups). Same exact decimal moments, same double
+    # conversion points (sums of exact integers are
+    # order-independent), so the result is value-identical —
+    # verified row-for-row against the window shape AND the DuckDB
+    # oracle. The join is null-safe (a NULL group is a group, as in
+    # the window/SQL semantics) and the moments side goes through
+    # broadcast_small: hinted under the small-input profile, AQE's
+    # runtime stats decide at cluster scale (a high-cardinality
+    # grouping must never be pinned into a driver-OOM broadcast).
+    from etl_macropulse_br_spark.operators.util import broadcast_small
+
     # shift-then-truncate == round-half-away-from-zero, minus the
     # per-row BigDecimal cost of F.round (see plans.queries._scaled)
     x = F.col(value_col) * 100
@@ -60,9 +79,31 @@ def zscore_expr(
     # count NON-NULL values (r9): count(*) counted null-value rows
     # while the sums skipped them — wrong mean/variance for every
     # group containing a null
-    n = F.count(c).over(w)
-    s = F.sum(cd).over(w)
-    ssq = F.sum(cd * cd).over(w)
+    mom = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(c).alias("__zs_n"),
+            F.sum(cd).alias("__zs_s"),
+            F.sum(cd * cd).alias("__zs_ssq"),
+        )
+        .select(
+            *[
+                F.col(g).alias(f"__zs_g{i}")
+                for i, g in enumerate(group_cols)
+            ],
+            "__zs_n",
+            "__zs_s",
+            "__zs_ssq",
+        )
+    )
+    cond = None
+    for i, g in enumerate(group_cols):
+        e = df[g].eqNullSafe(F.col(f"__zs_g{i}"))
+        cond = e if cond is None else cond & e
+    joined = df.join(broadcast_small(mom), cond, "left")
+    n = F.col("__zs_n")
+    s = F.col("__zs_s")
+    ssq = F.col("__zs_ssq")
     # var in cents² with the textbook (ssq - s²/n)/(n-1) form; the
     # exact decimal integers convert to double exactly where
     # DuckDB's HUGEINT/BIGINT division does
@@ -74,7 +115,7 @@ def zscore_expr(
     # n >= 2 counts NON-NULL cents, so s/ssq/(s*s) can only be NULL
     # through decimal(38,0) overflow — fail fast (see docstring)
     moments_ok = (n < 2) | (ssq.isNotNull() & (s * s).isNotNull())
-    return df.withColumn(
+    return joined.withColumn(
         out_col,
         F.coalesce(
             F.assert_true(
@@ -88,6 +129,11 @@ def zscore_expr(
             ).cast("double"),
             F.when((n >= 2) & (var_cents > 0), z),
         ),
+    ).drop(
+        *[f"__zs_g{i}" for i in range(len(group_cols))],
+        "__zs_n",
+        "__zs_s",
+        "__zs_ssq",
     )
 
 

@@ -587,6 +587,114 @@ def docs_near_dups_shhint(spark, sf_dir):
     )
 
 
+def zscore_events_aggjoin(spark, sf_dir):
+    """zscore_events with the whole-group window replaced by
+    groupBy-moments + broadcast join back (r14 — VERDICT r13 next
+    #3). The window shape exchanges the FULL fact by event_type and
+    sorts it inside WindowExec; the agg shape partial-aggregates
+    map-side down to |groups| rows, broadcasts them, and never
+    sorts. Same exact decimal moments, same double conversion
+    points, same overflow guard — value-identical by construction
+    (sums of exact integers are order-independent)."""
+    from etl_macropulse_br_spark.plans.queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value") * 100
+    c = (
+        F.when(x < 0, x - F.lit(0.5))
+        .otherwise(x + F.lit(0.5))
+        .cast("bigint")
+    )
+    base = ev.select("event_id", "event_type", "value", c.alias("__c"))
+    cd = F.col("__c").cast("decimal(19,0)")
+    mom = base.groupBy("event_type").agg(
+        F.count("__c").alias("__n"),
+        F.sum(cd).alias("__s"),
+        F.sum(cd * cd).alias("__ssq"),
+    )
+    j = base.join(F.broadcast(mom), "event_type")
+    n, s, ssq = F.col("__n"), F.col("__s"), F.col("__ssq")
+    mean_cents = s.cast("double") / n
+    var_cents = (
+        ssq.cast("double") - (s * s).cast("double") / n
+    ) / (n - 1)
+    z = (F.col("__c") - mean_cents) / F.sqrt(var_cents)
+    moments_ok = (n < 2) | (ssq.isNotNull() & (s * s).isNotNull())
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.coalesce(
+            F.assert_true(
+                moments_ok,
+                F.lit(
+                    "zscore_expr: group moments overflowed "
+                    "decimal(38,0)"
+                ),
+            ).cast("double"),
+            F.when((n >= 2) & (var_cents > 0), z),
+        ).alias("zscore"),
+    )
+
+
+def props_get_json_object(spark, sf_dir):
+    """props_struct_parse with get_json_object instead of schema'd
+    from_json: one JSON path probe per row instead of a full
+    struct-schema parse. try_cast keeps the ANSI (driver) session
+    coercive like the engine session."""
+    from etl_macropulse_br_spark.plans.queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
+    ).filter(F.col("k") % 10 == 0)
+
+
+def q10_all_shuffle(spark, sf_dir):
+    """q10 with every join shuffle-hash: trades the two broadcast
+    BUILD jobs (each a blocking collect-and-publish) for in-job
+    exchanges — fewer jobs, more shuffled bytes."""
+    from etl_macropulse_br_spark.plans.queries import _scaled, _t
+    from etl_macropulse_br_spark.operators.util import (
+        fold_fixed_dim,
+        literal_lookup,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation")
+
+    ord_q = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    nations = fold_fixed_dim(nat, "n_nationkey", "n_name")
+    cust_n = cust.filter(
+        F.col("c_nationkey").isin(list(nations))
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        literal_lookup(nations, "c_nationkey").alias("n_name"),
+    )
+    build = ord_q.join(
+        _sh(cust_n), ord_q.o_custkey == cust_n.c_custkey
+    ).select("o_orderkey", "c_custkey", "c_name", "c_acctbal", "n_name")
+    revenue_scaled = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(_sh(build), li.l_orderkey == build.o_orderkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(revenue_scaled) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def _registry(name):
     def run(spark, sf_dir):
         from etl_macropulse_br_spark.plans.queries import QUERIES
@@ -619,6 +727,13 @@ VARIANTS = {
     "docs_near_dups_bandhint": docs_near_dups_bandhint,
     "docs_near_dups_shhint": docs_near_dups_shhint,
     "docs_curated_oldshape": docs_curated_oldshape,
+    # r14 floor-certification challengers (VERDICT r13 next #3)
+    "zscore_events": _registry("zscore_events"),
+    "zscore_events_aggjoin": zscore_events_aggjoin,
+    "props_struct_parse": _registry("props_struct_parse"),
+    "props_get_json_object": props_get_json_object,
+    "q10_returned_items": _registry("q10_returned_items"),
+    "q10_all_shuffle": q10_all_shuffle,
 }
 
 
