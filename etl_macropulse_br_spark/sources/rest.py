@@ -17,9 +17,12 @@ failure). The fetched rows land in ONE ``createDataFrame`` — no
 union at all, where the r9-r13 shape built a left-deep
 ``reduce(unionByName)`` tree that is analyzer-hostile at thousands
 of series. Payloads stay control-plane sized (one series ≈ hundreds
-of rows); an O(10^5)-series ingest whose ROWS no longer fit on the
-driver would move the fetch into ``mapInPandas`` over a series-id
-frame (one task per series), which remains extension surface.
+of rows); for an O(10^4+)-series ingest whose rows no longer fit on
+the driver (or whose bandwidth outgrows one NIC),
+``extract_bcb_many_distributed`` moves the fetch into
+``mapInPandas`` over the series control frame — executor-side
+fan-out, Arrow batches straight from the fetching task, pinned
+row-equal to the driver path.
 """
 
 from __future__ import annotations
@@ -247,6 +250,108 @@ def extract_bcb_many(
         for r in recs
     ]
     raw = spark.createDataFrame(rows, BCB_MANY_RAW_SCHEMA)
+    return raw.select(
+        "series_id",
+        "series_name",
+        parse_date_ddmmyyyy("data").alias("date"),
+        parse_ptbr_number("valor").alias("value"),
+    )
+
+
+def extract_bcb_many_distributed(
+    spark: SparkSession,
+    series: Iterable[tuple[int, str]],
+    start_date: str,
+    end_date: str,
+    fetch: FetchFn | None = None,
+    series_per_task: int = 8,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Executor-side fan-out for the many-series ingest (the scale
+    path SURVEY §2 S1 names: ``mapInPandas`` over the series control
+    frame, one task per slice of series) — for corpora where even a
+    driver thread pool serializes on one machine's NIC/CPU, or where
+    the fetched ROWS no longer fit driver memory. The driver never
+    sees a record: each task fetches its slice of series and emits
+    Arrow batches directly, so ingest bandwidth scales with the
+    executor count.
+
+    Same typed output as :func:`extract_bcb_many` (pinned
+    row-equal in tests). Differences, stated honestly:
+
+    - ``fetch`` runs in executor workers (cloudpickled); the default
+      ``urlopen`` fetch works as-is, a custom one must be
+      serializable and thread-safe per task.
+    - error isolation is PER TASK: a task lets all of ITS series
+      settle and then raises one error naming each failure
+      (``on_error="raise"``), which fails the job loudly after
+      Spark's task retries; ``on_error="skip"`` emits the successes
+      and logs each failure to the executor's stderr log. Cross-task
+      all-settle aggregation (the driver version's single message
+      naming EVERY failed series) is not available executor-side.
+    - ``series_per_task`` sizes the control-frame partitions: 8
+      series/task amortizes task launch over ~8 network round-trips
+      while keeping thousands of tasks for O(10^4+) series.
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(
+            f"extract_bcb_many_distributed: on_error={on_error!r} — "
+            "use 'raise' or 'skip'"
+        )
+    fetch = fetch or _default_fetch
+    series = [(int(sid), str(name)) for sid, name in series]
+    if not series:
+        return spark.createDataFrame([], BCB_SILVER_SCHEMA)
+    start_p, end_p = _ddmmyyyy(start_date), _ddmmyyyy(end_date)
+    n_tasks = max(1, (len(series) + series_per_task - 1) // series_per_task)
+    control = spark.createDataFrame(
+        series,
+        T.StructType(
+            [
+                T.StructField("series_id", T.LongType()),
+                T.StructField("series_name", T.StringType()),
+            ]
+        ),
+    ).repartition(n_tasks)
+
+    def fan_out(batches):
+        import pandas as pd
+
+        failures: list[str] = []
+        for pdf in batches:
+            for sid, name in zip(pdf["series_id"], pdf["series_name"]):
+                url = BCB_URL.format(sid=int(sid), start=start_p, end=end_p)
+                try:
+                    recs = fetch(url)
+                except Exception as exc:  # noqa: BLE001 — settle all
+                    failures.append(f"series {int(sid)} ({name!r}): {exc}")
+                    continue
+                if not recs:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "series_id": int(sid),
+                        "series_name": str(name),
+                        "data": [str(r.get("data", "")) for r in recs],
+                        "valor": [str(r.get("valor", "")) for r in recs],
+                    }
+                )
+        if failures:
+            detail = "; ".join(failures)
+            if on_error == "raise":
+                raise RuntimeError(
+                    f"extract_bcb_many_distributed: {len(failures)} "
+                    f"series failed in this task — {detail}"
+                )
+            import sys
+
+            print(
+                "extract_bcb_many_distributed: skipping failed "
+                f"series — {detail}",
+                file=sys.stderr,
+            )
+
+    raw = control.mapInPandas(fan_out, BCB_MANY_RAW_SCHEMA)
     return raw.select(
         "series_id",
         "series_name",

@@ -586,3 +586,76 @@ def test_extract_bcb_many_empty_series_list(spark):
 
     df = extract_bcb_many(spark, [], "2025-12-01", "2026-01-31")
     assert df.schema == BCB_SILVER_SCHEMA and df.count() == 0
+
+
+def test_extract_bcb_many_distributed_equals_driver_path(spark):
+    """Executor-side fan-out (SURVEY §2 S1's mapInPandas scale path,
+    r14): same typed rows as the driver-concurrent path — compared
+    as multisets (partitioned emission has no cross-task order) —
+    plus the empty-series and per-task error shapes."""
+    from etl_macropulse_br_spark.sources.rest import (
+        BCB_SILVER_SCHEMA,
+        extract_bcb_many,
+        extract_bcb_many_distributed,
+    )
+
+    series = [(11, "selic"), (433, "ipca"), (1, "cambio"), (189, "igpm")]
+
+    # self-contained closures: cloudpickle ships them to executor
+    # workers, which cannot import this test module by name
+    def fetch(url):
+        sid = int(url.split("bcdata.sgs.")[1].split("/")[0])
+        if sid == 1:
+            return []
+        return [
+            {"data": "02/01/2026", "valor": f"{sid},10"},
+            {"data": "09/01/2026", "valor": f"{sid},25"},
+        ]
+
+    driver_df = extract_bcb_many(
+        spark, series, "2025-12-01", "2026-01-31", fetch=fetch
+    )
+    dist_df = extract_bcb_many_distributed(
+        spark, series, "2025-12-01", "2026-01-31",
+        fetch=fetch, series_per_task=2,
+    )
+    assert dist_df.schema == driver_df.schema
+    assert sorted(map(tuple, dist_df.collect())) == sorted(
+        map(tuple, driver_df.collect())
+    )
+
+    # empty series list -> typed empty frame
+    empty = extract_bcb_many_distributed(
+        spark, [], "2025-12-01", "2026-01-31", fetch=fetch
+    )
+    assert empty.schema == BCB_SILVER_SCHEMA and empty.count() == 0
+
+    # per-task error isolation: the failing task's error names its
+    # failed series; on_error='skip' keeps the successes
+    def flaky(url):
+        sid = int(url.split("bcdata.sgs.")[1].split("/")[0])
+        if sid == 433:
+            raise ConnectionError(f"boom {sid}")
+        return [
+            {"data": "02/01/2026", "valor": f"{sid},10"},
+            {"data": "09/01/2026", "valor": f"{sid},25"},
+        ]
+
+    failing = extract_bcb_many_distributed(
+        spark, series, "2025-12-01", "2026-01-31",
+        fetch=flaky, series_per_task=2,
+    )
+    with pytest.raises(Exception, match="series 433"):
+        failing.collect()
+    kept = extract_bcb_many_distributed(
+        spark, series, "2025-12-01", "2026-01-31",
+        fetch=flaky, series_per_task=2, on_error="skip",
+    )
+    got = sorted({r["series_id"] for r in kept.collect()})
+    assert got == [1, 11, 189]
+
+    with pytest.raises(ValueError, match="on_error"):
+        extract_bcb_many_distributed(
+            spark, series, "2025-12-01", "2026-01-31",
+            fetch=flaky, on_error="ignore",
+        )
