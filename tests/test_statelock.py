@@ -671,3 +671,55 @@ def test_flock_fd_is_dropped_on_release_and_displacement(tmp_path):
     assert prov._fds == {}  # orphaned-inode fd closed at release
     got = thief.read_holder(lock)
     assert got is not None and "token=T" in got[1]  # thief intact
+
+
+def test_mixed_posix_and_flock_contenders_stay_compatible(tmp_path):
+    """The flock provider only STRENGTHENS the primitives — the
+    on-disk protocol (lock file body, mtime heartbeats, stale
+    window) is unchanged, so posix and flock contenders on one
+    state dir interoperate: each refuses the other's live lease,
+    and each can recover the other's dead lease."""
+    d = str(tmp_path / "state")
+    lock = os.path.join(d, ".writer.lock")
+    os.makedirs(d)
+
+    # flock holder ↔ posix waiter: refused with the holder's name
+    flock_prov = FlockLockProvider()
+    with writer_lock(d, owner="flock-holder", provider=flock_prov):
+        with pytest.raises(WriterLockHeld, match="flock-holder"):
+            with writer_lock(
+                d, owner="posix-waiter", provider=PosixLockProvider()
+            ):
+                pass
+    # posix holder ↔ flock waiter: refused with the holder's name
+    with writer_lock(
+        d, owner="posix-holder", provider=PosixLockProvider()
+    ):
+        with pytest.raises(WriterLockHeld, match="posix-holder"):
+            with writer_lock(
+                d, owner="flock-waiter", provider=FlockLockProvider()
+            ):
+                pass
+
+    # a flock holder that DIED (fd gone, stale mtime) is recovered
+    # by a plain posix waiter through the normal stale-steal path
+    assert flock_prov.try_create(lock, "dead pid=0 token=DF t=0")
+    flock_prov.drop_for_test(lock)
+    past = time.time() - 7200
+    os.utime(lock, (past, past))
+    with writer_lock(
+        d, owner="posix-recoverer", stale_after_s=3600,
+        provider=PosixLockProvider(),
+    ):
+        pass
+
+    # a dead posix lock is recovered by a flock waiter (its steal
+    # finds the flock free — dead process — and proceeds)
+    posix_prov = PosixLockProvider()
+    assert posix_prov.try_create(lock, "dead pid=0 token=DP t=0")
+    os.utime(lock, (past, past))
+    with writer_lock(
+        d, owner="flock-recoverer", stale_after_s=3600,
+        provider=FlockLockProvider(),
+    ):
+        pass
