@@ -685,6 +685,7 @@ def writer_lock(
     body = (
         f"{owner} pid={os.getpid()} token={token} t={time.time():.3f}"
     )
+    last_refused = None
     for _ in range(8):  # bounded: steal + retake needs 2 passes
         if prov.try_create(lock, body):
             break
@@ -694,8 +695,14 @@ def writer_lock(
         age, holder = got
         if stale_after_s is not None and age > stale_after_s:
             # age-gated steal; age is time since the holder's last
-            # HEARTBEAT, so only a dead holder ever qualifies
+            # HEARTBEAT, so only a dead holder ever qualifies. A
+            # provider may still REFUSE the steal (flock: the kernel
+            # says the holder's process is alive despite the stale
+            # mtime; posix/object-store: a heartbeat landed after
+            # the judgment) — remember what we saw so an exhausted
+            # loop reports the standing holder, not a livelock.
             prov.steal(lock, token)
+            last_refused = (age, holder)
             continue
         raise WriterLockHeld(
             f"state dir {state_dir!r} is locked by another "
@@ -708,6 +715,18 @@ def writer_lock(
             f"to break it manually, delete {lock!r}."
         )
     else:
+        if last_refused is not None:
+            age, holder = last_refused
+            raise WriterLockHeld(
+                f"state dir {state_dir!r} is locked by writer "
+                f"[{holder}] whose lease LOOKS stale (last "
+                f"heartbeat {age:.0f}s ago) but whose steal was "
+                "refused — the provider judged the holder alive "
+                "(kernel-held flock, or a heartbeat landed after "
+                "the staleness judgment). Refusing to proceed; if "
+                "the holder is truly wedged, kill its process or "
+                f"delete {lock!r}."
+            )
         raise WriterLockHeld(
             f"state dir {state_dir!r}: could not acquire the writer "
             "lock after repeated steals — livelocked on a writer "

@@ -327,3 +327,17 @@ def test_salted_join_replicated_side_never_broadcasts(small_spark):
     assert "BroadcastExchange" not in plan
     assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zscore_moments_are_agg_join_not_window(small_spark):
+    """r14 (PLANS.md "r14 floor certification"): zscore_events'
+    group moments come from a groupBy aggregate joined back, never
+    a whole-group window — the window shape exchanged AND sorted
+    the full fact for |groups| rows of moments. Pin: no Window/Sort
+    over the fact; the moments side is a hash aggregate under a
+    broadcast build (small-input profile; AQE decides at scale)."""
+    plan = _plan(small_spark, "zscore_events")
+    assert "Window" not in plan
+    assert "Sort " not in plan and "Sort[" not in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan

@@ -600,8 +600,10 @@ def test_flock_steal_never_breaks_live_holder(tmp_path):
     assert got is not None and "token=LIVE" in got[1]
 
     # the full protocol refuses too (8 steal attempts, all kernel-
-    # refused, then a loud error — never a second writer)
-    with pytest.raises(WriterLockHeld):
+    # refused, then a loud error NAMING the standing holder and the
+    # refused steal — never a second writer, never a generic
+    # "livelock" message for a provider-refused steal)
+    with pytest.raises(WriterLockHeld, match="token=LIVE.*refused"):
         with writer_lock(
             d, owner="waiter", stale_after_s=3600, provider=waiter
         ):
