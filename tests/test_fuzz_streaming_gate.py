@@ -69,7 +69,13 @@ def test_rocks_rotation_is_derived_and_advanced():
     """The r13 failure mode (shipping a round with the previous
     round's rotation) is structurally impossible: the rotation comes
     from the graded-round ledger, and this repo's ledger already
-    contains r13 — so the value can never be 13 or lower again."""
+    contains r13 — so the value can never be 13 or lower again. In a
+    checkout stripped of the driver artifacts the ledger is empty
+    and the derivation's documented fallback (0) applies — there is
+    no constant to go stale there, so the pin is vacuous and
+    skipped."""
+    if ROCKS_ROTATION == 0:
+        pytest.skip("no CORRECTNESS_r*.json ledger in this checkout")
     assert ROCKS_ROTATION >= 14
 
 _ALL_CHECKS = sorted(CHECKS)
