@@ -520,6 +520,15 @@ def append_ann_index(
     a ledger MISS means a genuinely new batch. Without ``stream_id``
     the entry stays the bare id (legacy / ad-hoc callers), which the
     skip logic treats as ambiguous."""
+    if streams_keep is not None and streams_keep < 1:
+        # r14 self-review: streams_keep=0 would evict the committing
+        # stream's OWN just-registered witness, silently putting
+        # every stream on the O(index) re-classification path forever
+        raise ValueError(
+            f"append_ann_index: streams_keep={streams_keep} — the "
+            "witness bound must be >= 1 (it is a cap on retained "
+            "streams, not a disable switch)"
+        )
     from etl_macropulse_br_spark.operators.clustering import (
         _assign,
         _pq_assign,

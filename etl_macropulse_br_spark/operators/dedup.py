@@ -2000,9 +2000,12 @@ def save_bloom_bitset(
         # r14 (ADVICE r13 #2): we hold the artifact lease, so any
         # sibling ``<path>.tmp-*`` is a dead leftover of a crashed or
         # displaced save — prune it so repeated displacements cannot
-        # accumulate orphans
+        # accumulate orphans. Displacement-gated (r14 self-review):
+        # a displaced zombie resuming here must not unlink the NEW
+        # lease holder's in-flight tmp bitset and fail its commit.
         import glob
 
+        lease.check()
         for stale in glob.glob(f"{path}.tmp-*"):
             with contextlib.suppress(OSError):
                 os.unlink(stale)

@@ -323,18 +323,26 @@ def _compact_signature_index_unlocked(
 
     sig_dir = os.path.join(state_dir, "signatures")
     # r14 (ADVICE r13 #2): when the LIVE ``signatures/`` directory
-    # exists, any stranded ``signatures.compact-*`` sibling is a dead
-    # orphan from a crashed or displaced compaction — we hold the
-    # state-dir lease, so prune it here instead of letting repeated
-    # displacements accumulate dead parquet. When ``signatures/`` is
-    # MISSING (a crash landed between the two swap renames), the
-    # stranded directory is the documented recovery artifact and the
-    # read below fails loudly without touching it.
+    # exists, any stranded ``signatures.compact-*`` /
+    # ``signatures.old-*`` sibling is a dead orphan from a crashed
+    # or displaced compaction (old-*: a crash between the second
+    # swap rename and the rmtree) — we hold the state-dir lease, so
+    # prune them here instead of letting repeated crashes accumulate
+    # dead parquet. When ``signatures/`` is MISSING (a crash landed
+    # between the two swap renames), the stranded directory is the
+    # documented recovery artifact and the read below fails loudly
+    # without touching it.
+    #
+    # Displacement-gated (r14 self-review): the prune must be as
+    # guarded as the commit — a displaced zombie resuming here would
+    # otherwise glob-delete the NEW lease holder's in-flight
+    # compact directory and break ITS swap mid-flight.
+    if lease is not None:
+        lease.check()
     if os.path.isdir(sig_dir):
-        for stale in glob.glob(
-            os.path.join(state_dir, "signatures.compact-*")
-        ):
-            shutil.rmtree(stale, ignore_errors=True)
+        for pat in ("signatures.compact-*", "signatures.old-*"):
+            for stale in glob.glob(os.path.join(state_dir, pat)):
+                shutil.rmtree(stale, ignore_errors=True)
     n = target_files or 1
     before_files = len(
         glob.glob(os.path.join(sig_dir, "**", "*.parquet"), recursive=True)

@@ -198,7 +198,12 @@ def extract_bcb_many(
             "or 'skip' (warn and continue with the successes)"
         )
     fetch = fetch or _default_fetch
-    series = list(series)
+    # normalize ONCE, exactly like the reference's control-table loop
+    # (``main.py:36-37``: int(series_id), str(series_name)) and
+    # exactly like extract_bcb_many_distributed — so both fan-out
+    # paths hit identical URLs and emit identical rows for
+    # loosely-typed control tables (r14 self-review)
+    series = [(int(sid), str(name)) for sid, name in series]
     if not series:
         return spark.createDataFrame([], BCB_SILVER_SCHEMA)
 

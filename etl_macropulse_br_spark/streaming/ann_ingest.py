@@ -115,6 +115,13 @@ def append_new_embeddings(
         load_ann_index,
     )
 
+    if streams_keep is not None and streams_keep < 1:
+        # validated HERE too (not just at the append seam), so the
+        # O(1) skip paths below reject a nonsense bound consistently
+        raise ValueError(
+            f"append_new_embeddings: streams_keep={streams_keep} — "
+            "the witness bound must be >= 1"
+        )
     if batch_id is not None:
         manifest = _read_manifest(index_path)
         if manifest is not None:

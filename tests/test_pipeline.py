@@ -659,3 +659,36 @@ def test_extract_bcb_many_distributed_equals_driver_path(spark):
             spark, series, "2025-12-01", "2026-01-31",
             fetch=flaky, on_error="ignore",
         )
+
+
+def test_extract_bcb_many_normalizes_series_like_reference(spark):
+    """Both fan-out paths coerce the control rows with int()/str()
+    exactly like the reference's loop (main.py:36-37), so a
+    loosely-typed control table (string ids with leading zeros)
+    hits the same URL and emits the same rows on either path."""
+    from etl_macropulse_br_spark.sources.rest import (
+        extract_bcb_many,
+        extract_bcb_many_distributed,
+    )
+
+    series = [("011", "selic")]  # string id, as a CSV would give
+    seen: list[str] = []
+
+    def fetch(url):
+        seen.append(url)
+        return [{"data": "02/01/2026", "valor": "1,50"}]
+
+    rows = extract_bcb_many(
+        spark, series, "2025-12-01", "2026-01-31", fetch=fetch
+    ).collect()
+    assert "bcdata.sgs.11/" in seen[0]  # int-coerced, no '011' URL
+    assert rows[0]["series_id"] == 11
+
+    def fetch_d(url):  # executor-side: self-contained
+        assert "bcdata.sgs.11/" in url
+        return [{"data": "02/01/2026", "valor": "1,50"}]
+
+    d_rows = extract_bcb_many_distributed(
+        spark, series, "2025-12-01", "2026-01-31", fetch=fetch_d
+    ).collect()
+    assert d_rows == rows

@@ -418,16 +418,30 @@ def test_bloom_displacement_leaves_no_tmp_orphan(
     path = str(tmp_path / "bloom.json")
     s1 = save_bloom_bitset(_docs(spark), path, n_bits=1 << 12)
 
-    displaced = WriterLease()
-    displaced.displaced = True
+    # displacement lands MID-SAVE: the entry gate (which protects
+    # the new holder's tmp from a zombie's prune — see below) has
+    # already passed, so the cleanup under test is the COMMIT gate's
+    class _FlipLease(WriterLease):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def check(self):
+            self.calls += 1
+            if self.calls >= 2:
+                self.displaced = True
+            super().check()
+
+    flip = _FlipLease()
 
     @contextlib.contextmanager
     def displaced_lock(*a, **kw):
-        yield displaced
+        yield flip
 
     monkeypatch.setattr(statelock, "artifact_lock", displaced_lock)
     with pytest.raises(WriterLeaseDisplaced):
         save_bloom_bitset(_docs(spark, 5), path, n_bits=1 << 10)
+    assert flip.calls >= 2  # the tmp WAS written, then refused
     monkeypatch.undo()
     assert load_bloom_bitset(path) == s1  # old bitset serving
     orphans = [
@@ -436,6 +450,24 @@ def test_bloom_displacement_leaves_no_tmp_orphan(
         if n.startswith("bloom.json.tmp-")
     ]
     assert orphans == []  # the aborted commit cleaned up after itself
+
+    # a lease displaced BEFORE the prune aborts at the entry gate:
+    # a zombie must never glob-unlink the new holder's in-flight tmp
+    dead = WriterLease()
+    dead.displaced = True
+
+    @contextlib.contextmanager
+    def dead_lock(*a, **kw):
+        yield dead
+
+    with open(f"{path}.tmp-newholder", "w") as f:
+        f.write('{"in-flight": true}')  # the NEW holder's tmp
+    monkeypatch.setattr(statelock, "artifact_lock", dead_lock)
+    with pytest.raises(WriterLeaseDisplaced):
+        save_bloom_bitset(_docs(spark, 5), path, n_bits=1 << 10)
+    monkeypatch.undo()
+    assert os.path.exists(f"{path}.tmp-newholder")  # untouched
+    os.unlink(f"{path}.tmp-newholder")
 
     # a hard crash (no chance to clean) leaves a tmp; the next
     # locked save prunes it under the lease
@@ -472,11 +504,20 @@ def test_signature_compact_displacement_leaves_no_orphan_dir(
     ).write.parquet(sig_dir)
     n_live = spark.read.parquet(sig_dir).count()
 
-    displaced = WriterLease()
-    displaced.displaced = True
+    class _FlipLease(WriterLease):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def check(self):
+            self.calls += 1
+            if self.calls >= 2:
+                self.displaced = True
+            super().check()
+
     with pytest.raises(WriterLeaseDisplaced):
         _compact_signature_index_unlocked(
-            spark, state, target_files=1, lease=displaced
+            spark, state, target_files=1, lease=_FlipLease()
         )
     leftovers = [
         n for n in os.listdir(state) if n.startswith("signatures.")
@@ -484,12 +525,30 @@ def test_signature_compact_displacement_leaves_no_orphan_dir(
     assert leftovers == []  # aborted swap cleaned its compact dir
     assert spark.read.parquet(sig_dir).count() == n_live  # intact
 
-    # crash-stranded orphan next to a LIVE signatures/: pruned by
-    # the next compaction
+    # a lease displaced at ENTRY aborts before the prune: a zombie
+    # compactor must never rmtree the new holder's in-flight
+    # compact directory
+    dead = WriterLease()
+    dead.displaced = True
+    newholder = os.path.join(state, "signatures.compact-newhold1")
+    os.makedirs(newholder)
+    with pytest.raises(WriterLeaseDisplaced):
+        _compact_signature_index_unlocked(
+            spark, state, target_files=1, lease=dead
+        )
+    assert os.path.isdir(newholder)  # untouched by the zombie
+    os.rmdir(newholder)
+
+    # crash-stranded orphans next to a LIVE signatures/ (a dead
+    # compact dir AND a dead old-* from a crash after the swap but
+    # before the rmtree): both pruned by the next compaction
     stranded = os.path.join(state, "signatures.compact-dead1234")
     spark.range(3).select(
         F.col("id").cast("string").alias("id")
     ).write.parquet(stranded)
+    stranded_old = os.path.join(state, "signatures.old-dead5678")
+    os.makedirs(stranded_old)
     out = compact_signature_index(spark, state, target_files=1)
     assert not os.path.exists(stranded)
+    assert not os.path.exists(stranded_old)
     assert out["rows_after"] == n_live

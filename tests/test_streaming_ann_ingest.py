@@ -603,3 +603,25 @@ def test_many_streams_interleaved_with_eviction_churn(
     assert got == sorted(want)  # union of all ids, exactly once
     # the PQ invariant holds across the churn (codes = m x assign)
     assert idx.codes.count() == 8 * len(got)
+
+
+def test_streams_keep_rejects_nonsense_bound(spark, tmp_path):
+    """r14 self-review: streams_keep=0 would evict the committing
+    stream's own witness and silently put every stream on the
+    O(index) path forever — both entry seams refuse it."""
+    from etl_macropulse_br_spark.operators import ann_index as AI
+    from etl_macropulse_br_spark.streaming.ann_ingest import (
+        append_new_embeddings,
+    )
+
+    emb = _emb(spark).filter("vec_id < 40")
+    with pytest.raises(ValueError, match="streams_keep"):
+        append_new_embeddings(
+            emb, str(tmp_path / "nope"), batch_id=0,
+            stream_id="s", streams_keep=0,
+        )
+    with pytest.raises(ValueError, match="streams_keep"):
+        AI.append_ann_index(
+            emb, str(tmp_path / "nope"), batch_id=0,
+            stream_id="s", streams_keep=-3,
+        )
