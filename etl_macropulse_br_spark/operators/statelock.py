@@ -652,6 +652,32 @@ class ObjectStoreLockProvider:
                 return
 
 
+def default_provider() -> PosixLockProvider:
+    """The lock provider used when a caller passes none (r14): the
+    engine's persisted-index mutators never thread a provider
+    through their signatures, so the deploy-time switch is the
+    ``SPARK_GRAFT_LOCK_PROVIDER`` environment variable —
+
+    - ``posix`` (default): portable mtime/rename protocol, correct
+      on NFS;
+    - ``flock``: kernel-arbitrated liveness for LOCAL filesystems
+      (closes the steal TOCTOU and the release yank window; do NOT
+      use over NFS — see :class:`FlockLockProvider`).
+
+    The object-store provider needs a client object and therefore
+    cannot be env-selected; pass it explicitly."""
+    kind = os.environ.get("SPARK_GRAFT_LOCK_PROVIDER", "posix").lower()
+    if kind == "flock":
+        return FlockLockProvider()
+    if kind == "posix":
+        return PosixLockProvider()
+    raise ValueError(
+        f"SPARK_GRAFT_LOCK_PROVIDER={kind!r} — use 'posix' or "
+        "'flock' (the object-store provider needs a client and is "
+        "passed explicitly)"
+    )
+
+
 @contextmanager
 def writer_lock(
     state_dir: str,
@@ -681,7 +707,7 @@ def writer_lock(
     os.makedirs(state_dir, exist_ok=True)
     lock = os.path.join(state_dir, _LOCK_NAME)
     token = uuid.uuid4().hex
-    prov = provider or PosixLockProvider()
+    prov = provider or default_provider()
     body = (
         f"{owner} pid={os.getpid()} token={token} t={time.time():.3f}"
     )

@@ -725,3 +725,35 @@ def test_mixed_posix_and_flock_contenders_stay_compatible(tmp_path):
         provider=FlockLockProvider(),
     ):
         pass
+
+
+def test_default_provider_is_env_selectable(tmp_path, monkeypatch):
+    """r14: the persisted-index mutators never thread a provider
+    through their signatures, so SPARK_GRAFT_LOCK_PROVIDER is the
+    deploy-time switch — posix (default, NFS-safe) or flock
+    (local-filesystem kernel arbitration)."""
+    from etl_macropulse_br_spark.operators.statelock import (
+        default_provider,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCK_PROVIDER", raising=False)
+    assert type(default_provider()) is PosixLockProvider
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_PROVIDER", "flock")
+    assert type(default_provider()) is FlockLockProvider
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_PROVIDER", "posix")
+    assert type(default_provider()) is PosixLockProvider
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_PROVIDER", "s3")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_LOCK_PROVIDER"):
+        default_provider()
+
+    # the full acquire/refuse/release protocol works when the env
+    # selects flock and the caller passes no provider (the shape
+    # every index mutator uses)
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_PROVIDER", "flock")
+    d = str(tmp_path / "envstate")
+    with writer_lock(d, owner="env-flock"):
+        with pytest.raises(WriterLockHeld, match="env-flock"):
+            with writer_lock(d, owner="second"):
+                pass
+    with writer_lock(d, owner="after"):
+        pass
