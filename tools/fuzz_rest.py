@@ -1,0 +1,215 @@
+"""Seeded differential fuzz for the many-series ingest paths (r14).
+
+The round added two fan-out shapes next to the original serial one:
+``extract_bcb_many`` with a driver thread pool (and a single
+``createDataFrame`` instead of a union tree) and
+``extract_bcb_many_distributed`` (``mapInPandas`` executor fan-out).
+Their contract is row-equality with the serial per-series path for
+ANY payload the BCB API could return — not just the happy-path
+fixtures the unit tests pin. This tool generates adversarial control
+tables and payloads from one seed and asserts all three paths agree:
+
+- series counts 0..24, duplicate series ids, string ids with leading
+  zeros (the reference's control CSV shape), unicode names;
+- per-record payloads mixing valid dd/mm/YYYY dates, garbage dates,
+  ISO dates (must coerce to NULL like the reference's
+  ``errors="coerce"``), pt-BR numbers with/without thousands dots,
+  plain dots, empties, and non-numeric junk;
+- empty series, and (in a second phase) randomly failing series
+  under ``on_error="skip"`` — the surviving rows must equal the
+  serial path run over only the surviving series.
+
+Rows are compared as SORTED MULTISETS for the distributed path (no
+cross-task order) and additionally IN ORDER between the serial and
+concurrent driver paths (same construction order by contract).
+
+Usage: ``python tools/fuzz_rest.py [seed] [rounds]``
+Prints one JSON line; exit 1 on any divergence. A failure reproduces
+with the same seed (same string-seeded RNG derivation as the other
+fuzz tools).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+from functools import reduce
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+_DATES = [
+    "02/01/2026", "09/01/2026", "15/12/2025", "31/12/2025",
+    "29/02/2024",          # valid leap date
+    "31/02/2026",          # impossible date -> NULL
+    "2026-01-02",          # ISO shape -> NULL (day-first parse only)
+    "bogus", "", "1/1/26",
+]
+_VALORS = [
+    "13,15", "1.234,56", "-0,01", "0", "12", "6.10", "6",
+    "", "n/d", "1.2.3", "-1.234.567,89",
+]
+
+
+def _payload(rng: random.Random) -> list[dict]:
+    n = rng.randrange(0, 7)
+    out = []
+    for _ in range(n):
+        rec = {}
+        if rng.random() > 0.05:
+            rec["data"] = rng.choice(_DATES)
+        if rng.random() > 0.05:
+            rec["valor"] = rng.choice(_VALORS)
+        out.append(rec)
+    return out
+
+
+def _series(rng: random.Random) -> list[tuple]:
+    n = rng.randrange(0, 25)
+    out = []
+    for i in range(n):
+        sid = rng.choice([rng.randrange(1, 500), i + 1])
+        sid_v = rng.choice([sid, str(sid), f"0{sid}"])
+        name = rng.choice(
+            [f"s{sid}", f"série_{sid}", "índice açúcar", f"dup{sid % 3}"]
+        )
+        out.append((sid_v, name))
+    return out
+
+
+def run_round(spark, rng: random.Random, tag: str) -> None:
+    from etl_macropulse_br_spark.sources.rest import (
+        extract_bcb_many,
+        extract_bcb_many_distributed,
+        extract_bcb_sgs_series,
+    )
+    from pyspark.sql import DataFrame
+
+    series = _series(rng)
+    # payloads keyed by the NORMALIZED id — both paths must coerce
+    # '011' and 11 to the same series before fetching
+    payloads = {
+        int(sid): _payload(rng) for sid, _ in series
+    }
+
+    def fetch(url: str) -> list[dict]:
+        sid = int(url.split("bcdata.sgs.")[1].split("/")[0])
+        return payloads[sid]
+
+    serial = extract_bcb_many(
+        spark, series, "2025-12-01", "2026-01-31",
+        fetch=fetch, max_concurrency=1,
+    )
+    conc = extract_bcb_many(
+        spark, series, "2025-12-01", "2026-01-31",
+        fetch=fetch, max_concurrency=16,
+    )
+    dist = extract_bcb_many_distributed(
+        spark, series, "2025-12-01", "2026-01-31",
+        fetch=fetch, series_per_task=3,
+    )
+    s_rows = [tuple(r) for r in serial.collect()]
+    c_rows = [tuple(r) for r in conc.collect()]
+    d_rows = [tuple(r) for r in dist.collect()]
+    assert c_rows == s_rows, (
+        f"{tag}: concurrent != serial (ORDERED) for {len(series)} series"
+    )
+    assert sorted(d_rows, key=repr) == sorted(s_rows, key=repr), (
+        f"{tag}: distributed != serial (multiset) for {len(series)} series"
+    )
+    # the r13 per-series union shape is the semantic reference
+    if series:
+        frames = [
+            extract_bcb_sgs_series(
+                spark, int(sid), str(name), "2025-12-01", "2026-01-31",
+                fetch=fetch,
+            )
+            for sid, name in series
+        ]
+        union_rows = [
+            tuple(r)
+            for r in reduce(DataFrame.unionByName, frames).collect()
+        ]
+        assert s_rows == union_rows, f"{tag}: serial != union-of-singles"
+
+    # phase 2: random failures under on_error='skip' — survivors must
+    # equal the serial path over only the surviving series
+    if series:
+        failing = {
+            int(sid)
+            for sid, _ in series
+            if rng.random() < 0.3
+        }
+
+        def flaky(url: str) -> list[dict]:
+            sid = int(url.split("bcdata.sgs.")[1].split("/")[0])
+            if sid in failing:
+                raise ConnectionError(f"boom {sid}")
+            return payloads[sid]
+
+        survivors = [
+            (sid, name)
+            for sid, name in series
+            if int(sid) not in failing
+        ]
+        want = [
+            tuple(r)
+            for r in extract_bcb_many(
+                spark, survivors, "2025-12-01", "2026-01-31",
+                fetch=fetch, max_concurrency=1,
+            ).collect()
+        ]
+        got_c = [
+            tuple(r)
+            for r in extract_bcb_many(
+                spark, series, "2025-12-01", "2026-01-31",
+                fetch=flaky, on_error="skip",
+            ).collect()
+        ]
+        got_d = [
+            tuple(r)
+            for r in extract_bcb_many_distributed(
+                spark, series, "2025-12-01", "2026-01-31",
+                fetch=flaky, on_error="skip", series_per_task=3,
+            ).collect()
+        ]
+        assert got_c == want, f"{tag}: skip-mode concurrent != survivors"
+        assert sorted(got_d, key=repr) == sorted(want, key=repr), (
+            f"{tag}: skip-mode distributed != survivors"
+        )
+
+
+def main() -> int:
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    from etl_macropulse_br_spark.session import get_spark
+
+    spark = get_spark(app_name="fuzz_rest", profile="small-input")
+    failed = []
+    for i in range(rounds):
+        rng = random.Random(f"rest:{seed}:{i}")
+        tag = f"round{i}"
+        try:
+            run_round(spark, rng, tag)
+            print(f"{tag:10s} OK")
+        except AssertionError as exc:
+            failed.append(f"{tag}: {exc}")
+            print(f"{tag:10s} FAIL {exc}")
+    print(
+        json.dumps(
+            {
+                "seed": seed,
+                "rounds": rounds,
+                "passed": rounds - len(failed),
+                "failed": failed,
+            }
+        )
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
