@@ -128,7 +128,12 @@ def _locked_writer(fn):
     def wrapper(*args, **kwargs):
         path = kwargs["path"] if "path" in kwargs else args[1]
         with writer_lock(path, owner=fn.__name__) as lease:
-            token = _ACTIVE_LEASE.set((os.path.abspath(path), lease))
+            # r15 (ADVICE r14 #2): realpath, not abspath — a caller
+            # reaching the same index dir through a symlink or an
+            # alternate spelling must still match in
+            # _commit_manifest, or the commit silently skips the
+            # displacement gate the lease exists to enforce.
+            token = _ACTIVE_LEASE.set((os.path.realpath(path), lease))
             try:
                 return fn(*args, **kwargs)
             finally:
@@ -187,7 +192,9 @@ def _commit_manifest(path: str, manifest: dict) -> None:
     active = _ACTIVE_LEASE.get()
     if active is not None:
         lease_dir, lease = active
-        if lease_dir == os.path.abspath(path):
+        # realpath on both sides (r15 — ADVICE r14 #2): symlinked or
+        # alternately-spelled paths to the SAME directory must gate.
+        if lease_dir == os.path.realpath(path):
             lease.check()
         else:
             # r14 (ADVICE r13 #3): a locked mutation committing a

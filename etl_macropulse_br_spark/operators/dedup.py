@@ -2000,13 +2000,17 @@ def save_bloom_bitset(
         # r14 (ADVICE r13 #2): we hold the artifact lease, so any
         # sibling ``<path>.tmp-*`` is a dead leftover of a crashed or
         # displaced save — prune it so repeated displacements cannot
-        # accumulate orphans. Displacement-gated (r14 self-review):
-        # a displaced zombie resuming here must not unlink the NEW
-        # lease holder's in-flight tmp bitset and fail its commit.
+        # accumulate orphans. Displacement-gated per unlink (r15 —
+        # ADVICE r14 #4): the check is re-run immediately before
+        # EACH unlink so a displacement landing mid-prune stops the
+        # zombie before its next deletion. This NARROWS the window
+        # to the check→unlink gap — it cannot close it (the posix
+        # lease has no CAS; same caveat as the provider itself).
         import glob
 
         lease.check()
         for stale in glob.glob(f"{path}.tmp-*"):
+            lease.check()
             with contextlib.suppress(OSError):
                 os.unlink(stale)
         row = bloom_bitset(

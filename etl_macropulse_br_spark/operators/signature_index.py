@@ -333,15 +333,21 @@ def _compact_signature_index_unlocked(
     # documented recovery artifact and the read below fails loudly
     # without touching it.
     #
-    # Displacement-gated (r14 self-review): the prune must be as
-    # guarded as the commit — a displaced zombie resuming here would
-    # otherwise glob-delete the NEW lease holder's in-flight
-    # compact directory and break ITS swap mid-flight.
+    # Displacement-gated per deletion (r14 self-review; r15 — ADVICE
+    # r14 #4): the prune must be as guarded as the commit — a
+    # displaced zombie resuming here would otherwise glob-delete the
+    # NEW lease holder's in-flight compact directory and break ITS
+    # swap mid-flight. The check runs immediately before EACH rmtree
+    # so a displacement landing mid-prune stops the zombie before
+    # its next deletion; like the posix provider itself this NARROWS
+    # the check→delete window, it cannot close it (no CAS).
     if lease is not None:
         lease.check()
     if os.path.isdir(sig_dir):
         for pat in ("signatures.compact-*", "signatures.old-*"):
             for stale in glob.glob(os.path.join(state_dir, pat)):
+                if lease is not None:
+                    lease.check()
                 shutil.rmtree(stale, ignore_errors=True)
     n = target_files or 1
     before_files = len(

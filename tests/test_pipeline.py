@@ -510,25 +510,39 @@ def test_extract_bcb_many_concurrent_equals_serial(spark):
 
 
 def test_extract_bcb_many_fetches_run_concurrently(spark):
-    """N injected slow fetches complete in ~one fetch's wall time
-    (the serial r13 shape would take N x sleep)."""
+    """N injected slow fetches overlap in flight (the serial r13
+    shape would hold peak concurrency at exactly 1). r15 — ADVICE
+    r14 #5: the old pin asserted WALL TIME (8 pooled 0.4 s sleeps
+    under 1.6 s), which a loaded CI box can miss on scheduling
+    alone; a lock-protected peak-in-flight counter asserts the
+    actual property (overlap) load-independently."""
+    import threading
     import time
 
     from etl_macropulse_br_spark.sources.rest import extract_bcb_many
 
     sleep_s = 0.4
     series = [(100 + i, f"s{i}") for i in range(8)]
+    gauge = {"active": 0, "peak": 0}
+    mu = threading.Lock()
 
     def slow_fetch(url):
-        time.sleep(sleep_s)
-        return _sid_payload(_sid_from_url(url))
+        with mu:
+            gauge["active"] += 1
+            gauge["peak"] = max(gauge["peak"], gauge["active"])
+        try:
+            time.sleep(sleep_s)
+            return _sid_payload(_sid_from_url(url))
+        finally:
+            with mu:
+                gauge["active"] -= 1
 
-    t0 = time.perf_counter()
     df = extract_bcb_many(
         spark, series, "2025-12-01", "2026-01-31", fetch=slow_fetch
     )
-    fetch_wall = time.perf_counter() - t0  # fetch is eager; plan is lazy
-    assert fetch_wall < 4 * sleep_s, fetch_wall  # serial = 8 x 0.4 = 3.2 s
+    # serial execution would never exceed 1; the pool admits all 8
+    # and each sleeps 0.4 s, so >=2 overlap unless fetches serialize
+    assert gauge["peak"] >= 2, gauge
     assert df.count() == 16
 
 

@@ -552,3 +552,90 @@ def test_signature_compact_displacement_leaves_no_orphan_dir(
     assert not os.path.exists(stranded)
     assert not os.path.exists(stranded_old)
     assert out["rows_after"] == n_live
+
+
+def test_prune_rechecks_lease_before_each_deletion(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (ADVICE r14 #4): the entry-gate prunes re-check the lease
+    immediately before EACH deletion, so a displacement landing
+    mid-prune stops the zombie before its next unlink instead of
+    letting it finish the sweep. (This NARROWS the check->delete
+    window — it cannot close it; same caveat as the posix provider.)
+    Pinned for both the bloom tmp prune and the signature-compaction
+    stranded-dir prune."""
+    import contextlib
+
+    from etl_macropulse_br_spark.operators import statelock
+    from etl_macropulse_br_spark.operators.dedup import save_bloom_bitset
+    from etl_macropulse_br_spark.operators.signature_index import (
+        _compact_signature_index_unlocked,
+    )
+    from etl_macropulse_br_spark.operators.statelock import (
+        WriterLease,
+        WriterLeaseDisplaced,
+    )
+
+    class _FlipAt(WriterLease):
+        def __init__(self, at):
+            super().__init__()
+            self.at = at
+            self.calls = 0
+
+        def check(self):
+            self.calls += 1
+            if self.calls >= self.at:
+                self.displaced = True
+            super().check()
+
+    # --- bloom: two stranded tmps; flip lands between the unlinks
+    # (entry check = 1, first per-file check = 2, second = 3)
+    path = str(tmp_path / "bloom.json")
+    s1 = save_bloom_bitset(_docs(spark, 5), path, n_bits=1 << 10)
+    for name in ("aaaa", "bbbb"):
+        with open(f"{path}.tmp-{name}", "w") as f:
+            f.write("{}")
+    flip = _FlipAt(3)
+
+    @contextlib.contextmanager
+    def flip_lock(*a, **kw):
+        yield flip
+
+    monkeypatch.setattr(statelock, "artifact_lock", flip_lock)
+    with pytest.raises(WriterLeaseDisplaced):
+        save_bloom_bitset(_docs(spark, 5), path, n_bits=1 << 10)
+    monkeypatch.undo()
+    survivors = [
+        n for n in os.listdir(tmp_path) if n.startswith("bloom.json.tmp-")
+    ]
+    assert len(survivors) == 1  # stopped BEFORE the second unlink
+    from etl_macropulse_br_spark.operators.dedup import load_bloom_bitset
+
+    assert load_bloom_bitset(path) == s1  # old bitset untouched
+    for n in survivors:
+        os.unlink(str(tmp_path / n))
+
+    # --- signature compaction twin: two stranded compact dirs
+    state = str(tmp_path / "sigstate")
+    sig_dir = os.path.join(state, "signatures")
+    spark.range(20).select(
+        F.col("id").cast("string").alias("id"),
+        (F.col("id") % 5).alias("sig"),
+    ).write.parquet(sig_dir)
+    for name in ("stranded1", "stranded2"):
+        d = os.path.join(state, f"signatures.compact-{name}")
+        os.makedirs(d)
+        with open(os.path.join(d, "junk.parquet"), "w") as f:
+            f.write("x")
+    with pytest.raises(WriterLeaseDisplaced):
+        _compact_signature_index_unlocked(
+            spark, state, target_files=1, lease=_FlipAt(3)
+        )
+    stranded = [
+        n
+        for n in os.listdir(state)
+        if n.startswith("signatures.compact-")
+    ]
+    assert len(stranded) == 1  # stopped before the second rmtree
+    n_live = spark.read.parquet(sig_dir).count()
+    assert n_live == 20  # live signatures untouched

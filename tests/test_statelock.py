@@ -737,6 +737,7 @@ def test_default_provider_is_env_selectable(tmp_path, monkeypatch):
     )
 
     monkeypatch.delenv("SPARK_GRAFT_LOCK_PROVIDER", raising=False)
+    # no env, no directory to probe: conservative posix
     assert type(default_provider()) is PosixLockProvider
     monkeypatch.setenv("SPARK_GRAFT_LOCK_PROVIDER", "flock")
     assert type(default_provider()) is FlockLockProvider
@@ -757,3 +758,242 @@ def test_default_provider_is_env_selectable(tmp_path, monkeypatch):
                 pass
     with writer_lock(d, owner="after"):
         pass
+
+
+# ---------------------------------------------------------------
+# r15 pins — probe-based default provider (VERDICT r14 wrong #2),
+# refusal-only steal reporting (ADVICE r14 #1), mixed-fleet
+# warning (ADVICE r14 #3)
+
+
+def test_default_provider_probes_state_dir(tmp_path, monkeypatch):
+    """r15 (VERDICT r14 What's wrong #2): with no env var set, the
+    default provider is PROBED per state dir — flock where the mount
+    is local and a take-and-release flock works, posix otherwise.
+    The env var still overrides the probe in both directions."""
+    from etl_macropulse_br_spark.operators import statelock as SL
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCK_PROVIDER", raising=False)
+
+    # this box's tmp filesystem is local: probe picks flock
+    local = str(tmp_path / "local-state")
+    assert type(SL.default_provider(local)) is FlockLockProvider
+
+    # a known network fstype refuses flock regardless of the probe
+    netdir = str(tmp_path / "nfs-state")
+    monkeypatch.setattr(SL, "_dir_fstype", lambda p: "nfs4")
+    assert type(SL.default_provider(netdir)) is PosixLockProvider
+    monkeypatch.undo()
+    monkeypatch.delenv("SPARK_GRAFT_LOCK_PROVIDER", raising=False)
+
+    # a failing flock(2) on an unknown-but-local mount: posix
+    import fcntl as _fcntl
+
+    faildir = str(tmp_path / "noflock-state")
+
+    def broken_flock(fd, op):
+        raise OSError(38, "flock not supported")
+
+    monkeypatch.setattr(_fcntl, "flock", broken_flock)
+    assert type(SL.default_provider(faildir)) is PosixLockProvider
+    monkeypatch.undo()
+    monkeypatch.delenv("SPARK_GRAFT_LOCK_PROVIDER", raising=False)
+
+    # probe results are cached per real path (the negative results
+    # above must not leak onto fresh dirs, and re-probing the local
+    # dir is a cache hit that still answers flock)
+    assert SL._PROBE_CACHE[os.path.realpath(local)] is True
+    assert SL._PROBE_CACHE[os.path.realpath(faildir)] is False
+    assert type(SL.default_provider(local)) is FlockLockProvider
+
+    # env var beats the probe in BOTH directions
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_PROVIDER", "posix")
+    assert type(SL.default_provider(local)) is PosixLockProvider
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_PROVIDER", "flock")
+    assert type(SL.default_provider(netdir)) is FlockLockProvider
+
+    # and writer_lock's no-provider path uses the probed choice:
+    # a live default-provider holder on a local dir survives a
+    # concurrent default-provider steal attempt via the kernel
+    monkeypatch.delenv("SPARK_GRAFT_LOCK_PROVIDER", raising=False)
+    with writer_lock(local, owner="probed") as lease:
+        assert not lease.displaced
+        with pytest.raises(WriterLockHeld, match="probed"):
+            with writer_lock(local, owner="second"):
+                pass
+
+
+def test_steal_reports_refusal_only_when_holder_judged_alive(
+    tmp_path,
+):
+    """r15 (ADVICE r14 #1): steal() returns True only on a GENUINE
+    refusal — the provider judged the holder alive — never for a
+    vanished lock or a lost one-winner race. writer_lock only
+    reports 'holder judged alive' off that flag, so an exhausted
+    steal/retake livelock no longer points operators at a process
+    that holds nothing."""
+    # posix: vanished lock is not a refusal
+    prov = PosixLockProvider()
+    lock = str(tmp_path / ".writer.lock")
+    assert prov.steal(lock, "t") is False
+
+    # posix: heartbeat after the staleness judgment IS a refusal
+    assert prov.try_create(lock, "h pid=1 token=A t=0")
+    past = time.time() - 7200
+    os.utime(lock, (past, past))
+    waiter = PosixLockProvider()
+    assert waiter.read_holder(lock)[0] > 3600
+    os.utime(lock)  # heartbeat lands after the judgment
+    assert waiter.steal(lock, "t") is True
+
+    # posix: a clean steal of a genuinely dead lock is no refusal
+    os.utime(lock, (past, past))
+    assert waiter.read_holder(lock)[0] > 3600
+    assert waiter.steal(lock, "t") is False
+    assert not os.path.exists(lock)
+
+    # flock: kernel-held lock is a refusal; dead lock is not
+    fl_holder = FlockLockProvider()
+    fl_waiter = FlockLockProvider()
+    assert fl_holder.try_create(lock, "h pid=1 token=B t=0")
+    os.utime(lock, (past, past))
+    assert fl_waiter.read_holder(lock)[0] > 3600
+    assert fl_waiter.steal(lock, "t") is True  # kernel: alive
+    fl_holder.drop_for_test(lock)
+    assert fl_waiter.read_holder(lock)[0] > 3600
+    assert fl_waiter.steal(lock, "t") is False
+    assert not os.path.exists(lock)
+
+    # object store: generation moved past the judgment = refusal
+    # while the lock stands; vanished lock = no refusal
+    store = FakeConditionalStore()
+    os_holder = ObjectStoreLockProvider(store)
+    os_waiter = ObjectStoreLockProvider(store)
+    assert os_holder.try_create("k", "h pid=1 token=C t=0")
+    assert os_waiter.read_holder("k") is not None
+    assert os_holder.heartbeat("k")  # moves the generation
+    assert os_waiter.steal("k", "t") is True
+    os_holder.release_if_token("k", "C")
+    store._objects.clear() if hasattr(store, "_objects") else None
+    assert os_waiter.steal("missing", "t") is False
+
+    # writer_lock: an exhausted loop whose LAST steal succeeded (but
+    # whose retakes kept losing) raises the livelock message, not
+    # the refused-holder message
+    class _ChurnProvider(PosixLockProvider):
+        def try_create(self, lock_, body):
+            return False
+
+        def read_holder(self, lock_):
+            return 9999.0, "ghost pid=0 token=G t=0"
+
+        def steal(self, lock_, token):
+            return False  # stole fine / nothing there — no refusal
+
+    with pytest.raises(WriterLockHeld, match="livelock"):
+        with writer_lock(
+            str(tmp_path / "churn"),
+            stale_after_s=3600,
+            provider=_ChurnProvider(),
+        ):
+            pass
+
+    # ...and one whose last steal WAS refused names the holder
+    class _RefusingProvider(_ChurnProvider):
+        def steal(self, lock_, token):
+            return True
+
+    with pytest.raises(WriterLockHeld, match="token=G.*refused"):
+        with writer_lock(
+            str(tmp_path / "refused"),
+            stale_after_s=3600,
+            provider=_RefusingProvider(),
+        ):
+            pass
+
+
+def test_mixed_provider_contention_logs_kind_mismatch(
+    tmp_path, caplog
+):
+    """r15 (ADVICE r14 #3): the flock provider stamps prov=flock
+    into its lock bodies; a contender whose provider kind disagrees
+    with the standing holder's stamp logs a loud mixed-fleet
+    warning (the flock guarantee is forfeit the moment one process
+    on the dir steals via posix), in BOTH directions."""
+    d = str(tmp_path / "state")
+
+    # flock holder ↔ posix waiter
+    with writer_lock(d, owner="fh", provider=FlockLockProvider()):
+        with caplog.at_level(logging.WARNING):
+            with pytest.raises(WriterLockHeld):
+                with writer_lock(
+                    d, owner="pw", provider=PosixLockProvider()
+                ):
+                    pass
+    assert any(
+        "provider kind mismatch" in m and "prov=flock" in m
+        for m in caplog.messages
+    )
+    caplog.clear()
+
+    # posix holder ↔ flock waiter
+    with writer_lock(d, owner="ph", provider=PosixLockProvider()):
+        with caplog.at_level(logging.WARNING):
+            with pytest.raises(WriterLockHeld):
+                with writer_lock(
+                    d, owner="fw", provider=FlockLockProvider()
+                ):
+                    pass
+    assert any(
+        "provider kind mismatch" in m for m in caplog.messages
+    )
+    caplog.clear()
+
+    # same-kind contention stays quiet
+    with writer_lock(d, owner="f1", provider=FlockLockProvider()):
+        with caplog.at_level(logging.WARNING):
+            with pytest.raises(WriterLockHeld):
+                with writer_lock(
+                    d, owner="f2", provider=FlockLockProvider()
+                ):
+                    pass
+    assert not any(
+        "provider kind mismatch" in m for m in caplog.messages
+    )
+
+
+def test_commit_manifest_gate_matches_through_symlink(tmp_path):
+    """r15 (ADVICE r14 #2): the path-scoped lease gate compares
+    REAL paths — a mutation that locked the index dir under one
+    spelling and commits through a symlinked (or ./-qualified)
+    spelling of the SAME directory must still hit the displacement
+    gate, not fall into the ungated-with-warning branch."""
+    from etl_macropulse_br_spark.operators import ann_index as AI
+    from etl_macropulse_br_spark.operators.statelock import (
+        WriterLease,
+        WriterLeaseDisplaced,
+    )
+
+    real_dir = str(tmp_path / "idx")
+    os.makedirs(real_dir)
+    link_dir = str(tmp_path / "idx-link")
+    os.symlink(real_dir, link_dir)
+
+    AI._commit_manifest(real_dir, {"segments": [], "adc_history": []})
+    before = open(os.path.join(real_dir, "MANIFEST.json")).read()
+
+    lease = WriterLease()
+    lease.displaced = True
+    # the locked wrapper stores realpath; commit arrives via the
+    # symlink spelling — the gate must match and REFUSE
+    token = AI._ACTIVE_LEASE.set((os.path.realpath(real_dir), lease))
+    try:
+        with pytest.raises(WriterLeaseDisplaced):
+            AI._commit_manifest(link_dir, {"segments": ["THIEF"]})
+        # and the alternate ./-qualified spelling too
+        alt = os.path.join(str(tmp_path), ".", "idx")
+        with pytest.raises(WriterLeaseDisplaced):
+            AI._commit_manifest(alt, {"segments": ["THIEF2"]})
+    finally:
+        AI._ACTIVE_LEASE.reset(token)
+    assert open(os.path.join(real_dir, "MANIFEST.json")).read() == before
