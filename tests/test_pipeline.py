@@ -602,11 +602,12 @@ def test_extract_bcb_many_empty_series_list(spark):
     assert df.schema == BCB_SILVER_SCHEMA and df.count() == 0
 
 
-def test_extract_bcb_many_distributed_equals_driver_path(spark):
+def test_extract_bcb_many_distributed_equals_driver_path(spark, caplog):
     """Executor-side fan-out (SURVEY §2 S1's mapInPandas scale path,
     r14): same typed rows as the driver-concurrent path — compared
     as multisets (partitioned emission has no cross-task order) —
-    plus the empty-series and per-task error shapes."""
+    plus the empty-series shape and (r15) cross-task all-settle
+    failure aggregation in all three on_error modes."""
     from etl_macropulse_br_spark.sources.rest import (
         BCB_SILVER_SCHEMA,
         extract_bcb_many,
@@ -648,25 +649,68 @@ def test_extract_bcb_many_distributed_equals_driver_path(spark):
     # failed series; on_error='skip' keeps the successes
     def flaky(url):
         sid = int(url.split("bcdata.sgs.")[1].split("/")[0])
-        if sid == 433:
+        if sid in (433, 189):
             raise ConnectionError(f"boom {sid}")
         return [
             {"data": "02/01/2026", "valor": f"{sid},10"},
             {"data": "09/01/2026", "valor": f"{sid},25"},
         ]
 
-    failing = extract_bcb_many_distributed(
+    # r15 (VERDICT r14 What's missing #2): failures travel as marker
+    # rows and aggregate DRIVER-side across every task — one raise at
+    # call time naming EVERY failed series (parity with the driver
+    # path), with series_per_task=1 forcing the failures into
+    # different tasks
+    with pytest.raises(RuntimeError) as ei:
+        extract_bcb_many_distributed(
+            spark, series, "2025-12-01", "2026-01-31",
+            fetch=flaky, series_per_task=1,
+        )
+    msg = str(ei.value)
+    assert "series 433" in msg and "series 189" in msg
+    assert "2/4" in msg
+
+    # on_error='skip': ONE aggregated driver-side warning naming
+    # every cross-task failure, successes returned
+    import logging as _logging
+
+    with caplog.at_level(_logging.WARNING):
+        kept = extract_bcb_many_distributed(
+            spark, series, "2025-12-01", "2026-01-31",
+            fetch=flaky, series_per_task=1, on_error="skip",
+        )
+        got = sorted({r["series_id"] for r in kept.collect()})
+    assert got == [1, 11]
+    warn = [
+        r.getMessage()
+        for r in caplog.records
+        if r.levelno >= _logging.WARNING
+        and "skipping" in r.getMessage()
+    ]
+    assert len(warn) == 1  # ONE aggregated message, not per-task
+    assert "series 433" in warn[0] and "series 189" in warn[0]
+
+    # on_error='status': fully lazy — the error marker column comes
+    # back as data and the caller owns routing
+    status = extract_bcb_many_distributed(
         spark, series, "2025-12-01", "2026-01-31",
-        fetch=flaky, series_per_task=2,
+        fetch=flaky, series_per_task=1, on_error="status",
     )
-    with pytest.raises(Exception, match="series 433"):
-        failing.collect()
-    kept = extract_bcb_many_distributed(
-        spark, series, "2025-12-01", "2026-01-31",
-        fetch=flaky, series_per_task=2, on_error="skip",
+    assert "error" in status.columns
+    rows = status.collect()
+    bad = sorted(
+        r["series_id"] for r in rows if r["error"] is not None
     )
-    got = sorted({r["series_id"] for r in kept.collect()})
-    assert got == [1, 11, 189]
+    assert bad == [189, 433]
+    assert all(
+        r["date"] is None and r["value"] is None
+        for r in rows
+        if r["error"] is not None
+    )
+    ok = sorted({
+        r["series_id"] for r in rows if r["error"] is None
+    })
+    assert ok == [1, 11]
 
     with pytest.raises(ValueError, match="on_error"):
         extract_bcb_many_distributed(
