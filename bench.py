@@ -74,11 +74,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # The bench workload IS the declared correctness surface: all 50
 # registry queries, each timed on Spark and (via its oracle SQL) on
-# DuckDB — no cherry-picking in either direction.
+# DuckDB — no cherry-picking in either direction. A `--queries`
+# subset (r15 — VERDICT r14 next #7) narrows a RUN for reproducible
+# per-query A/B and floor decompositions; subset runs carry a
+# "queries_subset" marker in the JSON so they can never be quoted as
+# a full-workload replication.
+_SUBSET: list[str] | None = None
+
+
 def bench_queries() -> list[str]:
     from etl_macropulse_br_spark.plans.queries import QUERIES
 
-    return list(QUERIES)
+    names = list(QUERIES)
+    if _SUBSET is not None:
+        return [n for n in names if n in _SUBSET]
+    return names
+
+
+def weak_query_names(
+    timings: dict[str, float],
+    excess: dict[str, float],
+    duck_q: dict[str, float],
+    excess_multiple: float = 3.0,
+    absolute_bar_sec: float = 0.4,
+) -> list[str]:
+    """The bench's self-reporting weak-set rule (r15 — VERDICT r14
+    next #5: `queries_excess_over_floor` existed but nothing
+    consumed it). A query is WEAK when its compute excess over this
+    deployment's per-job scheduling floor exceeds ``excess_multiple``
+    times its DuckDB twin AND the query clears the absolute bar —
+    i.e. a genuine compute gap big enough to matter, not job-launch
+    overhead on a sub-100 ms query (which amortizes to nothing at
+    real scale) and not a floor-dominated micro-query. The next
+    props_struct_parse-shaped gap self-reports in the artifact
+    instead of waiting for a reader to divide two columns."""
+    return sorted(
+        n
+        for n, d in duck_q.items()
+        if d > 0
+        and n in timings
+        and timings[n] >= absolute_bar_sec
+        and excess.get(n, 0.0) > excess_multiple * d
+    )
 
 
 def _spark_phase(
@@ -265,6 +302,30 @@ def _spark_phase(
 
 
 def main() -> None:
+    global _SUBSET
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of registry queries to run "
+        "(reproducible per-query A/B; the JSON carries a "
+        "queries_subset marker)",
+    )
+    args = ap.parse_args()
+    if args.queries:
+        from etl_macropulse_br_spark.plans.queries import QUERIES
+
+        wanted = [q.strip() for q in args.queries.split(",") if q.strip()]
+        unknown = [q for q in wanted if q not in QUERIES]
+        if unknown:
+            ap.error(
+                f"unknown queries {unknown} — valid names: "
+                f"{', '.join(QUERIES)}"
+            )
+        _SUBSET = wanted
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     no_duck = bool(os.environ.get("SPARK_GRAFT_NO_DUCKDB"))
@@ -374,6 +435,9 @@ def main() -> None:
         "duckdb: execute().arrow() (full execution, native Arrow "
         "result); python-object conversion charged to neither",
     }
+    if _SUBSET is not None:
+        # subset runs are A/B tools, never full-workload replications
+        out["queries_subset"] = names
 
     if not no_duck:
         duck_q = {
@@ -417,6 +481,11 @@ def main() -> None:
                 ),
                 2,
             )
+        # self-reporting weak set (r15 — VERDICT r14 next #5): the
+        # floor decomposition now CLASSIFIES, not just publishes
+        out["weak_queries"] = weak_query_names(
+            timings, out["queries_excess_over_floor"], duck_q
+        )
 
     if not citable:
         out["noisy_non_citable"] = True

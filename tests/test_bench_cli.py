@@ -1,0 +1,78 @@
+"""Pins for bench.py's non-measurement surfaces (r15): the
+self-reporting weak-set rule (VERDICT r14 next #5) and the
+``--queries`` subset flag (next #7). Pure-function tests — no Spark
+session, no timing; the measurement methodology itself is covered by
+the per-round BENCH artifacts."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import bench
+
+
+def test_weak_query_rule_flags_genuine_compute_gaps():
+    """WEAK = excess-over-floor > 3x the DuckDB twin AND the query
+    clears the 0.4 s absolute bar. Floor-dominated micro-queries and
+    queries that beat or track DuckDB never flag."""
+    timings = {
+        # the props_struct_parse shape: 17x its twin, but under the
+        # absolute bar -> watched, NOT weak (matches the r14 verdict
+        # treatment: certified compute-bound, kept)
+        "props_like": 0.27,
+        # a genuine gap: 1.2 s where DuckDB takes 0.1 s, excess 1.0
+        "slow_parse": 1.2,
+        # floor-dominated: high RATIO but excess ~0 after jobs*null
+        "tiny": 0.09,
+        # big but healthy: 0.9 s vs DuckDB 0.7 s
+        "heavy_ok": 0.9,
+    }
+    excess = {
+        "props_like": 0.25,
+        "slow_parse": 1.0,
+        "tiny": 0.005,
+        "heavy_ok": 0.84,
+    }
+    duck = {
+        "props_like": 0.015,
+        "slow_parse": 0.1,
+        "tiny": 0.008,
+        "heavy_ok": 0.7,
+    }
+    assert bench.weak_query_names(timings, excess, duck) == [
+        "slow_parse"
+    ]
+    # zero/missing DuckDB twins never divide-by-zero or flag
+    assert bench.weak_query_names(
+        {"a": 9.9}, {"a": 9.9}, {"a": 0.0, "b": 0.1}
+    ) == []
+
+
+def test_bench_queries_subset_preserves_registry_order():
+    from etl_macropulse_br_spark.plans.queries import QUERIES
+
+    names = list(QUERIES)
+    assert bench.bench_queries() == names  # no subset: full registry
+    try:
+        bench._SUBSET = [names[3], names[1]]  # caller order scrambled
+        assert bench.bench_queries() == [names[1], names[3]]
+    finally:
+        bench._SUBSET = None
+
+
+def test_bench_cli_rejects_unknown_query_names():
+    """The flag fails fast with the valid names — a typo'd A/B run
+    must not silently bench an empty workload."""
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--queries", "no_such_query"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "no_such_query" in proc.stderr
+    assert "q1_pricing_summary" in proc.stderr  # names the valid set
