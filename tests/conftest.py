@@ -15,6 +15,15 @@ sys.path.insert(
 from etl_macropulse_br_spark.session import get_spark  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "objectstore: needs boto3/moto — real-SDK object-store "
+        "adapter tests, run with `pytest -m objectstore` on a "
+        "machine that has them (dormant here)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
