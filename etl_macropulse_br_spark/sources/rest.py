@@ -316,14 +316,17 @@ def extract_bcb_many_distributed(
       driver path; ``on_error="skip"`` logs ONE driver-side warning
       naming them all and returns the successes.
     - consequence: "raise"/"skip" are EAGER like the driver path
-      (the fetch job runs at call time; the returned frame reads
-      the persisted fetch results, so nothing is fetched twice —
-      call ``.unpersist()`` on the result after sinking it to drop
-      the executor-side cache). For an ingest too large even to
+      (the fetch job runs at call time; the returned frame FILTERS
+      the persisted fetch results, so nothing is fetched twice).
+      The persisted intermediate is the returned frame's parent,
+      not the frame itself — drop the executor-side cache after
+      sinking with ``df.sparkSession.catalog.clearCache()`` (or let
+      session teardown reclaim it). For an ingest too large even to
       persist executor-side, ``on_error="status"`` stays fully
       LAZY: it returns the silver columns plus the ``error`` marker
       column and the CALLER owns failure handling (filter/route on
-      ``error IS NOT NULL``).
+      ``error IS NOT NULL``) — each action re-runs the fetch, so
+      sink it once.
     - ``series_per_task`` sizes the control-frame partitions: 8
       series/task amortizes task launch over ~8 network round-trips
       while keeping thousands of tasks for O(10^4+) series.
