@@ -205,12 +205,19 @@ def extract_bcb_many(
       of series). Row order = series order then record order, the
       exact rows the serial per-series path produces (pinned by the
       concurrent≡serial differential in tests/test_pipeline.py).
+    - ``on_error="status"`` (r15, parity with
+      :func:`extract_bcb_many_distributed`): neither raises nor
+      warns — each failed series becomes ONE marker row (``error``
+      column set, data columns NULL) in series position, and the
+      returned frame carries the ``error`` column for the caller to
+      route on.
     """
-    if on_error not in ("raise", "skip"):
+    if on_error not in ("raise", "skip", "status"):
         raise ValueError(
             f"extract_bcb_many: on_error={on_error!r} — use 'raise' "
-            "(fail after all series settle, naming every failure) "
-            "or 'skip' (warn and continue with the successes)"
+            "(fail after all series settle, naming every failure), "
+            "'skip' (warn and continue with the successes) or "
+            "'status' (error marker column, caller routes)"
         )
     fetch = fetch or _default_fetch
     # normalize ONCE, exactly like the reference's control-table loop
@@ -220,7 +227,12 @@ def extract_bcb_many(
     # loosely-typed control tables (r14 self-review)
     series = [(int(sid), str(name)) for sid, name in series]
     if not series:
-        return spark.createDataFrame([], BCB_SILVER_SCHEMA)
+        return spark.createDataFrame(
+            [],
+            BCB_SILVER_STATUS_SCHEMA
+            if on_error == "status"
+            else BCB_SILVER_SCHEMA,
+        )
 
     def one(sid_name: tuple[int, str]) -> list[dict]:
         sid, _ = sid_name
@@ -233,15 +245,20 @@ def extract_bcb_many(
 
     workers = max(1, min(max_concurrency, len(series)))
     results: list[list[dict] | None] = [None] * len(series)
-    failures: list[tuple[int, str, Exception]] = []
+    errors: list[Exception | None] = [None] * len(series)
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futures = [pool.submit(one, sn) for sn in series]
         for i, fut in enumerate(futures):
             try:
                 results[i] = fut.result()
             except Exception as exc:  # noqa: BLE001 — isolate & report
-                failures.append((series[i][0], series[i][1], exc))
-    if failures:
+                errors[i] = exc
+    failures = [
+        (series[i][0], series[i][1], exc)
+        for i, exc in enumerate(errors)
+        if exc is not None
+    ]
+    if failures and on_error != "status":
         detail = "; ".join(
             f"series {sid} ({name!r}): {exc}"
             for sid, name, exc in failures
@@ -256,6 +273,46 @@ def extract_bcb_many(
             len(failures),
             len(series),
             detail,
+        )
+
+    if on_error == "status":
+        # marker rows sit in SERIES POSITION (order parity with the
+        # data rows' series-then-record order)
+        rows = [
+            row
+            for i, ((sid, name), recs) in enumerate(
+                zip(series, results)
+            )
+            for row in (
+                [
+                    (
+                        int(sid),
+                        name,
+                        None,
+                        None,
+                        f"series {int(sid)} ({name!r}): {errors[i]}",
+                    )
+                ]
+                if errors[i] is not None
+                else [
+                    (
+                        int(sid),
+                        name,
+                        str(r.get("data", "")),
+                        str(r.get("valor", "")),
+                        None,
+                    )
+                    for r in recs
+                ]
+            )
+        ]
+        raw = spark.createDataFrame(rows, BCB_MANY_STATUS_SCHEMA)
+        return raw.select(
+            "series_id",
+            "series_name",
+            parse_date_ddmmyyyy("data").alias("date"),
+            parse_ptbr_number("valor").alias("value"),
+            "error",
         )
 
     rows = [

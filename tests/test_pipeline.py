@@ -591,6 +591,25 @@ def test_extract_bcb_many_error_isolation(spark, caplog):
             fetch=flaky_fetch, on_error="ignore",
         )
 
+    # r15: on_error='status' — marker rows in SERIES POSITION, error
+    # column as data, no raise/warn (API parity with the distributed
+    # path's lazy mode)
+    status = extract_bcb_many(
+        spark, series, "2025-12-01", "2026-01-31",
+        fetch=flaky_fetch, on_error="status",
+    )
+    assert "error" in status.columns
+    rows = status.collect()
+    assert [r["series_id"] for r in rows] == [11, 11, 666, 433, 433, 667]
+    assert [r["error"] is not None for r in rows] == [
+        False, False, True, False, False, True,
+    ]
+    assert all(
+        r["date"] is None and r["value"] is None
+        for r in rows
+        if r["error"] is not None
+    )
+
 
 def test_extract_bcb_many_empty_series_list(spark):
     from etl_macropulse_br_spark.sources.rest import (

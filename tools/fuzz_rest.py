@@ -254,6 +254,32 @@ def run_round(spark, rng: random.Random, tag: str) -> None:
             f"{tag}: status-mode data rows != survivors"
         )
 
+        # r15: the driver path's status mode must agree with the
+        # distributed one as a multiset, and its rows sit in series
+        # position (series-then-record order, markers included)
+        c_status = extract_bcb_many(
+            spark, series, "2025-12-01", "2026-01-31",
+            fetch=flaky, on_error="status",
+        ).collect()
+        assert sorted(
+            (tuple(r) for r in c_status), key=repr
+        ) == sorted((tuple(r) for r in status_rows), key=repr), (
+            f"{tag}: driver status != distributed status (multiset)"
+        )
+        order_sids = [r["series_id"] for r in c_status]
+        want_order = [
+            int(sid)
+            for sid, _ in series
+            for _n in range(
+                1
+                if int(sid) in failing
+                else len(payloads[int(sid)])
+            )
+        ]
+        assert order_sids == want_order, (
+            f"{tag}: driver status rows not in series position"
+        )
+
 
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 7
