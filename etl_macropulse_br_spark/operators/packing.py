@@ -1,0 +1,150 @@
+"""Sequence packing — greedy token-budget bin packing for training
+batches (r15 extension surface; no reference counterpart — the
+reference is a macro-data ETL, `/root/reference/src/transform.py`,
+with no document pipeline. This is part of the large-scale
+training-data toolkit next to dedup/similarity/text).
+
+An LLM pretraining pipeline packs documents into fixed-size context
+windows so no step wastes padding tokens. The operator here is the
+DETERMINISTIC shard-local greedy packer that production packers
+(e.g. the concatenate-and-chunk or first-fit family) reduce to when
+order is pinned:
+
+- each document goes to a SHARD (``doc_id % n_shards``);
+- within its shard, documents are visited in ``doc_id`` order and
+  appended to the current bin while the running token fill stays
+  within ``budget``; a document that would overflow STARTS a new
+  bin (documents never split); a document larger than the budget
+  occupies a bin alone (and the next document starts fresh).
+
+Determinism is the point: the same inputs produce the same
+``(shard, bin)`` assignment under ANY partitioning (the shard hash
+and the in-shard order are both data-derived), so the operator is
+oracle-checkable row-for-row — the DuckDB twin replays the same
+greedy recurrence as a recursive CTE (`plans/queries.py:
+DOCS_PACK_SEQUENCES_SQL`).
+
+100 TB design: greedy packing is inherently SEQUENTIAL within a
+bin stream, so scale comes from sharding, not from parallelizing
+the scan: ``n_shards`` independent greedy streams, one exchange
+total (the shard ``groupBy``), each stream packed in one Arrow
+batch by ``applyInPandas``. Size ``n_shards`` so a shard's
+``(doc_id, n_tok)`` pairs fit an executor comfortably — the packer
+carries two longs per document, so even 10^8 docs/shard is ~1.6 GB;
+the TEXT never ships through Python (the token count is computed
+JVM-side first and only ids+counts enter the pandas stage).
+Packing quality loss vs a global greedy pass is the shard boundary
+waste: at most one partially-filled bin per shard, amortized to
+nothing when shards carry thousands of bins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    tokens: Column,
+    budget: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document a ``(shard, bin)`` by shard-local greedy
+    packing of ``tokens`` into bins of at most ``budget`` tokens.
+
+    ``tokens`` is a Column computed JVM-side (e.g.
+    ``operators.text.token_count("text")``) — only ``(id, n_tok,
+    shard)`` rows reach the Python packer. Returns
+    ``(id_col, shard, bin, n_tok)`` with ``bin`` 0-based per shard.
+    """
+    if budget <= 0:
+        raise ValueError(f"pack_sequences: budget={budget} must be > 0")
+    if n_shards <= 0:
+        raise ValueError(
+            f"pack_sequences: n_shards={n_shards} must be > 0"
+        )
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias(
+            "shard"
+        ),
+        tokens.cast("long").alias("n_tok"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        toks = pdf["n_tok"].to_numpy()
+        bins = [0] * len(toks)
+        fill = 0
+        b = 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if i > 0 and fill + t > budget:
+                b += 1
+                fill = t
+            else:
+                fill += t
+            bins[i] = b
+        pdf["bin"] = bins
+        return pdf[[id_col, "shard", "bin", "n_tok"]]
+
+    return base.groupBy("shard").applyInPandas(
+        pack,
+        schema=f"{id_col} long, shard long, bin long, n_tok long",
+    )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    tokens: Column,
+    budget: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk packing — the closed-form sibling of
+    :func:`pack_sequences`: documents are conceptually concatenated
+    in ``doc_id`` order per shard and the stream is cut every
+    ``budget`` tokens; each document's bin is where it STARTS
+    (``floor(cumsum_before / budget)``), so a document straddling a
+    boundary stays in the earlier bin and that bin overflows by at
+    most one document. This is the packing discipline pipelines use
+    when the loader can split at document boundaries lazily (bins
+    fill to >= budget instead of <= budget).
+
+    Unlike the greedy packer this is a PURE window expression — no
+    Python stage at all, exact on any SQL engine (integer
+    arithmetic), and the shape that survives 100 TB most plainly:
+    one hash partition by shard, one in-shard sort, one running
+    sum. Returns the same ``(id_col, shard, bin, n_tok)`` columns.
+    """
+    if budget <= 0:
+        raise ValueError(f"pack_chunks: budget={budget} must be > 0")
+    if n_shards <= 0:
+        raise ValueError(
+            f"pack_chunks: n_shards={n_shards} must be > 0"
+        )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias(
+            "shard"
+        ),
+        tokens.cast("long").alias("n_tok"),
+    )
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    return base.select(
+        id_col,
+        "shard",
+        F.floor(start / F.lit(budget)).cast("long").alias("bin"),
+        "n_tok",
+    )

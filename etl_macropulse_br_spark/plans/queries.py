@@ -2559,6 +2559,100 @@ FROM t GROUP BY source
 """
 
 
+_PACK_BUDGET = 512
+_PACK_SHARDS = 16
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (r15 training-data extension): shard-local
+    greedy token-budget bin packing — the batching step a
+    pretraining pipeline runs so context windows carry no padding.
+    Deterministic by construction (shard = doc_id % N, in-shard
+    doc_id order), so the assignment is oracle-checkable
+    row-for-row; the DuckDB twin replays the greedy recurrence as a
+    recursive CTE. One exchange (the shard groupBy); only
+    (id, token-count) pairs enter the Arrow packer — the text stays
+    JVM-side. See operators/packing.py for the 100 TB sizing notes."""
+    from etl_macropulse_br_spark.operators.packing import (
+        pack_sequences,
+    )
+    from etl_macropulse_br_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs,
+        token_count("text"),
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+DOCS_PACK_SEQUENCES_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+         row_number() OVER (
+           PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+         ) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT shard, rn, doc_id, n_tok,
+         n_tok AS fill, CAST(0 AS BIGINT) AS bin
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.shard, b.rn, b.doc_id, b.n_tok,
+         CASE WHEN p.fill + b.n_tok <= {_PACK_BUDGET}
+              THEN p.fill + b.n_tok ELSE b.n_tok END,
+         CASE WHEN p.fill + b.n_tok <= {_PACK_BUDGET}
+              THEN p.bin ELSE p.bin + 1 END
+  FROM packed p
+  JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1
+)
+SELECT doc_id, shard, bin, n_tok FROM packed
+"""
+
+
+def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (r15 training-data
+    extension, the DECLARED packing row): documents concatenated in
+    doc_id order per shard, stream cut every `budget` tokens, each
+    doc binned where it starts — a pure window expression, exact on
+    both engines. The no-overflow greedy sibling
+    (docs_pack_sequences) is AUX: its only exact SQL twin is a
+    recursive CTE whose O(rows-per-shard) iteration count makes the
+    DuckDB side ~22x slower than Spark at sf0.1, which would swing
+    the headline bench ratio on oracle-formulation grounds rather
+    than engine grounds (PLANS.md r15)."""
+    from etl_macropulse_br_spark.operators.packing import pack_chunks
+    from etl_macropulse_br_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_chunks(
+        docs,
+        token_count("text"),
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+DOCS_PACK_CHUNKS_SQL = f"""
+SELECT doc_id,
+       doc_id % {_PACK_SHARDS} AS shard,
+       CAST(FLOOR(
+         (sum(CAST(len({_TOKS_SQL}) AS BIGINT)) OVER (
+            PARTITION BY doc_id % {_PACK_SHARDS}
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) - CAST(len({_TOKS_SQL}) AS BIGINT)
+         ) / {_PACK_BUDGET}
+       ) AS BIGINT) AS bin,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+FROM documents
+"""
+
+
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return language_id(docs).select("doc_id", "lang", "pred_lang")
@@ -6507,6 +6601,7 @@ QUERIES: dict[str, QueryFn] = {
     "docs_lang_id_ngram": docs_lang_id_ngram,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_repetition": docs_repetition,
+    "docs_pack_chunks": docs_pack_chunks,
 }
 
 # Implemented-and-gated probes whose operator surface is a strict
@@ -6514,6 +6609,7 @@ QUERIES: dict[str, QueryFn] = {
 # tools/check_oracle.py gates these every run alongside QUERIES; they
 # are simply not part of the 50-entry driver contract.
 AUX_QUERIES: dict[str, QueryFn] = {
+    "docs_pack_sequences": docs_pack_sequences,
     "status_filter": status_filter,  # ⊂ filter_range_project (P3)
     "latest_event_global": latest_event_global,  # ⊂ recent_events_top10 (A6⊂O1)
     "distinct_parts": distinct_parts,  # ⊂ user_set_ops (distinct)
@@ -6690,9 +6786,11 @@ ORACLES: dict[str, str] = {
     "docs_lang_id_ngram": DOCS_LANG_ID_NGRAM_SQL,
     "docs_bm25_topk": DOCS_BM25_TOPK_SQL,
     "docs_repetition": DOCS_REPETITION_SQL,
+    "docs_pack_chunks": DOCS_PACK_CHUNKS_SQL,
 }
 
 AUX_ORACLES: dict[str, str] = {
+    "docs_pack_sequences": DOCS_PACK_SEQUENCES_SQL,
     "status_filter": STATUS_FILTER_SQL,
     "latest_event_global": LATEST_EVENT_GLOBAL_SQL,
     "distinct_parts": DISTINCT_PARTS_SQL,

@@ -365,3 +365,28 @@ def test_props_struct_parse_schema_is_only_consumed_fields(
     assert schemas, f"no from_json in plan:\n{plan}"
     for s in schemas:
         assert s == "StructField(k,LongType,true)", s
+
+
+def test_pack_sequences_single_exchange_arrow_stage(small_spark):
+    """r15: sequence packing is ONE exchange (the shard groupBy)
+    feeding one Arrow-batched FlatMapGroupsInPandas — the text never
+    enters the Python stage (only id/shard/token-count columns), and
+    no second shuffle or sort materializes around it."""
+    plan = _plan(small_spark, "docs_pack_sequences")
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    # the packer's input projection carries no text column
+    import re
+
+    flat = plan[plan.index("FlatMapGroupsInPandas"):]
+    assert "text" not in re.split(r"\n", flat)[0], flat[:300]
+
+
+def test_pack_chunks_pure_window_no_python_stage(small_spark):
+    """r15: the declared packing row is a pure window expression —
+    one exchange, one WindowExec, NO Arrow/Python stage anywhere."""
+    plan = _plan(small_spark, "docs_pack_chunks")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
