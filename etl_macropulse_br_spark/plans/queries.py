@@ -66,6 +66,10 @@ Training-data extension ops: docs_exact_dedup, docs_text_stats,
   embedding_cosine_topk, embedding_cosine_topk_pandas
   (float-free rank projection), embedding_ivf_topk,
   embedding_near_dups, docs_train_val_split (all oracle-gated).
+Sequence packing (r15): docs_pack_chunks (declared — closed-form
+  concat-then-chunk, pure window) and docs_pack_sequences (aux —
+  greedy no-overflow via one Arrow applyInPandas stage; recursive-CTE
+  oracle, kept out of the headline bench — PLANS.md r15).
 As-of family: asof_click_view (backward), asof_forward_click_view;
   nearest is pandas-differential-tested (tests/test_asof.py).
 Late-r5 and r6 aux additions (all locally oracle-gated):
