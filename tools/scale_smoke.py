@@ -98,6 +98,24 @@ def main() -> None:
         return cms_point_estimates(
             toks, "tok", ["spark", "table", "merge", "the"], w=1024, d=4
         )
+
+    def _pack_chunks(df):
+        from etl_macropulse_br_spark.operators.packing import (
+            pack_chunks,
+        )
+        from etl_macropulse_br_spark.operators.text import token_count
+
+        return pack_chunks(df, token_count("text"), budget=512, n_shards=16)
+
+    def _pack_greedy(df):
+        from etl_macropulse_br_spark.operators.packing import (
+            pack_sequences,
+        )
+        from etl_macropulse_br_spark.operators.text import token_count
+
+        return pack_sequences(
+            df, token_count("text"), budget=512, n_shards=16
+        )
     from etl_macropulse_br_spark.plans.queries import _scaled, _t
     from etl_macropulse_br_spark.session import get_spark
 
@@ -189,6 +207,16 @@ def main() -> None:
             replicate(ev, k, "event_id")
         ),
         "cms_token_counts(docs)": lambda k: _cms(
+            replicate(docs, k, "doc_id", "text")
+        ),
+        # r15: packing — chunks is one window pass; greedy is one
+        # Arrow stage over (id, count) pairs per shard. K disjoint-id
+        # copies grow every shard's stream K×, the exact axis the
+        # sequential packer must stay linear on.
+        "pack_chunks(docs)": lambda k: _pack_chunks(
+            replicate(docs, k, "doc_id", "text")
+        ),
+        "pack_greedy(docs)": lambda k: _pack_greedy(
             replicate(docs, k, "doc_id", "text")
         ),
     }
