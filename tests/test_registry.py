@@ -16,8 +16,9 @@ from etl_macropulse_br_spark.plans.queries import (
 )
 
 
-def test_declared_registry_is_exactly_50():
-    assert len(QUERIES) == 50
+def test_declared_registry_is_exactly_51():
+    # 50 through r14; +1 in r15 (docs_pack_chunks — sequence packing)
+    assert len(QUERIES) == 51
 
 
 def test_every_declared_query_has_an_oracle():
