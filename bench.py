@@ -72,9 +72,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# The bench workload IS the declared correctness surface: all 50
-# registry queries, each timed on Spark and (via its oracle SQL) on
-# DuckDB — no cherry-picking in either direction. A `--queries`
+# The bench workload IS the declared correctness surface: every
+# declared registry query, each timed on Spark and (via its oracle
+# SQL) on DuckDB — no cherry-picking in either direction. A `--queries`
 # subset (r15 — VERDICT r14 next #7) narrows a RUN for reproducible
 # per-query A/B and floor decompositions; subset runs carry a
 # "queries_subset" marker in the JSON so they can never be quoted as
@@ -97,6 +97,7 @@ def weak_query_names(
     duck_q: dict[str, float],
     excess_multiple: float = 3.0,
     absolute_bar_sec: float = 0.4,
+    hysteresis: float = 1.2,
 ) -> list[str]:
     """The bench's self-reporting weak-set rule (r15 — VERDICT r14
     next #5: `queries_excess_over_floor` existed but nothing
@@ -107,14 +108,24 @@ def weak_query_names(
     overhead on a sub-100 ms query (which amortizes to nothing at
     real scale) and not a floor-dominated micro-query. The next
     props_struct_parse-shaped gap self-reports in the artifact
-    instead of waiting for a reader to divide two columns."""
+    instead of waiting for a reader to divide two columns.
+
+    ``hysteresis`` (r16 — VERDICT r15 next #3): the excess must
+    clear the threshold with a margin. In r15 the same code flagged
+    `embedding_near_dups` in one citable run (excess 0.454 s vs a
+    3x threshold of 0.453 s — over by ONE millisecond) and not in
+    three others: a rule with a hard edge flaps between artifacts
+    on measurement noise smaller than the run-to-run spread. A
+    genuine compute gap (props_struct_parse ran 14x its twin before
+    its r14/r15 certification) clears a 20% margin trivially; a
+    boundary case within the margin is box noise, not a finding."""
     return sorted(
         n
         for n, d in duck_q.items()
         if d > 0
         and n in timings
         and timings[n] >= absolute_bar_sec
-        and excess.get(n, 0.0) > excess_multiple * d
+        and excess.get(n, 0.0) > hysteresis * excess_multiple * d
     )
 
 

@@ -21,6 +21,19 @@ def test_declared_registry_is_exactly_51():
     assert len(QUERIES) == 51
 
 
+def test_driver_checked_prefix_covers_the_newest_query():
+    """r16 (VERDICT r15 next #1): the driver checks only the FIRST
+    50 entries, so the least-proven declared query must sit inside
+    that window and the deliberate position-51 tail must be the
+    redundant pandas twin of an already-checked query. This pin
+    makes the ordering a decision, not an accident of insertion
+    order."""
+    names = list(QUERIES)
+    assert "docs_pack_chunks" in names[:50]
+    assert names[50] == "embedding_cosine_topk_pandas"
+    assert "embedding_cosine_topk" in names[:50]  # the checked twin
+
+
 def test_every_declared_query_has_an_oracle():
     assert set(ORACLES) == set(QUERIES)
 
