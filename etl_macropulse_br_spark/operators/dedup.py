@@ -1001,6 +1001,16 @@ def embedding_near_dups(
     # per-vector fold is the identical float sequence, so every
     # cosine stays bit-for-bit equal to the inline form (pinned by
     # an A/B value comparison; the SQL oracle is untouched).
+    # r16 A/B note: pre-casting `v` to a double array here (once per
+    # vector) would drop the two interpreted per-pair `transform`
+    # up-casts in the verify, and measured value-identical — but
+    # `v_a` is SELECTED FROM this table and then crosses the second
+    # lookup's exchange once per CANDIDATE PAIR, so the pre-cast
+    # doubles the pair-sized shuffle bytes at corpus scale to save a
+    # cheap map-side cast (the wrong side of guide §2.3's
+    # narrower-types-through-the-exchange trade). Locally it was
+    # inside box noise in every ABBA round (PLANS.md r16). Kept
+    # float.
     e = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -1023,10 +1023,22 @@ GROUP BY o_orderstatus, o_orderpriority
 
 
 def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic dedup-keep-first (A7, SURVEY §4.2 trap #2)."""
+    """Deterministic dedup-keep-first (A7, SURVEY §4.2 trap #2).
+
+    r16: the output projection moved ABOVE the dedup (guide §2.3 —
+    project before the exchange): ``dedup_keep_first`` packs every
+    non-key column into its ``min_by`` payload struct, and Catalyst
+    cannot prune fields out of an aggregate's struct argument, so
+    the old shape built/compared/carried the unused ``props`` JSON
+    string per input row. Keeping only the five output columns is
+    value-identical (the payload is ordered by the ``order`` struct
+    alone) and drops ``props`` from the scan (ReadSchema 6 → 5
+    columns), the per-row payload struct, and the shuffle."""
     from etl_macropulse_br_spark.operators.silver import dedup_keep_first
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
     return dedup_keep_first(
         ev, keys=["user_id", "event_type"], order=["ts", "event_id"]
     ).select("user_id", "event_type", "event_id", "ts", "value")

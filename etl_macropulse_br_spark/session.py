@@ -55,8 +55,16 @@ def get_spark(
     """
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     if shuffle_partitions is None:
+        # The small-input static partition count is deploy-time
+        # sizing like everything else in this profile; the env knob
+        # (r16) makes it A/B-able without code edits
+        # (SPARK_GRAFT_SMALL_SHUFFLE_PARTITIONS=8 python bench.py
+        # --queries ...). Default 4: measured best overall for the
+        # sub-second bench workload (PLANS.md r16 re-measured 4 vs 8).
         shuffle_partitions = (
-            4 if profile == "small-input" else DEFAULT_SHUFFLE_PARTITIONS
+            int(os.environ.get("SPARK_GRAFT_SMALL_SHUFFLE_PARTITIONS", "4"))
+            if profile == "small-input"
+            else DEFAULT_SHUFFLE_PARTITIONS
         )
     builder = (
         SparkSession.builder.master(master)
