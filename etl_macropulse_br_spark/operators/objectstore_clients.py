@@ -129,6 +129,10 @@ class S3ConditionalStore:
         self._bucket = bucket
         self._prefix = prefix
         self._uncond_delete = unconditional_delete_fallback
+        # lazily-probed conditional-DeleteObject behavior of THIS
+        # endpoint: "honored" / "rejected" / "ignored" (r16 —
+        # ADVICE r15 #2). None = not probed yet.
+        self._cond_delete: str | None = None
 
     @classmethod
     def create(
@@ -201,7 +205,85 @@ class S3ConditionalStore:
             raise
         return self._etag(resp)
 
+    def probe_conditional_delete(self) -> str:
+        """Classify how THIS endpoint treats ``IfMatch`` on
+        ``DeleteObject`` (r16 — ADVICE r15 #2): a store that
+        *rejects* the header fails loudly (400/501 — classic
+        general-purpose S3), but a store that silently *ignores* it
+        would turn every conditional delete into an unconditional
+        one — a live holder's lock could be deleted with no error
+        and no fallback gate ever firing. The only way to tell the
+        honored and ignored cases apart is to try it: create a probe
+        object under the prefix and issue a delete with a
+        deliberately mismatched ETag.
+
+        Returns ``"honored"`` (mismatch was refused with 409/412),
+        ``"rejected"`` (the header itself was refused with 400/501),
+        or ``"ignored"`` (the delete went through — the dangerous
+        class). Costs two or three requests, runs once per store
+        instance (cached by :meth:`delete_if_generation`).
+        """
+        probe_key = f"__conddelete_probe__{uuid.uuid4().hex}"
+        if self.put_if_absent(probe_key, "probe") is None:
+            # a uuid key collision means the store is lying anyway
+            raise RuntimeError(
+                "probe_conditional_delete: fresh probe key already "
+                "existed — store misbehaving"
+            )
+        mismatched = "0" * 32  # syntactically valid, never a real ETag
+        verdict = "ignored"
+        try:
+            self._c.delete_object(
+                Bucket=self._bucket,
+                Key=self._key(probe_key),
+                IfMatch=mismatched,
+            )
+        except Exception as exc:  # noqa: BLE001 — status-classified
+            status = _http_status(exc)
+            if status in (409, 412):
+                verdict = "honored"
+            elif status in (400, 501):
+                verdict = "rejected"
+            else:
+                raise
+        if verdict != "ignored":  # probe object survived: clean up
+            self._c.delete_object(
+                Bucket=self._bucket, Key=self._key(probe_key)
+            )
+        return verdict
+
+    def _delete_fallback_or_raise(self, key: str, expected: str, why: str) -> bool:
+        if self._uncond_delete:
+            # degraded get-compare-delete, a documented posix-style
+            # TOCTOU between the compare and the delete
+            v = self.get(key)
+            if v is None or v[1] != expected:
+                return False
+            self._c.delete_object(
+                Bucket=self._bucket, Key=self._key(key)
+            )
+            return True
+        raise NotImplementedError(
+            f"this S3 store {why} conditional DeleteObject "
+            "(IfMatch) — use a directory bucket or an "
+            "S3-compatible store that honors it, or opt "
+            "into the non-atomic fallback with "
+            "unconditional_delete_fallback=True (documented "
+            "TOCTOU)"
+        )
+
     def delete_if_generation(self, key: str, expected: str) -> bool:
+        # One-time endpoint probe (r16 — ADVICE r15 #2): an endpoint
+        # that silently IGNORES IfMatch would make this delete
+        # unconditional and return True with no error; route such
+        # endpoints through the same explicit fallback-or-raise gate
+        # as ones that reject the header.
+        if self._cond_delete is None:
+            self._cond_delete = self.probe_conditional_delete()
+        if self._cond_delete == "ignored":
+            return self._delete_fallback_or_raise(
+                key, expected, "silently ignores"
+            )
         try:
             self._c.delete_object(
                 Bucket=self._bucket,
@@ -215,27 +297,12 @@ class S3ConditionalStore:
                 return False  # generation moved: a live write won
             if status == 404:
                 return False  # already gone
-            if status in (400, 501) and self._uncond_delete:
-                # the store rejected the IfMatch HEADER itself
-                # (classic general-purpose S3 bucket) — degraded
-                # get-compare-delete, a documented posix-style
-                # TOCTOU between the compare and the delete
-                v = self.get(key)
-                if v is None or v[1] != expected:
-                    return False
-                self._c.delete_object(
-                    Bucket=self._bucket, Key=self._key(key)
-                )
-                return True
             if status in (400, 501):
-                raise NotImplementedError(
-                    "this S3 store rejects conditional DeleteObject "
-                    "(IfMatch) — use a directory bucket or an "
-                    "S3-compatible store that honors it, or opt "
-                    "into the non-atomic fallback with "
-                    "unconditional_delete_fallback=True (documented "
-                    "TOCTOU)"
-                ) from exc
+                # the store rejected the IfMatch HEADER itself
+                # (classic general-purpose S3 bucket)
+                return self._delete_fallback_or_raise(
+                    key, expected, "rejects"
+                )
             raise
 
     def get(self, key: str) -> tuple[str, str, float] | None:
@@ -344,4 +411,15 @@ class GCSConditionalStore:
                     continue  # changed underneath: re-snapshot
                 raise
             return body, gen, blob.updated.timestamp()
-        return None
+        # r16 (ADVICE r15 #3): exhausting the snapshot loop must NOT
+        # return the same None that means "object absent" — callers
+        # (ObjectStoreLockProvider.read_holder/steal) would misread
+        # a standing, heavily-rewritten lock as vanished and report
+        # a steal as not-refused. Raise a distinct error instead;
+        # under write churn this is transient and retryable.
+        raise RuntimeError(
+            f"GCSConditionalStore.get({key!r}): could not take a "
+            "consistent (body, generation) snapshot in 4 attempts — "
+            "object exists but is being rewritten faster than it "
+            "can be read; retry with backoff"
+        )

@@ -75,10 +75,18 @@ class _FakeS3Client:
     False emulates a classic general-purpose bucket that rejects
     the IfMatch header on DeleteObject."""
 
-    def __init__(self, honor_delete_ifmatch: bool = True):
+    def __init__(
+        self,
+        honor_delete_ifmatch: bool = True,
+        ignore_delete_ifmatch: bool = False,
+    ):
         self._objs: dict[str, tuple[bytes, str, float]] = {}
         self._mu = threading.Lock()
         self._honor_delete = honor_delete_ifmatch
+        # r16 (ADVICE r15 #2): the third endpoint class — the header
+        # is ACCEPTED but silently ignored, making every conditional
+        # delete unconditional with no error to classify
+        self._ignore_delete = ignore_delete_ifmatch
 
     @staticmethod
     def _etag(data: bytes) -> str:
@@ -116,6 +124,8 @@ class _FakeS3Client:
 
     def delete_object(self, Bucket, Key, IfMatch=None):
         with self._mu:
+            if IfMatch is not None and self._ignore_delete:
+                IfMatch = None  # header silently dropped
             if IfMatch is not None and not self._honor_delete:
                 raise _FakeClientError(400, "InvalidRequest")
             cur = self._objs.get(Key)
@@ -323,6 +333,74 @@ def test_s3_delete_fallback_and_refusal():
     assert lax.delete_if_generation("k", g) is False  # compare saw g2
     assert lax.delete_if_generation("k", g2) is True
     assert lax.get("k") is None
+
+
+def test_s3_probe_classifies_all_three_endpoint_classes():
+    """r16 (ADVICE r15 #2): honored / rejected are distinguishable
+    from error statuses, but an endpoint that silently IGNORES
+    IfMatch on DeleteObject looks exactly like success — only a
+    probe with a deliberately mismatched ETag can tell. The probe
+    must also leave no probe object behind."""
+    for kwargs, want in (
+        (dict(), "honored"),
+        (dict(honor_delete_ifmatch=False), "rejected"),
+        (dict(ignore_delete_ifmatch=True), "ignored"),
+    ):
+        client = _FakeS3Client(**kwargs)
+        store = _S3Store(client, "bkt", prefix="locks/")
+        assert store.probe_conditional_delete() == want, want
+        assert not client._objs  # probe cleaned up
+
+
+def test_s3_silently_ignoring_endpoint_cannot_delete_live_lock():
+    """The hazard the probe exists for: on an ignoring endpoint the
+    old adapter's conditional delete became unconditional, returned
+    True, and a live holder's lock vanished with no error. Now the
+    first delete probes the endpoint and routes through the same
+    explicit fallback-or-raise gate as a rejecting endpoint."""
+    client = _FakeS3Client(ignore_delete_ifmatch=True)
+    strict = _S3Store(client, "bkt")
+    g1 = strict.put_if_absent("k", "owner token=A t=1")
+    g2 = strict.put_if_generation("k", "owner token=A t=2", g1)
+    assert g2 is not None
+    with pytest.raises(NotImplementedError, match="silently ignores"):
+        strict.delete_if_generation("k", g1)
+    assert strict.get("k")[0] == "owner token=A t=2"  # lock survived
+
+    lax = _S3Store(
+        _FakeS3Client(ignore_delete_ifmatch=True),
+        "bkt",
+        unconditional_delete_fallback=True,
+    )
+    g = lax.put_if_absent("k", "v token=A t=1")
+    g2 = lax.put_if_generation("k", "v token=A t=2", g)
+    assert lax.delete_if_generation("k", g) is False  # stale compare
+    assert lax.get("k") is not None
+    assert lax.delete_if_generation("k", g2) is True
+
+
+def test_gcs_get_raises_on_snapshot_exhaustion_instead_of_none():
+    """r16 (ADVICE r15 #3): a standing lock rewritten faster than
+    the reload+download pair can snapshot it must NOT be reported
+    with the same None that means 'absent' — read_holder/steal
+    would misread a live lock as vanished. Distinct, retryable
+    error instead."""
+
+    class _ChurnBlob(_FakeBlob):
+        def download_as_text(self, if_generation_match=None):
+            raise _FakePreconditionFailed()  # always lost the race
+
+    class _ChurnBucket(_FakeGCSBucket):
+        def blob(self, name):
+            return _ChurnBlob(self, name)
+
+    bucket = _ChurnBucket()
+    store = GCSConditionalStore(bucket, prefix="locks/")
+    bucket.blob("locks/k").upload_from_string("v", if_generation_match=0)
+    with pytest.raises(RuntimeError, match="consistent"):
+        store.get("k")
+    # absent keys still read as None, not as an error
+    assert store.get("missing") is None
 
 
 # ----------------------------------------------------------------
