@@ -717,6 +717,94 @@ def q10_all_shuffle(spark, sf_dir):
     )
 
 
+def _emb_near_dups_variant(pre=None, precast=False, threshold=0.95):
+    """r16 embedding_near_dups challengers (both value-identical to
+    the registry plan, verified by sorted-collect comparison at
+    threshold 0.5; both REJECTED — numbers in PLANS.md r16 ledger):
+    ``precast`` pre-casts the lookup vectors to double (drops two
+    interpreted per-pair transform casts, but v_a is selected FROM
+    the lookup and crosses the second lookup's exchange per PAIR —
+    2x the pair-sized shuffle bytes at corpus scale); ``pre`` adds a
+    repartition before the banding explode ("rr" round-robin,
+    "hash" by id — parallelizes the single-partition scan and the
+    hash form removes the post-aggregate id exchange, but the full
+    query stayed inside box noise)."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_macropulse_br_spark.operators.dedup import srp_banded
+        from etl_macropulse_br_spark.operators.similarity import (
+            _as_double_array,
+            dot,
+            norm,
+        )
+        from etl_macropulse_br_spark.plans.queries import _t
+
+        emb = _t(spark, sf_dir, "embeddings")
+        src = emb
+        if pre == "rr":
+            src = emb.repartition(32)
+        elif pre == "hash":
+            src = emb.repartition(32, "vec_id")
+        banded = srp_banded(src, "embedding", "vec_id", 3, 8, 64)
+        left, right = banded.alias("l"), banded.alias("r")
+        cands = (
+            left.join(
+                right.hint("shuffle_hash"),
+                on=[
+                    F.col("l.band") == F.col("r.band"),
+                    F.col("l.bucket") == F.col("r.bucket"),
+                    F.col("l.id") < F.col("r.id"),
+                ],
+            )
+            .select(
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+            )
+            .distinct()
+        )
+        v = F.col("embedding")
+        e = emb.select(
+            F.col("vec_id").alias("id"),
+            (_as_double_array(v) if precast else v).alias("v"),
+            norm(_as_double_array(v)).alias("nrm"),
+        )
+        j1 = cands.join(
+            e.hint("shuffle_hash"), F.col("id_a") == e["id"]
+        ).select(
+            "id_a", "id_b", F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+        )
+        va, vb = F.col("v_a"), F.col("v")
+        if not precast:
+            va, vb = _as_double_array(va), _as_double_array(vb)
+        return (
+            j1.join(e.hint("shuffle_hash"), F.col("id_b") == e["id"])
+            .select(
+                "id_a",
+                "id_b",
+                (dot(va, vb) / (F.col("n_a") * F.col("nrm"))).alias(
+                    "cosine"
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    return run
+
+
+def dedup_first_event_unprojected(spark, sf_dir):
+    """Pre-r16 dedup_first_event: dedup over ALL event columns, the
+    unused props JSON packed into the min_by payload struct and the
+    projection applied after (the shipped plan projects first)."""
+    from etl_macropulse_br_spark.operators.silver import dedup_keep_first
+    from etl_macropulse_br_spark.plans.queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    return dedup_keep_first(
+        ev, keys=["user_id", "event_type"], order=["ts", "event_id"]
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
 def _registry(name):
     def run(spark, sf_dir):
         from etl_macropulse_br_spark.plans.queries import QUERIES
@@ -757,6 +845,13 @@ VARIANTS = {
     "props_json_tuple": props_json_tuple,
     "q10_returned_items": _registry("q10_returned_items"),
     "q10_all_shuffle": q10_all_shuffle,
+    # r16 challengers (all rejected; PLANS.md r16 ledger)
+    "embedding_near_dups": _registry("embedding_near_dups"),
+    "emb_near_dups_precast": _emb_near_dups_variant(precast=True),
+    "emb_near_dups_hash_repart": _emb_near_dups_variant(pre="hash"),
+    "emb_near_dups_rr_repart": _emb_near_dups_variant(pre="rr"),
+    "dedup_first_event": _registry("dedup_first_event"),
+    "dedup_first_event_unprojected": dedup_first_event_unprojected,
 }
 
 
