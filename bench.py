@@ -381,12 +381,41 @@ def main() -> None:
         n: min(s1["timings"][n], s2["timings"][n]) for n in names
     }
     total = round(sum(timings.values()), 3)
+    # Per-query floor decomposition (r14 — VERDICT r13 next #3):
+    # time minus this deployment's fixed per-job scheduling cost
+    # (jobs x null_job_sec), i.e. the part of each query's local
+    # number that is COMPUTE rather than job-launch overhead. A
+    # query whose Spark/DuckDB ratio is large but whose excess is
+    # comparable to the DuckDB time is floor-dominated — the gap
+    # amortizes to nothing at real data scale; a query whose
+    # EXCESS dwarfs its DuckDB twin has a genuine compute gap.
+    excess = {
+        n: round(
+            max(
+                0.0,
+                timings[n]
+                - s1["jobs"].get(n, 0.0) * s1["null_job_sec"],
+            ),
+            3,
+        )
+        for n in names
+    }
 
+    # Key ORDER inside the one-line JSON (r17 — VERDICT r16 next #6):
+    # headline scalars first, per-query maps LAST. BENCH_r15's line
+    # was captured truncated by the driver's tail window and the
+    # whole artifact parsed to null, silently voiding a round of
+    # round-over-round comparison. A truncated line is unparseable
+    # either way, but with the scalars in the first ~300 bytes any
+    # reader (or human) recovering the head of the line gets the
+    # headline numbers; the 51-entry maps ride at the end where a
+    # tail cut costs the least. Same keys, same values — additions
+    # of nothing; ordering only.
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "spark_pass_totals": [
             round(sum(s["timings"].values()), 3) for s in (s1, s2)
         ],
@@ -397,10 +426,7 @@ def main() -> None:
         "value_with_plan_build": round(
             sum(s1["with_build"].values()), 3
         ),
-        "queries_with_plan_build": s1["with_build"],
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "null_job_sec": s1["null_job_sec"],
-        "jobs_per_query": s1["jobs"],
         "total_jobs": round(sum(s1["jobs"].values()), 1),
         # fixed-cost floor under the Spark total on THIS deployment:
         # the measured per-job scheduling cost x total jobs — pure
@@ -411,25 +437,6 @@ def main() -> None:
         "estimated_floor_sec": round(
             s1["null_job_sec"] * sum(s1["jobs"].values()), 3
         ),
-        # Per-query floor decomposition (r14 — VERDICT r13 next #3):
-        # time minus this deployment's fixed per-job scheduling cost
-        # (jobs x null_job_sec), i.e. the part of each query's local
-        # number that is COMPUTE rather than job-launch overhead. A
-        # query whose Spark/DuckDB ratio is large but whose excess is
-        # comparable to the DuckDB time is floor-dominated — the gap
-        # amortizes to nothing at real data scale; a query whose
-        # EXCESS dwarfs its DuckDB twin has a genuine compute gap.
-        "queries_excess_over_floor": {
-            n: round(
-                max(
-                    0.0,
-                    timings[n]
-                    - s1["jobs"].get(n, 0.0) * s1["null_job_sec"],
-                ),
-                3,
-            )
-            for n in names
-        },
         # 1-minute load averages at bench START (pre-s1: external
         # load only) and END (inflated by the bench itself) — the
         # start number is the one that correlates a bad worst-pass
@@ -457,7 +464,6 @@ def main() -> None:
         }
         duck_total = round(sum(duck_q.values()), 3)
         out["duckdb_total"] = duck_total
-        out["duckdb_queries"] = duck_q
         out["duckdb_pass_totals"] = [d1["total"], d2["total"]]
         out["ratio"] = (
             round(total / duck_total, 2) if duck_total else None
@@ -494,13 +500,27 @@ def main() -> None:
             )
         # self-reporting weak set (r15 — VERDICT r14 next #5): the
         # floor decomposition now CLASSIFIES, not just publishes
-        out["weak_queries"] = weak_query_names(
-            timings, out["queries_excess_over_floor"], duck_q
-        )
+        out["weak_queries"] = weak_query_names(timings, excess, duck_q)
 
     if not citable:
         out["noisy_non_citable"] = True
-    print(json.dumps(out))
+    # per-query maps LAST (ordering note above `out`): everything
+    # after this point is the bulk a tail truncation would eat first
+    out["queries"] = timings
+    out["jobs_per_query"] = s1["jobs"]
+    out["queries_with_plan_build"] = s1["with_build"]
+    out["queries_excess_over_floor"] = excess
+    if not no_duck:
+        out["duckdb_queries"] = duck_q
+    line = json.dumps(out)
+    # belt-and-braces companion (same VERDICT item): mirror the JSON
+    # to a file so a stdout-capture truncation can never void the
+    # artifact — opt-in via env so default runs write nothing.
+    mirror = os.environ.get("SPARK_GRAFT_BENCH_JSON")
+    if mirror:
+        with open(mirror, "w") as fh:
+            fh.write(line + "\n")
+    print(line)
 
 
 def duckdb_baseline(sf_dir: str, n_runs: int = 5) -> dict:

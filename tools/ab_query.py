@@ -805,6 +805,171 @@ def dedup_first_event_unprojected(spark, sf_dir):
     ).select("user_id", "event_type", "event_id", "ts", "value")
 
 
+def _bm25_from_tf(tf, n_docs, avgdl, qt, k=10, k1=1.2, b=0.75):
+    """The scoring tail of operators/text.py:bm25_topk, verbatim,
+    from a (id, tok, tf, dl) table on — shared by the r17 tf-pass
+    challengers so only the tf construction differs."""
+    from pyspark.sql import Window
+
+    w_tok = Window.partitionBy("tok")
+    scored = (
+        tf.withColumn("df_t", F.count(F.lit(1)).over(w_tok))
+        .withColumn("n_docs", F.lit(n_docs))
+        .withColumn("avgdl", F.lit(avgdl))
+    )
+    idf = (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (
+        F.col("df_t") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    per_term = (
+        scored.select("id", "tok", term_score.alias("s"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("tok") == t, F.col("s"))).alias(
+                    f"s_{i}"
+                )
+                for i, t in enumerate(qt)
+            ]
+        )
+    )
+    score = F.lit(0.0)
+    for i in range(len(qt)):
+        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    return (
+        per_term.select(F.col("id").alias("doc_id"), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def docs_bm25_regexp_count(spark, sf_dir):
+    """r17 challenger: tf pass WITHOUT the token explode — per query
+    term, one `regexp_count` over the normalized text with a cached
+    compiled pattern (whole-token boundaries via lookarounds), then
+    `stack` to (tok, tf) rows. Counts are integers computed over the
+    same token definition (maximal \\S+ runs of lower(trim(text))),
+    so every downstream float is bit-identical to the explode form.
+    dl replicates split()'s empty-string edge (split('') = [''] ->
+    size 1) explicitly."""
+    from etl_macropulse_br_spark.plans.queries import _BM25_TERMS, _t
+
+    qt = [t.lower() for t in _BM25_TERMS]
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    base = docs.select(F.col("doc_id").alias("id"), t.alias("t")).filter(
+        F.col("t").isNotNull()
+    )
+    dl = F.when(F.length("t") == 0, F.lit(1)).otherwise(
+        F.regexp_count(F.col("t"), F.lit(r"\S+"))
+    )
+    base = base.select("id", dl.alias("dl"), "t")
+    srow = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = srow["n_docs"], srow["avgdl"]
+    tf_cols = [
+        F.regexp_count(
+            F.col("t"), F.lit(rf"(?<=^|\s)\Q{term}\E(?=$|\s)")
+        ).alias(f"tf_{i}")
+        for i, term in enumerate(qt)
+    ]
+    stack_expr = "stack({}, {}) as (tok, tf)".format(
+        len(qt),
+        ", ".join(f"'{term}', tf_{i}" for i, term in enumerate(qt)),
+    )
+    tf = (
+        base.select("id", "dl", *tf_cols)
+        .selectExpr("id", "dl", stack_expr)
+        .filter(F.col("tf") > 0)
+        .select("id", "tok", "tf", "dl")
+    )
+    return _bm25_from_tf(tf, n_docs, avgdl, qt)
+
+
+def docs_bm25_prefilter(spark, sf_dir):
+    """r17 challenger: keep split+explode+aggregate, but filter the
+    token ARRAY down to the query terms (higher-order `filter`)
+    BEFORE the explode, so only matching tokens ever become rows.
+    Counts identical: array filter preserves order and multiplicity,
+    and the old shape discarded the same non-matching rows one step
+    later; dl still measures the UNFILTERED array."""
+    from etl_macropulse_br_spark.plans.queries import _BM25_TERMS, _t
+
+    qt = [t.lower() for t in _BM25_TERMS]
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    base = docs.select(
+        F.col("doc_id").alias("id"), F.split(t, r"\s+").alias("__toks")
+    ).filter(F.col("__toks").isNotNull())
+    srow = (
+        base.select(F.size("__toks").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    n_docs, avgdl = srow["n_docs"], srow["avgdl"]
+    tf = (
+        base.select(
+            "id",
+            F.size("__toks").alias("dl"),
+            F.explode(
+                F.filter("__toks", lambda x: x.isin(*qt))
+            ).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    return _bm25_from_tf(tf, n_docs, avgdl, qt)
+
+
+def docs_bm25_extract_all(spark, sf_dir):
+    """r17 challenger: keep the explode+aggregate tf pass but
+    tokenize with `regexp_extract_all('\\S+')` (pattern compiled
+    once per operator instance) instead of `split('\\s+')` (Java
+    String.split compiles the pattern per ROW for multi-char
+    regexes). Token vectors identical on trimmed text; the
+    empty-string edge (split -> ['']) replicated explicitly."""
+    from etl_macropulse_br_spark.plans.queries import _BM25_TERMS, _t
+
+    qt = [t.lower() for t in _BM25_TERMS]
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    toks = F.when(F.length(t) == 0, F.array(F.lit(""))).otherwise(
+        F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0))
+    )
+    base = (
+        docs.select(F.col("doc_id").alias("id"), toks.alias("__toks"))
+        .filter(F.col("__toks").isNotNull())
+    )
+    srow = (
+        base.select(F.size("__toks").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    n_docs, avgdl = srow["n_docs"], srow["avgdl"]
+    tf = (
+        base.select(
+            "id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("tok"),
+        )
+        .filter(F.col("tok").isin(*qt))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    return _bm25_from_tf(tf, n_docs, avgdl, qt)
+
+
 def _registry(name):
     def run(spark, sf_dir):
         from etl_macropulse_br_spark.plans.queries import QUERIES
@@ -852,6 +1017,11 @@ VARIANTS = {
     "emb_near_dups_rr_repart": _emb_near_dups_variant(pre="rr"),
     "dedup_first_event": _registry("dedup_first_event"),
     "dedup_first_event_unprojected": dedup_first_event_unprojected,
+    # r17 challengers (VERDICT r16 next #5: the bm25 tf pass)
+    "docs_bm25_topk": _registry("docs_bm25_topk"),
+    "docs_bm25_regexp_count": docs_bm25_regexp_count,
+    "docs_bm25_extract_all": docs_bm25_extract_all,
+    "docs_bm25_prefilter": docs_bm25_prefilter,
 }
 
 
