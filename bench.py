@@ -97,7 +97,7 @@ def weak_query_names(
     duck_q: dict[str, float],
     excess_multiple: float = 3.0,
     absolute_bar_sec: float = 0.4,
-    hysteresis: float = 1.2,
+    margin: float = 1.2,
 ) -> list[str]:
     """The bench's self-reporting weak-set rule (r15 — VERDICT r14
     next #5: `queries_excess_over_floor` existed but nothing
@@ -110,7 +110,10 @@ def weak_query_names(
     props_struct_parse-shaped gap self-reports in the artifact
     instead of waiting for a reader to divide two columns.
 
-    ``hysteresis`` (r16 — VERDICT r15 next #3): the excess must
+    ``margin`` (r16 — VERDICT r15 next #3; renamed from the r16
+    misnomer "hysteresis" per ADVICE r16 #3 — it is a stateless
+    one-sided threshold bump, not state-carrying hysteresis): the
+    excess must
     clear the threshold with a margin. In r15 the same code flagged
     `embedding_near_dups` in one citable run (excess 0.454 s vs a
     3x threshold of 0.453 s — over by ONE millisecond) and not in
@@ -125,7 +128,7 @@ def weak_query_names(
         if d > 0
         and n in timings
         and timings[n] >= absolute_bar_sec
-        and excess.get(n, 0.0) > hysteresis * excess_multiple * d
+        and excess.get(n, 0.0) > margin * excess_multiple * d
     )
 
 

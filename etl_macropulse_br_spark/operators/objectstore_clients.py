@@ -72,6 +72,8 @@ Usage::
 
 from __future__ import annotations
 
+import threading
+import time
 import uuid
 
 
@@ -131,8 +133,10 @@ class S3ConditionalStore:
         self._uncond_delete = unconditional_delete_fallback
         # lazily-probed conditional-DeleteObject behavior of THIS
         # endpoint: "honored" / "rejected" / "ignored" (r16 —
-        # ADVICE r15 #2). None = not probed yet.
+        # ADVICE r15 #2). None = not probed yet; _probe_mu
+        # serializes the first probe (r17 — ADVICE r16 #2).
         self._cond_delete: str | None = None
+        self._probe_mu = threading.Lock()
 
     @classmethod
     def create(
@@ -231,25 +235,34 @@ class S3ConditionalStore:
                 "existed — store misbehaving"
             )
         mismatched = "0" * 32  # syntactically valid, never a real ETag
-        verdict = "ignored"
+        # r17 (ADVICE r16 #2): the cleanup lives in a finally so an
+        # UNEXPECTED status from the mismatched delete (the re-raise
+        # path) cannot leak the probe object; S3 DeleteObject on an
+        # already-deleted key is a silent 204, so the unconditional
+        # best-effort delete is safe in every verdict class.
         try:
-            self._c.delete_object(
-                Bucket=self._bucket,
-                Key=self._key(probe_key),
-                IfMatch=mismatched,
-            )
-        except Exception as exc:  # noqa: BLE001 — status-classified
-            status = _http_status(exc)
-            if status in (409, 412):
-                verdict = "honored"
-            elif status in (400, 501):
-                verdict = "rejected"
-            else:
-                raise
-        if verdict != "ignored":  # probe object survived: clean up
-            self._c.delete_object(
-                Bucket=self._bucket, Key=self._key(probe_key)
-            )
+            verdict = "ignored"
+            try:
+                self._c.delete_object(
+                    Bucket=self._bucket,
+                    Key=self._key(probe_key),
+                    IfMatch=mismatched,
+                )
+            except Exception as exc:  # noqa: BLE001 — status-classified
+                status = _http_status(exc)
+                if status in (409, 412):
+                    verdict = "honored"
+                elif status in (400, 501):
+                    verdict = "rejected"
+                else:
+                    raise
+        finally:
+            try:
+                self._c.delete_object(
+                    Bucket=self._bucket, Key=self._key(probe_key)
+                )
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
         return verdict
 
     def _delete_fallback_or_raise(self, key: str, expected: str, why: str) -> bool:
@@ -279,7 +292,13 @@ class S3ConditionalStore:
         # endpoints through the same explicit fallback-or-raise gate
         # as ones that reject the header.
         if self._cond_delete is None:
-            self._cond_delete = self.probe_conditional_delete()
+            # r17 (ADVICE r16 #2): serialize the lazy probe —
+            # concurrent first deletes would each run the 2-3
+            # request probe (wasteful, and a re-assignment race on
+            # the cached verdict)
+            with self._probe_mu:
+                if self._cond_delete is None:
+                    self._cond_delete = self.probe_conditional_delete()
         if self._cond_delete == "ignored":
             return self._delete_fallback_or_raise(
                 key, expected, "silently ignores"
@@ -395,8 +414,19 @@ class GCSConditionalStore:
         blob = self._blob(key)
         # consistent (body, generation) snapshot: reload pins the
         # generation, the conditioned download refuses if a write
-        # landed in between — retry the pair a few times
-        for _ in range(4):
+        # landed in between — retry the pair with a short backoff.
+        # r17 (ADVICE r16 #1): the r16 loss-loop was 4 back-to-back
+        # attempts with NO sleep and the distinct exhaustion error
+        # propagated to lock acquire/release, whose callers retry
+        # nothing — so a sub-millisecond churn burst could crash a
+        # release and leave the lock standing until stale. The
+        # backoff lives HERE (0/10/50/250 ms/1 s/1 s/1 s): seven
+        # snapshot attempts spread over ~2.3 s outlast any realistic
+        # rewrite burst, and every caller stays bare.
+        delays = (0.0, 0.01, 0.05, 0.25, 1.0, 1.0, 1.0)
+        for delay in delays:
+            if delay:
+                time.sleep(delay)
             try:
                 blob.reload()
             except Exception as exc:  # noqa: BLE001
@@ -415,11 +445,11 @@ class GCSConditionalStore:
         # return the same None that means "object absent" — callers
         # (ObjectStoreLockProvider.read_holder/steal) would misread
         # a standing, heavily-rewritten lock as vanished and report
-        # a steal as not-refused. Raise a distinct error instead;
-        # under write churn this is transient and retryable.
+        # a steal as not-refused. Raise a distinct error instead.
         raise RuntimeError(
             f"GCSConditionalStore.get({key!r}): could not take a "
-            "consistent (body, generation) snapshot in 4 attempts — "
+            f"consistent (body, generation) snapshot in "
+            f"{len(delays)} backed-off attempts over ~2.3 s — "
             "object exists but is being rewritten faster than it "
-            "can be read; retry with backoff"
+            "can be read"
         )

@@ -157,13 +157,16 @@ def pack_chunks(
     sum. Returns the same ``(id_col, shard, bin, n_tok)`` columns.
 
     Exactness (r16 — ADVICE r15 #1): the bin is TRUE integer
-    division (``start div budget`` / DuckDB ``//`` — both truncate
-    toward zero, verified identical), not ``floor`` over a
-    floating-point quotient: the double path rounds once a shard's
-    cumulative token count approaches 2^53, misassigning bins
-    beyond the documented sizing. Token counts are non-negative, so
-    ``start >= 0`` and truncation equals the old floor on the whole
-    valid domain (identical outputs; only the overflow behavior
+    division (Spark ``start div budget``, DuckDB ``//``), not
+    ``floor`` over a floating-point quotient: the double path
+    rounds once a shard's cumulative token count approaches 2^53,
+    misassigning bins beyond the documented sizing. The two
+    operators differ on NEGATIVE operands (``div`` truncates toward
+    zero, DuckDB ``//`` floors), but agree everywhere this code can
+    reach them (r17 — ADVICE r16 #5): token counts are validated
+    non-negative, so ``start >= 0`` and ``budget > 0``, where
+    truncation, flooring, and the old double-``floor`` all
+    coincide (identical outputs; only the overflow behavior
     changed).
     """
     if budget <= 0:

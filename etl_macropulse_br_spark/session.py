@@ -61,11 +61,26 @@ def get_spark(
         # (SPARK_GRAFT_SMALL_SHUFFLE_PARTITIONS=8 python bench.py
         # --queries ...). Default 4: measured best overall for the
         # sub-second bench workload (PLANS.md r16 re-measured 4 vs 8).
-        shuffle_partitions = (
-            int(os.environ.get("SPARK_GRAFT_SMALL_SHUFFLE_PARTITIONS", "4"))
-            if profile == "small-input"
-            else DEFAULT_SHUFFLE_PARTITIONS
-        )
+        if profile == "small-input":
+            raw = os.environ.get(
+                "SPARK_GRAFT_SMALL_SHUFFLE_PARTITIONS", "4"
+            )
+            # r17 (ADVICE r16 #4): name the knob on a bad value —
+            # a bare int() ValueError points at nothing
+            try:
+                shuffle_partitions = int(raw)
+            except ValueError:
+                raise ValueError(
+                    "SPARK_GRAFT_SMALL_SHUFFLE_PARTITIONS must be a "
+                    f"positive integer, got {raw!r}"
+                ) from None
+            if shuffle_partitions < 1:
+                raise ValueError(
+                    "SPARK_GRAFT_SMALL_SHUFFLE_PARTITIONS must be "
+                    f">= 1, got {raw!r}"
+                )
+        else:
+            shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

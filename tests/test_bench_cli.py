@@ -51,14 +51,16 @@ def test_weak_query_rule_flags_genuine_compute_gaps():
     ) == []
 
 
-def test_weak_query_rule_has_hysteresis_at_the_boundary():
+def test_weak_query_rule_has_margin_at_the_boundary():
     """r16 (VERDICT r15 next #3): the rule must not flap on
     measurement noise. Regression case = the exact r15 boundary:
     `embedding_near_dups` at 0.473 s, excess 0.454 s, DuckDB twin
     0.151 s — over the raw 3x threshold (0.453 s) by ONE
     millisecond in one citable run and under it in three others.
     With the 1.2x margin the boundary case does NOT flag; an excess
-    that clears the margin (> 3.6x the twin) still does."""
+    that clears the margin (> 3.6x the twin) still does. (r17 —
+    ADVICE r16 #3: the parameter was renamed hysteresis -> margin;
+    it is a stateless one-sided threshold bump, not hysteresis.)"""
     timings = {"embedding_near_dups": 0.473, "genuine_gap": 0.473}
     excess = {"embedding_near_dups": 0.454, "genuine_gap": 0.454}
     duck = {"embedding_near_dups": 0.151, "genuine_gap": 0.100}
@@ -67,7 +69,7 @@ def test_weak_query_rule_has_hysteresis_at_the_boundary():
     ]
     # margin=1.0 reproduces the old hard-edge rule (both flag)
     assert bench.weak_query_names(
-        timings, excess, duck, hysteresis=1.0
+        timings, excess, duck, margin=1.0
     ) == ["embedding_near_dups", "genuine_gap"]
 
 

@@ -352,6 +352,50 @@ def test_s3_probe_classifies_all_three_endpoint_classes():
         assert not client._objs  # probe cleaned up
 
 
+def test_s3_probe_cleans_up_on_unexpected_status():
+    """r17 (ADVICE r16 #2): an endpoint answering the mismatched
+    probe delete with an UNEXPECTED status (e.g. 503 SlowDown) used
+    to leak the probe object through the re-raise; the cleanup now
+    lives in a finally."""
+
+    class _FlakyClient(_FakeS3Client):
+        def delete_object(self, Bucket, Key, IfMatch=None):
+            if IfMatch is not None:
+                raise _FakeClientError(503, "SlowDown")
+            return super().delete_object(Bucket, Key)
+
+    client = _FlakyClient()
+    store = _S3Store(client, "bkt", prefix="locks/")
+    with pytest.raises(_FakeClientError, match="503"):
+        store.probe_conditional_delete()
+    assert not client._objs  # probe object cleaned up despite raise
+
+
+def test_gcs_get_recovers_from_transient_churn():
+    """r17 (ADVICE r16 #1): a lock rewritten a couple of times while
+    get() snapshots it must be READ on a later backed-off attempt,
+    not bubble the exhaustion error to lock acquire/release (whose
+    callers retry nothing)."""
+    losses = {"n": 0}
+
+    class _BurstBlob(_FakeBlob):
+        def download_as_text(self, if_generation_match=None):
+            if losses["n"] < 2:
+                losses["n"] += 1
+                raise _FakePreconditionFailed()  # lost the race twice
+            return super().download_as_text(if_generation_match=None)
+
+    class _BurstBucket(_FakeGCSBucket):
+        def blob(self, name):
+            return _BurstBlob(self, name)
+
+    bucket = _BurstBucket()
+    store = GCSConditionalStore(bucket, prefix="locks/")
+    bucket.blob("locks/k").upload_from_string("v", if_generation_match=0)
+    body, gen, _ = store.get("k")
+    assert (body, losses["n"]) == ("v", 2)
+
+
 def test_s3_silently_ignoring_endpoint_cannot_delete_live_lock():
     """The hazard the probe exists for: on an ignoring endpoint the
     old adapter's conditional delete became unconditional, returned
