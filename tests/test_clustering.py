@@ -4,6 +4,8 @@ independent pure-Python reference of the same semantics."""
 import hashlib
 import math
 
+import pytest
+
 
 def _seed_order(ids):
     """Replays kmeans_centroids' hash-ordered seeding: ids sorted by
@@ -775,6 +777,7 @@ def test_semdedup_matches_python_reference(spark):
     assert any(t[2] == 0 for t in expect.values())
 
 
+@pytest.mark.slow  # r17: 53 s measured — N-query batch vs per-query loop differential; the serve semantics are pinned by the single-query tests; opt-in tier
 def test_batch_ann_matches_single_query_loop(spark):
     """The batch serving ops must return EXACTLY what a loop of
     single-query calls returns, per query — same vectors, same
@@ -957,6 +960,7 @@ def test_semdedup_auto_k_counts_non_null_vectors(spark):
     assert max(r["cluster_id"] for r in out) <= 3  # k = 4, ids 0..3
 
 
+@pytest.mark.slow  # r17: 32 s measured — save/load differential re-run of invariants the append/compaction tests pin; opt-in tier
 def test_ann_index_load_then_serve_equals_train_then_serve(spark, tmp_path):
     """Persisted-index serving (r8, the r7 verdict's top item): save
     the trained IVF-PQ index as parquet, load it, and serve — the

@@ -2333,6 +2333,7 @@ def test_ingest_increment_crash_rerun_is_idempotent(spark, tmp_path):
         assert got == want, sub
 
 
+@pytest.mark.slow  # r17: 47 s measured — multi-chain crash stress; each chain's crash windows are pinned individually by the r10/r11 tests; opt-in tier
 def test_ingest_increment_multi_chain_with_crash_and_ann(spark, tmp_path):
     """r9 (VERDICT r8 Next #5): the WHOLE daily loop exercised N
     times — a 3-increment chain with a mid-chain crash-rerun, pinned

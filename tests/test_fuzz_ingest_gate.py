@@ -21,6 +21,12 @@ import pytest
 
 from tools.fuzz_ingest import CHECKS
 
+# r17 (VERDICT r16 next #1): opt-in slow tier — the random-crash-
+# point chains re-run invariants the enumerated crash-window tests
+# (tests/test_extensions.py r10/r11 set) pin deterministically;
+# ~75 s of measured wall-clock moves out of the default suite.
+pytestmark = pytest.mark.slow
+
 SEED, N_DOCS, ROUND = 1, 60, 0
 
 

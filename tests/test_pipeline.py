@@ -310,6 +310,9 @@ def test_jsonl_and_orc_roundtrip(spark, tmp_path):
     assert sorted(back.collect()) == sorted(good.collect())
 
 
+@pytest.mark.slow  # r17: 151 s measured — a subprocess e2e whose
+# operator surfaces (docs_curated composition, manifest writing)
+# are pinned by the oracle gate and the unit tests; opt-in tier
 def test_curate_cli_writes_manifest_and_corpus(tmp_path):
     """scripts/curate.py end-to-end at sf0.001: one JSON manifest
     line on stdout, curated parquet on disk, counts consistent."""
@@ -381,6 +384,9 @@ def test_stream_ingest_cli_empty_source_reports_zero_batches(tmp_path):
     assert manifest["n_corpus_docs"] == 0
 
 
+@pytest.mark.slow  # r17: 66 s measured — subprocess e2e; the
+# ledger/append invariants it re-drives are pinned by
+# test_streaming_ann_ingest and the empty-source CLI sibling below
 def test_stream_ingest_cli_embeddings_end_to_end(spark, tmp_path):
     """r11: the --mode embeddings cron shape end-to-end through the
     O(1) batch ledger — an index trained in-process, one embedding

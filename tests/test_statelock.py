@@ -435,6 +435,9 @@ def test_objectstore_zombie_heartbeat_cannot_refresh_thiefs_lock():
     "make_pair", [p[1] for p in _provider_pairs()],
     ids=[p[0] for p in _provider_pairs()],
 )
+@pytest.mark.slow  # r17: 4 s of wall-clock contention PER provider
+# (26 s total) re-hammering primitives every other test in this
+# file pins individually; opt-in stress tier (VERDICT r16 next #1)
 def test_mutual_exclusion_under_contention_and_steals(
     tmp_path, make_pair
 ):

@@ -18,6 +18,7 @@ def _emb(spark):
     )
 
 
+@pytest.mark.slow  # r17: 49 s measured — stream-vs-bulk differential; per-batch append invariants pinned by the faster tests in this file; opt-in tier
 def test_ann_ingest_stream_equals_bulk_append(spark, tmp_path):
     from etl_macropulse_br_spark.operators.ann_index import (
         append_ann_index,
@@ -179,6 +180,7 @@ def test_ann_ingest_redelivery_skip_is_driver_side_o1(
         AI.append_new_embeddings(_Poisoned(), path, batch_id=7)
 
 
+@pytest.mark.slow  # r17: 39 s measured — ledger-growth stress; the trim/refusal edges are pinned by the O(1)-skip and bare-id tests; opt-in tier
 def test_ann_ingest_ledger_is_bounded_and_trim_is_loud(
     spark, tmp_path, monkeypatch
 ):
@@ -536,6 +538,7 @@ def test_witness_eviction_fallback_is_loud(spark, tmp_path, caplog):
     assert caplog.messages == []
 
 
+@pytest.mark.slow  # r17: 30 s measured — multi-stream churn stress over invariants the single-stream tests pin; opt-in tier
 def test_many_streams_interleaved_with_eviction_churn(
     spark, tmp_path
 ):
