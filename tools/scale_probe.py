@@ -11,7 +11,14 @@ scale-out curve:
 - Builds a K-replicated copy of the tables the probe queries read
   (same lazy union-with-id-offset device as tools/scale_smoke.py),
   written once to a temp dir so both core counts read identical
-  parquet.
+  parquet. Replicated tables are written as 2 x max-cores files:
+  at the scale these queries target, inputs always carry at least
+  as many splits as cores, but a K-replicated sf0.1 table is small
+  enough that maxPartitionBytes + openCostInBytes would pack its
+  files into one or two scan splits — capping the map side of every
+  stage at 1-2 tasks and measuring FILE LAYOUT, not operator shape
+  (the first probe run showed exactly that: dedup_first_event 1.27x
+  and docs_bm25_topk 0.89x with a single-split scan feeding them).
 - Runs a small set of shuffle-heavy DECLARED queries (the registry
   callables, unmodified) under the CLUSTER profile (AQE on — the
   posture whose adaptivity the scale claims rest on) at two core
@@ -108,7 +115,11 @@ def build_replicated_dir(sf_dir: str, k: int, dest: str) -> None:
             out = reduce(DataFrame.unionAll, parts)
         else:
             out = replicate(df, k, idc, tc)
-        out.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+        # 64 files ≈ 2 x max cores: see module docstring (scan splits
+        # must not be the parallelism cap the probe measures)
+        out.repartition(64).write.mode("overwrite").parquet(
+            f"{dest}/{t}.parquet"
+        )
     for t in TESTDATA_TABLES:
         if t in needed:
             continue
@@ -118,6 +129,26 @@ def build_replicated_dir(sf_dir: str, k: int, dest: str) -> None:
         elif os.path.isdir(src):
             shutil.copytree(src, f"{dest}/{t}.parquet")
     spark.stop()
+
+
+def wait_quiet(
+    max_wait_s: int = 600, load_1m: float = 1.0, load_5m: float = 2.0
+) -> float:
+    """Block until the loadavg passes the bench's own citability gate
+    (1m < 1.0 AND 5m < 2.0, bounded wait) and return the 1m loadavg
+    seen last. The replication write that precedes measurement drives
+    the box's load to 10+; without this cool-down the FIRST
+    core-count session runs under residual load and the ratio is
+    biased against whichever count runs first (three early probe runs
+    showed exactly that: 32-core q1 read 2-4.6 s when its session ran
+    first after replication, 0.3-0.4 s at either core count on a
+    settled box)."""
+    deadline = time.monotonic() + max_wait_s
+    l1, l5, _ = os.getloadavg()
+    while (l1 >= load_1m or l5 >= load_5m) and time.monotonic() < deadline:
+        time.sleep(10)
+        l1, l5, _ = os.getloadavg()
+    return round(l1, 2)
 
 
 def run_at_cores(data_dir: str, cores: int, n_runs: int) -> dict:
@@ -182,6 +213,15 @@ def main() -> None:
     try:
         print(f"# replicating K={args.k} into {dest}", file=sys.stderr)
         build_replicated_dir(sf_dir, args.k, dest)
+        # force the replication's dirty pages to disk BEFORE any timed
+        # session: measured on this box, background writeback of the
+        # multi-GB replicated dir overlapped the first core-count
+        # session and inflated its q1 runs 14-17 s (they recover to
+        # ~0.5 s in the same JVM once writeback drains) — the probe
+        # was measuring the kernel flusher, not Spark. sync() returns
+        # only when the data is on disk; wait_quiet then covers the
+        # CPU side.
+        os.sync()
 
         out = {
             "k": args.k,
@@ -192,10 +232,22 @@ def main() -> None:
             "profile": "cluster",
             "per_cores": {},
         }
-        for c in cores:
-            out["per_cores"][str(c)] = run_at_cores(
-                dest, c, args.runs
-            )
+        # run every core count TWICE, in opposite orders, and take the
+        # per-(cores, query) min: even behind the quiet gate, the
+        # session that runs first after the replication burst reads
+        # slower (order bias measured at up to 6x on this box) — the
+        # mirrored schedule hits both core counts with both positions,
+        # the same lesson as the r17 interleaved A/B methodology.
+        schedule = list(cores) + list(reversed(cores))
+        out["schedule"] = schedule
+        out["loadavg_at_session_start"] = []
+        for c in schedule:
+            out["loadavg_at_session_start"].append(wait_quiet())
+            got = run_at_cores(dest, c, args.runs)
+            prev = out["per_cores"].setdefault(str(c), got)
+            if prev is not got:
+                for n, v in got.items():
+                    prev[n] = min(prev[n], v)
         t_hi, t_lo = (
             out["per_cores"][str(hi)],
             out["per_cores"][str(lo)],
