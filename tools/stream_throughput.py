@@ -67,13 +67,17 @@ def _docs(spark, sf_dir, k, dest, n_files):
 
 
 def _run_stream(spark, build_query, src, ckpt, fpt):
+    # NOTE: maxFilesPerTrigger is a file-SOURCE option; the builders
+    # set it on readStream (a first draft set it on the sink, where
+    # it is silently ignored — the run consumed everything in ONE
+    # batch and measured no state carry across batches at all; the
+    # progress log's micro_batches field exists to catch that).
     t0 = time.perf_counter()
     q = (
         build_query(src)
         .writeStream.format("noop")
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .option("maxFilesPerTrigger", str(fpt))
         .trigger(availableNow=True)
         .start()
     )
@@ -127,7 +131,11 @@ def main() -> None:
         )
 
         def build_sessions(src):
-            stream = spark.readStream.schema(ev_schema).parquet(src)
+            stream = (
+                spark.readStream.schema(ev_schema)
+                .option("maxFilesPerTrigger", str(args.files_per_trigger))
+                .parquet(src)
+            )
             return sessionize_stream(stream, gap_s=1800)
 
         wall, rows, nb = _run_stream(
@@ -156,7 +164,11 @@ def main() -> None:
         )
 
         def build_dedup(src):
-            stream = spark.readStream.schema(docs_schema).parquet(src)
+            stream = (
+                spark.readStream.schema(docs_schema)
+                .option("maxFilesPerTrigger", str(args.files_per_trigger))
+                .parquet(src)
+            )
             return text_dedup_stream(stream)
 
         wall, rows, nb = _run_stream(
